@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1/§2.4/§2.5 core slice: scans, grouped aggregates, the
+  * month-bucketed universe rank (the reference's flagship shape,
+  * universe_generation_pipeline.py:144-171), and the dimension joins.
+  *
+  * Scale notes (100 TB): every query here is a single scan → (optional
+  * shuffle on the group/window key) → result. Aggregations get map-side
+  * partial aggregation from Catalyst; ranks shuffle once on the partition
+  * key; dimension joins broadcast. Nothing collects to the driver.
+  */
+object CoreQueries {
+
+  /** Column-pruned scan: only 4 of 11 lineitem columns are read
+    * (ReadSchema in the explain plan shows the pruned list).
+    * ≈ pd.read_parquet (pipeline_helpers.py:95-96). */
+  val scanParquet = Q("q_scan_parquet",
+    "pruned parquet scan")(
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem") {
+    (s, d) => lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  }
+
+  /** Parquet sink + re-scan, partitioned by a low-cardinality column —
+    * the reference's layered-lake write (pipeline_helpers.py:81,
+    * derivatives_snapshot_etl.py:49 encodes partitions in paths).
+    * partitionBy gives partition pruning on the read side at scale. */
+  val sinkParquet = Q("q_sink_parquet",
+    "partitioned parquet sink then scan-back")(
+    "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 100000") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+      orders(s, d).filter(col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      // partition column comes back typed string; order normalized by name
+      s.read.parquet(out).select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
+  /** Defensive ordered projection (≈ pipeline_helpers.py:251-253:
+    * `df[[c for c in final_cols if c in df.columns]]`). */
+  val projectSelect = Q("q_project_select",
+    "defensive ordered projection")(
+    "SELECT p_partkey, p_name, p_type, p_size FROM part") {
+    (s, d) =>
+      val df = part(s, d)
+      val wanted = Seq("p_partkey", "p_name", "p_type", "p_missing_col", "p_size")
+      df.select(wanted.filter(df.columns.contains).map(col): _*)
+  }
+
+  /** Date-range predicate pushed to the parquet scan
+    * (≈ historical_data_etl.py:176). */
+  val filterDateRange = Q("q_filter_date_range",
+    "pushed-down date range filter")(
+    "SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1999-01-01'") {
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+  }
+
+  /** Grouped sum — l_quantity plays volume (historical_data_etl.py:76).
+    * Integral doubles sum exactly in any order; no decimal detour needed. */
+  val aggSumVolume = Q("q_agg_sum_volume",
+    "grouped volume sum + count")(
+    "SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS n_rows FROM lineitem GROUP BY l_partkey") {
+    (s, d) => lineitem(s, d).groupBy("l_partkey")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Grouped mean per (month, key) — avg mcap per (month, coin)
+    * (universe_generation_pipeline.py:153-156). Exact-decimal mean. */
+  val aggMeanMonth = Q("q_agg_mean_month",
+    "monthly grouped mean (exact)")(
+    "SELECT date_trunc('month', o_orderdate) AS month, o_custkey, " +
+      s"${Exact.Sql.avg("o_totalprice")} AS avg_price FROM orders GROUP BY 1, 2") {
+    (s, d) => orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"), col("o_custkey"))
+      .agg(Exact.exactAvg(col("o_totalprice")).as("avg_price"))
+  }
+
+  /** Grouped min — earliest observation per asset
+    * (test_data_integrity.py:59-60, backfill-bias helper). */
+  val aggMinStart = Q("q_agg_min_start",
+    "earliest date per key")(
+    "SELECT o_custkey, min(o_orderdate) AS first_date, max(o_orderdate) AS last_date " +
+      "FROM orders GROUP BY o_custkey") {
+    (s, d) => orders(s, d).groupBy("o_custkey")
+      .agg(min("o_orderdate").as("first_date"), max("o_orderdate").as("last_date"))
+  }
+
+  /** Exact distinct counts per group (historical_data_etl.py:196 etc.).
+    * At 100 TB the drop-in scale path is approx_count_distinct (HLL). */
+  val aggCountDistinct = Q("q_agg_count_distinct",
+    "grouped exact distinct count")(
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+      "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag") {
+    (s, d) => lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"), countDistinct("l_suppkey").as("n_supps"))
+  }
+
+  private val universeSql =
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, o_custkey, " +
+      s"${Exact.Sql.avg("o_totalprice")} AS avg_mcap FROM orders GROUP BY 1, 2) " +
+      "SELECT month, o_custkey, avg_mcap, rn FROM (SELECT m.*, " +
+      "row_number() OVER (PARTITION BY month ORDER BY avg_mcap DESC, o_custkey) AS rn FROM m) " +
+      "WHERE rn <= 100"
+
+  /** The reference's flagship shape: point-in-time top-N universe — month
+    * bucket → grouped mean → row_number rank (`method='first'` ≡
+    * row_number, NOT rank()) → top-N filter
+    * (universe_generation_pipeline.py:144-171, N=100).
+    * One shuffle for the groupBy, one for the month-partitioned window;
+    * rank-limit pushdown keeps the window streaming at scale. */
+  val winRankFirst = Q("q_win_rank_first",
+    "monthly top-100 by mean value, row_number rank")(universeSql) {
+    (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"), col("o_custkey"))
+        .agg(Exact.exactAvg(col("o_totalprice")).as("avg_mcap"))
+      val w = Window.partitionBy("month").orderBy(col("avg_mcap").desc, col("o_custkey"))
+      m.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 100)
+  }
+
+  /** Top-K per group, smaller K over the fact table (§2.7 q_topk_month). */
+  val topkMonth = Q("q_topk_month",
+    "monthly top-10 parts by summed quantity")(
+    "WITH m AS (SELECT date_trunc('month', l_shipdate) AS month, l_partkey, " +
+      "sum(l_quantity) AS vol FROM lineitem GROUP BY 1, 2) " +
+      "SELECT month, l_partkey, vol, rn FROM (SELECT m.*, " +
+      "row_number() OVER (PARTITION BY month ORDER BY vol DESC, l_partkey) AS rn FROM m) " +
+      "WHERE rn <= 10") {
+    (s, d) =>
+      val m = lineitem(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"), col("l_partkey"))
+        .agg(sum("l_quantity").as("vol"))
+      val w = Window.partitionBy("month").orderBy(col("vol").desc, col("l_partkey"))
+      m.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 10)
+  }
+
+  /** Broadcast dict-lookup join (`Series.map(ticker_map)`,
+    * pipeline_helpers.py:249-250) — tiny dim broadcast, zero fact shuffle. */
+  val joinMapBroadcast = Q("q_join_map_broadcast",
+    "broadcast dimension lookup join")(
+    "SELECT c_custkey, c_name, c_acctbal, n.n_name FROM customer c " +
+      "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey") {
+    (s, d) => customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+  }
+
+  /** Left equi-join on a composite (date, id) key — market ⟕ onchain ⟕
+    * social merge (pipeline_helpers.py:364-369). Both sides pre-aggregated
+    * to the join key so the shuffle carries minimal width. */
+  val joinLeft2Key = Q("q_join_left_2key",
+    "composite-key left join of per-day per-user aggregates")(
+    "WITH a AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_clicks " +
+      "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+      "b AS (SELECT user_id, date_trunc('day', ts) AS day, " +
+      s"${Exact.Sql.sum("value")} AS purchase_value FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT a.user_id, a.day, a.n_clicks, b.purchase_value FROM a LEFT JOIN b " +
+      "ON a.user_id = b.user_id AND a.day = b.day") {
+    (s, d) =>
+      val ev = events(s, d).withColumn("day", date_trunc("day", col("ts")))
+      val a = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_clicks"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "day").agg(Exact.exactSum(col("value")).as("purchase_value"))
+      a.join(b, Seq("user_id", "day"), "left")
+        .select(a("user_id"), a("day"), col("n_clicks"), col("purchase_value"))
+  }
+
+  /** Schema-aligning union (`pd.concat` aligns by name and null-fills —
+    * unionByName(allowMissingColumns=true) matches;
+    * historical_data_etl.py:173). */
+  val union = Q("q_union",
+    "union by name with missing-column null fill")(
+    "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+      "WHERE date_part('year', o_orderdate) = 1995 " +
+      "UNION ALL BY NAME " +
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE date_part('year', o_orderdate) = 1996") {
+    (s, d) =>
+      val o = orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val b = o.filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_totalprice")
+      a.unionByName(b, allowMissingColumns = true)
+  }
+
+  val all: Seq[Q] = Seq(
+    scanParquet, sinkParquet, projectSelect, filterDateRange,
+    aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
+    winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union)
+}
