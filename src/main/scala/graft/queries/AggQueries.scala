@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — the aggregation surface, including the reference's one
+  * genuinely custom group-wise aggregation (canonical wrapper merge) as a
+  * window rewrite, the Welch t-test from exact moments, and the HML
+  * long-short factor.
+  *
+  * Scale notes: everything is hash aggregation with map-side partials or a
+  * single window shuffle on the group key. The Welch test reduces each
+  * population to 3 moments before any driver math — at 100 TB that is a
+  * full-scan + tiny shuffle, never a collect of raw rows.
+  */
+object AggQueries {
+
+  /** Unique per-line ordinal — gives pandas' position-based `last`/`iloc`
+    * semantics a deterministic, distributed meaning (SURVEY §2.4 caveat:
+    * pandas `last` is order-dependent; we define order = (orderkey,
+    * linenumber) and use max_by/min_by, which Spark evaluates without an
+    * extra sort). l_linenumber < 8, so *8 keeps it collision-free. */
+  private val ord: Column = col("l_orderkey") * 8 + col("l_linenumber")
+  private val ordSql = "(l_orderkey * 8 + l_linenumber)"
+
+  /** Multi-column dict-agg `{volume: sum, open/.../ticker: last}`
+    * (coinbase_universe_pipeline.py:149-159). */
+  val aggMultiRules = Q("q_agg_multi_rules",
+    "per-group sum + deterministic first/last")(
+    "SELECT l_partkey, date_trunc('month', l_shipdate) AS month, " +
+      "sum(l_quantity) AS volume, " +
+      s"max_by(l_extendedprice, $ordSql) AS last_price, " +
+      s"max_by(l_returnflag, $ordSql) AS last_flag, " +
+      s"min_by(l_extendedprice, $ordSql) AS first_price " +
+      "FROM lineitem GROUP BY 1, 2") {
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum("l_quantity").as("volume"),
+        max_by(col("l_extendedprice"), ord).as("last_price"),
+        max_by(col("l_returnflag"), ord).as("last_flag"),
+        min_by(col("l_extendedprice"), ord).as("first_price"))
+  }
+
+  /** The canonical wrapper-merge aggregation (historical_data_etl.py:59-87):
+    * per (canonical_id, date) pick the native row (else highest-mcap row)
+    * as base, overwrite volume with the group sum, backfill the base row's
+    * nulls from any non-null group member. Window rewrite — one shuffle,
+    * no UDAF, codegen-friendly. Backfill uses group max (deterministic;
+    * the reference's "first non-null" is row-order dependent). */
+  val aggCanonical = Q("q_agg_canonical",
+    "canonical group merge via priority window")(
+    "SELECT l_partkey, month, l_orderkey, l_linenumber, base_price, base_flag, vol_sum, " +
+      "COALESCE(tax_nullable, tax_backfill) AS tax_filled FROM (" +
+      "SELECT l_partkey, date_trunc('month', l_shipdate) AS month, l_orderkey, l_linenumber, " +
+      "l_extendedprice AS base_price, l_returnflag AS base_flag, " +
+      "nullif(l_tax, 0.0) AS tax_nullable, " +
+      "row_number() OVER (PARTITION BY l_partkey, date_trunc('month', l_shipdate) " +
+      "ORDER BY (CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END), " +
+      s"l_extendedprice DESC, $ordSql) AS rn, " +
+      "sum(l_quantity) OVER (PARTITION BY l_partkey, date_trunc('month', l_shipdate)) AS vol_sum, " +
+      "max(nullif(l_tax, 0.0)) OVER (PARTITION BY l_partkey, date_trunc('month', l_shipdate)) AS tax_backfill " +
+      "FROM lineitem) t WHERE rn = 1") {
+    (s, d) =>
+      val li = lineitem(s, d)
+        .withColumn("month", date_trunc("month", col("l_shipdate")))
+        .withColumn("tax_nullable", expr("nullif(l_tax, 0.0)"))
+      val w = Window.partitionBy("l_partkey", "month")
+      val priority = when(col("l_returnflag") === "N", 0).otherwise(1)
+      val wOrd = w.orderBy(priority.asc, col("l_extendedprice").desc, ord.asc)
+      li.withColumn("rn", row_number().over(wOrd))
+        .withColumn("vol_sum", sum("l_quantity").over(w))
+        .withColumn("tax_backfill", max("tax_nullable").over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("month"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("base_price"), col("l_returnflag").as("base_flag"),
+          col("vol_sum"),
+          coalesce(col("tax_nullable"), col("tax_backfill")).as("tax_filled"))
+  }
+
+  /** Frequency table (`value_counts()`,
+    * coingecko_asset_attributes_pipeline.py:155). */
+  val aggValueCounts = Q("q_agg_value_counts",
+    "category frequency table")(
+    "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand") {
+    (s, d) => part(s, d).groupBy("p_brand").agg(count(lit(1)).as("n"))
+  }
+
+  /** Mean/stddev + annualized Sharpe with zero-std guard
+    * (test_data_integrity.py:256-259). */
+  val aggMeanStd = Q("q_agg_mean_std",
+    "per-asset mean/std/Sharpe")(
+    "SELECT l_partkey, mean_ret, std_ret, " +
+      "(CASE WHEN std_ret > 0 THEN (mean_ret / std_ret) * sqrt(365.0) ELSE 0.0 END) AS sharpe " +
+      "FROM (SELECT l_partkey, " +
+      s"${Exact.Sql.avg("l_discount")} AS mean_ret, " +
+      s"${Exact.Sql.stddevSamp("l_discount")} AS std_ret " +
+      "FROM lineitem GROUP BY 1) t") {
+    (s, d) => lineitem(s, d).groupBy("l_partkey")
+      .agg(Exact.exactAvg(col("l_discount")).as("mean_ret"),
+        Exact.exactStddevSamp(col("l_discount")).as("std_ret"))
+      .withColumn("sharpe",
+        when(col("std_ret") > 0, (col("mean_ret") / col("std_ret")) * sqrt(lit(365.0)))
+          .otherwise(0.0))
+  }
+
+  /** Welch t-statistic (equal_var=False) between pre/post populations per
+    * group (test_data_integrity.py:94,253), entirely from exact moments —
+    * the p-value CDF lives driver-side in ops.Integrity. */
+  val aggWelchTtest = Q("q_agg_welch_ttest",
+    "Welch t-test from aggregated moments")({
+    val pre  = "(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END)"
+    val post = "(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END)"
+    "SELECT event_type, n1, n2, m1, m2, v1, v2, " +
+      "((m1 - m2) / sqrt(se1 + se2)) AS t_stat, " +
+      "(((se1 + se2) * (se1 + se2)) / " +
+      "(((se1 * se1) / (n1 - 1.0)) + ((se2 * se2) / (n2 - 1.0)))) AS welch_df " +
+      "FROM (SELECT event_type, n1, n2, m1, m2, v1, v2, " +
+      "(v1 / CAST(n1 AS DOUBLE)) AS se1, (v2 / CAST(n2 AS DOUBLE)) AS se2 FROM (" +
+      s"SELECT event_type, COUNT($pre) AS n1, COUNT($post) AS n2, " +
+      s"${Exact.Sql.avg(pre)} AS m1, ${Exact.Sql.avg(post)} AS m2, " +
+      s"${Exact.Sql.varSamp(pre)} AS v1, ${Exact.Sql.varSamp(post)} AS v2 " +
+      "FROM events GROUP BY 1) a) b"
+  }) {
+    (s, d) =>
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val pre  = when(col("ts") < cutoff, col("value"))
+      val post = when(col("ts") >= cutoff, col("value"))
+      events(s, d).groupBy("event_type")
+        .agg(count(pre).as("n1"), count(post).as("n2"),
+          Exact.exactAvg(pre).as("m1"), Exact.exactAvg(post).as("m2"),
+          Exact.exactVarSamp(pre).as("v1"), Exact.exactVarSamp(post).as("v2"))
+        .withColumn("se1", col("v1") / col("n1").cast("double"))
+        .withColumn("se2", col("v2") / col("n2").cast("double"))
+        .select(col("event_type"), col("n1"), col("n2"), col("m1"), col("m2"),
+          col("v1"), col("v2"),
+          ((col("m1") - col("m2")) / sqrt(col("se1") + col("se2"))).as("t_stat"),
+          (((col("se1") + col("se2")) * (col("se1") + col("se2"))) /
+            (((col("se1") * col("se1")) / (col("n1") - lit(1.0))) +
+             ((col("se2") * col("se2")) / (col("n2") - lit(1.0))))).as("welch_df"))
+  }
+
+  /** Daily long-short (HML) factor: mean return of top-30% minus
+    * bottom-30% by score per date; <10 members → null
+    * (test_data_integrity.py:117-123; nlargest(int(len*0.3))). */
+  val aggHml = Q("q_agg_hml",
+    "daily top30%-minus-bottom30% factor")({
+    val topAvg = "(CAST(SUM(CAST((CASE WHEN rn_top <= k THEN l_discount END) AS DECIMAL(38,8))) AS DOUBLE) " +
+      "/ COUNT((CASE WHEN rn_top <= k THEN l_discount END)))"
+    val botAvg = "(CAST(SUM(CAST((CASE WHEN rn_bot <= k THEN l_discount END) AS DECIMAL(38,8))) AS DOUBLE) " +
+      "/ COUNT((CASE WHEN rn_bot <= k THEN l_discount END)))"
+    "SELECT date, (CASE WHEN min(cnt) >= 10 THEN " + topAvg + " - " + botAvg + " END) AS hml " +
+      "FROM (SELECT date_trunc('day', l_shipdate) AS date, l_discount, " +
+      "count(*) OVER (PARTITION BY date_trunc('day', l_shipdate)) AS cnt, " +
+      "floor(count(*) OVER (PARTITION BY date_trunc('day', l_shipdate)) * 0.3) AS k, " +
+      "row_number() OVER (PARTITION BY date_trunc('day', l_shipdate) " +
+      s"ORDER BY l_extendedprice DESC, $ordSql) AS rn_top, " +
+      "row_number() OVER (PARTITION BY date_trunc('day', l_shipdate) " +
+      s"ORDER BY l_extendedprice ASC, $ordSql) AS rn_bot " +
+      "FROM lineitem) t GROUP BY date"
+  }) {
+    (s, d) =>
+      val li = lineitem(s, d).withColumn("date", date_trunc("day", col("l_shipdate")))
+      val w = Window.partitionBy("date")
+      val withFlags = li
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("k", floor(count(lit(1)).over(w) * 0.3))
+        .withColumn("rn_top",
+          row_number().over(w.orderBy(col("l_extendedprice").desc, ord.asc)))
+        .withColumn("rn_bot",
+          row_number().over(w.orderBy(col("l_extendedprice").asc, ord.asc)))
+      val topRet = when(col("rn_top") <= col("k"), col("l_discount"))
+      val botRet = when(col("rn_bot") <= col("k"), col("l_discount"))
+      withFlags.groupBy("date")
+        .agg(min("cnt").as("cnt"),
+          Exact.exactAvg(topRet).as("top_avg"), Exact.exactAvg(botRet).as("bot_avg"))
+        .select(col("date"),
+          when(col("cnt") >= 10, col("top_avg") - col("bot_avg")).as("hml"))
+  }
+
+  /** Ordered per-month universe list serialized to one row per month
+    * (universe_generation_pipeline.py:168-171) — collect_list made
+    * deterministic by sorting on the rank inside the array. */
+  val aggGroupConcatUniverse = Q("q_agg_group_concat_universe",
+    "per-month ranked id list")(
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, o_custkey, " +
+      s"${Exact.Sql.avg("o_totalprice")} AS avg_mcap FROM orders GROUP BY 1, 2), " +
+      "r AS (SELECT month, o_custkey, row_number() OVER (PARTITION BY month " +
+      "ORDER BY avg_mcap DESC, o_custkey) AS rn FROM m) " +
+      "SELECT month, string_agg(CAST(o_custkey AS VARCHAR), ',' ORDER BY rn) AS universe " +
+      "FROM r WHERE rn <= 10 GROUP BY month") {
+    (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"), col("o_custkey"))
+        .agg(Exact.exactAvg(col("o_totalprice")).as("avg_mcap"))
+      val w = Window.partitionBy("month").orderBy(col("avg_mcap").desc, col("o_custkey"))
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .groupBy("month")
+        .agg(collect_list(struct(col("rn"), col("o_custkey"))).as("pairs"))
+        .select(col("month"),
+          array_join(transform(array_sort(col("pairs")),
+            x => x.getField("o_custkey").cast("string")), ",").as("universe"))
+  }
+
+  val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
+    aggWelchTtest, aggHml, aggGroupConcatUniverse)
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — the reference's join surface: chained lefts on a time
+  * key, full outer, composite-key, inner, semi/anti, and the as-of
+  * universe join (equi key + theta residual).
+  *
+  * Scale notes: all equi joins here pre-aggregate both sides to the join
+  * key before joining (shuffle carries minimal rows), or broadcast the
+  * small side. The as-of join keeps its equi key so Catalyst plans a
+  * hash/sort-merge join with a residual range condition — never a cross
+  * product.
+  */
+object JoinQueries {
+
+  private def daily(c: String) = date_trunc("day", col(c))
+
+  /** price ⟕ volume ⟕ mcap chained left joins on the time key
+    * (pipeline_helpers.py:212). */
+  val joinLeftTs = Q("q_join_left_ts",
+    "chained left joins of per-day series")(
+    "WITH price AS (SELECT date_trunc('day', ts) AS day, " +
+      s"${Exact.Sql.avg("value")} AS price FROM events GROUP BY 1), " +
+      "vol AS (SELECT date_trunc('day', ts) AS day, count(*) AS volume FROM events " +
+      "WHERE event_type = 'click' GROUP BY 1), " +
+      "mcap AS (SELECT date_trunc('day', ts) AS day, " +
+      s"${Exact.Sql.sum("value")} AS mcap FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+      "SELECT price.day, price.price, vol.volume, mcap.mcap FROM price " +
+      "LEFT JOIN vol ON price.day = vol.day LEFT JOIN mcap ON price.day = mcap.day") {
+    (s, d) =>
+      val ev = events(s, d).withColumn("day", daily("ts"))
+      val price = ev.groupBy("day").agg(Exact.exactAvg(col("value")).as("price"))
+      val vol = ev.filter(col("event_type") === "click")
+        .groupBy("day").agg(count(lit(1)).as("volume"))
+      val mcap = ev.filter(col("event_type") === "purchase")
+        .groupBy("day").agg(Exact.exactSum(col("value")).as("mcap"))
+      price.join(vol, Seq("day"), "left").join(mcap, Seq("day"), "left")
+  }
+
+  /** OHLC backfill left join on date (pipeline_helpers.py:244). */
+  val joinLeftDate = Q("q_join_left_date",
+    "left join daily aggregates on date")(
+    "WITH base AS (SELECT date_trunc('day', l_shipdate) AS date, " +
+      "sum(l_quantity) AS volume FROM lineitem GROUP BY 1), " +
+      "ohlc AS (SELECT date_trunc('day', o_orderdate) AS date, " +
+      "count(*) AS n_orders FROM orders GROUP BY 1) " +
+      "SELECT base.date, base.volume, ohlc.n_orders FROM base " +
+      "LEFT JOIN ohlc ON base.date = ohlc.date") {
+    (s, d) =>
+      val base = lineitem(s, d).groupBy(daily("l_shipdate").as("date"))
+        .agg(sum("l_quantity").as("volume"))
+      val ohlc = orders(s, d).groupBy(daily("o_orderdate").as("date"))
+        .agg(count(lit(1)).as("n_orders"))
+      base.join(ohlc, Seq("date"), "left")
+  }
+
+  /** TVL ⟗ DEX-volume full outer join on date (pipeline_helpers.py:291) —
+    * either series may have days the other lacks. */
+  val joinOuter = Q("q_join_outer",
+    "full outer join of two daily series")(
+    "WITH tvl AS (SELECT date_trunc('day', o_orderdate) AS date, " +
+      s"${Exact.Sql.sum("o_totalprice")} AS tvl FROM orders " +
+      "WHERE o_orderstatus = 'F' GROUP BY 1), " +
+      "dex AS (SELECT date_trunc('day', l_shipdate) AS date, " +
+      "sum(l_quantity) AS dex_volume FROM lineitem " +
+      "WHERE l_returnflag = 'R' GROUP BY 1) " +
+      "SELECT COALESCE(tvl.date, dex.date) AS date, tvl.tvl, dex.dex_volume " +
+      "FROM tvl FULL OUTER JOIN dex ON tvl.date = dex.date") {
+    (s, d) =>
+      val tvl = orders(s, d).filter(col("o_orderstatus") === "F")
+        .groupBy(daily("o_orderdate").as("date"))
+        .agg(Exact.exactSum(col("o_totalprice")).as("tvl"))
+      val dex = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .groupBy(daily("l_shipdate").as("date"))
+        .agg(sum("l_quantity").as("dex_volume"))
+      tvl.join(dex, Seq("date"), "full_outer")
+  }
+
+  /** Inner join: stored series vs recomputed series on date
+    * (test_data_integrity.py:289). */
+  val joinInner = Q("q_join_inner",
+    "inner join stored vs recomputed daily factor")(
+    "WITH a AS (SELECT date_trunc('day', l_shipdate) AS date, " +
+      s"${Exact.Sql.avg("l_extendedprice")} AS stored FROM lineitem GROUP BY 1), " +
+      "b AS (SELECT date_trunc('day', o_orderdate) AS date, " +
+      s"${Exact.Sql.avg("o_totalprice")} AS recomputed FROM orders GROUP BY 1) " +
+      "SELECT a.date, a.stored, b.recomputed FROM a JOIN b ON a.date = b.date") {
+    (s, d) =>
+      val a = lineitem(s, d).groupBy(daily("l_shipdate").as("date"))
+        .agg(Exact.exactAvg(col("l_extendedprice")).as("stored"))
+      val b = orders(s, d).groupBy(daily("o_orderdate").as("date"))
+        .agg(Exact.exactAvg(col("o_totalprice")).as("recomputed"))
+      a.join(b, Seq("date"), "inner")
+  }
+
+  /** Semi join — keys present in both versions
+    * (test_data_integrity.py:131-141). */
+  val joinSemi = Q("q_join_semi",
+    "left semi join: customers with 1998 orders")(
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+      "(SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1998)") {
+    (s, d) =>
+      val o98 = orders(s, d).filter(year(col("o_orderdate")) === 1998)
+      customer(s, d)
+        .join(o98, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+  }
+
+  /** Anti join — exclude flagged keys (test_data_integrity.py:246-247). */
+  val joinAnti = Q("q_join_anti",
+    "left anti join: customers with no 1998 orders")(
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND date_part('year', o_orderdate) = 1998)") {
+    (s, d) =>
+      val o98 = orders(s, d).filter(year(col("o_orderdate")) === 1998)
+      customer(s, d)
+        .join(o98, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+  }
+
+  /** The as-of universe join (historical_data_etl.py:159-168): for each
+    * (period, member-of-period-universe), aggregate history up to the
+    * period end. Equi key (custkey) + theta residual (date < period end):
+    * Catalyst plans a shuffled hash join with the range as a post-filter,
+    * not a nested loop. */
+  val joinAsofUniverse = Q("q_join_asof_universe",
+    "universe membership as-of join")(
+    "WITH spend AS (SELECT date_trunc('year', o_orderdate) AS period, o_custkey, " +
+      s"${Exact.Sql.sum("o_totalprice")} AS spend FROM orders GROUP BY 1, 2), " +
+      "uni AS (SELECT period, o_custkey FROM (SELECT spend.*, " +
+      "row_number() OVER (PARTITION BY period ORDER BY spend DESC, o_custkey) AS rn " +
+      "FROM spend) WHERE rn <= 10) " +
+      "SELECT u.period, u.o_custkey, count(*) AS n_orders, " +
+      s"${Exact.Sql.sum("o.o_totalprice")} AS cum_spend " +
+      "FROM uni u JOIN orders o ON o.o_custkey = u.o_custkey " +
+      "AND o.o_orderdate < u.period + INTERVAL 1 YEAR GROUP BY 1, 2") {
+    (s, d) =>
+      val spend = orders(s, d)
+        .groupBy(date_trunc("year", col("o_orderdate")).as("period"), col("o_custkey"))
+        .agg(Exact.exactSum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy("period").orderBy(col("spend").desc, col("o_custkey"))
+      val uni = spend.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("period", "o_custkey")
+      val o = orders(s, d).select(col("o_custkey").as("h_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      uni.join(o, col("h_custkey") === col("o_custkey")
+          && col("o_orderdate") < add_months(col("period"), 12))
+        .groupBy("period", "o_custkey")
+        .agg(count(lit(1)).as("n_orders"), Exact.exactSum(col("o_totalprice")).as("cum_spend"))
+  }
+
+  val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
+    joinSemi, joinAnti, joinAsofUniverse)
+}

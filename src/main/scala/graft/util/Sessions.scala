@@ -26,6 +26,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // pandas-semantics: invalid casts coerce to null (`errors='coerce'`),
+      // no runtime errors mid-pipeline (Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.windowExec.buffer.in.memory.threshold", "4194304")
       .config("spark.sql.windowExec.buffer.spill.threshold", "2147483647")
       .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "4194304")
