@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.util.Tables
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The typed-Dataset escape hatch (SURVEY.md §2.6/§2.11): recursive
+  * indicators (Wilder RSI, MACD EMAs, ATR) are sequential per-asset folds
+  * that no frame window can express. `groupByKey.flatMapGroups` keeps the
+  * computation distributed — one shuffle on the asset key, then a pure
+  * in-memory fold per group.
+  *
+  * Scale: group size is bounded by an asset's history length (~10³ rows
+  * for daily data), never by dataset size, so per-group sort+fold is O(h
+  * log h) with tiny constant memory even at 100 TB total. Skewed assets
+  * don't exist for time series (history length is uniform); if they did,
+  * the fold is still single-pass.
+  *
+  * Determinism: rows sort by (shipdate, unique ordinal) inside the group;
+  * every arithmetic step is a fixed IEEE sequence, so results are
+  * bit-identical across partitionings, retries, and engines (the DuckDB
+  * oracle replays the same recurrence via recursive CTE).
+  *
+  * EMA seeding convention: first observation seeds the EMA (pandas
+  * `ewm(adjust=False)`); Wilder averages seed with the first gain/loss.
+  * (TA-Lib seeds with an SMA warm-up instead — documented deviation; the
+  * reference's exact numbers are TA-Lib's, its operator class is
+  * "recursively smoothed indicator", which is what we replicate.)
+  */
+object Recursive {
+
+  case class In(key: Long, secs: Long, ord: Long, close: Double, high: Double, low: Double)
+  case class RsiRow(key: Long, rn: Long, close: Double, rsi: Option[Double])
+  case class MacdRow(key: Long, rn: Long, close: Double, ema12: Double, ema26: Double,
+      macd: Double, macd_sig: Double, macd_hist: Double)
+  case class AtrRow(key: Long, rn: Long, tr: Double, atr: Double)
+
+  /** Per-asset OHLC-ish series from lineitem (FIXTURES.md role mapping):
+    * close = price, high/low synthesized from tax/discount. */
+  def series(s: SparkSession, d: String): Dataset[In] = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      col("l_partkey").as("key"),
+      col("l_shipdate").cast("timestamp").cast("long").as("secs"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("ord"),
+      col("l_extendedprice").as("close"),
+      (col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("high"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("low")
+    ).as[In]
+  }
+
+  private def sorted(it: Iterator[In]): Array[In] =
+    it.toArray.sortBy(r => (r.secs, r.ord))
+
+  /** RSI(14), Wilder smoothing: avg_t = (avg_{t-1}*13 + x_t)/14. */
+  def rsi(s: SparkSession, d: String): Dataset[RsiRow] = {
+    import s.implicits._
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var avgGain, avgLoss = 0.0
+      var seeded = false
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) RsiRow(k, 1, r.close, None)
+        else {
+          val prev = rows(i - 1).close
+          val gain = math.max(r.close - prev, 0.0)
+          val loss = math.max(prev - r.close, 0.0)
+          if (!seeded) { avgGain = gain; avgLoss = loss; seeded = true }
+          else {
+            avgGain = (avgGain * 13.0 + gain) / 14.0
+            avgLoss = (avgLoss * 13.0 + loss) / 14.0
+          }
+          val v = if (avgLoss == 0.0) 100.0
+                  else 100.0 - (100.0 / (1.0 + (avgGain / avgLoss)))
+          RsiRow(k, i + 1, r.close, Some(v))
+        }
+      }
+    }
+  }
+
+  /** MACD(12,26,9): fast/slow EMAs, signal EMA of the difference. */
+  def macd(s: SparkSession, d: String): Dataset[MacdRow] = {
+    import s.implicits._
+    val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0; val a9 = 2.0 / 10.0
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var e12, e26, sig = 0.0
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) {
+          e12 = r.close; e26 = r.close; sig = 0.0
+          MacdRow(k, 1, r.close, e12, e26, 0.0, 0.0, 0.0)
+        } else {
+          e12 = (a12 * r.close) + ((1.0 - a12) * e12)
+          e26 = (a26 * r.close) + ((1.0 - a26) * e26)
+          val m = e12 - e26
+          sig = (a9 * m) + ((1.0 - a9) * sig)
+          MacdRow(k, i + 1, r.close, e12, e26, m, sig, m - sig)
+        }
+      }
+    }
+  }
+
+  /** ATR(14): true range Wilder-smoothed. */
+  def atr(s: SparkSession, d: String): Dataset[AtrRow] = {
+    import s.implicits._
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var a = 0.0
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) {
+          val tr = r.high - r.low
+          a = tr
+          AtrRow(k, 1, tr, a)
+        } else {
+          val pc = rows(i - 1).close
+          val tr = math.max(r.high - r.low,
+            math.max(math.abs(r.high - pc), math.abs(r.low - pc)))
+          a = (a * 13.0 + tr) / 14.0
+          AtrRow(k, i + 1, tr, a)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Recursive
+
+/** SURVEY.md §2.6 recursive indicators. The Spark side is the
+  * flatMapGroups fold (ops.Recursive); the oracle replays the identical
+  * recurrence as a DuckDB recursive CTE — same IEEE op sequence, so the
+  * hash comparison is bit-exact with no tolerance.
+  */
+object RecursiveQueries {
+
+  private val rowsCte =
+    "WITH RECURSIVE rows AS MATERIALIZED (" +
+      "SELECT l_partkey AS key, " +
+      "row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate, (l_orderkey*8+l_linenumber)) AS rn, " +
+      "l_extendedprice AS close, " +
+      "l_extendedprice * (1.0 + l_tax) AS high, " +
+      "l_extendedprice * (1.0 - l_discount) AS low FROM lineitem), "
+
+  /** RSI(14), Wilder smoothing (feature_calculation_functions.py:48-51). */
+  val rsi = Q("q_rsi", "Wilder RSI(14) via sequential fold")(
+    rowsCte +
+      "r AS (SELECT key, rn, close, CAST(NULL AS DOUBLE) AS avg_gain, CAST(NULL AS DOUBLE) AS avg_loss " +
+      "FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT n.key, n.rn, n.close, " +
+      "CASE WHEN r.avg_gain IS NULL THEN greatest(n.close - r.close, 0.0) " +
+      "ELSE (r.avg_gain * 13.0 + greatest(n.close - r.close, 0.0)) / 14.0 END, " +
+      "CASE WHEN r.avg_loss IS NULL THEN greatest(r.close - n.close, 0.0) " +
+      "ELSE (r.avg_loss * 13.0 + greatest(r.close - n.close, 0.0)) / 14.0 END " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) " +
+      "SELECT key, rn, close, " +
+      "CASE WHEN avg_loss IS NULL THEN NULL WHEN avg_loss = 0.0 THEN 100.0 " +
+      "ELSE 100.0 - (100.0 / (1.0 + (avg_gain / avg_loss))) END AS rsi FROM r") {
+    (s, d) => Recursive.rsi(s, d).toDF()
+  }
+
+  /** MACD(12,26,9) (feature_calculation_functions.py:53-60). */
+  val macd = Q("q_macd", "MACD via recursive EMAs")(
+    rowsCte +
+      "r AS (SELECT key, rn, close, close AS ema12, close AS ema26, " +
+      "CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS macd_sig, " +
+      "CAST(0.0 AS DOUBLE) AS macd_hist FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT key, rn, close, ema12, ema26, macd, macd_sig, macd - macd_sig AS macd_hist FROM (" +
+      "SELECT t.key, t.rn, t.close, t.ema12, t.ema26, (t.ema12 - t.ema26) AS macd, " +
+      "(((2.0 / 10.0) * (t.ema12 - t.ema26)) + ((1.0 - (2.0 / 10.0)) * t.prev_sig)) AS macd_sig " +
+      "FROM (SELECT n.key, n.rn, n.close, " +
+      "(((2.0 / 13.0) * n.close) + ((1.0 - (2.0 / 13.0)) * r.ema12)) AS ema12, " +
+      "(((2.0 / 27.0) * n.close) + ((1.0 - (2.0 / 27.0)) * r.ema26)) AS ema26, " +
+      "r.macd_sig AS prev_sig " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) t) u) " +
+      "SELECT key, rn, close, ema12, ema26, macd, macd_sig, macd_hist FROM r") {
+    (s, d) => Recursive.macd(s, d).toDF()
+  }
+
+  /** ATR(14): Wilder-smoothed true range
+    * (feature_calculation_functions.py:86-92). */
+  val atr = Q("q_atr", "ATR(14) via sequential fold")(
+    rowsCte +
+      "r AS (SELECT key, rn, close, (high - low) AS tr, (high - low) AS atr FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT key, rn, close, tr, ((prev_atr * 13.0) + tr) / 14.0 AS atr FROM (" +
+      "SELECT n.key, n.rn, n.close, " +
+      "greatest(n.high - n.low, greatest(abs(n.high - r.close), abs(n.low - r.close))) AS tr, " +
+      "r.atr AS prev_atr " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) t) " +
+      "SELECT key, rn, tr, atr FROM r") {
+    (s, d) => Recursive.atr(s, d).toDF().select("key", "rn", "tr", "atr")
+  }
+
+  val all: Seq[Q] = Seq(rsi, macd, atr)
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 — rolling-frame statistics. pandas `rolling(n)` yields
+  * null until n observations (`min_periods=window`), reproduced with an
+  * explicit frame-count guard. All rolling moments go through the
+  * decimal-exact window sums (see Exact) so engines agree bit-for-bit.
+  * One shuffle on the asset key serves every frame in a query.
+  */
+object RollingQueries {
+
+  private val ord: Column = col("l_orderkey") * 8 + col("l_linenumber")
+  private val ordSql = "(l_orderkey * 8 + l_linenumber)"
+  private def frameSql(n: Int) =
+    s"(PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+  private def frame(n: Int) =
+    Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord).rowsBetween(-(n - 1), 0)
+
+  /** Rolling z-score, 30-row window, with min_periods null and std>0 guard
+    * (`rolling_zscore`, feature_calculation_functions.py:16-21,37-40,101-103).
+    * Applied to price and volume. */
+  val winRollZscore = Q("q_win_roll_zscore", "rolling 30-row z-scores")({
+    val w = "w30"
+    def z(c: String, out: String) =
+      s"(CASE WHEN COUNT($c) OVER $w >= 30 THEN " +
+        s"(CASE WHEN ${Exact.Sql.winStddevSamp(c, w)} > 0 THEN " +
+        s"(($c) - ${Exact.Sql.winAvg(c, w)}) / ${Exact.Sql.winStddevSamp(c, w)} END) END) AS $out"
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, l_extendedprice, l_quantity, " +
+      s"${z("l_extendedprice", "price_z30")}, ${z("l_quantity", "vol_z30")} " +
+      s"FROM lineitem WINDOW w30 AS ${frameSql(30)}"
+  }) {
+    (s, d) =>
+      val w = frame(30)
+      def z(c: Column) = {
+        val std = Exact.winStddevSamp(c, w)
+        when(count(c).over(w) >= 30,
+          when(std > 0, (c - Exact.winAvg(c, w)) / std))
+      }
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+        col("l_extendedprice"), col("l_quantity"),
+        z(col("l_extendedprice")).as("price_z30"), z(col("l_quantity")).as("vol_z30"))
+  }
+
+  /** Rolling 30-row stddev of 1-step returns — realized volatility
+    * (feature_calculation_functions.py:82-84). The return itself is a lag
+    * expression, so this composes a window inside a window frame. */
+  val winRollVol = Q("q_win_roll_vol", "rolling volatility of returns")({
+    val w = "w30"
+    "WITH r AS (SELECT l_partkey, l_shipdate, " + ordSql + " AS ord, " +
+      "(l_extendedprice / lag(l_extendedprice, 1) OVER (PARTITION BY l_partkey " +
+      s"ORDER BY l_shipdate, $ordSql)) - 1.0 AS ret_1 FROM lineitem) " +
+      "SELECT l_partkey, l_shipdate, ord, ret_1, " +
+      s"(CASE WHEN COUNT(ret_1) OVER $w >= 30 THEN ${Exact.Sql.winStddevSamp("ret_1", w)} END) " +
+      "AS volatility_30 FROM r WINDOW w30 AS " +
+      "(PARTITION BY l_partkey ORDER BY l_shipdate, ord ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)"
+  }) {
+    (s, d) =>
+      val wLag = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val r = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+        ((col("l_extendedprice") / lag("l_extendedprice", 1).over(wLag)) - lit(1.0)).as("ret_1"))
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+        .rowsBetween(-29, 0)
+      r.select(col("l_partkey"), col("l_shipdate"), col("ord"), col("ret_1"),
+        when(count(col("ret_1")).over(w) >= 30, Exact.winStddevSamp(col("ret_1"), w))
+          .as("volatility_30"))
+  }
+
+  /** Bollinger Bands 20-row: SMA ± 2·population-std (TA-Lib BBANDS uses
+    * ddof=0), plus normalized width
+    * (feature_calculation_functions.py:63-70). */
+  val winBbands = Q("q_win_bbands", "Bollinger bands 20-row")({
+    val w = "w20"
+    val c = "l_extendedprice"
+    val sma = Exact.Sql.winAvg(c, w)
+    val std = Exact.Sql.winStddevPop(c, w)
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, l_extendedprice, " +
+      s"(CASE WHEN COUNT($c) OVER $w >= 20 THEN $sma + (2.0 * $std) END) AS bb_upper, " +
+      s"(CASE WHEN COUNT($c) OVER $w >= 20 THEN $sma - (2.0 * $std) END) AS bb_lower, " +
+      s"(CASE WHEN COUNT($c) OVER $w >= 20 THEN ((($sma + (2.0 * $std)) - ($sma - (2.0 * $std))) / $sma) END) AS bb_width " +
+      s"FROM lineitem WINDOW w20 AS ${frameSql(20)}"
+  }) {
+    (s, d) =>
+      val w = frame(20)
+      val c = col("l_extendedprice")
+      val sma = Exact.winAvg(c, w)
+      val std = Exact.winStddevPop(c, w)
+      val full = count(c).over(w) >= 20
+      val upper = sma + (lit(2.0) * std)
+      val lower = sma - (lit(2.0) * std)
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"), c,
+        when(full, upper).as("bb_upper"),
+        when(full, lower).as("bb_lower"),
+        when(full, (upper - lower) / sma).as("bb_width"))
+  }
+
+  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — ranking/analytic windows. The reference's core idiom
+  * is `groupby(asset)[col].transform(...)` and daily cross-sections; here
+  * each becomes one window shuffle on the partition key. Time-series
+  * windows order by (shipdate, unique ordinal) so results are
+  * deterministic under any physical row order — a correctness requirement
+  * on a cluster, not just for the oracle.
+  */
+object WindowQueries {
+
+  private val ord: Column = col("l_orderkey") * 8 + col("l_linenumber")
+  private val ordSql = "(l_orderkey * 8 + l_linenumber)"
+
+  /** pandas `rank(method='average')` (feature_calculation_functions.py:120):
+    * average rank = rank() + (count_of_ties - 1)/2 — exact composite, no
+    * tie-semantics compromise. */
+  val winRankDaily = Q("q_win_rank_daily",
+    "daily cross-sectional average-rank")(
+    "SELECT o_orderkey, date_trunc('day', o_orderdate) AS date, o_totalprice, " +
+      "(rank() OVER (PARTITION BY date_trunc('day', o_orderdate) ORDER BY o_totalprice DESC) " +
+      "+ (count(*) OVER (PARTITION BY date_trunc('day', o_orderdate), o_totalprice) - 1) / 2.0) " +
+      "AS mcap_rank FROM orders") {
+    (s, d) =>
+      val o = orders(s, d).withColumn("date", date_trunc("day", col("o_orderdate")))
+      val wRank = Window.partitionBy("date").orderBy(col("o_totalprice").desc)
+      val wTies = Window.partitionBy(col("date"), col("o_totalprice"))
+      o.select(col("o_orderkey"), col("date"), col("o_totalprice"),
+        (rank().over(wRank) + (count(lit(1)).over(wTies) - 1) / lit(2.0)).as("mcap_rank"))
+  }
+
+  /** Market dominance: value / daily total
+    * (feature_calculation_functions.py:122-124) — exact-decimal window
+    * sum so the share is bit-stable. */
+  val winDominance = Q("q_win_dominance",
+    "share of daily total")(
+    "SELECT o_orderkey, date_trunc('day', o_orderdate) AS date, o_totalprice, " +
+      "o_totalprice / " +
+      Exact.Sql.winSum("o_totalprice", "(PARTITION BY date_trunc('day', o_orderdate))") +
+      " AS dominance_pct FROM orders") {
+    (s, d) =>
+      val o = orders(s, d).withColumn("date", date_trunc("day", col("o_orderdate")))
+      val w = Window.partitionBy("date")
+      o.select(col("o_orderkey"), col("date"), col("o_totalprice"),
+        (col("o_totalprice") / Exact.winSum(col("o_totalprice"), w)).as("dominance_pct"))
+  }
+
+  private def wAssetSql = s"(PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql)"
+  private def wAsset = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+
+  /** Publication-lag enforcement: 1-row lag per asset
+    * (test_data_integrity.py:104-105). */
+  val winLag = Q("q_win_lag",
+    "per-asset 1-row lag")(
+    "SELECT l_partkey, l_shipdate, l_extendedprice, " +
+      s"lag(l_extendedprice, 1) OVER $wAssetSql AS mcap_lag, " +
+      s"lag(l_quantity, 1) OVER $wAssetSql AS tvl_lag, " +
+      s"$ordSql AS ord FROM lineitem") {
+    (s, d) => lineitem(s, d).select(
+      col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
+      lag("l_extendedprice", 1).over(wAsset).as("mcap_lag"),
+      lag("l_quantity", 1).over(wAsset).as("tvl_lag"),
+      ord.as("ord"))
+  }
+
+  /** Forward-looking target: next value / current - 1
+    * (test_data_integrity.py:242). */
+  val winLead = Q("q_win_lead",
+    "per-asset 1-step future return")(
+    "SELECT l_partkey, l_shipdate, " +
+      s"(lead(l_extendedprice, 1) OVER $wAssetSql / l_extendedprice) - 1.0 AS fwd_ret, " +
+      s"$ordSql AS ord FROM lineitem") {
+    (s, d) => lineitem(s, d).select(
+      col("l_partkey"), col("l_shipdate"),
+      ((lead("l_extendedprice", 1).over(wAsset) / col("l_extendedprice")) - lit(1.0)).as("fwd_ret"),
+      ord.as("ord"))
+  }
+
+  /** k-period returns, k ∈ {1,3,7} (`pct_change(k)`,
+    * feature_calculation_functions.py:31-34). */
+  val winPctChange = Q("q_win_pct_change",
+    "multi-horizon percentage change")(
+    "SELECT l_partkey, l_shipdate, " +
+      s"(l_extendedprice / lag(l_extendedprice, 1) OVER $wAssetSql) - 1.0 AS ret_1, " +
+      s"(l_extendedprice / lag(l_extendedprice, 3) OVER $wAssetSql) - 1.0 AS ret_3, " +
+      s"(l_extendedprice / lag(l_extendedprice, 7) OVER $wAssetSql) - 1.0 AS ret_7, " +
+      s"$ordSql AS ord FROM lineitem") {
+    (s, d) =>
+      def ret(k: Int) =
+        ((col("l_extendedprice") / lag("l_extendedprice", k).over(wAsset)) - lit(1.0))
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+        ret(1).as("ret_1"), ret(3).as("ret_3"), ret(7).as("ret_7"), ord.as("ord"))
+  }
+
+  /** Month bucketing (`dt.to_period('M')`,
+    * universe_generation_pipeline.py:153). */
+  val monthTrunc = Q("q_month_trunc",
+    "month bucketing + resample counts")(
+    "SELECT date_trunc('month', l_shipdate) AS month, count(*) AS n, " +
+      "sum(l_quantity) AS qty FROM lineitem GROUP BY 1") {
+    (s, d) => lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+  }
+
+  val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange, monthTrunc)
+}

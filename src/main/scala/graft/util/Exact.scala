@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -25,6 +26,14 @@ import org.apache.spark.sql.types.DecimalType
 object Exact {
   private val D = DecimalType(38, 8)
 
+  /** Squared values are ~10⁶× larger; at scale 8 their sums exceed 2⁵³
+    * after scaling and DuckDB's decimal→double (int128→double, then ÷10⁸:
+    * two roundings) drifts 1 ulp from Spark's correctly-rounded BigDecimal
+    * path. Scale 4 keeps the scaled integer exactly representable, so both
+    * engines round exactly once — and per-row double→decimal(·,4) ties are
+    * impossible for non-dyadic products. */
+  private val DSq = DecimalType(38, 4)
+
   /** Exact sum of a double column, returned as double. */
   def exactSum(c: Column): Column = sum(c.cast(D)).cast("double")
 
@@ -39,7 +48,7 @@ object Exact {
   def exactStddevSamp(c: Column): Column = {
     val n  = count(c).cast("double")
     val s  = exactSum(c)
-    val sq = sum((c * c).cast(D)).cast("double")
+    val sq = sum((c * c).cast(DSq)).cast("double")
     when(n > 1, sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - lit(1.0)))))
   }
 
@@ -47,7 +56,7 @@ object Exact {
   def exactStddevPop(c: Column): Column = {
     val n  = count(c).cast("double")
     val s  = exactSum(c)
-    val sq = sum((c * c).cast(D)).cast("double")
+    val sq = sum((c * c).cast(DSq)).cast("double")
     when(n > 0, sqrt(greatest(lit(0.0), (sq - s * s / n) / n)))
   }
 
@@ -55,18 +64,55 @@ object Exact {
   def exactVarSamp(c: Column): Column = {
     val n  = count(c).cast("double")
     val s  = exactSum(c)
-    val sq = sum((c * c).cast(D)).cast("double")
+    val sq = sum((c * c).cast(DSq)).cast("double")
     when(n > 1, greatest(lit(0.0), (sq - s * s / n) / (n - lit(1.0))))
+  }
+
+  /** Windowed (frame) variants — same exactness argument: the frame sum
+    * over decimals is order/association-free, so rolling statistics are
+    * bit-identical across engines and across Spark's own runs (Spark
+    * evaluates frames incrementally; DuckDB uses segment trees — only the
+    * decimal detour makes them agree). */
+  def winSum(c: Column, w: WindowSpec): Column = sum(c.cast(D)).over(w).cast("double")
+  def winAvg(c: Column, w: WindowSpec): Column = winSum(c, w) / count(c).over(w)
+  def winStddevSamp(c: Column, w: WindowSpec): Column = {
+    val n  = count(c).over(w).cast("double")
+    val s  = winSum(c, w)
+    val sq = sum((c * c).cast(DSq)).over(w).cast("double")
+    when(n > 1, sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - lit(1.0)))))
+  }
+  def winStddevPop(c: Column, w: WindowSpec): Column = {
+    val n  = count(c).over(w).cast("double")
+    val s  = winSum(c, w)
+    val sq = sum((c * c).cast(DSq)).over(w).cast("double")
+    when(n > 0, sqrt(greatest(lit(0.0), (sq - s * s / n) / n)))
   }
 
   /** DuckDB SQL fragments implementing the identical recipes, for the
     * oracle side of the driver's correctness gate.
     */
   object Sql {
+    /** Windowed fragments; `w` is a named-window reference (DuckDB
+      * `WINDOW w AS (...)`). */
+    def winSum(c: String, w: String): String =
+      s"CAST(SUM(CAST(($c) AS DECIMAL(38,8))) OVER $w AS DOUBLE)"
+    def winAvg(c: String, w: String): String =
+      s"(${winSum(c, w)} / COUNT($c) OVER $w)"
+    private def winMom(c: String, w: String) =
+      (s"CAST(COUNT($c) OVER $w AS DOUBLE)", winSum(c, w),
+        s"CAST(SUM(CAST((($c)*($c)) AS DECIMAL(38,4))) OVER $w AS DOUBLE)")
+    def winStddevSamp(c: String, w: String): String = {
+      val (n, s, sq) = winMom(c, w)
+      s"(CASE WHEN $n > 1 THEN sqrt(greatest(0.0, ($sq - $s*$s/$n) / ($n - 1.0))) END)"
+    }
+    def winStddevPop(c: String, w: String): String = {
+      val (n, s, sq) = winMom(c, w)
+      s"(CASE WHEN $n > 0 THEN sqrt(greatest(0.0, ($sq - $s*$s/$n) / $n)) END)"
+    }
     def sum(c: String): String = s"CAST(SUM(CAST(($c) AS DECIMAL(38,8))) AS DOUBLE)"
     def avg(c: String): String = s"(${sum(c)} / COUNT($c))"
     private def mom(c: String) =
-      (s"COUNT($c)", sum(c), s"CAST(SUM(CAST((($c)*($c)) AS DECIMAL(38,8))) AS DOUBLE)")
+      (s"COUNT($c)", sum(c), s"CAST(SUM(CAST((($c)*($c)) AS DECIMAL(38,4))) AS DOUBLE)")
     def stddevSamp(c: String): String = {
       val (n, s, sq) = mom(c)
       s"(CASE WHEN $n > 1 THEN sqrt(greatest(0.0, ($sq - $s*$s/$n) / ($n - 1.0))) END)"
