@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.TextOps
+import graft.util.Tables._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 north-star: training-data text operators over
+  * `documents` — exact/MinHash/SimHash/Jaccard dedup, language-ID
+  * heuristic, quality scoring, token counting, fingerprinting, and the
+  * multimodal binary-column metadata path.
+  *
+  * Scale notes: every pipeline is explode → hash → aggregate/self-join on
+  * a bounded key (doc, band, bit). Candidate generation is always blocked
+  * (LSH bands, same-source + length window) so no op is quadratic in the
+  * corpus; md5-based hashing is engine-portable (see TextOps).
+  */
+object TextQueries {
+
+  private val shinglesSql =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
+      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "sh AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+      "FROM tok WHERE i + 2 <= len(sp)) "
+
+  private val tokwSql =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
+      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "tokw AS (SELECT doc_id, i, sp[i] AS word FROM tok) "
+
+  /** Exact dedup: content-hash groupBy, keep lowest id
+    * (dropDuplicates-by-hash; the scalable form of `df.drop_duplicates`). */
+  val dedupExact = Q("q_dedup_exact", "exact dedup by content hash")(
+    "SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper " +
+      "FROM documents GROUP BY 1") {
+    (s, d) => documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+  }
+
+  /** MinHash+LSH near-dup candidates: word-3-shingles → 8 seeded minhashes
+    * → 4 bands of 2 → pairs sharing a band. The shuffle key is the band
+    * key, so cost is Σ bucket² not corpus² — the standard web-scale dedup
+    * layout. */
+  val dedupMinhash = Q("q_dedup_minhash", "MinHash-LSH candidate pairs")({
+    val mh = (0 to 7).map(k =>
+      s"min(substr(md5('$k|' || shingle), 1, 16)) AS mh$k").mkString(", ")
+    shinglesSql +
+      s", sig AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id), " +
+      "bands AS (" +
+      "SELECT doc_id, 0 AS band, mh0 || mh1 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 1 AS band, mh2 || mh3 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 2 AS band, mh4 || mh5 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 3 AS band, mh6 || mh7 AS key FROM sig) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+  }) {
+    (s, d) =>
+      val sig = TextOps.shingles3(documents(s, d))
+        .groupBy("doc_id").agg(TextOps.minhash(0), (1 to 7).map(TextOps.minhash): _*)
+      val bands = (0 to 3).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
+      }.reduce(_ unionByName _)
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
+    * near-dups differ in few bits. explode(tokens)×32 bits, two
+    * aggregations; linear in corpus size. */
+  val dedupSimhash = Q("q_dedup_simhash", "32-bit SimHash signatures")(
+    tokwSql +
+      ", h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h32 FROM tokw), " +
+      "bits AS (SELECT doc_id, b, CAST(sum(CASE WHEN ((h32 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s " +
+      "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b) " +
+      "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) " +
+      "AS simhash FROM bits GROUP BY doc_id") {
+    (s, d) =>
+      val words = TextOps.explodeTokens(documents(s, d))
+        .withColumn("h32", TextOps.hash32(col("word")))
+      val bits = s.range(0, 32).toDF("b")
+      words.crossJoin(broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(h32, CAST(b AS INT)) & 1) = 1"), 1).otherwise(-1))
+          .cast("long").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .otherwise(lit(0L))).cast("long").as("simhash"))
+  }
+
+  /** N-gram Jaccard similarity over blocked candidate pairs (same source,
+    * |length diff| ≤ 2): |A∩B| / |A∪B| on distinct shingle sets. */
+  val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "blocked-pair 3-gram Jaccard")(
+    shinglesSql +
+      ", cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
+      "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2 " +
+      "AND a.doc_id < b.doc_id), " +
+      "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), " +
+      "sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c " +
+      "JOIN shd x ON x.doc_id = c.doc_a JOIN shd y ON y.doc_id = c.doc_b " +
+      "AND y.shingle = x.shingle GROUP BY 1, 2) " +
+      "SELECT c.doc_a, c.doc_b, " +
+      "CAST(COALESCE(i.ni, 0) AS DOUBLE) / (sa.nsh + sb.nsh - COALESCE(i.ni, 0)) AS jaccard " +
+      "FROM cand c JOIN sizes sa ON sa.doc_id = c.doc_a " +
+      "JOIN sizes sb ON sb.doc_id = c.doc_b " +
+      "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val a = docs.as("a"); val b = docs.as("b")
+      val cand = a.join(b, col("a.source") === col("b.source")
+          && abs(col("a.n_chars") - col("b.n_chars")) <= 2
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val shd = TextOps.shingles3(docs).distinct()
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = cand
+        .join(shd.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(shd.as("y"), col("y.doc_id") === col("doc_b")
+          && col("y.shingle") === col("x.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      cand
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (coalesce(col("ni"), lit(0)).cast("double") /
+            (col("sa.nsh") + col("sb.nsh") - coalesce(col("ni"), lit(0)))).as("jaccard"))
+  }
+
+  /** Language-ID heuristic: stopword-hit ratio over tokens
+    * (n-gram/stopword family; real models plug into the same shape). */
+  val textLangid = Q("q_text_langid", "stopword-ratio language ID")(
+    tokwSql +
+      "SELECT doc_id, " +
+      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits, " +
+      "count(*) AS n_tokens, " +
+      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stop_ratio, " +
+      "CASE WHEN CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.02 " +
+      "THEN 'en' ELSE 'und' END AS pred_lang FROM tokw GROUP BY doc_id") {
+    (s, d) =>
+      val hit = when(col("word").isin("the", "a"), 1).otherwise(0)
+      TextOps.explodeTokens(documents(s, d)).groupBy("doc_id")
+        .agg(sum(hit).cast("long").as("stop_hits"), count(lit(1)).as("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("pred_lang", when(col("stop_ratio") >= 0.02, "en").otherwise("und"))
+  }
+
+  /** Quality scoring: length/stopword/word-shape components → [0,1] score
+    * (the filter stage of a pretraining pipeline). */
+  val textQuality = Q("q_text_quality", "document quality score")(
+    tokwSql +
+      ", st AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits, " +
+      "count(*) AS n_tokens FROM tokw GROUP BY doc_id) " +
+      "SELECT d.doc_id, d.n_chars, st.n_tokens, " +
+      "CAST(d.n_chars - (st.n_tokens - 1) AS DOUBLE) / st.n_tokens AS avg_token_len, " +
+      "(0.5 * least(1.0, CAST(d.n_chars AS DOUBLE) / 500.0)) " +
+      "+ (0.3 * least(1.0, (CAST(st.stop_hits AS DOUBLE) / st.n_tokens) * 10.0)) " +
+      "+ (CASE WHEN CAST(d.n_chars - (st.n_tokens - 1) AS DOUBLE) / st.n_tokens " +
+      "BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score " +
+      "FROM documents d JOIN st ON st.doc_id = d.doc_id") {
+    (s, d) =>
+      val hit = when(col("word").isin("the", "a"), 1).otherwise(0)
+      val st = TextOps.explodeTokens(documents(s, d)).groupBy("doc_id")
+        .agg(sum(hit).cast("long").as("stop_hits"), count(lit(1)).as("n_tokens"))
+      val avgLen = (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")
+      documents(s, d).join(st, "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          avgLen.as("avg_token_len"),
+          ((lit(0.5) * least(lit(1.0), col("n_chars").cast("double") / lit(500.0)))
+            + (lit(0.3) * least(lit(1.0),
+                (col("stop_hits").cast("double") / col("n_tokens")) * lit(10.0)))
+            + when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0)).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + a bytes/4 BPE-style estimate
+    * (the cost model of a training-data pipeline). */
+  val textTokens = Q("q_text_tokens", "token counts")(
+    "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, " +
+      "(n_chars + 3) // 4 AS bpe_est FROM documents") {
+    (s, d) => documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+      expr("(n_chars + 3) div 4").as("bpe_est"))
+  }
+
+  /** Positional fingerprint: Σ hash32(word)·(pos-weight) mod p — a
+    * rolling-hash-family document signature, exact in int64. */
+  val textFingerprint = Q("q_text_fingerprint", "positional rolling fingerprint")(
+    tokwSql +
+      ", h AS (SELECT doc_id, i, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h32 FROM tokw) " +
+      "SELECT doc_id, CAST(sum((h32 * ((i % 16) + 1)) % 1000000007) AS BIGINT) AS fingerprint " +
+      "FROM h GROUP BY doc_id") {
+    (s, d) => TextOps.explodeTokens(documents(s, d))
+      .withColumn("h32", TextOps.hash32(col("word")))
+      .groupBy("doc_id")
+      .agg(sum((col("h32") * ((col("i") % 16) + 1)) % 1000000007L).cast("long")
+        .as("fingerprint"))
+  }
+
+  /** Multimodal binary-column path: text→bytes stands in for an image/
+    * audio payload; metadata extraction (sizes, stub frame geometry) runs
+    * as per-row expressions. The typed decode-stub pipeline with real
+    * batch shape lives in ops.Multimodal (not SQL-expressible). */
+  val mmBinaryMeta = Q("q_mm_binary_meta", "binary payload metadata stub")(
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "ascii(substr(text, 1, 1)) AS first_code, " +
+      "CAST((octet_length(encode(text)) % 64) + 16 AS BIGINT) AS frame_w, " +
+      "CAST((octet_length(encode(text)) // 100) + 1 AS BIGINT) AS n_frames FROM documents") {
+    (s, d) =>
+      val payload = encode(col("text"), "UTF-8")
+      documents(s, d).select(col("doc_id"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_code"),
+        ((octet_length(payload) % 64) + 16).cast("long").as("frame_w"),
+        (expr("octet_length(encode(text, 'UTF-8')) div 100") + 1).cast("long").as("n_frames"))
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta)
+}
