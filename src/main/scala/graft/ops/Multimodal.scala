@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star, SURVEY.md §2.12): image/audio/
+  * video travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extract / frame-sample run per partition so a real codec
+  * (JNI/native lib) initializes once per task, not once per row.
+  *
+  * The decode step itself is a STUB — the container has no media codecs —
+  * marked `decodeStub`, producing a deterministic fake whose shape (typed
+  * output rows, per-partition batching, partition-count preservation) is
+  * the real contract a production decoder drops into.
+  *
+  * Scale notes: binary payloads make rows wide — the pipeline repartitions
+  * by byte budget, not row count (`maxPartitionBytes` governs scan tasks;
+  * an explicit repartition keeps decode tasks ~128 MB). Metadata-only
+  * queries never touch the payload column thanks to Parquet column
+  * pruning.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** Build a media table from documents (text bytes stand in for an
+    * encoded payload; schema/partitioning are the real thing). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.util.Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("kind")
+    ).as[MediaRow]
+  }
+
+  /** ??? in spirit: the codec goes here. Deterministic fake geometry from
+    * the payload bytes so tests are stable. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    ((n % 64) + 16, (n % 48) + 16, (n / 100) + 1)
+  }
+
+  /** Per-partition decode + feature extraction. mapPartitions (not map) so
+    * a real decoder amortizes codec init across the partition — the Scala
+    * analog of a pandas-UDF batch. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-task codec init would happen here, once
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.payload)
+        val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0x7fffffffL)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, f, checksum)
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame index — the
+    * video→frames explosion, bounded by `stride`. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.toDF().select(col("media_id"), col("kind"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hand-computed semantics for the pipeline modules (quality gate,
+  * canonical merge, taxonomy, integrity stats, recursive kernels). */
+class OpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def ohlcDf(rows: Seq[(String, Double, Double, Double)]) = {
+    val schema = StructType(Seq(
+      StructField("canonical_id", StringType), StructField("low", DoubleType),
+      StructField("high", DoubleType), StructField("close", DoubleType)))
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, schema)
+      .withColumn("date", lit("2024-01-01").cast("timestamp"))
+      .withColumn("open", col("close"))
+  }
+
+  test("Cleanse.filterOhlc removes out-of-band rows and counts them") {
+    val df = ohlcDf(Seq(("a", 1.0, 2.0, 1.5), ("b", 1.0, 2.0, 2.5), ("c", 1.0, 2.0, 0.5)))
+    val r = Cleanse.filterOhlc(df)
+    assert(r.initial == 3 && r.removed == 2)
+    assert(r.cleaned.select("canonical_id").collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("Cleanse.circuitBreaker trips above the loss threshold") {
+    val df = ohlcDf(Seq(("a", 1.0, 2.0, 1.5), ("b", 1.0, 2.0, 9.9)))
+    intercept[Cleanse.CircuitBreakerTripped] {
+      Cleanse.gate(df, Schemas2.required)
+    }
+  }
+  private object Schemas2 { val required = Set("canonical_id", "date", "open", "high", "low", "close") }
+
+  test("Cleanse.validateSchema reports missing required columns") {
+    val df = ohlcDf(Seq(("a", 1.0, 2.0, 1.5))).drop("open")
+    assert(Cleanse.validateSchema(df, Schemas2.required) == Set("open"))
+  }
+
+  test("Canonical.aggregate picks native row, sums volume, backfills nulls") {
+    import spark.implicits._
+    val df = Seq(
+      // (canonical, date, id, mcap, volume, tvl)
+      ("btc", "2024-01-01", "wbtc", 100.0, 10.0, Some(7.0)),
+      ("btc", "2024-01-01", "btc", 50.0, 5.0, None),
+      ("eth", "2024-01-01", "weth", 30.0, 3.0, None)
+    ).toDF("canonical_id", "date", "coin_id", "market_cap", "volume", "tvl")
+    val out = Canonical.aggregate(df, "canonical_id", "date", "coin_id",
+      "market_cap", "volume", Seq("tvl"), col("coin_id"))
+      .orderBy("canonical_id").collect()
+    val btc = out(0)
+    assert(btc.getAs[String]("coin_id") == "btc")      // native beats higher mcap
+    assert(btc.getAs[Double]("volume") == 15.0)        // group sum
+    assert(btc.getAs[Double]("tvl") == 7.0)            // backfilled from wrapper
+    val eth = out(1)
+    assert(eth.getAs[String]("coin_id") == "weth")     // no native -> highest mcap
+  }
+
+  test("Taxonomy precedence, overrides, and fallback") {
+    import spark.implicits._
+    val df = Seq(
+      ("bitcoin", Seq("Layer 1 (L1)", "Store of Value")),
+      ("tether", Seq("Stablecoin", "DeFi")),
+      ("uni", Seq("Decentralized Finance (DeFi)")),
+      ("obscure", Seq("Something Else"))
+    ).toDF("coin_id", "categories")
+    val cls = Taxonomy.classifyArray(col("categories"), Taxonomy.referenceTiers,
+      overrides = Seq((col("coin_id") === "bitcoin") -> "Bitcoin"))
+    val got = df.select(col("coin_id"), cls.as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("bitcoin") == "Bitcoin")          // override wins over tiers
+    assert(got("tether") == "Stablecoin")        // first tier wins over DeFi
+    assert(got("uni") == "DeFi")
+    assert(got("obscure") == "Uncategorized")
+  }
+
+  test("Integrity.welch matches a known two-sample result") {
+    // populations: (0,1,2,3,4) vs (2,3,4,5,6): t = -2, df = 8, p ~ 0.0805
+    val r = Integrity.welch(5, 2.0, 2.5, 5, 4.0, 2.5)
+    assert(math.abs(r.t - (-2.0)) < 1e-12)
+    assert(math.abs(r.df - 8.0) < 1e-12)
+    assert(math.abs(r.p - 0.08051623) < 1e-6)
+  }
+
+  test("Integrity.backfillBias flags histories that grew backwards") {
+    import spark.implicits._
+    val prev = Seq(("a", "2024-01-05"), ("b", "2024-01-05")).toDF("canonical_id", "date")
+    val cur = Seq(("a", "2024-01-01"), ("b", "2024-01-05")).toDF("canonical_id", "date")
+    val bad = Integrity.backfillBias(prev, cur).collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("Integrity.repaintedCells flags drifted common cells only") {
+    import spark.implicits._
+    val prev = Seq(("a", "d1", 1.0), ("b", "d1", 2.0)).toDF("canonical_id", "date", "close")
+    val cur = Seq(("a", "d1", 1.0), ("b", "d1", 2.5), ("c", "d1", 9.0))
+      .toDF("canonical_id", "date", "close")
+    val bad = Integrity.repaintedCells(prev, cur, "close").collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("Recursive.rsi: all-gains series converges to 100, warmup null") {
+    val rs = Recursive.rsi(spark, sf)
+    import spark.implicits._
+    val first = rs.filter(r => r.rn == 1).limit(5).collect()
+    assert(first.forall(_.rsi.isEmpty))
+    val any = rs.filter(r => r.rn > 1).limit(100).collect()
+    assert(any.forall(r => r.rsi.exists(v => v >= 0.0 && v <= 100.0)))
+  }
+
+  test("Universe.topNPerMonth honors N and rank order") {
+    val u = ops.Universe.topNPerMonth(
+      graft.util.Tables.orders(spark, sf), "o_orderdate", "o_custkey", "o_totalprice", 5)
+    val perMonth = u.groupBy("month").count().agg(max("count")).head().getLong(0)
+    assert(perMonth <= 5)
+  }
+
+  test("Multimodal pipeline: features + frame sampling shapes") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.limit(3).collect()
+    assert(f.forall(x => x.n_bytes > 0 && x.width >= 16 && x.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(feats, stride = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "kind", "frame_idx"))
+    assert(frames.count() >= feats.count())
+  }
+}
