@@ -68,12 +68,15 @@ object AggQueries {
       val li = lineitem(s, d)
         .withColumn("month", date_trunc("month", col("l_shipdate")))
         .withColumn("tax_nullable", expr("nullif(l_tax, 0.0)"))
-      val w = Window.partitionBy("l_partkey", "month")
       val priority = when(col("l_returnflag") === "N", 0).otherwise(1)
-      val wOrd = w.orderBy(priority.asc, col("l_extendedprice").desc, ord.asc)
+      val wOrd = Window.partitionBy("l_partkey", "month")
+        .orderBy(priority.asc, col("l_extendedprice").desc, ord.asc)
+      // whole-partition aggregates on the SAME ordered spec (explicit full
+      // frame) so Catalyst evaluates everything in one WindowExec pass
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       li.withColumn("rn", row_number().over(wOrd))
-        .withColumn("vol_sum", sum("l_quantity").over(w))
-        .withColumn("tax_backfill", max("tax_nullable").over(w))
+        .withColumn("vol_sum", sum("l_quantity").over(wFull))
+        .withColumn("tax_backfill", max("tax_nullable").over(wFull))
         .filter(col("rn") === 1)
         .select(col("l_partkey"), col("month"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("base_price"), col("l_returnflag").as("base_flag"),
@@ -158,8 +161,11 @@ object AggQueries {
       "floor(count(*) OVER (PARTITION BY date_trunc('day', l_shipdate)) * 0.3) AS k, " +
       "row_number() OVER (PARTITION BY date_trunc('day', l_shipdate) " +
       s"ORDER BY l_extendedprice DESC, $ordSql) AS rn_top, " +
-      "row_number() OVER (PARTITION BY date_trunc('day', l_shipdate) " +
-      s"ORDER BY l_extendedprice ASC, $ordSql) AS rn_bot " +
+      // total order (unique tiebreak) => ascending row_number is derivable:
+      // rn_bot = cnt + 1 - rn_top, saving a second window sort
+      "(count(*) OVER (PARTITION BY date_trunc('day', l_shipdate)) + 1) " +
+      "- row_number() OVER (PARTITION BY date_trunc('day', l_shipdate) " +
+      s"ORDER BY l_extendedprice DESC, $ordSql) AS rn_bot " +
       "FROM lineitem) t GROUP BY date"
   }) {
     (s, d) =>
@@ -170,8 +176,7 @@ object AggQueries {
         .withColumn("k", floor(count(lit(1)).over(w) * 0.3))
         .withColumn("rn_top",
           row_number().over(w.orderBy(col("l_extendedprice").desc, ord.asc)))
-        .withColumn("rn_bot",
-          row_number().over(w.orderBy(col("l_extendedprice").asc, ord.asc)))
+        .withColumn("rn_bot", (col("cnt") + 1) - col("rn_top"))
       val topRet = when(col("rn_top") <= col("k"), col("l_discount"))
       val botRet = when(col("rn_bot") <= col("k"), col("l_discount"))
       withFlags.groupBy("date")

@@ -36,15 +36,19 @@ object RollingQueries {
       s"FROM lineitem WINDOW w30 AS ${frameSql(30)}"
   }) {
     (s, d) =>
-      val w = frame(30)
-      def z(c: Column) = {
-        val std = Exact.winStddevSamp(c, w)
-        when(count(c).over(w) >= 30,
-          when(std > 0, (c - Exact.winAvg(c, w)) / std))
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+      val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+        col("l_extendedprice"), col("l_quantity"))
+      val withM = Exact.withRollingMoments(
+        Exact.withRollingMoments(base, col("l_extendedprice"), w, 30, "p"),
+        col("l_quantity"), w, 30, "v")
+      def z(c: Column, tag: String) = {
+        val std = Exact.momentsStddevSamp(tag)
+        when(col(s"${tag}_n") >= 30, when(std > 0, (c - Exact.momentsAvg(tag)) / std))
       }
-      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+      withM.select(col("l_partkey"), col("l_shipdate"), col("ord"),
         col("l_extendedprice"), col("l_quantity"),
-        z(col("l_extendedprice")).as("price_z30"), z(col("l_quantity")).as("vol_z30"))
+        z(col("l_extendedprice"), "p").as("price_z30"), z(col("l_quantity"), "v").as("vol_z30"))
   }
 
   /** Rolling 30-row stddev of 1-step returns — realized volatility
@@ -65,10 +69,9 @@ object RollingQueries {
       val r = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
         ((col("l_extendedprice") / lag("l_extendedprice", 1).over(wLag)) - lit(1.0)).as("ret_1"))
       val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
-        .rowsBetween(-29, 0)
-      r.select(col("l_partkey"), col("l_shipdate"), col("ord"), col("ret_1"),
-        when(count(col("ret_1")).over(w) >= 30, Exact.winStddevSamp(col("ret_1"), w))
-          .as("volatility_30"))
+      Exact.withRollingMoments(r, col("ret_1"), w, 30, "r")
+        .select(col("l_partkey"), col("l_shipdate"), col("ord"), col("ret_1"),
+          when(col("r_n") >= 30, Exact.momentsStddevSamp("r")).as("volatility_30"))
   }
 
   /** Bollinger Bands 20-row: SMA ± 2·population-std (TA-Lib BBANDS uses
@@ -86,14 +89,16 @@ object RollingQueries {
       s"FROM lineitem WINDOW w20 AS ${frameSql(20)}"
   }) {
     (s, d) =>
-      val w = frame(20)
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
       val c = col("l_extendedprice")
-      val sma = Exact.winAvg(c, w)
-      val std = Exact.winStddevPop(c, w)
-      val full = count(c).over(w) >= 20
+      val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"), c)
+      val withM = Exact.withRollingMoments(base, c, w, 20, "b")
+      val sma = Exact.momentsAvg("b")
+      val std = Exact.momentsStddevPop("b")
+      val full = col("b_n") >= 20
       val upper = sma + (lit(2.0) * std)
       val lower = sma - (lit(2.0) * std)
-      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"), c,
+      withM.select(col("l_partkey"), col("l_shipdate"), col("ord"), c,
         when(full, upper).as("bb_upper"),
         when(full, lower).as("bb_lower"),
         when(full, (upper - lower) / sma).as("bb_width"))

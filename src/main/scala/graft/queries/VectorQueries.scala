@@ -2,10 +2,8 @@ package graft.queries
 
 import graft.Q
 import graft.util.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.12 north-star: similarity search over the `embeddings`
   * table (64-dim float vectors).
@@ -20,27 +18,30 @@ import org.apache.spark.sql.types.DecimalType
   */
 object VectorQueries {
 
-  private val D = DecimalType(38, 8)
+  /** Decimal-exact dot product of two float-array columns: per-element
+    * double product → decimal scale-8 → left-fold sum → double. The
+    * addend set matches the oracle's exploded-join SUM exactly, and
+    * decimal addition is associative, so both forms are bit-identical —
+    * but this one is a pure codegen'd map over broadcast-joined pairs
+    * (no component-level shuffle). Addends are DECIMAL(18,8): the sum of
+    * two stays within precision 19, so Spark's + keeps scale 8 exactly
+    * (at 38 the precision cap would silently round the accumulator to
+    * scale 7 on every step). */
+  private def dotExpr(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
+      "CAST((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS DECIMAL(18,8))), " +
+      "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE)"
 
-  /** (vec_id, label, i, e) exploded view, i 1-based, components as double. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("pos0", "e0")))
-      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"),
-        col("e0").cast("double").as("e"))
+  private def normExpr(c: String): String =
+    s"sqrt(CAST(aggregate(transform($c, x -> " +
+      "CAST((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DECIMAL(18,8))), " +
+      "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE))"
 
   private val vecsSql =
     "WITH v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e, " +
       "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), " +
       "n AS (SELECT vec_id, sqrt(CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
       "FROM v GROUP BY 1) "
-
-  private def norms(v: DataFrame): DataFrame =
-    v.groupBy("vec_id")
-      .agg(sqrt(sum((col("e") * col("e")).cast(D)).cast("double")).as("nrm"))
-
-  private def exactDot(a: String, b: String) =
-    sum((col(s"$a.e") * col(s"$b.e")).cast(D)).cast("double")
 
   /** Embedding near-dup detection: cosine over label-blocked pairs
     * (blocking bounds the pair count; the full-corpus path is the LSH
@@ -55,17 +56,22 @@ object VectorQueries {
       "JOIN n na ON na.vec_id = d.va JOIN n nb ON nb.vec_id = d.vb " +
       "WHERE d.dot / (na.nrm * nb.nrm) >= 0.35") {
     (s, d) =>
-      val v = vecs(s, d)
-      val nr = norms(v)
-      val dots = v.as("a")
-        .join(v.as("b"), col("a.i") === col("b.i")
-          && col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .agg(exactDot("a", "b").as("dot"))
-      val cos = col("dot") / (col("na.nrm") * col("nb.nrm"))
-      dots.join(nr.as("na"), col("na.vec_id") === col("va"))
-        .join(nr.as("nb"), col("nb.vec_id") === col("vb"))
-        .select(col("va"), col("vb"), cos.as("cosine"))
+      val base = embeddings(s, d)
+      val a = base.select(col("vec_id").as("va"), col("label"),
+        col("embedding").as("ea"), expr(normExpr("embedding")).as("na"))
+      val b = base.select(col("vec_id").as("vb"), col("label"),
+        col("embedding").as("eb"), expr(normExpr("embedding")).as("nb"))
+      // two-phase: a cheap double-fold dot pre-screens the pair set (its
+      // error vs the decimal-exact dot is < 3.3e-7, so a 1e-6 margin can
+      // never drop a qualifying pair); the exact decimal cosine — which
+      // alone decides the output — runs only on survivors
+      val fastDot = "CAST(aggregate(zip_with(ea, eb, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+        "(acc, v) -> acc + v) AS DOUBLE)"
+      a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
+        .filter(expr(fastDot) / (col("na") * col("nb")) >= 0.35 - 1e-6)
+        .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .select(col("va"), col("vb"), col("cosine"))
         .filter(col("cosine") >= 0.35)
   }
 
@@ -83,15 +89,14 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 5") {
     (s, d) =>
-      val v = vecs(s, d)
-      val nr = norms(v)
-      val dots = v.as("a").filter(col("a.vec_id") < 10)
-        .join(v.as("b"), col("a.i") === col("b.i") && col("b.vec_id") =!= col("a.vec_id"))
-        .groupBy(col("a.vec_id").as("q"), col("b.vec_id").as("c"))
-        .agg(exactDot("a", "b").as("dot"))
-      val cosd = dots.join(nr.as("na"), col("na.vec_id") === col("q"))
-        .join(nr.as("nb"), col("nb.vec_id") === col("c"))
-        .select(col("q"), col("c"), (col("dot") / (col("na.nrm") * col("nb.nrm"))).as("cosine"))
+      val base = embeddings(s, d)
+      val qs = base.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
+        col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
+      val cs = base.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
+      val cosd = cs.join(broadcast(qs), col("c") =!= col("q"))
+        .select(col("q"), col("c"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
       cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
   }
@@ -122,34 +127,28 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
       "WHERE rn <= 3") {
     (s, d) =>
-      val v = vecs(s, d)
-      val nr = norms(v)
-      def cosJoin(df: DataFrame, qc: String, cc: String) =
-        df.join(nr.as("na"), col("na.vec_id") === col(qc))
-          .join(nr.as("nb"), col("nb.vec_id") === col(cc))
-      // centroid assignment: every vector vs every seed centroid
-      val cdots = v.as("a")
-        .join(v.as("b").filter(col("b.vec_id") % 50 === 0), col("a.i") === col("b.i"))
-        .groupBy(col("a.vec_id").as("vid"), col("b.vec_id").as("cid"))
-        .agg(exactDot("a", "b").as("dot"))
-      val ccos = cosJoin(cdots, "vid", "cid")
-        .select(col("vid"), col("cid"), (col("dot") / (col("na.nrm") * col("nb.nrm"))).as("cosine"))
+      val base = embeddings(s, d)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      // centroid assignment: corpus x broadcast(centroids), argmax cosine
+      val ccos = all.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cid"),
+          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
       val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
       val assign = ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select(col("vid"), col("cid").as("cluster"))
-      // probe: query's cluster members only
+      // probe: query's cluster members only, dot over the stored arrays
       val pairs = assign.as("qa").filter(col("qa.vid") < 10)
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
           && col("ca.vid") =!= col("qa.vid"))
         .select(col("qa.vid").as("q"), col("ca.vid").as("c"), col("qa.cluster").as("cluster"))
-      val pdots = pairs
-        .join(v.as("a"), col("a.vec_id") === col("q"))
-        .join(v.as("b"), col("b.vec_id") === col("c") && col("b.i") === col("a.i"))
-        .groupBy(col("q"), col("c"), col("cluster"))
-        .agg(exactDot("a", "b").as("dot"))
-      val pcos = cosJoin(pdots, "q", "c")
+      val qv = all.select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
+      val cv = all.select(col("vid").as("c"), col("ev").as("ec"), col("nv").as("nc"))
+      val pcos = pairs.join(broadcast(qv), "q").join(cv, "c")
         .select(col("q"), col("c"), col("cluster"),
-          (col("dot") / (col("na.nrm") * col("nb.nrm"))).as("cosine"))
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }

@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -85,6 +85,52 @@ object Exact {
     val n  = count(c).over(w).cast("double")
     val s  = winSum(c, w)
     val sq = sum((c * c).cast(DSq)).over(w).cast("double")
+    when(n > 0, sqrt(greatest(lit(0.0), (sq - s * s / n) / n)))
+  }
+
+  /** Rolling moments via prefix-sum differences — the O(rows) form of the
+    * frame variants above (Spark recomputes sliding-frame aggregates from
+    * scratch per row: O(rows × frame)). Because decimal sums are exact,
+    * `cum_t - cum_{t-n}` IS the frame sum bit-for-bit, so results match
+    * the frame-based oracle unchanged. Cumulative sums use precision 28
+    * (value) / 30 (squares): big enough for 10¹¹-scale partition sums,
+    * small enough that decimal subtraction keeps its scale (at precision
+    * 38 Spark's +/- hits the cap and silently rounds scale 8 → 7).
+    *
+    * Adds columns `{tag}_n`, `{tag}_s`, `{tag}_q` (double count / sum /
+    * sum-of-squares over the trailing n-row frame). `w` must be the
+    * ordered, frame-less window spec.
+    */
+  private val DCum = DecimalType(28, 8)
+  private val DCumSq = DecimalType(30, 4)
+  def withRollingMoments(df: org.apache.spark.sql.DataFrame, c: Column,
+      w: WindowSpec, n: Int, tag: String): org.apache.spark.sql.DataFrame = {
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = s"__cs_$tag"; val cq = s"__cq_$tag"; val cn = s"__cn_$tag"
+    // sum() widens to precision 38; cast back down (lossless here) so the
+    // later subtraction keeps scale instead of hitting the precision cap
+    val stage = df
+      .withColumn(cs, sum(c.cast(DCum)).over(wCum).cast(DCum))
+      .withColumn(cq, sum((c * c).cast(DCumSq)).over(wCum).cast(DCumSq))
+      .withColumn(cn, count(c).over(wCum))
+    stage
+      .withColumn(s"${tag}_s",
+        (col(cs) - coalesce(lag(col(cs), n).over(w), lit(0).cast(DCum))).cast("double"))
+      .withColumn(s"${tag}_q",
+        (col(cq) - coalesce(lag(col(cq), n).over(w), lit(0).cast(DCumSq))).cast("double"))
+      .withColumn(s"${tag}_n",
+        (col(cn) - coalesce(lag(col(cn), n).over(w), lit(0L))).cast("double"))
+      .drop(cs, cq, cn)
+  }
+
+  /** Statistics over withRollingMoments output columns. */
+  def momentsAvg(tag: String): Column = col(s"${tag}_s") / col(s"${tag}_n")
+  def momentsStddevSamp(tag: String): Column = {
+    val n = col(s"${tag}_n"); val s = col(s"${tag}_s"); val sq = col(s"${tag}_q")
+    when(n > 1, sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - lit(1.0)))))
+  }
+  def momentsStddevPop(tag: String): Column = {
+    val n = col(s"${tag}_n"); val s = col(s"${tag}_s"); val sq = col(s"${tag}_q")
     when(n > 0, sqrt(greatest(lit(0.0), (sq - s * s / n) / n)))
   }
 
