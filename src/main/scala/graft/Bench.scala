@@ -28,6 +28,10 @@ object Bench {
     // hostage to GC pauses / background load; min-of-2 reports the
     // engine's actual steady-state cost
     def pass(): Map[String, Double] = names.map { name =>
+      // collect predecessors' garbage OUTSIDE the timed section: after ~100
+      // query executions in one JVM, allocation-heavy queries otherwise pay
+      // earlier queries' GC debt (measured 3-6x inflation late in the suite)
+      System.gc()
       val t0 = System.nanoTime()
       try runOne(SparkEntry.queries(name)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
