@@ -71,12 +71,14 @@ object AggQueries {
       val priority = when(col("l_returnflag") === "N", 0).otherwise(1)
       val wOrd = Window.partitionBy("l_partkey", "month")
         .orderBy(priority.asc, col("l_extendedprice").desc, ord.asc)
-      // whole-partition aggregates on the SAME ordered spec (explicit full
-      // frame) so Catalyst evaluates everything in one WindowExec pass
+      // whole-partition aggregates on the SAME ordered spec, and all three
+      // window expressions in ONE select: Catalyst extracts them into a
+      // single WindowExec (a withColumn chain would yield one per Project)
       val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      li.withColumn("rn", row_number().over(wOrd))
-        .withColumn("vol_sum", sum("l_quantity").over(wFull))
-        .withColumn("tax_backfill", max("tax_nullable").over(wFull))
+      li.select(col("*"),
+          row_number().over(wOrd).as("rn"),
+          sum("l_quantity").over(wFull).as("vol_sum"),
+          max("tax_nullable").over(wFull).as("tax_backfill"))
         .filter(col("rn") === 1)
         .select(col("l_partkey"), col("month"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("base_price"), col("l_returnflag").as("base_flag"),

@@ -79,16 +79,19 @@ object TextQueries {
       "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) " +
       "AS simhash FROM bits GROUP BY doc_id") {
     (s, d) =>
+      // one agg column per bit instead of a 32x row explosion: same per-bit
+      // majority sums (integer math, oracle unchanged), 1/32nd the rows
       val words = TextOps.explodeTokens(documents(s, d))
         .withColumn("h32", TextOps.hash32(col("word")))
-      val bits = s.range(0, 32).toDF("b")
-      words.crossJoin(broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(shiftright(h32, CAST(b AS INT)) & 1) = 1"), 1).otherwise(-1))
-          .cast("long").as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-          .otherwise(lit(0L))).cast("long").as("simhash"))
+      val bitSums = (0 until 32).map { b =>
+        sum(when(expr(s"(shiftright(h32, $b) & 1) = 1"), 1).otherwise(-1))
+          .cast("long").as(s"s$b")
+      }
+      val simhash = (0 until 32).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
