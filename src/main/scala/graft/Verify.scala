@@ -10,9 +10,19 @@ object Verify {
     val spark = graft.util.Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Remove any previous dump FIRST: a failed query must never leave a
+      // stale (previous-run) parquet behind for the oracle compare to
+      // pass green on.
+      val dest = Paths.get(s"$outDir/$name")
+      def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      rmrf(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(dest.toString)
       catch { case e: Throwable =>
+        rmrf(dest)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

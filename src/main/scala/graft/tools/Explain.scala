@@ -9,15 +9,23 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
-    val ids = args.drop(2)
+    val (confs, ids) = args.drop(2).partition(_.startsWith("--conf="))
     val spark = graft.util.Sessions.local()
+    confs.map(_.stripPrefix("--conf=").split("=", 2)).foreach(kv => spark.conf.set(kv(0), kv(1)))
+    import scala.jdk.CollectionConverters._
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
     ids.foreach { id =>
       val fn = SparkEntry.queries(id)
       if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { i =>
-        val t0 = System.nanoTime()
+        val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime; val g0 = gcMs
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"$id rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        println(f"$id rep$i: $wall%.2f s wall, $cpu%.1f s cpu (${cpu / wall}%.1f cores), ${gcMs - g0} ms gc")
       }
     }
     spark.stop()

@@ -92,23 +92,37 @@ object Exact {
     * frame variants above (Spark recomputes sliding-frame aggregates from
     * scratch per row: O(rows × frame)). Because decimal sums are exact,
     * `cum_t - cum_{t-n}` IS the frame sum bit-for-bit, so results match
-    * the frame-based oracle unchanged. Cumulative sums use precision 28
-    * (value) / 30 (squares): big enough for 10¹¹-scale partition sums,
-    * small enough that decimal subtraction keeps its scale (at precision
-    * 38 Spark's +/- hits the cap and silently rounds scale 8 → 7).
+    * the frame-based oracle unchanged.
+    *
+    * Cumulative columns are precision 18 ON PURPOSE: precision ≤ 18 is
+    * long-backed in UnsafeRow (stored inline, zero allocation per access),
+    * while precision > 18 stores a BigDecimal byte array — every window
+    * row then allocates across 3 cumulative columns + their lags, and the
+    * operator's cost becomes hostage to JVM heap history (observed 1.8 s →
+    * 87 s across reps in one JVM). Long-backed decimals keep the window
+    * pass allocation-free and GC-flat at any heap state.
+    *
+    * PRECONDITION (caller-checked by construction): per-partition
+    * cumulative |sum(x)| < 10^10 at scale 8 and |sum(x²)| < 10^14 at
+    * scale 4. A per-asset daily history of 10^4 rows at magnitude 10^5
+    * sums to 10^9 (squares 10^14-ε) — within range for the testdata and
+    * any realistic per-key series; overflow surfaces as nulls (nullable
+    * overflow cast), never as silent wrong values, so the correctness gate
+    * catches a violated precondition. The subtraction result is
+    * DECIMAL(19,8)/(19,4) — still exact, no precision-38 scale cap.
     *
     * Adds columns `{tag}_n`, `{tag}_s`, `{tag}_q` (double count / sum /
     * sum-of-squares over the trailing n-row frame). `w` must be the
     * ordered, frame-less window spec.
     */
-  private val DCum = DecimalType(28, 8)
-  private val DCumSq = DecimalType(30, 4)
+  private val DCum = DecimalType(18, 8)
+  private val DCumSq = DecimalType(18, 4)
   def withRollingMoments(df: org.apache.spark.sql.DataFrame, c: Column,
       w: WindowSpec, n: Int, tag: String): org.apache.spark.sql.DataFrame = {
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cs = s"__cs_$tag"; val cq = s"__cq_$tag"; val cn = s"__cn_$tag"
-    // sum() widens to precision 38; cast back down (lossless here) so the
-    // later subtraction keeps scale instead of hitting the precision cap
+    // sum() widens +10 digits; cast back to precision 18 (lossless under
+    // the precondition) so the stored column stays long-backed in UnsafeRow
     val stage = df
       .withColumn(cs, sum(c.cast(DCum)).over(wCum).cast(DCum))
       .withColumn(cq, sum((c * c).cast(DCumSq)).over(wCum).cast(DCumSq))
