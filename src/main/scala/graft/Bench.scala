@@ -26,22 +26,33 @@ object Bench {
     }
     // two measured passes, keep the per-query minimum: a single pass is
     // hostage to GC pauses / background load; min-of-2 reports the
-    // engine's actual steady-state cost
-    def pass(): Map[String, Double] = names.map { name =>
+    // engine's actual steady-state cost. A failing query must NOT report
+    // its time-to-failure as a cost (a regression that throws early would
+    // silently "improve" the total): failures record -1 and a "failed"
+    // list, and are excluded from the total.
+    def pass(): Map[String, Option[Double]] = names.map { name =>
       // collect predecessors' garbage OUTSIDE the timed section: after ~100
       // query executions in one JVM, allocation-heavy queries otherwise pay
       // earlier queries' GC debt (measured 3-6x inflation late in the suite)
       System.gc()
       val t0 = System.nanoTime()
-      try runOne(SparkEntry.queries(name)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOne(SparkEntry.queries(name)); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val p1 = pass(); val p2 = pass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { n =>
+      n -> (for { a <- p1(n); b <- p2(n) } yield math.min(a, b))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,13 +52,18 @@ final class Lake(spark: SparkSession, root: String) {
   }
 
   /** Idempotent daily snapshot: skip if this partition already exists
-    * (derivatives_snapshot_etl.py:48-56). Returns true if written. */
+    * (derivatives_snapshot_etl.py:48-56). Returns true if written.
+    * Only rows belonging to the named partition are appended — appending
+    * the caller's whole frame would re-append OTHER partitions' rows on
+    * every call, breaking the idempotency contract this method advertises. */
   def writeSnapshotIfAbsent(df: DataFrame, layer: String, name: String,
       partitionCol: String, partitionValue: String): Boolean = {
     val p = path(layer, name, s"$partitionCol=$partitionValue")
     if (fs(p).exists(new Path(p))) false
     else {
-      df.write.mode(SaveMode.Append).partitionBy(partitionCol)
+      df.filter(org.apache.spark.sql.functions.col(partitionCol).cast("string")
+          === partitionValue)
+        .write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(path(layer, name))
       true
     }

@@ -34,13 +34,16 @@ object Canonical {
     val grp = Window.partitionBy(canonicalId, date)
     val priority = when(col(id) === col(canonicalId), 0).otherwise(1)
     val ordW = grp.orderBy(priority.asc, col(mcap).desc, tiebreak.asc)
-    val withBase = df
-      .withColumn("__rn", row_number().over(ordW))
-      .withColumn("__vol_sum", sum(volume).over(grp))
-    val backfilled = backfillCols.foldLeft(withBase) { (acc, c) =>
-      acc.withColumn(c, coalesce(col(c), max(c).over(grp)))
-    }
-    backfilled.filter(col("__rn") === 1)
+    // ALL window expressions in one select: Catalyst then plans a single
+    // Exchange → Sort → Window family instead of one WindowExec per
+    // withColumn (same fix as the q_agg_canonical query path).
+    val backfillSet = backfillCols.toSet
+    val projected = df.columns.map {
+      case c if backfillSet(c) => coalesce(col(c), max(c).over(grp)).as(c)
+      case c => col(c)
+    } :+ row_number().over(ordW).as("__rn") :+ sum(volume).over(grp).as("__vol_sum")
+    df.select(projected.toIndexedSeq: _*)
+      .filter(col("__rn") === 1)
       .withColumn(volume, col("__vol_sum"))
       .drop("__rn", "__vol_sum")
   }

@@ -44,7 +44,14 @@ object Cleanse {
     * [low - tol, high + tol]; report the removed count
     * (data_quality_gate.py:46-61). */
   def filterOhlc(df: DataFrame, tol: Double = 1e-6): GateResult = {
-    val keep = !(col("close") < col("low") - tol || col("close") > col("high") + tol)
+    // pandas NaN semantics: a comparison against NaN is False, so rows with
+    // null close/low/high are NOT violations and must be KEPT. Spark's
+    // three-valued logic would make `keep` null (→ dropped + counted as
+    // removed) without the coalesce, spuriously tripping the breaker on
+    // sparse data.
+    val keep = coalesce(
+      !(col("close") < col("low") - tol || col("close") > col("high") + tol),
+      lit(true))
     // one aggregation pass for both counts, then the lazily-planned filter
     val row = df.agg(count(lit(1)).as("n"),
       count(when(keep, 1)).as("kept")).head()

@@ -92,18 +92,26 @@ object Integrity {
 
   /** Error predictability ("trade the bug", test_data_integrity.py:229-264):
     * annualized Sharpe of flagged rows' forward returns; flags are
-    * predictive when |t| significant AND sharpe > threshold. */
-  def errorPredictability(df: DataFrame, flag: Column, fwdRet: Column): (Welch, Double) = {
+    * predictive when |t| significant AND sharpe > threshold. Returns None
+    * when either population has < 2 samples or a null moment — welch()
+    * would otherwise divide by zero / throw on a NaN dof (same guard
+    * discipline as precisionBreaks). */
+  def errorPredictability(df: DataFrame, flag: Column, fwdRet: Column): Option[(Welch, Double)] = {
     val m = df.agg(
       count(when(flag, fwdRet)).as("n1"), avg(when(flag, fwdRet)).as("m1"),
       var_samp(when(flag, fwdRet)).as("v1"),
       count(when(!flag, fwdRet)).as("n2"), avg(when(!flag, fwdRet)).as("m2"),
       var_samp(when(!flag, fwdRet)).as("v2"),
       stddev_samp(when(flag, fwdRet)).as("sd1")).head()
-    val res = welch(m.getAs[Long]("n1"), m.getAs[Double]("m1"), m.getAs[Double]("v1"),
-      m.getAs[Long]("n2"), m.getAs[Double]("m2"), m.getAs[Double]("v2"))
-    val sd = m.getAs[Double]("sd1")
-    val sharpe = if (sd > 0) m.getAs[Double]("m1") / sd * math.sqrt(365.0) else 0.0
-    (res, sharpe)
+    val (n1, n2) = (m.getAs[Long]("n1"), m.getAs[Long]("n2"))
+    val anyNullMoment = Seq("m1", "v1", "m2", "v2").exists(c => m.isNullAt(m.fieldIndex(c)))
+    if (n1 < 2 || n2 < 2 || anyNullMoment) None
+    else {
+      val res = welch(n1, m.getAs[Double]("m1"), m.getAs[Double]("v1"),
+        n2, m.getAs[Double]("m2"), m.getAs[Double]("v2"))
+      val sd = m.getAs[Double]("sd1")
+      val sharpe = if (sd > 0) m.getAs[Double]("m1") / sd * math.sqrt(365.0) else 0.0
+      Some((res, sharpe))
+    }
   }
 }

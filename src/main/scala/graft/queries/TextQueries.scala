@@ -113,11 +113,24 @@ object TextQueries {
       "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b") {
     (s, d) =>
       val docs = documents(s, d)
-      val a = docs.as("a"); val b = docs.as("b")
-      val cand = a.join(b, col("a.source") === col("b.source")
-          && abs(col("a.n_chars") - col("b.n_chars")) <= 2
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Candidate generation joins on the EQUI key (source, length-bucket)
+      // rather than source alone: a popular source would otherwise form one
+      // giant sort-merge key scanned quadratically by the length residual.
+      // Bucket width 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land in
+      // the same or adjacent buckets, so emitting side A at {k-1, k, k+1}
+      // and side B at {k} finds every qualifying pair exactly once (B's
+      // bucket is a single value). The |Δ| ≤ 2 residual then only runs
+      // inside width-4 buckets — bounded work per key, no skew blow-up.
+      val bucket = floor(col("n_chars") / 4)
+      val aSide = docs.select(col("doc_id").as("doc_a"), col("source"),
+          col("n_chars").as("ca"))
+        .withColumn("bucket", explode(array(floor(col("ca") / 4) - 1,
+          floor(col("ca") / 4), floor(col("ca") / 4) + 1)))
+      val bSide = docs.select(col("doc_id").as("doc_b"), col("source"),
+        col("n_chars").as("cb"), bucket.as("bucket"))
+      val cand = aSide.join(bSide, Seq("source", "bucket"))
+        .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
       val shd = TextOps.shingles3(docs).distinct()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand

@@ -64,11 +64,14 @@ object VectorQueries {
       // two-phase: a cheap double-fold dot pre-screens the pair set (its
       // error vs the decimal-exact dot is < 3.3e-7, so a 1e-6 margin can
       // never drop a qualifying pair); the exact decimal cosine — which
-      // alone decides the output — runs only on survivors
+      // alone decides the output — runs only on survivors.
+      // Corpus×corpus pair generation must NOT broadcast either side (both
+      // are the full corpus — OOM at scale): shuffle both on the blocking
+      // key and hash-join per partition (no sort needed for pair listing).
       val fastDot = "CAST(aggregate(zip_with(ea, eb, (x, y) -> " +
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
         "(acc, v) -> acc + v) AS DOUBLE)"
-      a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
+      a.join(b.hint("shuffle_hash"), Seq("label")).filter(col("va") < col("vb"))
         .filter(expr(fastDot) / (col("na") * col("nb")) >= 0.35 - 1e-6)
         .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
         .select(col("va"), col("vb"), col("cosine"))
@@ -144,7 +147,9 @@ object VectorQueries {
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
           && col("ca.vid") =!= col("qa.vid"))
         .select(col("qa.vid").as("q"), col("ca.vid").as("c"), col("qa.cluster").as("cluster"))
-      val qv = all.select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
+      // only the query vectors (vid < 10) are broadcast — never the corpus
+      val qv = all.filter(col("vid") < 10)
+        .select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
       val cv = all.select(col("vid").as("c"), col("ev").as("ec"), col("nv").as("nc"))
       val pcos = pairs.join(broadcast(qv), "q").join(cv, "c")
         .select(col("q"), col("c"), col("cluster"),
