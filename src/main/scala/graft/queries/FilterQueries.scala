@@ -23,9 +23,16 @@ object FilterQueries {
   }
 
   /** Point-in-time slice: metrics computed only from data ≤ each period
-    * boundary (historical_data_etl.py:162-168). Periods (7 rows) are
-    * broadcast; the fact table streams once per period via the
-    * broadcast-nested-loop — no shuffle of lineitem by period. */
+    * boundary (historical_data_etl.py:162-168).
+    *
+    * Scale shape: the fact table is first reduced to per-day partials (one
+    * hash aggregation, map-side combined), and only the DAILY rows meet
+    * the `day <= period` broadcast-nested-loop — the full fact table is
+    * never row-amplified by #periods. At monthly granularity over decades
+    * that's 10⁴ days × 10² periods = 10⁶ joined rows regardless of fact
+    * row count. Partial sums keep bit-exactness here because l_quantity is
+    * integer-valued (any regrouping of < 2⁵³-bounded integer sums is
+    * exact); a fractional measure would route through util.Exact. */
   val filterAsof = Q("q_filter_asof",
     "cumulative per-period slice (date <= period)")(
     "WITH periods AS (SELECT DISTINCT date_trunc('year', o_orderdate) AS period FROM orders) " +
@@ -34,9 +41,11 @@ object FilterQueries {
     (s, d) =>
       val periods = orders(s, d)
         .select(date_trunc("year", col("o_orderdate")).as("period")).distinct()
-      lineitem(s, d).join(broadcast(periods), col("l_shipdate") <= col("period"))
+      val daily = lineitem(s, d).groupBy(col("l_shipdate").as("day"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      daily.join(broadcast(periods), col("day") <= col("period"))
         .groupBy("period")
-        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("cum_qty"))
+        .agg(sum("n").as("n_rows"), sum("qty").as("cum_qty"))
   }
 
   /** OHLC integrity filter: drop close outside [low-tol, high+tol]
