@@ -23,8 +23,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned measurement JVM: fixed heap (no adaptive resizing variance),
+// explicit G1, and a large code cache — Spark's whole-stage codegen emits
+// many large classes and an undersized cache triggers sweeper/recompile
+// storms that can inflate a query's cost by 10x in long-lived JVMs.
+// Builder and driver both fork through sbt, so both measure under the
+// same flags.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseG1GC",
+  "-XX:ReservedCodeCacheSize=512m",
 )

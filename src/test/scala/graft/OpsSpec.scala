@@ -27,6 +27,21 @@ class OpsSpec extends SparkSpec {
     assert(r.cleaned.select("canonical_id").collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("Cleanse.filterOhlc keeps rows with null OHLC fields (pandas NaN semantics)") {
+    val schema = StructType(Seq(
+      StructField("canonical_id", StringType), StructField("low", DoubleType),
+      StructField("high", DoubleType), StructField("close", DoubleType)))
+    val df = spark.createDataFrame(Seq(
+      Row("ok", 1.0, 2.0, 1.5),
+      Row("null_close", 1.0, 2.0, null),   // comparisons vs NaN are False in pandas
+      Row("null_low", null, 2.0, 1.5),
+      Row("bad", 1.0, 2.0, 9.9)).asJava, schema)
+    val r = Cleanse.filterOhlc(df)
+    assert(r.initial == 4 && r.removed == 1)
+    assert(r.cleaned.select("canonical_id").collect().map(_.getString(0)).toSet
+      == Set("ok", "null_close", "null_low"))
+  }
+
   test("Cleanse.circuitBreaker trips above the loss threshold") {
     val df = ohlcDf(Seq(("a", 1.0, 2.0, 1.5), ("b", 1.0, 2.0, 9.9)))
     intercept[Cleanse.CircuitBreakerTripped] {
