@@ -23,12 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Pinned measurement JVM: fixed heap (no adaptive resizing variance),
-// explicit G1, and a large code cache — Spark's whole-stage codegen emits
-// many large classes and an undersized cache triggers sweeper/recompile
-// storms that can inflate a query's cost by 10x in long-lived JVMs.
-// Builder and driver both fork through sbt, so both measure under the
-// same flags.
+// Pinned measurement JVM: fixed heap, explicit G1, generous code cache
+// (whole-stage codegen emits many large classes), and — critically —
+// AlwaysPreTouch. Without pre-touch, the first allocation-heavy
+// executions fault the heap's untouched pages in; kernel page-zeroing
+// then burns 10+ cores across all task threads and a 1-second query
+// measures 20-70 s for the first few repetitions of a fresh JVM
+// (diagnosed by elimination: persisted with AQE off, codegen off,
+// C2 off, capped compiler threads; vanished with pre-touch). Pre-touch
+// moves that one-time cost to JVM startup. Builder and driver both fork
+// through sbt, so both measure under the same flags.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -36,4 +40,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseG1GC",
   "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+AlwaysPreTouch",
 )

@@ -12,6 +12,8 @@ object Explain {
     val (confs, ids) = args.drop(2).partition(_.startsWith("--conf="))
     val spark = graft.util.Sessions.local()
     confs.map(_.stripPrefix("--conf=").split("=", 2)).foreach(kv => spark.conf.set(kv(0), kv(1)))
+    println("jvm-args: " + java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toString)
     import scala.jdk.CollectionConverters._
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -20,6 +22,12 @@ object Explain {
     ids.foreach { id =>
       val fn = SparkEntry.queries(id)
       if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      // one untimed warmup first (same protocol as Bench): codegen compile
+      // + JIT dominate a cold first execution and say nothing about
+      // steady-state throughput. Its cost is still printed, not hidden.
+      val w0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"$id warmup: ${(System.nanoTime() - w0) / 1e9}%.2f s (untimed)")
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime; val g0 = gcMs
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
