@@ -62,6 +62,9 @@ object TextQueries {
         sig.select(col("doc_id"), lit(b).as("band"),
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
       }.reduce(_ unionByName _)
+        // persist: both self-join sides read this (4 rows/doc); uncached,
+        // the shingle→minhash signature subtree computes twice
+        .persist()
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -128,10 +131,15 @@ object TextQueries {
           floor(col("ca") / 4), floor(col("ca") / 4) + 1)))
       val bSide = docs.select(col("doc_id").as("doc_b"), col("source"),
         col("n_chars").as("cb"), bucket.as("bucket"))
+      // persist the reused intermediates: `cand` feeds the intersection AND
+      // the final assembly; `shd` feeds both sides of the shingle
+      // intersection and the size aggregate — uncached each consumer
+      // recomputes the full explode/distinct subtree
       val cand = aSide.join(bSide, Seq("source", "bucket"))
         .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-      val shd = TextOps.shingles3(docs).distinct()
+        .persist()
+      val shd = TextOps.shingles3(docs).distinct().persist()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand
         .join(shd.as("x"), col("x.doc_id") === col("doc_a"))

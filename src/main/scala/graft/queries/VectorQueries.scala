@@ -140,8 +140,12 @@ object VectorQueries {
         .select(col("vid"), col("cid"),
           (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
       val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
+      // persist: the assignment (tiny: one row per vector) feeds BOTH sides
+      // of the cluster self-join below — without caching, Spark computes
+      // the whole corpus×centroids subtree twice (no common-subplan reuse)
       val assign = ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select(col("vid"), col("cid").as("cluster"))
+        .persist()
       // probe: query's cluster members only, dot over the stored arrays
       val pairs = assign.as("qa").filter(col("qa.vid") < 10)
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")

@@ -29,6 +29,10 @@ object Explain {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"$id warmup: ${(System.nanoTime() - w0) / 1e9}%.2f s (untimed)")
       (1 to reps).foreach { i =>
+        // GC outside the timed section (same protocol as Bench): a GC also
+        // triggers Spark's ContextCleaner, releasing accumulated broadcast/
+        // shuffle state from prior reps that otherwise serializes later reps
+        System.gc()
         val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime; val g0 = gcMs
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9

@@ -46,4 +46,40 @@ class ExactSpec extends SparkSpec {
     val df = Seq(1.5).toDF("v")
     assert(df.agg(Exact.exactStddevSamp(col("v"))).head().isNullAt(0))
   }
+
+  test("withRollingMoments matches frame-based sums and stays exact in range") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values near the documented magnitude bound (~1e5, like
+    // l_extendedprice): prefix-difference moments must equal the
+    // frame-window recipe bit-for-bit
+    val rows = (1 to 500).map(i => (i % 3, i.toLong, (i * 97 % 99999) + 0.12345678))
+    val df = rows.toDF("k", "ord", "v")
+    val w = Window.partitionBy("k").orderBy("ord")
+    val viaMoments = Exact.withRollingMoments(df, col("v"), w, 30, "m")
+      .select(col("k"), col("ord"), col("m_s"), col("m_q"))
+    val f = w.rowsBetween(-29, 0)
+    val viaFrames = df.select(col("k"), col("ord"),
+      Exact.winSum(col("v"), f).as("f_s"),
+      sum((col("v") * col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+        .over(f).cast("double").as("f_q"))
+    val joined = viaMoments.join(viaFrames, Seq("k", "ord"))
+    assert(joined.filter(col("m_s") =!= col("f_s") || col("m_q") =!= col("f_q"))
+      .count() == 0) // bit-identical
+  }
+
+  test("withRollingMoments overflow surfaces as null, never a wrong value") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // violate the documented precondition: |sum(x)| beyond DECIMAL(18,8)'s
+    // 10^10 value range ⇒ the cumulative cast must null out (ANSI-off
+    // overflow), not silently truncate
+    val rows = (1 to 20).map(i => (1, i.toLong, 9.9e9))
+    val df = rows.toDF("k", "ord", "v")
+    val w = Window.partitionBy("k").orderBy("ord")
+    val out = Exact.withRollingMoments(df, col("v"), w, 5, "m")
+    assert(out.filter(col("m_s").isNull).count() > 0)
+    // and no surviving value is a plausible-but-wrong partial sum
+    assert(out.filter(col("m_s").isNotNull && col("m_s") > 1e10 * 5).count() == 0)
+  }
 }
