@@ -68,10 +68,21 @@ object VectorQueries {
       // Corpus×corpus pair generation must NOT broadcast either side (both
       // are the full corpus — OOM at scale): shuffle both on the blocking
       // key and hash-join per partition (no sort needed for pair listing).
+      // The blocking key is SALTED: label cardinality can be far below the
+      // core count (10 labels here), so a bare label join caps parallelism
+      // at #labels and a hot label becomes one giant task. Side A gets a
+      // deterministic salt from its id, side B is replicated across all
+      // salts — every (a,b) pair meets in exactly one (label, salt) bucket,
+      // so the pair set (and the output) is unchanged while the join fans
+      // out to #labels × SALTS tasks.
+      val SALTS = 8
       val fastDot = "CAST(aggregate(zip_with(ea, eb, (x, y) -> " +
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
         "(acc, v) -> acc + v) AS DOUBLE)"
-      a.join(b.hint("shuffle_hash"), Seq("label")).filter(col("va") < col("vb"))
+      val aS = a.withColumn("salt", pmod(hash(col("va")), lit(SALTS)))
+      val bS = b.withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+      aS.join(bS.hint("shuffle_hash"), Seq("label", "salt"))
+        .filter(col("va") < col("vb"))
         .filter(expr(fastDot) / (col("na") * col("nb")) >= 0.35 - 1e-6)
         .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
         .select(col("va"), col("vb"), col("cosine"))
