@@ -43,4 +43,46 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  final case class Tick(key: Long, secs: Long, value: Double)
+  final case class EmaState(ema: Double, lastSecs: Long)
+  final case class EmaOut(key: Long, secs: Long, value: Double, ema: Double)
+
+  /** Streaming recursive EMA — the continuous form of the batch indicator
+    * kernels (ops.Recursive; `ewm(adjust=False)` seeding: the first
+    * observation seeds the average, feature_calculation_functions.py:54-60).
+    *
+    * Per-asset state (last EMA) is carried across micro-batches with
+    * `flatMapGroupsWithState`, so a restarted/scheduled job continues the
+    * recurrence exactly where the checkpoint left it — state is one tiny
+    * case class per asset, bounded by asset count, never by history
+    * length. Rows are sorted by event time inside each micro-batch (the
+    * iterator's order is not guaranteed); batches are assumed to arrive in
+    * time order per key, which the AvailableNow snapshot-drop layout
+    * provides. Late rows (before the state's watermark) are folded in
+    * arrival order — document upstream ordering if that matters.
+    */
+  def streamingEma(spark: SparkSession, sourceDir: String, schema: StructType,
+      span: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val alpha = 2.0 / (span + 1.0)
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .selectExpr("key", "secs", "value").as[Tick]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption
+        val out = rows.toSeq.sortBy(_.secs).map { r =>
+          val ema = st match {
+            case None    => r.value // first observation seeds the EMA
+            case Some(s) => s.ema + alpha * (r.value - s.ema)
+          }
+          st = Some(EmaState(ema, r.secs))
+          EmaOut(r.key, r.secs, r.value, ema)
+        }
+        st.foreach(state.update)
+        out.iterator
+      }.toDF()
+  }
 }

@@ -64,4 +64,38 @@ class LakeStreamSpec extends SparkSpec {
     // append mode emits only closed windows; planning + run succeeding is the contract
     assert(spark.table("live_out").columns.contains("event_type"))
   }
+
+  test("Streams.streamingEma carries per-asset state across micro-batch runs") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ticks(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("key", "secs", "value")
+    val schema = ticks(Nil).schema
+    def drain(): Unit = {
+      // durable sink: checkpoint recovery across runs (memory sink can't)
+      val q = Streams.streamingEma(spark, src, schema, span = 3)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two assets, two ticks each
+    ticks(Seq((1L, 10L, 10.0), (1L, 20L, 20.0), (2L, 10L, 100.0), (2L, 20L, 50.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // batch 2: one more tick per asset — must continue the recurrence
+    ticks(Seq((1L, 30L, 30.0), (2L, 30L, 0.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(out).as[Streams.EmaOut].collect()
+      .map(r => (r.key, r.secs) -> r.ema).toMap
+    // reference: ewm(adjust=False), alpha = 2/(3+1) = 0.5, seeded by first value
+    val a = 0.5
+    assert(got((1L, 10L)) == 10.0)
+    assert(got((1L, 20L)) == 10.0 + a * (20.0 - 10.0))       // 15.0
+    assert(got((1L, 30L)) == 15.0 + a * (30.0 - 15.0))       // 22.5 — state crossed runs
+    assert(got((2L, 10L)) == 100.0)
+    assert(got((2L, 20L)) == 75.0)
+    assert(got((2L, 30L)) == 37.5)
+  }
 }
