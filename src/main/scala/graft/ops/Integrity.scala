@@ -105,7 +105,10 @@ object Integrity {
       stddev_samp(when(flag, fwdRet)).as("sd1")).head()
     val (n1, n2) = (m.getAs[Long]("n1"), m.getAs[Long]("n2"))
     val anyNullMoment = Seq("m1", "v1", "m2", "v2").exists(c => m.isNullAt(m.fieldIndex(c)))
-    if (n1 < 2 || n2 < 2 || anyNullMoment) None
+    // both-variances-zero makes welch's dof 0/0 (NaN) — same guard as
+    // precisionBreaks
+    if (n1 < 2 || n2 < 2 || anyNullMoment ||
+        (m.getAs[Double]("v1") == 0.0 && m.getAs[Double]("v2") == 0.0)) None
     else {
       val res = welch(n1, m.getAs[Double]("m1"), m.getAs[Double]("v1"),
         n2, m.getAs[Double]("m2"), m.getAs[Double]("v2"))

@@ -117,6 +117,51 @@ class OpsSpec extends SparkSpec {
     assert(bad.map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("Integrity.ohlcViolations counts out-of-band rows only") {
+    val df = ohlcDf(Seq(("a", 1.0, 2.0, 1.5), ("b", 1.0, 2.0, 2.5), ("c", 1.0, 2.0, 0.999999999)))
+    assert(Integrity.ohlcViolations(df) == 1L) // c is inside tolerance
+  }
+
+  test("Integrity.precisionBreaks flags a mid-series decimal-length regime change") {
+    import spark.implicits._
+    // broken asset: first half 2dp, second half 8dp; stable asset: all 2dp
+    val rows =
+      (1 to 30).map(i => ("broken", f"2024-01-$i%02d", 1.12)) ++
+      (1 to 30).map(i => ("broken", f"2024-02-$i%02d", 1.12345678 + i * 1e-8)) ++
+      (1 to 60).map(i => ("stable", f"2024-01-$i%02d", 2.34))
+    val df = rows.toDF("canonical_id", "date", "close")
+    val flagged = Integrity.precisionBreaks(df, "canonical_id", "date", col("close"),
+      alpha = 0.001, minSamples = 50)
+    assert(flagged.map(_._1) == Seq("broken"))
+  }
+
+  test("Integrity.publicationLagViolations returns only drifted dates") {
+    import spark.implicits._
+    val stored = Seq(("d1", 1.0), ("d2", 2.0)).toDF("date", "stored_factor")
+    val recomputed = Seq(("d1", 1.0), ("d2", 2.1)).toDF("date", "pit_factor")
+    val bad = Integrity.publicationLagViolations(stored, recomputed,
+      "date", "stored_factor", "pit_factor").collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("d2"))
+  }
+
+  test("Integrity.errorPredictability matches welch on hand-fed moments; guards degenerate input") {
+    import spark.implicits._
+    // flagged forward returns {1,3}: n=2 mean=2 var=2; unflagged {0,2,4}: n=3 mean=2 var=4
+    val df = Seq((true, 1.0), (true, 3.0), (false, 0.0), (false, 2.0), (false, 4.0))
+      .toDF("flag", "fwd")
+    val got = Integrity.errorPredictability(df, col("flag"), col("fwd"))
+    assert(got.isDefined)
+    val expect = Integrity.welch(2, 2.0, 2.0, 3, 2.0, 4.0)
+    assert(got.get._1 == expect) // distributed moments == direct computation
+    // sharpe = mean/std * sqrt(365) = 2/sqrt(2) * sqrt(365)
+    assert(math.abs(got.get._2 - 2.0 / math.sqrt(2.0) * math.sqrt(365.0)) < 1e-12)
+    // guards: single flagged row; both-zero variance — each must yield None, not throw
+    val tiny = Seq((true, 1.0), (false, 0.0), (false, 2.0)).toDF("flag", "fwd")
+    assert(Integrity.errorPredictability(tiny, col("flag"), col("fwd")).isEmpty)
+    val flat = Seq((true, 1.0), (true, 1.0), (false, 2.0), (false, 2.0)).toDF("flag", "fwd")
+    assert(Integrity.errorPredictability(flat, col("flag"), col("fwd")).isEmpty)
+  }
+
   test("Recursive.rsi: all-gains series converges to 100, warmup null") {
     val rs = Recursive.rsi(spark, sf)
     import spark.implicits._
