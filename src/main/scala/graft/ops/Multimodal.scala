@@ -64,4 +64,45 @@ object Multimodal {
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
     features.toDF().select(col("media_id"), col("kind"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  final case class ResizedRow(media_id: Long, kind: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** Resize to a bounding box, preserving aspect ratio — per-partition like
+    * the decoder, so the scaler (a real image lib in production) inits once
+    * per task. The stub "resampled payload" is a deterministic strided byte
+    * sample of the original, sized to the output pixel count, so byte-size
+    * assertions in tests exercise the real output-shrinks contract. */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-task scaler init would happen here, once
+      rows.map { r =>
+        val (w, h, _) = decodeStub(r.payload)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val outLen = math.max(1, math.min(r.payload.length, ow * oh))
+        val stride = math.max(1, r.payload.length / outLen)
+        val out = Array.tabulate(outLen)(i => r.payload((i * stride) % r.payload.length))
+        ResizedRow(r.media_id, r.kind, ow, oh, out)
+      }
+    }
+  }
+
+  /** Repartition by PAYLOAD byte budget, not row count: binary rows are
+    * wide and skewed, so `n rows / k partitions` produces decode tasks of
+    * wildly different cost. One cheap aggregate measures total payload
+    * bytes; the explicit round-robin repartition then targets
+    * `bytesPerPartition` per decode task (the scan side is already
+    * governed by `files.maxPartitionBytes` — this covers post-shuffle
+    * stages where that setting has no effect). */
+  def repartitionByByteBudget(media: Dataset[MediaRow],
+      bytesPerPartition: Long = 128L << 20): Dataset[MediaRow] = {
+    val total = media.toDF().agg(sum(octet_length(col("payload")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(total.toDouble / bytesPerPartition).toInt)
+    media.repartition(parts)
+  }
 }

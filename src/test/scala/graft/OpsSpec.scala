@@ -187,4 +187,23 @@ class OpsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "kind", "frame_idx"))
     assert(frames.count() >= feats.count())
   }
+
+  test("Multimodal.resize bounds geometry and shrinks payloads; byte-budget repartition") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resize(media, maxW = 32, maxH = 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.width <= 32 && r.height <= 32
+      && r.width >= 1 && r.height >= 1))
+    assert(resized.forall(r => r.payload.length <= r.width * r.height))
+    // aspect preserved within integer truncation: never upscaled
+    val orig = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> (f.width, f.height)).toMap
+    assert(resized.forall(r => r.width <= orig(r.media_id)._1
+      && r.height <= orig(r.media_id)._2))
+    // tiny byte budget forces many partitions; huge budget collapses to 1
+    assert(Multimodal.repartitionByByteBudget(media, 10L << 10)
+      .rdd.getNumPartitions > 1)
+    assert(Multimodal.repartitionByByteBudget(media, 1L << 40)
+      .rdd.getNumPartitions == 1)
+  }
 }
