@@ -38,11 +38,15 @@ object AggQueries {
       s"min_by(l_extendedprice, $ordSql) AS first_price " +
       "FROM lineitem GROUP BY 1, 2") {
     (s, d) => lineitem(s, d)
+      // pre-project the ordinal once: three aggregates order by it, and an
+      // aggregate's ordering expression is otherwise re-evaluated per
+      // aggregate per row
+      .withColumn("__ord", ord)
       .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("month"))
       .agg(sum("l_quantity").as("volume"),
-        max_by(col("l_extendedprice"), ord).as("last_price"),
-        max_by(col("l_returnflag"), ord).as("last_flag"),
-        min_by(col("l_extendedprice"), ord).as("first_price"))
+        max_by(col("l_extendedprice"), col("__ord")).as("last_price"),
+        max_by(col("l_returnflag"), col("__ord")).as("last_flag"),
+        min_by(col("l_extendedprice"), col("__ord")).as("first_price"))
   }
 
   /** The canonical wrapper-merge aggregation (historical_data_etl.py:59-87):
