@@ -46,4 +46,49 @@ object TextOps {
   def minhash(seed: Int): Column =
     min(substring(md5(concat(lit(s"$seed|"), col("shingle")).cast("binary")), 1, 16))
       .as(s"mh$seed")
+
+  /** Word 2-grams as (doc_id, bigram) rows — the repetition-signal unit
+    * (duplicated bigrams ≈ boilerplate / degenerate generation). */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.withColumn("sp", tokens(col("text")))
+      .select(col("doc_id"), col("sp"), explode(sequence(lit(1), size(col("sp")))).as("i"))
+      .filter(col("i") + 1 <= size(col("sp")))
+      .select(col("doc_id"),
+        concat(element_at(col("sp"), col("i")), lit(" "),
+          element_at(col("sp"), col("i") + 1)).as("bigram"))
+
+  /** 32-bit SimHash signature per document: per-bit majority vote of token
+    * hashes, computed as 32 agg columns (no 32× row explosion — see
+    * q_dedup_simhash). Returns (doc_id, simhash: long). */
+  def simhashSig(docs: DataFrame): DataFrame = {
+    val words = explodeTokens(docs).withColumn("h32", hash32(col("word")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(expr(s"(shiftright(h32, $b) & 1) = 1"), 1).otherwise(-1))
+        .cast("long").as(s"s$b")
+    }
+    val simhash = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.cast("long").as("simhash"))
+  }
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct): word-3-shingles
+    * → 8 seeded minhashes → 4 bands of 2 → self-join on the band key. The
+    * shuffle key is the band key, so cost is Σ bucket² not corpus². The
+    * band frame feeds both join sides and is persisted — uncached, the
+    * shingle→minhash signature subtree computes twice. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = shingles3(docs)
+      .groupBy("doc_id").agg(minhash(0), (1 to 7).map(minhash): _*)
+    val bands = (0 to 3).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+      .persist()
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.TextOps
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators (SURVEY.md §2.12 north-star,
+  * round 3): repetition/diversity quality signals, benchmark-contamination
+  * detection, deterministic stratified sampling, exact per-group
+  * quantiles, SimHash near-dup pairing, and connected-component duplicate
+  * clustering.
+  *
+  * Scale notes: every op is explode → aggregate or an equi-join on a
+  * bounded key (shingle, band, bucket); fractions are computed as integer
+  * counts with ONE final division, so results are bit-exact across
+  * engines with no decimal detour. The one iterative op (q_dedup_cluster)
+  * is Pregel-style min-label propagation: O(component diameter) rounds,
+  * each a shuffle on doc_id — the standard web-scale CC layout
+  * (large-star/small-star is the constant-factor upgrade at 100 TB).
+  */
+object CorpusQueries {
+
+  /** Gopher-style repetition signals: duplicated-token fraction,
+    * top-bigram mass, duplicated-bigram mass — the "is this document
+    * degenerate/boilerplate" filter of a pretraining pipeline. All counts
+    * are integers; each fraction is a single correctly-rounded division. */
+  val textRepetition = Q("q_text_repetition", "repetition/diversity quality signals")(
+    "WITH " + TextQueries.tokwBody +
+      ", ts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct " +
+      "FROM tokw GROUP BY 1), " +
+      "bg AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS bigram FROM tok WHERE i + 1 <= len(sp)), " +
+      "bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n, " +
+      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n FROM bgc GROUP BY 1) " +
+      "SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, " +
+      "CAST(ts.n_tokens - ts.n_distinct AS DOUBLE) / ts.n_tokens AS dup_token_frac, " +
+      "CAST(bgs.top_bigram_n AS DOUBLE) / bgs.n_bigrams AS top_bigram_frac, " +
+      "CAST(bgs.dup_bigram_n AS DOUBLE) / bgs.n_bigrams AS dup_bigram_frac " +
+      "FROM ts JOIN bgs ON bgs.doc_id = ts.doc_id") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val ts = TextOps.explodeTokens(docs).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
+      val bgc = TextOps.bigrams(docs).groupBy("doc_id", "bigram")
+        .agg(count(lit(1)).as("c"))
+      val bgs = bgc.groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_bigrams"),
+        max("c").as("top_bigram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("dup_bigram_n"))
+      ts.join(bgs, "doc_id").select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_bigram_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+  }
+
+  /** Train/benchmark contamination: fraction of each training document's
+    * distinct 3-shingles that appear anywhere in the benchmark corpus
+    * (source = 'src0' stands in for the eval set). The check is one
+    * equi-join on the shingle key — linear in corpus size, and the
+    * benchmark side is a shuffled join (never broadcast): real eval suites
+    * are millions of shingles. */
+  val contamination = Q("q_contamination", "benchmark n-gram contamination scan")(
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents), " +
+      "tok AS (SELECT doc_id, source, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "sh AS (SELECT DISTINCT doc_id, source, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+      "FROM tok WHERE i + 2 <= len(sp)), " +
+      "bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'), " +
+      "train AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'), " +
+      "st AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1), " +
+      "ov AS (SELECT t.doc_id, count(*) AS n_overlap FROM train t " +
+      "JOIN bench b ON b.shingle = t.shingle GROUP BY 1) " +
+      "SELECT st.doc_id, st.n_shingles, COALESCE(ov.n_overlap, 0) AS n_overlap, " +
+      "CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / st.n_shingles AS contam_frac, " +
+      "CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / st.n_shingles >= 0.2 AS flagged " +
+      "FROM st LEFT JOIN ov ON ov.doc_id = st.doc_id") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val sh = TextOps.shingles3(docs).distinct()
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
+      val train = sh.filter(col("source") =!= "src0").select("doc_id", "shingle")
+        // both downstream consumers (size agg + overlap join) read `train`;
+        // uncached each recomputes the shingle explode+distinct subtree
+        .persist()
+      val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val ov = train.join(bench, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      val frac = coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")
+      st.join(ov, Seq("doc_id"), "left").select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        frac.as("contam_frac"), (frac >= 0.2).as("flagged"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied via
+    * a portable content hash of the key (md5, not engine-salted `hash()`),
+    * so the SAME rows are kept on any engine, any partitioning, any rerun —
+    * the reproducibility contract a 100 TB sampling job needs. Stateless
+    * map-only filter: no shuffle at all. */
+  val sampleStratified = Q("q_sample_stratified", "hash-stratified deterministic sample")(
+    "SELECT doc_id, lang, source, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket " +
+      "FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < " +
+      "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 40 WHEN 'fr' THEN 30 " +
+      "WHEN 'es' THEN 20 ELSE 10 END") {
+    (s, d) =>
+      val bucket = TextOps.hash32(col("doc_id").cast("string")) % 100
+      val rate = when(col("lang") === "en", 50).when(col("lang") === "de", 40)
+        .when(col("lang") === "fr", 30).when(col("lang") === "es", 20).otherwise(10)
+      documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+          bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+  }
+
+  /** Exact per-group discrete quantiles (percentile_disc semantics: value
+    * at position ceil(p·n) of the sorted group) — integer arithmetic only,
+    * no interpolation, so bit-exact across engines. One shuffle + one
+    * per-group sort; at 100 TB swap in approx_percentile for wide groups
+    * (same call sites). */
+  val quantileGroup = Q("q_quantile_group", "exact per-source length quantiles")(
+    "WITH r AS (SELECT source, n_chars, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn, " +
+      "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+      "SELECT source, max(n) AS n, " +
+      "max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50, " +
+      "max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90, " +
+      "max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99 " +
+      "FROM r GROUP BY 1") {
+    (s, d) =>
+      val wOrd = Window.partitionBy("source").orderBy("n_chars")
+      val wAll = Window.partitionBy("source")
+      def pAt(p: Double, name: String) =
+        max(when(col("rn") === ceil(lit(p) * col("n")), col("n_chars"))).as(name)
+      documents(s, d).select(col("source"), col("n_chars"))
+        .select(col("source"), col("n_chars"),
+          row_number().over(wOrd).cast("long").as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .groupBy("source")
+        .agg(max("n").as("n"), pAt(0.5, "p50"), pAt(0.9, "p90"), pAt(0.99, "p99"))
+  }
+
+  /** SimHash near-dup pairs: band-blocked candidates (4 bands of 8 bits —
+    * hamming ≤ 2 over 32 bits guarantees ≥ 1 identical band, so blocking
+    * loses nothing), then exact `bit_count(xor)` hamming distance. The
+    * XOR/popcount runs only on band-collision survivors, never all pairs.
+    * Production note: simhash bits over one corpus are correlated (shared
+    * vocab skews each bit's majority), which fattens band buckets — at
+    * 100 TB, permute/rotate bit positions per band to re-uniform the keys. */
+  val dedupSimhashPairs = Q("q_dedup_simhash_pairs", "band-blocked SimHash hamming pairs")(
+    "WITH " + TextQueries.simhashSigBody +
+      ", bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sig), " +
+      "bk AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key FROM bands), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "a.simhash AS sa, b.simhash AS sb FROM bk a " +
+      "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(sa, sb)) <= 2") {
+    (s, d) =>
+      val bands = TextOps.simhashSig(documents(s, d))
+        .select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+        // both self-join sides read the signature subtree; persist it once
+        .persist()
+      bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band")
+          && col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Duplicate clustering: connected components over the MinHash-LSH
+    * candidate graph; cluster id = min doc_id of the component (its
+    * "keeper"). Spark side is iterative min-label propagation — each round
+    * one join + one min-aggregate, both shuffling on doc_id; rounds =
+    * component diameter (tiny for dup clusters). Convergence is detected
+    * with a single aggregated checksum per round (labels only ever
+    * decrease, so an unchanged sum ⟺ a fixpoint) — no per-row driver
+    * traffic. DuckDB oracle: recursive-CTE transitive closure. */
+  val dedupCluster = Q("q_dedup_cluster", "near-dup connected-component clusters")(
+    "WITH RECURSIVE " + TextQueries.minhashPairsBody +
+      ", edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT s, t FROM edges " +
+      "UNION SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t WHERE e.t <> r.s) " +
+      "SELECT s AS doc_id, LEAST(s, min(t)) AS cluster, " +
+      "s = LEAST(s, min(t)) AS is_keeper FROM reach GROUP BY s") {
+    (s, d) => clusterFn(s, d)
+  }
+
+  private def clusterFn(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.minhashPairs(documents(s, d))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist()
+    def checksum(df: DataFrame): Long = {
+      val row = df.agg(sum("cluster")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prev = checksum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min("cluster").as("nbr"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .persist()
+      val cur = checksum(next) // also materializes `next`'s cache
+      labels.unpersist()
+      labels = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("cluster"),
+      (col("doc_id") === col("cluster")).as("is_keeper"))
+  }
+
+  val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
+    quantileGroup, dedupSimhashPairs, dedupCluster)
+}

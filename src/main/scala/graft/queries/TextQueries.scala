@@ -17,16 +17,45 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val shinglesSql =
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
-      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
-      "sh AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
-      "FROM tok WHERE i + 2 <= len(sp)) "
+  /** Shared DuckDB CTE bodies (no leading WITH so callers can prepend
+    * WITH / WITH RECURSIVE): tokenization, shingling, minhash-LSH pairs and
+    * the simhash signature — reused by CorpusQueries' oracles so the
+    * candidate-generation SQL is written exactly once. */
+  private[queries] val tokBody =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
+      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t)"
 
-  private val tokwSql =
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
-      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
-      "tokw AS (SELECT doc_id, i, sp[i] AS word FROM tok) "
+  private[queries] val shinglesBody = tokBody +
+    ", sh AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+    "FROM tok WHERE i + 2 <= len(sp))"
+
+  private[queries] val tokwBody = tokBody +
+    ", tokw AS (SELECT doc_id, i, sp[i] AS word FROM tok)"
+
+  private[queries] val minhashPairsBody = {
+    val mh = (0 to 7).map(k =>
+      s"min(substr(md5('$k|' || shingle), 1, 16)) AS mh$k").mkString(", ")
+    shinglesBody +
+      s", sig AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id), " +
+      "bands AS (" +
+      "SELECT doc_id, 0 AS band, mh0 || mh1 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 1 AS band, mh2 || mh3 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 2 AS band, mh4 || mh5 AS key FROM sig UNION ALL " +
+      "SELECT doc_id, 3 AS band, mh6 || mh7 AS key FROM sig), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"
+  }
+
+  private[queries] val simhashSigBody = tokwBody +
+    ", h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h32 FROM tokw), " +
+    "bits AS (SELECT doc_id, b, CAST(sum(CASE WHEN ((h32 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s " +
+    "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b), " +
+    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) " +
+    "AS simhash FROM bits GROUP BY doc_id)"
+
+  private val shinglesSql = "WITH " + shinglesBody + " "
+
+  private val tokwSql = "WITH " + tokwBody + " "
 
   /** Exact dedup: content-hash groupBy, keep lowest id
     * (dropDuplicates-by-hash; the scalable form of `df.drop_duplicates`). */
@@ -42,59 +71,20 @@ object TextQueries {
     * → 4 bands of 2 → pairs sharing a band. The shuffle key is the band
     * key, so cost is Σ bucket² not corpus² — the standard web-scale dedup
     * layout. */
-  val dedupMinhash = Q("q_dedup_minhash", "MinHash-LSH candidate pairs")({
-    val mh = (0 to 7).map(k =>
-      s"min(substr(md5('$k|' || shingle), 1, 16)) AS mh$k").mkString(", ")
-    shinglesSql +
-      s", sig AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id), " +
-      "bands AS (" +
-      "SELECT doc_id, 0 AS band, mh0 || mh1 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 1 AS band, mh2 || mh3 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 2 AS band, mh4 || mh5 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 3 AS band, mh6 || mh7 AS key FROM sig) " +
-      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
-  }) {
-    (s, d) =>
-      val sig = TextOps.shingles3(documents(s, d))
-        .groupBy("doc_id").agg(TextOps.minhash(0), (1 to 7).map(TextOps.minhash): _*)
-      val bands = (0 to 3).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
-      }.reduce(_ unionByName _)
-        // persist: both self-join sides read this (4 rows/doc); uncached,
-        // the shingle→minhash signature subtree computes twice
-        .persist()
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  val dedupMinhash = Q("q_dedup_minhash", "MinHash-LSH candidate pairs")(
+    "WITH " + minhashPairsBody + " SELECT doc_a, doc_b FROM pairs") {
+    (s, d) => TextOps.minhashPairs(documents(s, d))
   }
 
   /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
     * near-dups differ in few bits. explode(tokens)×32 bits, two
     * aggregations; linear in corpus size. */
+  /** One agg column per bit instead of a 32× row explosion: same per-bit
+    * majority sums (integer math, oracle unchanged), 1/32nd the rows —
+    * see TextOps.simhashSig. */
   val dedupSimhash = Q("q_dedup_simhash", "32-bit SimHash signatures")(
-    tokwSql +
-      ", h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h32 FROM tokw), " +
-      "bits AS (SELECT doc_id, b, CAST(sum(CASE WHEN ((h32 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s " +
-      "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b) " +
-      "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) " +
-      "AS simhash FROM bits GROUP BY doc_id") {
-    (s, d) =>
-      // one agg column per bit instead of a 32x row explosion: same per-bit
-      // majority sums (integer math, oracle unchanged), 1/32nd the rows
-      val words = TextOps.explodeTokens(documents(s, d))
-        .withColumn("h32", TextOps.hash32(col("word")))
-      val bitSums = (0 until 32).map { b =>
-        sum(when(expr(s"(shiftright(h32, $b) & 1) = 1"), 1).otherwise(-1))
-          .cast("long").as(s"s$b")
-      }
-      val simhash = (0 until 32).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+    "WITH " + simhashSigBody + " SELECT doc_id, simhash FROM sig") {
+    (s, d) => TextOps.simhashSig(documents(s, d))
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
