@@ -173,5 +173,67 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
-  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf)
+  /** One signed-hyperplane projection: Σᵢ ±eᵢ where the sign is the parity
+    * of a portable hash of (plane j, component i) — a deterministic,
+    * engine-portable stand-in for a random Gaussian hyperplane. Addends go
+    * through DECIMAL(18,8) so the sum is associative (order-free) and the
+    * resulting SIGN — hence the bucket — is bit-identical on any engine
+    * and any partitioning. */
+  private def lshProjExpr(j: Int): String =
+    s"CAST(aggregate(transform(embedding, (x, i) -> " +
+      s"CAST((CASE WHEN pmod(CAST(conv(substring(md5(CAST(concat('$j|', CAST(i + 1 AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT), 2) = 1 " +
+      "THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) AS DECIMAL(18,8))), " +
+      "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE)"
+
+  /** Random-hyperplane LSH ANN: 6 sign-hash hyperplanes → 64 cosine-similar
+    * buckets → candidates share the query's bucket → exact cosine rerank,
+    * top-3. The whole-corpus path of ANN (vs IVF's trained centroids): the
+    * sketch is one map-only pass (6 in-row array folds, no component
+    * shuffle), candidate generation is an equi-join on the bucket key, and
+    * only the tiny query set is broadcast. Scale knobs: more planes →
+    * smaller buckets; multiple hash tables / probing neighbor buckets
+    * (flip one bit) → higher recall. */
+  val annLsh = Q("q_ann_lsh", "hyperplane-LSH bucketed cosine top-3")(
+    vecsSql +
+      ", proj AS (SELECT v.vec_id, p.j, " +
+      "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
+      "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
+      "FROM v, (SELECT unnest(range(0, 6)) AS j) p GROUP BY 1, 2), " +
+      "buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM proj GROUP BY 1), " +
+      "cand AS (SELECT q.vec_id AS q, c.vec_id AS c, q.bucket FROM buck q " +
+      "JOIN buck c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+      "dots AS (SELECT p.q, p.c, p.bucket, CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM cand p JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "cosd AS (SELECT d.q, d.c, d.bucket, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, bucket, cosine, rn FROM (SELECT cosd.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val projCols = (0 until 6).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
+      val bucketCol = (0 until 6).map { j =>
+        when(col(s"pj$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // the sketch pass feeds both join sides (queries + corpus): persist it
+      val buck = embeddings(s, d)
+        .select(Seq(col("vec_id"), col("embedding"),
+          expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
+        .withColumn("bucket", bucketCol.cast("long"))
+        .select("vec_id", "embedding", "nrm", "bucket")
+        .persist()
+      val qv = buck.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
+        col("embedding").as("eq"), col("nrm").as("nq"), col("bucket"))
+      val cv = buck.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+      // only the query side is broadcast — the corpus side never is
+      val cosd = cv.join(broadcast(qv), Seq("bucket")).filter(col("c") =!= col("q"))
+        .select(col("q"), col("c"), col("bucket"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
+  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh)
 }
