@@ -44,6 +44,24 @@ object Streams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Streaming sessionization — the continuous twin of the batch
+    * q_sessionize operator (queries/SessionQueries.scala): dynamic-gap
+    * `session_window` sessions per user, closed and emitted once the
+    * watermark passes a session's end. State is bounded by (open sessions ×
+    * users), never by history; Spark merges overlapping session fragments
+    * across micro-batches internally, so late events within the watermark
+    * extend the right session exactly once. */
+  def sessionAgg(spark: SparkSession, sourceDir: String, schema: StructType,
+      gap: String, watermark: String): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   final case class Tick(key: Long, secs: Long, value: Double)
   final case class EmaState(ema: Double, lastSecs: Long)
   final case class EmaOut(key: Long, secs: Long, value: Double, ema: Double)

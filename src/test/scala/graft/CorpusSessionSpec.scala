@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.TextOps
+import graft.queries.{CorpusQueries, SessionQueries, VectorQueries}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-3 corpus/session operators, checked
+  * against independent recomputations at sf0.001 (value-exactness vs
+  * DuckDB is the driver's gate; these pin the SEMANTICS — session gap law,
+  * cluster transitivity, hamming bound, quantile positions — with
+  * different code paths than the queries themselves). */
+class CorpusSessionSpec extends SparkSpec {
+
+  test("q_sessionize: sessions partition the events and respect the gap law") {
+    val sessions = SessionQueries.sessionize.fn(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    // complete partition: every event lands in exactly one session
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == nEvents)
+    assert(sessions.filter(col("start_us") > col("end_us")).count() == 0)
+    assert(sessions.filter(
+      col("duration_us") =!= col("end_us") - col("start_us")).count() == 0)
+    // gap law, checked from the per-session envelope: consecutive sessions
+    // of one user must be separated by MORE than the 12h gap (else they
+    // would have merged), computed here with a window over the aggregate —
+    // a different path than the query's row-level lag
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_us")
+    val gapUs = 12L * 3600 * 1000000L
+    val viol = sessions
+      .withColumn("prev_end", lag("end_us", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_us") - col("prev_end") <= gapUs)
+    assert(viol.count() == 0)
+    sessions.unpersist()
+  }
+
+  test("q_dedup_cluster: labels are transitive-closure minima over the pair graph") {
+    val labels = CorpusQueries.dedupCluster.fn(spark, sf).cache()
+    val pairs = TextOps.minhashPairs(Tables.documents(spark, sf)).cache()
+    // every edge's endpoints carry the same cluster label
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster").as("cb"))
+    assert(pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() == 0)
+    // each cluster's id is its minimum member (the keeper), and keeper
+    // flags agree with that definition
+    val bad = labels.groupBy("cluster").agg(min("doc_id").as("lo"))
+      .filter(col("cluster") =!= col("lo"))
+    assert(bad.count() == 0)
+    assert(labels.filter(col("is_keeper") =!= (col("doc_id") === col("cluster")))
+      .count() == 0)
+    pairs.unpersist(); labels.unpersist()
+  }
+
+  test("q_dedup_simhash_pairs: hamming recomputed from signatures, bound holds") {
+    val out = CorpusQueries.dedupSimhashPairs.fn(spark, sf).cache()
+    assert(out.filter(col("hamming") > 2).count() == 0)
+    val sig = TextOps.simhashSig(Tables.documents(spark, sf))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val recomputed = out.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(expr("bit_count(sa ^ sb)").cast("long") =!= col("hamming"))
+    assert(recomputed.count() == 0)
+    out.unpersist()
+  }
+
+  test("q_text_repetition: fractions bounded, distinct <= total") {
+    val r = CorpusQueries.textRepetition.fn(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+    for (c <- Seq("dup_token_frac", "top_bigram_frac", "dup_bigram_frac"))
+      assert(r.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
+    // hand-check one document end-to-end
+    val doc = Tables.documents(spark, sf).select("doc_id", "text").head()
+    val toks = doc.getString(1).split(" ").toSeq
+    val expected = 1.0 - toks.distinct.size.toDouble / toks.size
+    val got = r.filter(col("doc_id") === doc.getLong(0))
+      .select("dup_token_frac").head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    r.unpersist()
+  }
+
+  test("q_contamination: overlap bounded by shingle count; benchmark excluded") {
+    val c = CorpusQueries.contamination.fn(spark, sf).cache()
+    assert(c.filter(col("n_overlap") > col("n_shingles")).count() == 0)
+    val src0Ids = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id")
+    assert(c.join(src0Ids, "doc_id").count() == 0)
+    c.unpersist()
+  }
+
+  test("q_sample_stratified: every kept row's bucket is below its language rate") {
+    val s = CorpusQueries.sampleStratified.fn(spark, sf).cache()
+    val rate = when(col("lang") === "en", 50).when(col("lang") === "de", 40)
+      .when(col("lang") === "fr", 30).when(col("lang") === "es", 20).otherwise(10)
+    assert(s.count() > 0)
+    assert(s.filter(col("bucket") >= rate).count() == 0)
+    // determinism: the same call yields the same keep set
+    val again = CorpusQueries.sampleStratified.fn(spark, sf)
+    assert(s.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    s.unpersist()
+  }
+
+  test("q_quantile_group: p50 equals the sort-position value, recomputed") {
+    val q = CorpusQueries.quantileGroup.fn(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .collect().groupBy(_.getString(0))
+    q.collect().foreach { row =>
+      val lens = docs(row.getString(0)).map(_.getLong(1)).sorted
+      assert(row.getLong(1) == lens.length)
+      assert(row.getLong(2) == lens(math.ceil(0.5 * lens.length).toInt - 1), row)
+      assert(row.getLong(3) == lens(math.ceil(0.9 * lens.length).toInt - 1), row)
+    }
+    q.unpersist()
+  }
+
+  test("q_ann_lsh: top-3 per query, candidates from the query's bucket") {
+    val r = VectorQueries.annLsh.fn(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("rn") > 3).count() == 0)
+    assert(r.filter(col("cosine") > 1.0 + 1e-9 || col("cosine") < -1.0 - 1e-9)
+      .count() == 0)
+    assert(r.filter(col("q") >= 10).count() == 0)
+    r.unpersist()
+  }
+}

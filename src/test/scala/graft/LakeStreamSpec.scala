@@ -65,6 +65,40 @@ class LakeStreamSpec extends SparkSpec {
     assert(spark.table("live_out").columns.contains("event_type"))
   }
 
+  test("Streams.sessionAgg closes and emits sessions once the watermark passes") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.sessionAgg(spark, src, schema, "5 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: three events within the 5-minute gap → ONE open session
+    ev(Seq((1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:01:00", 2.0),
+      (1L, "2024-01-01 10:02:00", 4.0))).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // run 2: a much later event advances the watermark far past the first
+    // session's end → the first session closes and is emitted; the new
+    // session stays open (nothing after it to advance the watermark)
+    ev(Seq((1L, "2024-01-01 13:00:00", 8.0))).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect()
+    assert(got.length == 1)
+    val (uid, start, end, n, total) = got.head
+    assert(uid == 1L && n == 3L && total == 7.0)
+    assert(start.toString == "2024-01-01 10:00:00.0")
+    // session end = last event + gap (5 minutes past 10:02)
+    assert(end.toString == "2024-01-01 10:07:00.0")
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
