@@ -185,15 +185,69 @@ object CorpusQueries {
     * with a single aggregated checksum per round (labels only ever
     * decrease, so an unchanged sum ⟺ a fixpoint) — no per-row driver
     * traffic. DuckDB oracle: recursive-CTE transitive closure. */
+  /** Recursive-CTE connected components over the minhash pair graph —
+    * shared by the clustering query and keeper selection below. */
+  private val ccBody = TextQueries.minhashPairsBody +
+    ", edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+    "UNION SELECT doc_b, doc_a FROM pairs), " +
+    "reach AS (SELECT s, t FROM edges " +
+    "UNION SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t WHERE e.t <> r.s), " +
+    "comp AS (SELECT s AS doc_id, LEAST(s, min(t)) AS cluster FROM reach GROUP BY s)"
+
   val dedupCluster = Q("q_dedup_cluster", "near-dup connected-component clusters")(
-    "WITH RECURSIVE " + TextQueries.minhashPairsBody +
-      ", edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-      "UNION SELECT doc_b, doc_a FROM pairs), " +
-      "reach AS (SELECT s, t FROM edges " +
-      "UNION SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t WHERE e.t <> r.s) " +
-      "SELECT s AS doc_id, LEAST(s, min(t)) AS cluster, " +
-      "s = LEAST(s, min(t)) AS is_keeper FROM reach GROUP BY s") {
+    "WITH RECURSIVE " + ccBody +
+      " SELECT doc_id, cluster, doc_id = cluster AS is_keeper FROM comp") {
     (s, d) => clusterFn(s, d)
+  }
+
+  /** Keeper selection — the step that turns duplicate CLUSTERS into a
+    * deduplicated CORPUS: per cluster, keep the best representative
+    * (longest document, doc_id tiebreak) and report the cluster size.
+    * One window over the cluster key on top of the clustering output. */
+  val dedupKeepBest = Q("q_dedup_keep_best", "per-cluster best-representative selection")(
+    "WITH RECURSIVE " + ccBody +
+      ", m AS (SELECT c.doc_id, c.cluster, d.n_chars FROM comp c " +
+      "JOIN documents d ON d.doc_id = c.doc_id), " +
+      "r AS (SELECT m.*, row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY n_chars DESC, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY cluster) AS n_members FROM m) " +
+      "SELECT cluster, n_members, doc_id AS keeper_doc, n_chars AS keeper_chars " +
+      "FROM r WHERE rn = 1") {
+    (s, d) =>
+      val labeled = clusterFn(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      val wOrd = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .select(col("cluster"), col("doc_id"), col("n_chars"),
+          row_number().over(wOrd).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy("cluster")).as("n_members"))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("n_members"),
+          col("doc_id").as("keeper_doc"), col("n_chars").as("keeper_chars"))
+  }
+
+  /** Token-budget curation — fill a per-language training-mix quota with
+    * the largest documents first (ws_tokens desc, doc_id tiebreak),
+    * keeping documents while the running token total stays within budget.
+    * One window per language partition; integer cumulative sums, exact.
+    * At scale the ordering metric is a quality score and the budget is
+    * billions of tokens — the plan (shuffle on lang, ordered prefix scan)
+    * is unchanged. */
+  val tokensBudget = Q("q_tokens_budget", "per-language token-budget curation")(
+    "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens FROM documents), " +
+      "c AS (SELECT *, CAST(sum(ws_tokens) OVER (PARTITION BY lang " +
+      "ORDER BY ws_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
+      "SELECT doc_id, lang, ws_tokens, cum_tokens FROM c WHERE cum_tokens <= 3000") {
+    (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("ws_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
+        .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
+        .filter(col("cum_tokens") <= 3000)
   }
 
   private def clusterFn(s: SparkSession, d: String): DataFrame = {
@@ -235,5 +289,5 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
-    quantileGroup, dedupSimhashPairs, dedupCluster)
+    quantileGroup, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget)
 }

@@ -55,5 +55,43 @@ object SessionQueries {
           Exact.exactSum(col("value")).as("total_value"))
   }
 
-  val all: Seq[Q] = Seq(sessionize)
+  /** Ordered funnel conversion per user-day: first 'view', then the first
+    * 'click' strictly after it, then the first 'purchase' strictly after
+    * that — the order-aware variant of a naive exists-count funnel. Three
+    * stage aggregates, each a groupBy on (user, day) with the previous
+    * stage joined back; all shuffles share the (user_id, day) key, so at
+    * scale the three stages co-locate on one partitioning. Timestamps are
+    * compared in integer microseconds — no float anywhere. */
+  val eventFunnel = Q("q_event_funnel", "ordered view→click→purchase funnel")(
+    "WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "g1 AS (SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN ts_us END) AS vt " +
+      "FROM e GROUP BY 1, 2), " +
+      "g2 AS (SELECT e.user_id, e.day, min(g1.vt) AS vt, " +
+      "min(CASE WHEN e.event_type = 'click' AND e.ts_us > g1.vt THEN e.ts_us END) AS ct " +
+      "FROM e JOIN g1 ON g1.user_id = e.user_id AND g1.day = e.day GROUP BY 1, 2), " +
+      "g3 AS (SELECT e.user_id, e.day, min(g2.vt) AS vt, min(g2.ct) AS ct, " +
+      "min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > g2.ct THEN e.ts_us END) AS pt " +
+      "FROM e JOIN g2 ON g2.user_id = e.user_id AND g2.day = e.day GROUP BY 1, 2) " +
+      "SELECT day, count(*) AS n_users, count(vt) AS n_view, " +
+      "count(ct) AS n_click_after_view, count(pt) AS n_purchase_after_click " +
+      "FROM g3 GROUP BY 1") {
+    (s, d) =>
+      val e = events(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val keys = Seq("user_id", "day")
+      val g1 = e.groupBy(keys.map(col): _*)
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("vt"))
+      val g2 = e.join(g1, keys).groupBy(keys.map(col): _*)
+        .agg(min("vt").as("vt"),
+          min(when(col("event_type") === "click" && col("ts_us") > col("vt"),
+            col("ts_us"))).as("ct"))
+      val g3 = e.join(g2, keys).groupBy(keys.map(col): _*)
+        .agg(min("vt").as("vt"), min("ct").as("ct"),
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("ct"),
+            col("ts_us"))).as("pt"))
+      g3.groupBy("day").agg(count(lit(1)).as("n_users"), count("vt").as("n_view"),
+        count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
+  }
+
+  val all: Seq[Q] = Seq(sessionize, eventFunnel)
 }

@@ -114,6 +114,45 @@ class CorpusSessionSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("q_event_funnel: stage counts are monotonically non-increasing") {
+    val f = SessionQueries.eventFunnel.fn(spark, sf).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("n_view") > col("n_users")).count() == 0)
+    assert(f.filter(col("n_click_after_view") > col("n_view")).count() == 0)
+    assert(f.filter(col("n_purchase_after_click") > col("n_click_after_view")).count() == 0)
+    // n_users sums to the number of distinct (user, day) pairs
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(f.agg(sum("n_users")).head.getLong(0) == userDays)
+    f.unpersist()
+  }
+
+  test("q_dedup_keep_best: keeper is the longest member of its own cluster") {
+    val kb = CorpusQueries.dedupKeepBest.fn(spark, sf).cache()
+    val labels = CorpusQueries.dedupCluster.fn(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "n_chars"), "doc_id")
+    // one keeper per cluster; member count and max length agree with the
+    // clustering output recomputed independently
+    val agg = labels.groupBy("cluster")
+      .agg(count(lit(1)).as("n2"), max("n_chars").as("maxc"))
+    val joined = kb.join(agg, "cluster")
+    assert(joined.count() == kb.count())
+    assert(joined.filter(col("n_members") =!= col("n2")).count() == 0)
+    assert(joined.filter(col("keeper_chars") =!= col("maxc")).count() == 0)
+    kb.unpersist()
+  }
+
+  test("q_tokens_budget: per-language cumulative totals stay within budget") {
+    val b = CorpusQueries.tokensBudget.fn(spark, sf).cache()
+    assert(b.count() > 0)
+    assert(b.filter(col("cum_tokens") > 3000).count() == 0)
+    // within each language the kept set is the prefix of the size-ordered
+    // list: max cum_tokens equals the sum of kept ws_tokens
+    val check = b.groupBy("lang").agg(sum("ws_tokens").as("s"), max("cum_tokens").as("m"))
+    assert(check.filter(col("s") =!= col("m")).count() == 0)
+    b.unpersist()
+  }
+
   test("q_ann_lsh: top-3 per query, candidates from the query's bucket") {
     val r = VectorQueries.annLsh.fn(spark, sf).cache()
     assert(r.count() > 0)
