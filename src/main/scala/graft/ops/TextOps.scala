@@ -73,14 +73,16 @@ object TextOps {
       .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
-  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct): word-3-shingles
-    * → 8 seeded minhashes → 4 bands of 2 → self-join on the band key. The
-    * shuffle key is the band key, so cost is Σ bucket² not corpus². The
-    * band frame feeds both join sides and is persisted — uncached, the
-    * shingle→minhash signature subtree computes twice. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = shingles3(docs)
-      .groupBy("doc_id").agg(minhash(0), (1 to 7).map(minhash): _*)
+  /** Full MinHash signature: (doc_id, mh0..mh7) from word-3-shingles. */
+  def minhashSig(docs: DataFrame): DataFrame =
+    shingles3(docs).groupBy("doc_id").agg(minhash(0), (1 to 7).map(minhash): _*)
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
+    * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
+    * is the band key, so cost is Σ bucket² not corpus². The band frame
+    * feeds both join sides and is persisted — uncached, the signature
+    * subtree computes twice. */
+  def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
@@ -91,4 +93,8 @@ object TextOps {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
   }
+
+  /** MinHash-LSH candidate pairs straight from documents. */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsFromSig(minhashSig(docs))
 }

@@ -76,6 +76,33 @@ object TextQueries {
     (s, d) => TextOps.minhashPairs(documents(s, d))
   }
 
+  /** Signature-only Jaccard estimation over the LSH candidates: the
+    * fraction of agreeing minhashes is an unbiased estimate of the true
+    * Jaccard — the verify step a 100 TB dedup runs WITHOUT re-reading the
+    * raw text (signatures are ~10³× smaller than documents). One join of
+    * the pair list against the signature table on each side. */
+  val minhashJaccardEst = Q("q_minhash_jaccard_est", "minhash-agreement Jaccard estimate")({
+    val agree = (0 to 7).map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    "WITH " + minhashPairsBody +
+      s" SELECT p.doc_a, p.doc_b, CAST($agree AS BIGINT) AS n_agree, " +
+      s"CAST($agree AS DOUBLE) / 8 AS jaccard_est " +
+      "FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b"
+  }) {
+    (s, d) =>
+      // signature computed once, read three times (band pairing + both
+      // sides of the agreement join)
+      val sig = TextOps.minhashSig(documents(s, d)).persist()
+      val pairs = TextOps.minhashPairsFromSig(sig)
+      val nAgree = (0 to 7).map(k =>
+        when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
+      pairs
+        .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), nAgree.cast("long").as("n_agree"),
+          (nAgree.cast("double") / 8).as("jaccard_est"))
+  }
+
   /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
     * near-dups differ in few bits. explode(tokens)×32 bits, two
     * aggregations; linear in corpus size. */
@@ -233,6 +260,6 @@ object TextQueries {
         (expr("octet_length(encode(text, 'UTF-8')) div 100") + 1).cast("long").as("n_frames"))
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
-    textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta)
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
+    dedupNgramJaccard, textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta)
 }

@@ -231,17 +231,7 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 3") {
     (s, d) =>
-      val projCols = (0 until 6).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
-      val bucketCol = (0 until 6).map { j =>
-        when(col(s"pj$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // the sketch pass feeds both join sides (queries + corpus): persist it
-      val buck = embeddings(s, d)
-        .select(Seq(col("vec_id"), col("embedding"),
-          expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
-        .withColumn("bucket", bucketCol.cast("long"))
-        .select("vec_id", "embedding", "nrm", "bucket")
-        .persist()
+      val buck = lshBuckets(s, d)
       val qv = buck.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
         col("embedding").as("eq"), col("nrm").as("nq"), col("bucket"))
       val cv = buck.select(col("vec_id").as("c"),
@@ -254,5 +244,65 @@ object VectorQueries {
       cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
-  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh)
+  /** The sketch pass shared by the LSH variants: (vec_id, embedding, nrm,
+    * bucket), persisted because it feeds both join sides. */
+  private def lshBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val projCols = (0 until 6).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
+    val bucketCol = (0 until 6).map { j =>
+      when(col(s"pj$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings(s, d)
+      .select(Seq(col("vec_id"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
+      .withColumn("bucket", bucketCol.cast("long"))
+      .select("vec_id", "embedding", "nrm", "bucket")
+      .persist()
+  }
+
+  /** Multi-probe LSH: each query probes its own bucket PLUS the 6 one-bit
+    * flips — the standard recall knob (a near neighbor that fell on the
+    * other side of one hyperplane is recovered from the adjacent bucket)
+    * without growing the index or adding hash tables. Probe expansion
+    * happens only on the tiny query side; the corpus is still touched via
+    * one equi-join on the bucket key. */
+  val annLshProbe = Q("q_ann_lsh_probe", "multi-probe LSH cosine top-3")(
+    vecsSql +
+      ", proj AS (SELECT v.vec_id, p.j, " +
+      "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
+      "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
+      "FROM v, (SELECT unnest(range(0, 6)) AS j) p GROUP BY 1, 2), " +
+      "buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM proj GROUP BY 1), " +
+      "probes AS (SELECT vec_id, xor(bucket, CASE WHEN f = 6 THEN 0 ELSE (1::BIGINT << f) END) AS probe " +
+      "FROM buck, (SELECT unnest(range(0, 7)) AS f) fs WHERE vec_id < 10), " +
+      "cand AS (SELECT DISTINCT p.vec_id AS q, c.vec_id AS c FROM probes p " +
+      "JOIN buck c ON c.bucket = p.probe AND c.vec_id <> p.vec_id), " +
+      "dots AS (SELECT p.q, p.c, CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM cand p JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2), " +
+      "cosd AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cosine, rn FROM (SELECT cosd.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val buck = lshBuckets(s, d)
+      val probes = buck.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"),
+          col("bucket"), explode(array((0 until 7).map(lit): _*)).as("f"))
+        .withColumn("probe",
+          expr("bucket ^ (CASE WHEN f = 6 THEN 0L ELSE shiftleft(1L, f) END)"))
+      val cv = buck.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+      val cand = cv.join(broadcast(probes), cv("bucket") === probes("probe")
+          && col("c") =!= col("q"))
+        .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
+        .dropDuplicates("q", "c")
+      val cosd = cand.select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
+  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh, annLshProbe)
 }

@@ -153,6 +153,29 @@ class CorpusSessionSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("q_minhash_jaccard_est: pair set matches LSH candidates, estimate = agree/8") {
+    val est = graft.queries.TextQueries.minhashJaccardEst.fn(spark, sf).cache()
+    val pairs = graft.queries.TextQueries.dedupMinhash.fn(spark, sf)
+    assert(est.select("doc_a", "doc_b").exceptAll(pairs).count() == 0)
+    assert(pairs.exceptAll(est.select("doc_a", "doc_b")).count() == 0)
+    assert(est.filter(col("n_agree") < 0 || col("n_agree") > 8).count() == 0)
+    assert(est.filter(col("jaccard_est") =!= col("n_agree").cast("double") / 8)
+      .count() == 0)
+    est.unpersist()
+  }
+
+  test("q_ann_lsh_probe: multi-probe recall dominates single-bucket recall") {
+    val single = VectorQueries.annLsh.fn(spark, sf)
+      .filter(col("rn") === 1).select(col("q"), col("cosine").as("c1"))
+    val probed = VectorQueries.annLshProbe.fn(spark, sf)
+      .filter(col("rn") === 1).select(col("q"), col("cosine").as("cp"))
+    // the probe candidate set is a superset, so its best hit per query is
+    // at least as good
+    val j = single.join(probed, "q")
+    assert(j.count() > 0)
+    assert(j.filter(col("cp") < col("c1")).count() == 0)
+  }
+
   test("q_ann_lsh: top-3 per query, candidates from the query's bucket") {
     val r = VectorQueries.annLsh.fn(spark, sf).cache()
     assert(r.count() > 0)
