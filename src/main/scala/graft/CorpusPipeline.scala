@@ -1,0 +1,99 @@
+package graft
+
+import graft.lake.Lake
+import graft.ops.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data platform entry point — the corpus twin of
+  * `graft.Pipelines` (which orchestrates the reference's market-data
+  * chain): one fail-fast main that turns a raw document corpus into a
+  * curated training mix over Lake layers.
+  *
+  *   1. Bronze: raw corpus persisted as-is
+  *   2. Dedup (Silver): exact dedup → MinHash-LSH near-dup clustering →
+  *      per-cluster keeper selection
+  *   3. Quality gate: Gopher-style repetition thresholds, with a
+  *      circuit breaker — losing more than `maxLossPct` of the corpus
+  *      aborts the chain (bad thresholds or a poisoned batch must not
+  *      silently wipe the dataset)
+  *   4. Contamination gate: drop documents overlapping the benchmark
+  *      source's n-gram set
+  *   5. Gold: per-language token-budget curation → the training mix
+  *
+  * Every stage reads the previous stage's LAKE artifact, so a 100 TB run
+  * restarts from the last completed layer; the breaker mirrors the
+  * reference's quality-gate abort semantics (data_quality_gate.py:101-110)
+  * applied to corpus curation.
+  */
+object CorpusPipeline {
+
+  final case class Summary(bronzeRows: Long, afterExact: Long, afterNearDup: Long,
+    removedByQuality: Long, removedByContamination: Long, goldRows: Long,
+    goldTokens: Long)
+
+  private def log(msg: String): Unit =
+    println(s"[corpus-pipeline] $msg")
+
+  def run(spark: SparkSession, raw: DataFrame, lakeRoot: String,
+      benchSource: String = "src0", maxDupTokenFrac: Double = 0.7,
+      maxTopBigramFrac: Double = 0.18, maxContamFrac: Double = 0.5,
+      langBudget: Long = 3000, maxLossPct: Double = 80.0): Summary = {
+    val lake = new Lake(spark, lakeRoot)
+
+    log("step 1/5: raw corpus -> bronze")
+    lake.write(raw, "bronze", "documents")
+    val bronze = lake.read("bronze", "documents")
+    val bronzeRows = bronze.count()
+
+    log("step 2/5: exact + near-dup dedup -> silver")
+    val exact = Corpus.exactDedup(bronze)
+    val afterExact = exact.count()
+    val deduped = Corpus.nearDupDedup(spark, exact)
+    lake.write(deduped, "silver", "deduped")
+    val afterNearDup = lake.read("silver", "deduped").count()
+
+    log("step 3/5: repetition quality gate")
+    val (quality, removedByQuality) =
+      Corpus.qualityFilter(lake.read("silver", "deduped"),
+        maxDupTokenFrac, maxTopBigramFrac)
+    val lossPct = 100.0 * removedByQuality / math.max(afterNearDup, 1L)
+    if (lossPct > maxLossPct)
+      throw new IllegalStateException(
+        f"corpus circuit breaker: quality gate removed $lossPct%.1f%% " +
+          f"(> $maxLossPct%.1f%%) — aborting before gold is touched")
+    lake.write(quality, "silver", "quality")
+
+    log("step 4/5: benchmark contamination gate")
+    val (clean, removedByContamination) =
+      Corpus.contaminationFilter(lake.read("silver", "quality"),
+        benchSource, maxContamFrac)
+    lake.write(clean, "silver", "clean")
+
+    log("step 5/5: per-language token budget -> gold training mix")
+    val gold = Corpus.tokenBudget(lake.read("silver", "clean"), langBudget)
+    lake.write(gold, "gold", "training_mix")
+    val goldDf = lake.read("gold", "training_mix")
+    val goldRows = goldDf.count()
+    val goldTokens = {
+      val row = goldDf.agg(sum("ws_tokens")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+
+    log("corpus pipeline completed successfully")
+    Summary(bronzeRows, afterExact, afterNearDup, removedByQuality,
+      removedByContamination, goldRows, goldTokens)
+  }
+
+  /** `runMain graft.CorpusPipeline <sfDir> <lakeRoot>` against the driver
+    * testdata's documents table. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val lakeRoot = if (args.length > 1) args(1) else
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val spark = graft.util.Sessions.local()
+    val s = run(spark, graft.util.Tables.documents(spark, sfDir), lakeRoot)
+    log(s"summary: $s (lake at $lakeRoot)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operator library — the reusable transforms behind
+  * the dedup, text-quality and token-budget queries and the
+  * `graft.CorpusPipeline` chain. Every function takes and returns plain
+  * DataFrames carrying at least (doc_id, text); nothing here assumes a row
+  * count, and every join/aggregate keys on doc_id, a hash, or a band key
+  * (see DESIGN.md §2 for the per-operator scale arguments).
+  */
+object Corpus {
+
+  /** Exact-duplicate keeper filter: one representative (min doc_id) per
+    * distinct text. Linear: hash → groupBy → semi-join. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** Connected-component labels over the MinHash-LSH candidate graph:
+    * (doc_id, cluster) for every document that appears in at least one
+    * candidate pair; cluster = min doc_id of the component. Pregel-style
+    * min-label propagation with localCheckpoint-bounded plans and a
+    * checksum convergence test (one aggregated scalar per round). */
+  def clusterLabels(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = TextOps.minhashPairs(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    def checksum(df: DataFrame): Long = {
+      val row = df.agg(sum("cluster")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prev = checksum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min("cluster").as("nbr"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate keeper filter: keep every unclustered document plus
+    * the best member (longest text, doc_id tiebreak) of each duplicate
+    * cluster. */
+  def nearDupDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val labeled = clusterLabels(spark, docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    val dropIds = labeled
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("doc_id")
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Gopher-style repetition signals per document:
+    * (doc_id, n_tokens, dup_token_frac, top_bigram_frac). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ts = TextOps.explodeTokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
+    val bgs = TextOps.bigrams(docs).groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"), max("c").as("top_bigram_n"))
+    ts.join(bgs, "doc_id").select(col("doc_id"), col("n_tokens"),
+      ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+        .as("dup_token_frac"),
+      (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** Quality gate: drop documents whose repetition signals exceed the
+    * thresholds. Returns (kept, removedCount). */
+  def qualityFilter(docs: DataFrame, maxDupTokenFrac: Double,
+      maxTopBigramFrac: Double): (DataFrame, Long) = {
+    val bad = repetitionSignals(docs)
+      .filter(col("dup_token_frac") > maxDupTokenFrac
+        || col("top_bigram_frac") > maxTopBigramFrac)
+      .select("doc_id")
+    val kept = docs.join(bad, Seq("doc_id"), "left_anti")
+    (kept, bad.count())
+  }
+
+  /** Contamination filter: drop training documents sharing more than
+    * `maxFrac` of their distinct 3-shingles with the benchmark source's
+    * shingle set. The benchmark side stays a shuffled equi-join on the
+    * shingle key — never broadcast. */
+  def contaminationFilter(docs: DataFrame, benchSource: String,
+      maxFrac: Double): (DataFrame, Long) = {
+    val sh = TextOps.shingles3(docs).distinct()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val bench = sh.filter(col("source") === benchSource).select("shingle").distinct()
+    val train = sh.filter(col("source") =!= benchSource).select("doc_id", "shingle")
+      .persist()
+    val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val ov = train.join(bench, "shingle").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    val flagged = st.join(ov, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")
+        > maxFrac)
+      .select("doc_id")
+    val kept = docs.join(flagged, Seq("doc_id"), "left_anti")
+    (kept, flagged.count())
+  }
+
+  /** Token-budget curation: per language, keep the largest documents while
+    * the running whitespace-token total stays within `budget`. */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("ws_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = docs
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+    kept
+  }
+}

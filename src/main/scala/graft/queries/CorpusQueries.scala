@@ -250,43 +250,17 @@ object CorpusQueries {
         .filter(col("cum_tokens") <= 3000)
   }
 
-  private def clusterFn(s: SparkSession, d: String): DataFrame = {
-    val pairs = TextOps.minhashPairs(documents(s, d))
-    // localCheckpoint (eager) rather than persist: it TRUNCATES lineage at
-    // the materialized edge list. With plain persist, round k's plan still
-    // embeds the whole shingle→minhash→band DAG plus 2k join/agg layers —
-    // task binaries and optimizer time grow every round (measured 17 s for
-    // a ≤5-round graph at sf0.1; ~1 s with checkpointed bounded plans). At
-    // cluster scale the same call becomes a reliable checkpoint dir.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
-    def checksum(df: DataFrame): Long = {
-      val row = df.agg(sum("cluster")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-    var prev = checksum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 32) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min("cluster").as("nbr"))
-      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val cur = checksum(next)
-      labels = next
-      converged = cur == prev
-      prev = cur
-      rounds += 1
-    }
-    labels.select(col("doc_id"), col("cluster"),
-      (col("doc_id") === col("cluster")).as("is_keeper"))
-  }
+  /** Implementation lives in ops.Corpus.clusterLabels: localCheckpoint
+    * (eager) rather than persist — it TRUNCATES lineage at the
+    * materialized edge list. With plain persist, round k's plan still
+    * embeds the whole shingle→minhash→band DAG plus 2k join/agg layers —
+    * task binaries and optimizer time grow every round (measured 17 s for
+    * a ≤5-round graph at sf0.1; ~1 s with checkpointed bounded plans). At
+    * cluster scale the same call becomes a reliable checkpoint dir. */
+  private def clusterFn(s: SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.clusterLabels(s, documents(s, d))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_keeper"))
 
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
     quantileGroup, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget)

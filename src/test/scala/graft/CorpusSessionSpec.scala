@@ -176,6 +176,34 @@ class CorpusSessionSpec extends SparkSpec {
     assert(j.filter(col("cp") < col("c1")).count() == 0)
   }
 
+  test("CorpusPipeline.run materializes every layer with monotone row counts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_t").toString
+    val s = CorpusPipeline.run(spark, Tables.documents(spark, sf), root)
+    assert(s.bronzeRows > 0)
+    assert(s.afterExact <= s.bronzeRows)
+    assert(s.afterNearDup <= s.afterExact)
+    assert(s.goldRows > 0)
+    assert(s.goldTokens > 0)
+    for (layer <- Seq("bronze/documents", "silver/deduped", "silver/quality",
+        "silver/clean", "gold/training_mix"))
+      assert(new java.io.File(s"$root/$layer").exists(), layer)
+    // the gold mix respects the per-language budget
+    val gold = spark.read.parquet(s"$root/gold/training_mix")
+    assert(gold.groupBy("lang").agg(max("cum_tokens").as("m"))
+      .filter(col("m") > 3000).count() == 0)
+  }
+
+  test("CorpusPipeline.run trips the corpus circuit breaker and never writes gold") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_t2").toString
+    // absurd threshold: any repetition at all is "bad" -> loss% blows past cap
+    val e = intercept[IllegalStateException] {
+      CorpusPipeline.run(spark, Tables.documents(spark, sf), root,
+        maxDupTokenFrac = -1.0, maxTopBigramFrac = -1.0, maxLossPct = 10.0)
+    }
+    assert(e.getMessage.contains("circuit breaker"))
+    assert(!new java.io.File(s"$root/gold/training_mix").exists())
+  }
+
   test("q_ann_lsh: top-3 per query, candidates from the query's bucket") {
     val r = VectorQueries.annLsh.fn(spark, sf).cache()
     assert(r.count() > 0)
