@@ -108,9 +108,28 @@ object VectorQueries {
         col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
       val cs = base.select(col("vec_id").as("c"),
         col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
-      val cosd = cs.join(broadcast(qs), col("c") =!= col("q"))
-        .select(col("q"), col("c"),
-          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      // Two-phase exact top-k: a cheap double-fold cosine ranks the full
+      // queries×corpus pair set; the decimal-exact cosine — which alone
+      // decides the output — runs only on candidates within a margin of
+      // the 5th-best fast value. Correctness: |fast − exact| < e ≈ 3.3e-7
+      // per value, and fast_y > fast_x + 2e ⟹ exact_y > exact_x, so any
+      // exact-top-5 member has fast ≥ kth_fast − 2e; the 2e-6 margin is 3×
+      // that bound. The survivors therefore contain the whole exact top-5
+      // and the final exact-ordered window emits identical rows — while
+      // the expensive decimal fold touches ~k of the corpus per query
+      // instead of all of it.
+      val fastCos = "CAST(aggregate(zip_with(eq, ec, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+        "(acc, v) -> acc + v) AS DOUBLE)"
+      val fast = cs.join(broadcast(qs), col("c") =!= col("q"))
+        .withColumn("fcos", expr(fastCos) / (col("nq") * col("nc")))
+      val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
+      val ranked = fast.withColumn("frn", row_number().over(wF)).persist()
+      val kth = ranked.filter(col("frn") === 5).select(col("q"), col("fcos").as("kthf"))
+      val surv = ranked.join(broadcast(kth), Seq("q"), "left")
+        .filter(col("kthf").isNull || col("fcos") >= col("kthf") - 2e-6)
+      val cosd = surv.select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
       cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
   }
