@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *      circuit breaker — losing more than `maxLossPct` of the corpus
   *      aborts the chain (bad thresholds or a poisoned batch must not
   *      silently wipe the dataset)
-  *   4. Contamination gate: drop documents overlapping the benchmark
-  *      source's n-gram set
+  *   4. Contamination gate: drop the benchmark source's documents
+  *      entirely (eval data must never reach the training mix) plus any
+  *      training document overlapping the benchmark's n-gram set
   *   5. Gold: per-language token-budget curation → the training mix
   *
   * Every stage reads the previous stage's LAKE artifact, so a 100 TB run
@@ -47,10 +48,12 @@ object CorpusPipeline {
     val bronzeRows = bronze.count()
 
     log("step 2/5: exact + near-dup dedup -> silver")
-    val exact = Corpus.exactDedup(bronze)
+    // read three times (count, cluster input, keeper anti-join): persist
+    val exact = Corpus.exactDedup(bronze).persist()
     val afterExact = exact.count()
-    val deduped = Corpus.nearDupDedup(spark, exact)
+    val deduped = Corpus.nearDupDedup(exact)
     lake.write(deduped, "silver", "deduped")
+    exact.unpersist()
     val afterNearDup = lake.read("silver", "deduped").count()
 
     log("step 3/5: repetition quality gate")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * DataFrames carrying at least (doc_id, text); nothing here assumes a row
   * count, and every join/aggregate keys on doc_id, a hash, or a band key
   * (see DESIGN.md §2 for the per-operator scale arguments).
+  *
+  * Caching: tiny id/label frames are `localCheckpoint`ed (eager) — plans
+  * stay bounded, double computation is avoided, and the blocks are
+  * reclaimed by Spark's ContextCleaner once the frame is unreferenced.
   */
 object Corpus {
 
@@ -27,8 +31,10 @@ object Corpus {
     * (doc_id, cluster) for every document that appears in at least one
     * candidate pair; cluster = min doc_id of the component. Pregel-style
     * min-label propagation with localCheckpoint-bounded plans and a
-    * checksum convergence test (one aggregated scalar per round). */
-  def clusterLabels(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * checksum convergence test (one aggregated scalar per round).
+    * Throws if the round cap is hit before the fixpoint — a silent
+    * non-converged result would mis-cluster long duplicate chains. */
+  def clusterLabels(docs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val pairs = TextOps.minhashPairs(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -43,7 +49,7 @@ object Corpus {
     var prev = checksum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) {
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min("cluster").as("nbr"))
       val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
@@ -56,69 +62,95 @@ object Corpus {
       prev = cur
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterLabels did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the cap; raise maxRounds (labels would be wrong)")
     labels
   }
 
   /** Near-duplicate keeper filter: keep every unclustered document plus
     * the best member (longest text, doc_id tiebreak) of each duplicate
     * cluster. */
-  def nearDupDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val labeled = clusterLabels(spark, docs)
+  def nearDupDedup(docs: DataFrame): DataFrame = {
+    val labeled = clusterLabels(docs)
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
     val dropIds = labeled
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
       .select("doc_id")
+      .localCheckpoint()
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
-  /** Gopher-style repetition signals per document:
-    * (doc_id, n_tokens, dup_token_frac, top_bigram_frac). */
+  /** Gopher-style repetition signals per document — the full report
+    * (q_text_repetition is a straight select over this): (doc_id,
+    * n_tokens, n_distinct, dup_token_frac, top_bigram_frac,
+    * dup_bigram_frac). Integer counts, one division per fraction. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val ts = TextOps.explodeTokens(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
     val bgs = TextOps.bigrams(docs).groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(sum("c").cast("long").as("n_bigrams"), max("c").as("top_bigram_n"))
-    ts.join(bgs, "doc_id").select(col("doc_id"), col("n_tokens"),
+      .agg(sum("c").cast("long").as("n_bigrams"), max("c").as("top_bigram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("dup_bigram_n"))
+    ts.join(bgs, "doc_id").select(col("doc_id"), col("n_tokens"), col("n_distinct"),
       ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
         .as("dup_token_frac"),
-      (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+      (col("dup_bigram_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
   }
 
   /** Quality gate: drop documents whose repetition signals exceed the
-    * thresholds. Returns (kept, removedCount). */
+    * thresholds. Returns (kept, removedCount); the flagged id set is
+    * checkpointed so the signal subtree runs once, not once per consumer. */
   def qualityFilter(docs: DataFrame, maxDupTokenFrac: Double,
       maxTopBigramFrac: Double): (DataFrame, Long) = {
     val bad = repetitionSignals(docs)
       .filter(col("dup_token_frac") > maxDupTokenFrac
         || col("top_bigram_frac") > maxTopBigramFrac)
       .select("doc_id")
+      .localCheckpoint()
     val kept = docs.join(bad, Seq("doc_id"), "left_anti")
     (kept, bad.count())
   }
 
-  /** Contamination filter: drop training documents sharing more than
-    * `maxFrac` of their distinct 3-shingles with the benchmark source's
-    * shingle set. The benchmark side stays a shuffled equi-join on the
-    * shingle key — never broadcast. */
-  def contaminationFilter(docs: DataFrame, benchSource: String,
-      maxFrac: Double): (DataFrame, Long) = {
+  /** Contamination report per training document (q_contamination is a
+    * straight select over this): distinct-3-shingle overlap with the
+    * benchmark source's shingle set. The benchmark side stays a shuffled
+    * equi-join on the shingle key — never forced broadcast. */
+  def contaminationScan(docs: DataFrame, benchSource: String,
+      flagFrac: Double): DataFrame = {
     val sh = TextOps.shingles3(docs).distinct()
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     val bench = sh.filter(col("source") === benchSource).select("shingle").distinct()
     val train = sh.filter(col("source") =!= benchSource).select("doc_id", "shingle")
+      // feeds the size aggregate AND the overlap join
       .persist()
     val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val ov = train.join(bench, "shingle").groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
-    val flagged = st.join(ov, Seq("doc_id"), "left")
-      .filter(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")
-        > maxFrac)
+    val frac = coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")
+    st.join(ov, Seq("doc_id"), "left").select(col("doc_id"), col("n_shingles"),
+      coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+      frac.as("contam_frac"), (frac >= flagFrac).as("flagged"))
+  }
+
+  /** Contamination gate for a TRAINING corpus: drops the benchmark
+    * source's documents entirely (they are eval data — training on them
+    * is the failure the gate exists to prevent) and drops training
+    * documents whose overlap fraction exceeds `maxFrac`. Returns
+    * (kept, flaggedTrainingDocs). */
+  def contaminationFilter(docs: DataFrame, benchSource: String,
+      maxFrac: Double): (DataFrame, Long) = {
+    val flagged = contaminationScan(docs, benchSource, flagFrac = maxFrac)
+      .filter(col("flagged"))
       .select("doc_id")
-    val kept = docs.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val kept = docs.filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
     (kept, flagged.count())
   }
 
@@ -127,10 +159,9 @@ object Corpus {
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("ws_tokens").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = docs
+    docs
       .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
       .filter(col("cum_tokens") <= budget)
-    kept
   }
 }

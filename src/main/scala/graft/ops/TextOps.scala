@@ -81,7 +81,10 @@ object TextOps {
     * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
     * is the band key, so cost is Σ bucket² not corpus². The band frame
     * feeds both join sides and is persisted — uncached, the signature
-    * subtree computes twice. */
+    * subtree computes twice. (The cached blocks are reclaimed by Spark's
+    * ContextCleaner once the result frame is unreferenced; callers running
+    * many queries per session rely on that, as Bench/Explain do via their
+    * between-rep System.gc().) */
   def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),

@@ -40,21 +40,7 @@ object CorpusQueries {
       "CAST(bgs.top_bigram_n AS DOUBLE) / bgs.n_bigrams AS top_bigram_frac, " +
       "CAST(bgs.dup_bigram_n AS DOUBLE) / bgs.n_bigrams AS dup_bigram_frac " +
       "FROM ts JOIN bgs ON bgs.doc_id = ts.doc_id") {
-    (s, d) =>
-      val docs = documents(s, d)
-      val ts = TextOps.explodeTokens(docs).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
-      val bgc = TextOps.bigrams(docs).groupBy("doc_id", "bigram")
-        .agg(count(lit(1)).as("c"))
-      val bgs = bgc.groupBy("doc_id").agg(
-        sum("c").cast("long").as("n_bigrams"),
-        max("c").as("top_bigram_n"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("dup_bigram_n"))
-      ts.join(bgs, "doc_id").select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
-          .as("dup_token_frac"),
-        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-        (col("dup_bigram_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+    (s, d) => graft.ops.Corpus.repetitionSignals(documents(s, d))
   }
 
   /** Train/benchmark contamination: fraction of each training document's
@@ -77,22 +63,7 @@ object CorpusQueries {
       "CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / st.n_shingles AS contam_frac, " +
       "CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / st.n_shingles >= 0.2 AS flagged " +
       "FROM st LEFT JOIN ov ON ov.doc_id = st.doc_id") {
-    (s, d) =>
-      val docs = documents(s, d)
-      val sh = TextOps.shingles3(docs).distinct()
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
-      val train = sh.filter(col("source") =!= "src0").select("doc_id", "shingle")
-        // both downstream consumers (size agg + overlap join) read `train`;
-        // uncached each recomputes the shingle explode+distinct subtree
-        .persist()
-      val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val ov = train.join(bench, "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      val frac = coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")
-      st.join(ov, Seq("doc_id"), "left").select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        frac.as("contam_frac"), (frac >= 0.2).as("flagged"))
+    (s, d) => graft.ops.Corpus.contaminationScan(documents(s, d), "src0", flagFrac = 0.2)
   }
 
   /** Deterministic stratified sampling: per-language keep rates applied via
@@ -240,14 +211,8 @@ object CorpusQueries {
       "c AS (SELECT *, CAST(sum(ws_tokens) OVER (PARTITION BY lang " +
       "ORDER BY ws_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
       "SELECT doc_id, lang, ws_tokens, cum_tokens FROM c WHERE cum_tokens <= 3000") {
-    (s, d) =>
-      val w = Window.partitionBy("lang").orderBy(col("ws_tokens").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
-        .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
-        .filter(col("cum_tokens") <= 3000)
+    (s, d) => graft.ops.Corpus.tokenBudget(documents(s, d), 3000)
+      .select("doc_id", "lang", "ws_tokens", "cum_tokens")
   }
 
   /** Implementation lives in ops.Corpus.clusterLabels: localCheckpoint
@@ -258,7 +223,7 @@ object CorpusQueries {
     * a ≤5-round graph at sf0.1; ~1 s with checkpointed bounded plans). At
     * cluster scale the same call becomes a reliable checkpoint dir. */
   private def clusterFn(s: SparkSession, d: String): DataFrame =
-    graft.ops.Corpus.clusterLabels(s, documents(s, d))
+    graft.ops.Corpus.clusterLabels(documents(s, d))
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("is_keeper"))
 

@@ -111,25 +111,35 @@ object VectorQueries {
       // Two-phase exact top-k: a cheap double-fold cosine ranks the full
       // queries×corpus pair set; the decimal-exact cosine — which alone
       // decides the output — runs only on candidates within a margin of
-      // the 5th-best fast value. Correctness: |fast − exact| < e ≈ 3.3e-7
-      // per value, and fast_y > fast_x + 2e ⟹ exact_y > exact_x, so any
-      // exact-top-5 member has fast ≥ kth_fast − 2e; the 2e-6 margin is 3×
-      // that bound. The survivors therefore contain the whole exact top-5
-      // and the final exact-ordered window emits identical rows — while
-      // the expensive decimal fold touches ~k of the corpus per query
-      // instead of all of it.
+      // the 5th-best fast value. Correctness: the DECIMAL(18,8) addend
+      // quantization bounds |fast_dot − exact_dot| ≤ 64·5e-9 ≈ 3.2e-7, so
+      // the per-PAIR cosine error is e(pair) = 3.2e-7/(nq·nc) — norm-
+      // dependent, which is why the margin is computed per row (a fixed
+      // margin would silently break for small-norm vectors). Since
+      // fast_y > fast_x + e_x + e_y ⟹ exact_y > exact_x, every exact-top-5
+      // member has fast ≥ kth_fast − e(row) − e(kth); eps uses 1e-6 (3× the
+      // bound) for headroom. Survivors provably contain the exact top-5,
+      // so the exact-ordered window emits identical rows. The ranked pair
+      // set is persisted WITHOUT the embedding arrays (at corpus scale the
+      // arrays dwarf the scores); survivors re-join the vectors by key.
       val fastCos = "CAST(aggregate(zip_with(eq, ec, (x, y) -> " +
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
         "(acc, v) -> acc + v) AS DOUBLE)"
       val fast = cs.join(broadcast(qs), col("c") =!= col("q"))
-        .withColumn("fcos", expr(fastCos) / (col("nq") * col("nc")))
+        .select(col("q"), col("c"),
+          (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),
+          (lit(1e-6) / (col("nq") * col("nc"))).as("eps"))
       val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
       val ranked = fast.withColumn("frn", row_number().over(wF)).persist()
-      val kth = ranked.filter(col("frn") === 5).select(col("q"), col("fcos").as("kthf"))
+      val kth = ranked.filter(col("frn") === 5)
+        .select(col("q"), col("fcos").as("kthf"), col("eps").as("ekth"))
       val surv = ranked.join(broadcast(kth), Seq("q"), "left")
-        .filter(col("kthf").isNull || col("fcos") >= col("kthf") - 2e-6)
-      val cosd = surv.select(col("q"), col("c"),
-        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+        .filter(col("kthf").isNull
+          || col("fcos") >= col("kthf") - col("eps") - col("ekth"))
+        .select("q", "c")
+      val cosd = cs.join(broadcast(surv), "c").join(broadcast(qs), "q")
+        .select(col("q"), col("c"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
       cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
   }

@@ -187,10 +187,12 @@ class CorpusSessionSpec extends SparkSpec {
     for (layer <- Seq("bronze/documents", "silver/deduped", "silver/quality",
         "silver/clean", "gold/training_mix"))
       assert(new java.io.File(s"$root/$layer").exists(), layer)
-    // the gold mix respects the per-language budget
+    // the gold mix respects the per-language budget AND contains no
+    // benchmark-source (eval) documents
     val gold = spark.read.parquet(s"$root/gold/training_mix")
     assert(gold.groupBy("lang").agg(max("cum_tokens").as("m"))
       .filter(col("m") > 3000).count() == 0)
+    assert(gold.filter(col("source") === "src0").count() == 0)
   }
 
   test("CorpusPipeline.run trips the corpus circuit breaker and never writes gold") {
