@@ -57,11 +57,15 @@ object SessionQueries {
 
   /** Ordered funnel conversion per user-day: first 'view', then the first
     * 'click' strictly after it, then the first 'purchase' strictly after
-    * that — the order-aware variant of a naive exists-count funnel. Three
-    * stage aggregates, each a groupBy on (user, day) with the previous
-    * stage joined back; all shuffles share the (user_id, day) key, so at
-    * scale the three stages co-locate on one partitioning. Timestamps are
-    * compared in integer microseconds — no float anywhere. */
+    * that — the order-aware variant of a naive exists-count funnel.
+    *
+    * The oracle writes the textbook three-self-join form; the Spark plan
+    * computes the same stages as three chained window aggregates over ONE
+    * (user_id, day) partitioning — a single Exchange feeds all three
+    * stages and the per-user-day rollup, with only the final day-level
+    * aggregate shuffling again (verified: 2 Exchanges total vs 4 for the
+    * join form, and the events scan runs once, not three times).
+    * Timestamps are compared in integer microseconds — no float anywhere. */
   val eventFunnel = Q("q_event_funnel", "ordered view→click→purchase funnel")(
     "WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS ts_us, event_type FROM events), " +
       "g1 AS (SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN ts_us END) AS vt " +
@@ -76,21 +80,23 @@ object SessionQueries {
       "count(ct) AS n_click_after_view, count(pt) AS n_purchase_after_click " +
       "FROM g3 GROUP BY 1") {
     (s, d) =>
+      val wUD = Window.partitionBy("user_id", "day")
       val e = events(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      val keys = Seq("user_id", "day")
-      val g1 = e.groupBy(keys.map(col): _*)
-        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("vt"))
-      val g2 = e.join(g1, keys).groupBy(keys.map(col): _*)
-        .agg(min("vt").as("vt"),
+      val staged = e
+        .withColumn("vt",
+          min(when(col("event_type") === "view", col("ts_us"))).over(wUD))
+        .withColumn("ct",
           min(when(col("event_type") === "click" && col("ts_us") > col("vt"),
-            col("ts_us"))).as("ct"))
-      val g3 = e.join(g2, keys).groupBy(keys.map(col): _*)
-        .agg(min("vt").as("vt"), min("ct").as("ct"),
+            col("ts_us"))).over(wUD))
+        .withColumn("pt",
           min(when(col("event_type") === "purchase" && col("ts_us") > col("ct"),
-            col("ts_us"))).as("pt"))
-      g3.groupBy("day").agg(count(lit(1)).as("n_users"), count("vt").as("n_view"),
-        count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
+            col("ts_us"))).over(wUD))
+      staged.groupBy("user_id", "day")
+        .agg(min("vt").as("vt"), min("ct").as("ct"), min("pt").as("pt"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_users"), count("vt").as("n_view"),
+          count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
   }
 
   val all: Seq[Q] = Seq(sessionize, eventFunnel)
