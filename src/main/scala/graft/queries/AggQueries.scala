@@ -216,6 +216,44 @@ object AggQueries {
             x => x.getField("o_custkey").cast("string")), ",").as("universe"))
   }
 
+  /** Wide pivot (`pd.pivot_table`): day × event-type count matrix via
+    * Spark's pivot API with the value set PINNED — an unpinned pivot runs
+    * an extra distinct-scan job to discover columns and makes the output
+    * schema data-dependent, both wrong at scale. Absent cells are
+    * coalesced to 0 to match the conditional-aggregation oracle. */
+  val aggPivotWide = Q("q_agg_pivot_wide", "day × event-type pivot matrix")(
+    "SELECT date_trunc('day', ts) AS day, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n, " +
+      "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n, " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_n, " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n " +
+      "FROM events GROUP BY 1") {
+    (s, d) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"${t}_n")): _*)
+  }
+
+  /** Long unpivot (`pd.melt`): the measure columns → (measure, value)
+    * rows via Dataset.unpivot — a per-row generator, no shuffle at all. */
+  val aggUnpivotLong = Q("q_agg_unpivot_long", "melt price measures to long form")(
+    "SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem " +
+      "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem " +
+      "UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem") {
+    (s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("extendedprice"), col("discount"), col("tax")),
+        "measure", "value")
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
-    aggWelchTtest, aggHml, aggGroupConcatUniverse)
+    aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong)
 }

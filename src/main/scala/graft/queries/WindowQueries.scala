@@ -110,5 +110,22 @@ object WindowQueries {
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
   }
 
-  val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange, monthTrunc)
+  /** Quantile bucketing (`pd.qcut` / factor quintiles): ntile(5) of price
+    * within each return-flag group, ordered with the unique ordinal so
+    * bucket assignment is deterministic under ties — the cross-sectional
+    * bucketing step of a factor pipeline (the HML build uses the same
+    * shape with 2 buckets). */
+  val winNtile = Q("q_win_ntile", "deterministic quintile bucketing")(
+    "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
+      s"ntile(5) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, $ordSql) AS quintile " +
+      "FROM lineitem") {
+    (s, d) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"), ord)
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"),
+        ntile(5).over(w).cast("long").as("quintile"))
+  }
+
+  val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
+    monthTrunc, winNtile)
 }

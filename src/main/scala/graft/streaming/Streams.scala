@@ -62,6 +62,37 @@ object Streams {
         col("session.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming corpus ingest with exact dedup — the continuous form of
+    * Corpus.exactDedup: each micro-batch of new documents is appended to
+    * the corpus only if its content hash is unseen, checked two ways:
+    * `dropDuplicates` on the hash removes repeats WITHIN the stream
+    * (state = the hash set; at real scale back it with the RocksDB state
+    * store), and a per-batch left-anti join against the corpus written so
+    * far removes repeats ACROSS restarts (the static side is re-read each
+    * micro-batch, so it always reflects prior appends — the standard
+    * stream-static pattern). Hashing is the same portable md5 as the
+    * batch operator, so batch- and stream-built corpora agree. */
+  def corpusIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, corpusDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .dropDuplicates("text_hash")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark0 = batch.sparkSession
+        val fresh =
+          if (new java.io.File(corpusDir).exists()) {
+            val seen = spark0.read.parquet(corpusDir)
+              .select(col("text_hash")).distinct()
+            batch.join(seen, Seq("text_hash"), "left_anti")
+          } else batch
+        fresh.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   final case class Tick(key: Long, secs: Long, value: Double)
   final case class EmaState(ema: Double, lastSecs: Long)
   final case class EmaOut(key: Long, secs: Long, value: Double, ema: Double)

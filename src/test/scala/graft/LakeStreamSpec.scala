@@ -99,6 +99,29 @@ class LakeStreamSpec extends SparkSpec {
     assert(end.toString == "2024-01-01 10:07:00.0")
   }
 
+  test("Streams.corpusIngest appends only unseen-content documents across runs") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val corpus = tmp() + "/corpus"
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.corpusIngest(spark, src, schema, ckpt, corpus)
+      q.awaitTermination()
+    }
+    docs(Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // in-stream dup (doc 3 repeats doc 1's content) dropped
+    assert(spark.read.parquet(corpus).count() == 2)
+    // run 2: one cross-run dup (beta) + one genuinely new doc
+    docs(Seq((4L, "beta text"), (5L, "gamma text")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 3)
+    assert(got.select("text").distinct().count() == 3)
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
