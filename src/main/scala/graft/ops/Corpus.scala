@@ -21,7 +21,7 @@ object Corpus {
     * distinct text. Linear: hash → groupBy → semi-join. */
   def exactDedup(docs: DataFrame): DataFrame = {
     val keepers = docs
-      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .groupBy(TextOps.contentHash(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     docs.join(keepers, Seq("doc_id"), "left_semi")

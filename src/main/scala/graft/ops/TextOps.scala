@@ -23,6 +23,12 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Portable content hash of a document — THE dedup identity. Batch
+    * (Corpus.exactDedup, q_dedup_exact) and streaming (Streams.corpusIngest)
+    * dedup must share this definition bit-for-bit or stream- and
+    * batch-built corpora diverge. */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
   /** Explode a document into (i, word) rows, i 1-based. */
   def explodeTokens(docs: DataFrame): DataFrame =
     docs.withColumn("sp", tokens(col("text")))

@@ -83,6 +83,10 @@ object SessionQueries {
       val wUD = Window.partitionBy("user_id", "day")
       val e = events(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        // null-key parity with the oracle's join form: an inner join on
+        // (user_id, day) drops null keys, a window partition would keep
+        // them as a real group — filter to keep the two forms identical
+        .filter(col("user_id").isNotNull && col("day").isNotNull)
       val staged = e
         .withColumn("vt",
           min(when(col("event_type") === "view", col("ts_us"))).over(wUD))

@@ -63,7 +63,7 @@ object TextQueries {
     "SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper " +
       "FROM documents GROUP BY 1") {
     (s, d) => documents(s, d)
-      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .groupBy(TextOps.contentHash(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
   }
 

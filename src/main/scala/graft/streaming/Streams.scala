@@ -65,17 +65,22 @@ object Streams {
   /** Streaming corpus ingest with exact dedup — the continuous form of
     * Corpus.exactDedup: each micro-batch of new documents is appended to
     * the corpus only if its content hash is unseen, checked two ways:
-    * `dropDuplicates` on the hash removes repeats WITHIN the stream
-    * (state = the hash set; at real scale back it with the RocksDB state
-    * store), and a per-batch left-anti join against the corpus written so
-    * far removes repeats ACROSS restarts (the static side is re-read each
-    * micro-batch, so it always reflects prior appends — the standard
-    * stream-static pattern). Hashing is the same portable md5 as the
-    * batch operator, so batch- and stream-built corpora agree. */
+    * `dropDuplicates` on the hash removes repeats within the stream AND
+    * across restarts (its state lives in the checkpoint; at real scale
+    * back it with the RocksDB state store), while the per-batch left-anti
+    * join against the corpus written so far covers what the checkpoint
+    * cannot: bootstrap over a pre-existing corpus and recovery after
+    * checkpoint loss. The hash is TextOps.contentHash — the same
+    * definition the batch operator uses, so the surviving TEXT set of a
+    * stream-built corpus matches a batch-built one (kept doc_ids may
+    * differ: the stream keeps first arrival, the batch keeps min doc_id).
+    * The corpus probe goes through the Hadoop FileSystem (works for
+    * gs://…/s3:// lake roots, not just local disk) and keys on the
+    * _SUCCESS marker so a torn first write is never mis-read as data. */
   def corpusIngest(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpoint: String, corpusDir: String): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withColumn("text_hash", graft.ops.TextOps.contentHash(col("text")))
       .dropDuplicates("text_hash")
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -83,8 +88,10 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val spark0 = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(corpusDir + "/_SUCCESS")
+        val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
         val fresh =
-          if (new java.io.File(corpusDir).exists()) {
+          if (fs.exists(marker)) {
             val seen = spark0.read.parquet(corpusDir)
               .select(col("text_hash")).distinct()
             batch.join(seen, Seq("text_hash"), "left_anti")

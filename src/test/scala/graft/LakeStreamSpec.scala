@@ -111,12 +111,21 @@ class LakeStreamSpec extends SparkSpec {
     docs(Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text")))
       .coalesce(1).write.mode("append").parquet(src)
     drain()
-    // in-stream dup (doc 3 repeats doc 1's content) dropped
+    // in-stream dup (doc 3 repeats doc 1's content) dropped by the
+    // checkpointed dropDuplicates state
     assert(spark.read.parquet(corpus).count() == 2)
-    // run 2: one cross-run dup (beta) + one genuinely new doc
+    // run 2 simulates CHECKPOINT LOSS (fresh checkpoint, corpus intact):
+    // dropDuplicates state is empty, so only the left-anti join against
+    // the existing corpus can stop the re-delivered and duplicate docs —
+    // this is the path the stream-static join exists for
+    val ckpt2 = tmp()
+    def drain2(): Unit = {
+      val q = Streams.corpusIngest(spark, src, schema, ckpt2, corpus)
+      q.awaitTermination()
+    }
     docs(Seq((4L, "beta text"), (5L, "gamma text")))
       .coalesce(1).write.mode("append").parquet(src)
-    drain()
+    drain2()
     val got = spark.read.parquet(corpus)
     assert(got.count() == 3)
     assert(got.select("text").distinct().count() == 3)
