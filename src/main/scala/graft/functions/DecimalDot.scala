@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native decimal-exact dot product of two float arrays — the codegen'd
+  * form of the `aggregate(zip_with(...))` recipe in VectorQueries:
+  * per-element double product → DECIMAL(18,8) quantization (HALF_UP, the
+  * same rounding Spark's double→decimal cast applies) → exact integer
+  * accumulation → one correctly-rounded double.
+  *
+  * Why a custom Expression (SURVEY.md §2.12 / prompt preference order):
+  * higher-order functions evaluate one Catalyst expression tree PER
+  * ELEMENT — lambda dispatch, Decimal boxing, precision checks on every
+  * addend. This expression runs the identical arithmetic as a fused
+  * long-arithmetic loop inside whole-stage codegen (`doGenCode`), with an
+  * interpreted `nullSafeEval` twin for non-codegen paths. Bit-equality
+  * with the HOF form (and therefore with the DuckDB oracle) is pinned by
+  * DecimalDotSpec and the driver's correctness gate on all five vector
+  * queries.
+  *
+  * Exactness argument: quantized addends are scale-8 integers ≤ ~10⁹ for
+  * unit-magnitude embeddings, so a 64-bit accumulator is exact
+  * (`longValueExact` throws loudly if a pathological input overflows a
+  * single addend — same surface-don't-corrupt convention as util.Exact);
+  * the final BigDecimal(sum, 8).doubleValue() is one correctly-rounded
+  * conversion, valid while |sum| < 2⁵³. A null array OR a null element
+  * nulls the result — identical to the HOF chain, where a null addend
+  * nulls the fold.
+  */
+case class DecimalDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"decimal_dot requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decimal_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      sum += DecimalDot.quantize8(p)
+      i += 1
+    }
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 8).doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $p = ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    $sum += graft.functions.DecimalDot.quantize8($p);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new java.math.BigDecimal(
+         |    java.math.BigInteger.valueOf($sum), 8).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecimalDot {
+
+  /** HALF_UP quantization of a double to a scale-8 unscaled long — the
+    * exact value `BigDecimal.valueOf(p).setScale(8, HALF_UP)` produces,
+    * computed allocation-free on the fast path. The fast path is valid
+    * when |p·10⁸| is (a) far enough from a .5 rounding boundary that the
+    * multiply's ≤ ~2⁻⁵²·|scaled| error AND the shortest-string-vs-binary
+    * gap (BigDecimal.valueOf rounds the shortest decimal rendering, which
+    * differs from the binary value by < ½ ulp) cannot cross the boundary
+    * — the 10⁻³ guard is ~10² × the worst case at the 4.5·10¹⁵ cap — and
+    * (b) small enough that doubles still represent integers exactly.
+    * Anything near a boundary or huge falls back to BigDecimal, so every
+    * input returns the reference value bit-for-bit (pinned by
+    * DecimalDotSpec's boundary cases). */
+  def quantize8(p: Double): Long = {
+    val scaled = p * 1e8
+    val absS = math.abs(scaled)
+    if (absS < 4.5e15) {
+      val fl = math.floor(absS)
+      val frac = absS - fl
+      if (math.abs(frac - 0.5) > 1e-3) {
+        val q = if (frac > 0.5) fl + 1 else fl
+        if (p < 0) -q.toLong else q.toLong
+      } else quantize8Slow(p)
+    } else quantize8Slow(p)
+  }
+
+  private def quantize8Slow(p: Double): Long =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  /** Register `decimal_dot` as a session temp function so `expr(...)` /
+    * SQL strings can call it (Sessions.local does this for every
+    * engine-created session). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decimal_dot",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "decimal_dot takes exactly 2 arguments")
+        DecimalDot(exprs.head, exprs(1))
+      },
+      "built-in")
+}

@@ -19,23 +19,29 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   /** Decimal-exact dot product of two float-array columns: per-element
-    * double product → decimal scale-8 → left-fold sum → double. The
-    * addend set matches the oracle's exploded-join SUM exactly, and
-    * decimal addition is associative, so both forms are bit-identical —
-    * but this one is a pure codegen'd map over broadcast-joined pairs
-    * (no component-level shuffle). Addends are DECIMAL(18,8): the sum of
-    * two stays within precision 19, so Spark's + keeps scale 8 exactly
-    * (at 38 the precision cap would silently round the accumulator to
-    * scale 7 on every step). */
+    * double product → decimal scale-8 quantization → exact sum → double.
+    * The addend set matches the oracle's exploded-join SUM exactly, and
+    * the quantized sum is associative (integer), so both forms are
+    * bit-identical under any partitioning. Implemented by the native
+    * codegen'd `decimal_dot` Expression (functions.DecimalDot) — the
+    * higher-order `aggregate(zip_with(...))` form computes the same value
+    * but evaluates a Catalyst expression tree per element (measured 20×
+    * slower on a 200k-pair microbench — graft.tools.MicroDot);
+    * DecimalDotSpec pins bit-equality of the two forms. */
   private def dotExpr(a: String, b: String): String =
+    s"decimal_dot($a, $b)"
+
+  /** Norm via the same machinery: ‖x‖ = √(x·x) — identical addends to the
+    * oracle's SUM(CAST(e*e AS DECIMAL)). */
+  private def normExpr(c: String): String =
+    s"sqrt(decimal_dot($c, $c))"
+
+  /** The HOF twin of decimal_dot, kept for DecimalDotSpec's bit-equality
+    * pin against the native Expression. */
+  private[graft] def dotExprHof(a: String, b: String): String =
     s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
       "CAST((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS DECIMAL(18,8))), " +
       "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE)"
-
-  private def normExpr(c: String): String =
-    s"sqrt(CAST(aggregate(transform($c, x -> " +
-      "CAST((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DECIMAL(18,8))), " +
-      "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE))"
 
   private val vecsSql =
     "WITH v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e, " +

@@ -37,6 +37,8 @@ object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // engine-native functions available to expr()/SQL in every session
+    graft.functions.DecimalDot.register(s)
     s
   }
 }
