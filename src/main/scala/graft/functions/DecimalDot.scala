@@ -90,6 +90,66 @@ case class DecimalDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain double-fold dot product — the native form of
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`:
+  * the SAME left-to-right accumulation order, so results are bit-identical
+  * to the HOF fold (used for the pre-screen passes, where a documented
+  * error margin — not exactness — carries correctness; identical results
+  * keep those margins reproducible). Null array or null element → null,
+  * like the HOF fold. */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"double_dot requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object DecimalDot {
 
   /** HALF_UP quantization of a double to a scale-8 unscaled long — the
@@ -121,10 +181,10 @@ object DecimalDot {
     java.math.BigDecimal.valueOf(p)
       .setScale(8, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
-  /** Register `decimal_dot` as a session temp function so `expr(...)` /
-    * SQL strings can call it (Sessions.local does this for every
-    * engine-created session). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `decimal_dot` + `double_dot` as session temp functions so
+    * `expr(...)` / SQL strings can call them (Sessions.local does this for
+    * every engine-created session). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decimal_dot",
       (exprs: Seq[Expression]) => {
@@ -132,4 +192,12 @@ object DecimalDot {
         DecimalDot(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "double_dot takes exactly 2 arguments")
+        DoubleDot(exprs.head, exprs(1))
+      },
+      "built-in")
+  }
 }

@@ -82,9 +82,7 @@ object VectorQueries {
       // so the pair set (and the output) is unchanged while the join fans
       // out to #labels × SALTS tasks.
       val SALTS = 8
-      val fastDot = "CAST(aggregate(zip_with(ea, eb, (x, y) -> " +
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
-        "(acc, v) -> acc + v) AS DOUBLE)"
+      val fastDot = "double_dot(ea, eb)"
       val aS = a.withColumn("salt", pmod(hash(col("va")), lit(SALTS)))
       val bS = b.withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
       aS.join(bS.hint("shuffle_hash"), Seq("label", "salt"))
@@ -128,9 +126,7 @@ object VectorQueries {
       // so the exact-ordered window emits identical rows. The ranked pair
       // set is persisted WITHOUT the embedding arrays (at corpus scale the
       // arrays dwarf the scores); survivors re-join the vectors by key.
-      val fastCos = "CAST(aggregate(zip_with(eq, ec, (x, y) -> " +
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
-        "(acc, v) -> acc + v) AS DOUBLE)"
+      val fastCos = "double_dot(eq, ec)"
       val fast = cs.join(broadcast(qs), col("c") =!= col("q"))
         .select(col("q"), col("c"),
           (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),

@@ -13,15 +13,21 @@ class DecimalDotSpec extends SparkSpec {
 
   private val hof = graft.queries.VectorQueries.dotExprHof("a", "b")
 
-  test("decimal_dot == HOF recipe bit-for-bit on the embeddings corpus") {
+  private val hofDouble =
+    "CAST(aggregate(zip_with(a, b, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+      "(acc, v) -> acc + v) AS DOUBLE)"
+
+  test("decimal_dot and double_dot == HOF recipes bit-for-bit on the embeddings corpus") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
       .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
       .filter(col("ia") < col("ib")).limit(2000)
     val diff = pairs
-      .select(expr("decimal_dot(a, b)").as("nat"), expr(hof).as("ref"))
-      .filter(col("nat") =!= col("ref")
-        || col("nat").isNull =!= col("ref").isNull)
+      .select(expr("decimal_dot(a, b)").as("nat"), expr(hof).as("ref"),
+        expr("double_dot(a, b)").as("natd"), expr(hofDouble).as("refd"))
+      .filter(col("nat") =!= col("ref") || col("nat").isNull =!= col("ref").isNull
+        || col("natd") =!= col("refd") || col("natd").isNull =!= col("refd").isNull)
     assert(diff.count() == 0)
   }
 
