@@ -29,44 +29,73 @@ object Corpus {
 
   /** Connected-component labels over the MinHash-LSH candidate graph:
     * (doc_id, cluster) for every document that appears in at least one
-    * candidate pair; cluster = min doc_id of the component. Pregel-style
-    * min-label propagation with localCheckpoint-bounded plans and a
-    * checksum convergence test (one aggregated scalar per round).
-    * Throws if the round cap is hit before the fixpoint — a silent
-    * non-converged result would mis-cluster long duplicate chains. */
-  def clusterLabels(docs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    * candidate pair; cluster = min doc_id of the component.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — round
+    * count is O(log n) in practice regardless of component DIAMETER,
+    * where plain min-label propagation needs O(diameter) rounds. Long
+    * duplicate chains (mirror families, boilerplate drift) are exactly
+    * the components a 100 TB corpus has, so diameter-bound rounds are
+    * the scale risk; star-contraction collapses them geometrically.
+    * Each phase is one min-aggregate plus one equi-join on the node key;
+    * per-round localCheckpoint keeps the plan bounded (DESIGN.md §2).
+    *
+    * Convergence = edge-set fixpoint: a (count, Σsrc, Σdst) checksum
+    * gates the rounds, and the round it stabilizes an EXACT set-equality
+    * check (equal counts + one-sided exceptAll empty) confirms — so
+    * convergence is never declared on a checksum collision, matching the
+    * throw-on-no-convergence contract below. */
+  def clusterLabels(docs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val pairs = TextOps.minhashPairs(docs)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
-    def checksum(df: DataFrame): Long = {
-      val row = df.agg(sum("cluster")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    // star edges oriented larger → smaller (src > dst always)
+    var e = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
+      .distinct().localCheckpoint()
+    def chk(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("src"), sum("dst")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var prev = checksum(labels)
-    var converged = false
+    var prev = chk(e)
+    var converged = prev._1 == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min("cluster").as("nbr"))
-      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      // large-star: every node u re-links its LARGER neighbors to
+      // m = min(N(u) ∪ {u}); needs the symmetric adjacency. Output stays
+      // larger → smaller (dst > u ≥ m).
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mLarge = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = sym.filter(col("dst") > col("src"))
+        .join(mLarge, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: every node u re-links its (all smaller) neighbors and
+      // itself to m = min(N(u)); orientation again preserved (v ≥ m).
+      val mSmall = large.groupBy("src").agg(min("dst").as("m"))
+      val next = large.join(mSmall, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mSmall.select(col("src"), col("m").as("dst")))
+        .distinct()
         .localCheckpoint()
-      val cur = checksum(next)
-      labels = next
-      converged = cur == prev
+      val cur = chk(next)
+      converged = cur == prev && next.exceptAll(e).isEmpty
+      e = next
       prev = cur
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"clusterLabels did not converge in $maxRounds rounds — component " +
-          "diameter exceeds the cap; raise maxRounds (labels would be wrong)")
-    labels
+        s"clusterLabels did not converge in $maxRounds rounds — the star " +
+          "contraction should need O(log n); raise maxRounds (labels would " +
+          "be wrong)")
+    // fixpoint is a star forest: every non-root node appears exactly once
+    // as src pointing at its component min; roots label themselves
+    e.select(col("src").as("doc_id"), col("dst").as("cluster"))
+      .union(e.select(col("dst")).distinct()
+        .select(col("dst").as("doc_id"), col("dst").as("cluster")))
   }
 
   /** Near-duplicate keeper filter: keep every unclustered document plus
