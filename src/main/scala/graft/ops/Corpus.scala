@@ -184,13 +184,41 @@ object Corpus {
   }
 
   /** Token-budget curation: per language, keep the largest documents while
-    * the running whitespace-token total stays within `budget`. */
+    * the running whitespace-token total stays within `budget` (ordered
+    * ws_tokens desc, doc_id asc).
+    *
+    * Scale layout (r4): the naive plan — a running sum over
+    * `Window.partitionBy(lang)` — serializes each language's ENTIRE corpus
+    * through one task (~5 languages ⇒ the 'en' partition is one task
+    * sorting tens of TB). Instead:
+    *   1. histogram: one row per (lang, ws_tokens) value-run with its run
+    *      count — a distributed hash aggregate;
+    *   2. prefix over the histogram (window over per-lang DISTINCT token
+    *      counts — bounded by the value domain, not corpus size) gives
+    *      each run's tokens-before-this-run;
+    *   3. runs whose prefix already exceeds the budget are dropped with a
+    *      run-level filter, so only budget-reachable rows re-join (AQE
+    *      broadcasts the run frame when small);
+    *   4. within a run all rows carry the same token count, so the exact
+    *      running total is `before + ws_tokens * row_number` over
+    *      `partitionBy(lang, ws_tokens)` — a fine-grained key whose
+    *      partitions are single value-runs of the kept prefix, never a
+    *      whole language.
+    * Bit-identical to the single-sort form: integer arithmetic only, same
+    * (ws_tokens desc, doc_id) order, one value-run of over-scan at most. */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("ws_tokens").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
-      .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
+    val tok = docs.withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val wRun = Window.partitionBy("lang").orderBy(col("ws_tokens").desc)
+    val runs = tok.groupBy("lang", "ws_tokens").agg(count(lit(1)).as("_rc"))
+      .withColumn("_before",
+        sum(col("_rc") * col("ws_tokens")).over(wRun) - col("_rc") * col("ws_tokens"))
+      .filter(col("_before") <= budget)
+      .select("lang", "ws_tokens", "_before")
+    val wIn = Window.partitionBy("lang", "ws_tokens").orderBy("doc_id")
+    tok.join(runs, Seq("lang", "ws_tokens"))
+      .withColumn("cum_tokens",
+        (col("_before") + col("ws_tokens") * row_number().over(wIn)).cast("long"))
       .filter(col("cum_tokens") <= budget)
+      .drop("_before")
   }
 }

@@ -89,9 +89,12 @@ object CorpusQueries {
 
   /** Exact per-group discrete quantiles (percentile_disc semantics: value
     * at position ceil(p·n) of the sorted group) — integer arithmetic only,
-    * no interpolation, so bit-exact across engines. One shuffle + one
-    * per-group sort; at 100 TB swap in approx_percentile for wide groups
-    * (same call sites). */
+    * no interpolation, so bit-exact across engines. Scale layout (r4):
+    * a per-(source, n_chars) count histogram — a distributed hash
+    * aggregate — then a prefix window over the histogram's DISTINCT-value
+    * rows only. No per-source sort of data rows anywhere: a dominant
+    * source costs the same as a uniform one, and the window input is
+    * bounded by the value domain (document lengths), not corpus size. */
   val quantileGroup = Q("q_quantile_group", "exact per-source length quantiles")(
     "WITH r AS (SELECT source, n_chars, " +
       "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn, " +
@@ -102,16 +105,9 @@ object CorpusQueries {
       "max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99 " +
       "FROM r GROUP BY 1") {
     (s, d) =>
-      val wOrd = Window.partitionBy("source").orderBy("n_chars")
-      val wAll = Window.partitionBy("source")
-      def pAt(p: Double, name: String) =
-        max(when(col("rn") === ceil(lit(p) * col("n")), col("n_chars"))).as(name)
-      documents(s, d).select(col("source"), col("n_chars"))
-        .select(col("source"), col("n_chars"),
-          row_number().over(wOrd).cast("long").as("rn"),
-          count(lit(1)).over(wAll).as("n"))
-        .groupBy("source")
-        .agg(max("n").as("n"), pAt(0.5, "p50"), pAt(0.9, "p90"), pAt(0.99, "p99"))
+      graft.ops.Quantiles.groupQuantilesDisc(
+        documents(s, d).select("source", "n_chars"), "source", "n_chars",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
   }
 
   /** SimHash near-dup pairs: band-blocked candidates (4 bands of 8 bits —
@@ -201,10 +197,11 @@ object CorpusQueries {
   /** Token-budget curation — fill a per-language training-mix quota with
     * the largest documents first (ws_tokens desc, doc_id tiebreak),
     * keeping documents while the running token total stays within budget.
-    * One window per language partition; integer cumulative sums, exact.
-    * At scale the ordering metric is a quality score and the budget is
-    * billions of tokens — the plan (shuffle on lang, ordered prefix scan)
-    * is unchanged. */
+    * Integer cumulative sums, exact. The plan (ops.Corpus.tokenBudget, r4)
+    * is two-phase: a (lang, ws_tokens) run histogram + prefix over runs
+    * finds the budget cutoff, and only budget-reachable rows are ranked,
+    * within their own value-run — no language-wide one-task sort, so a
+    * dominant language costs the same per-task as a uniform mix. */
   val tokensBudget = Q("q_tokens_budget", "per-language token-budget curation")(
     "WITH t AS (SELECT doc_id, lang, " +
       "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens FROM documents), " +

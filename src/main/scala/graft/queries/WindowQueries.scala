@@ -114,16 +114,21 @@ object WindowQueries {
     * within each return-flag group, ordered with the unique ordinal so
     * bucket assignment is deterministic under ties — the cross-sectional
     * bucketing step of a factor pipeline (the HML build uses the same
-    * shape with 2 buckets). */
+    * shape with 2 buckets). Scale layout (r4): l_returnflag has ~3
+    * values, so `ntile over partitionBy(flag)` is three whole-table
+    * one-task sorts at fact scale. ops.Quantiles.exactNtile instead
+    * histograms per (flag, price-bucket), broadcasts the per-bucket tile
+    * map, and ranks only the rows of the 4 boundary buckets — same
+    * output bit-for-bit, no data-sized sort (spec: QuantilesSpec). */
   val winNtile = Q("q_win_ntile", "deterministic quintile bucketing")(
     "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
       s"ntile(5) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, $ordSql) AS quintile " +
       "FROM lineitem") {
     (s, d) =>
-      val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"), ord)
-      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        col("l_returnflag"), col("l_extendedprice"),
-        ntile(5).over(w).cast("long").as("quintile"))
+      graft.ops.Quantiles.exactNtile(
+        lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        part = "l_returnflag", value = "l_extendedprice", ord = ord,
+        tiles = 5, outCol = "quintile")
   }
 
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,

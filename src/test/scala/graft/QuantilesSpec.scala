@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Quantiles
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ops.Quantiles is the r4 replacement for the three low-cardinality-key
+  * window plans (VERDICT r3 #1-3). These tests pin BIT-EQUALITY between
+  * the two-phase histogram plans and the single-sort formulations they
+  * replace, on inputs chosen to hit the edges: heavy ties (few distinct
+  * values, runs straddling cut positions), groups smaller than the tile
+  * count, a constant column (width == 0, everything in one bucket), and
+  * bucket counts small enough that every bucket is a boundary bucket.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  private def randomDf(n: Int, groups: Int, distinct: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42 + n + groups + distinct)
+    (1 to n).map { i =>
+      (i.toLong, s"g${rnd.nextInt(groups)}", (rnd.nextInt(distinct) * 7.25) - 13.0)
+    }.toDF("id", "grp", "v")
+  }
+
+  private def assertNtileMatches(n: Int, groups: Int, distinct: Int,
+      tiles: Int, buckets: Int): Unit = {
+    val df = randomDf(n, groups, distinct)
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val expected = df.withColumn("t", ntile(tiles).over(w).cast("long"))
+    val actual = Quantiles.exactNtile(df, "grp", "v", col("id"), tiles, "t",
+      buckets = buckets)
+    assert(actual.count() == n)
+    assert(expected.exceptAll(actual).count() == 0 &&
+      actual.exceptAll(expected).count() == 0,
+      s"ntile mismatch n=$n groups=$groups distinct=$distinct tiles=$tiles buckets=$buckets")
+  }
+
+  test("exactNtile == ntile window: random doubles, several shapes") {
+    assertNtileMatches(n = 2000, groups = 3, distinct = 500, tiles = 5, buckets = 64)
+    assertNtileMatches(n = 1000, groups = 4, distinct = 9, tiles = 5, buckets = 32)
+    assertNtileMatches(n = 500, groups = 2, distinct = 500, tiles = 7, buckets = 8)
+  }
+
+  test("exactNtile: groups smaller than the tile count (rn-identity tiles)") {
+    assertNtileMatches(n = 12, groups = 5, distinct = 6, tiles = 5, buckets = 16)
+  }
+
+  test("exactNtile: constant value column (width == 0, pure ordinal split)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "g", 3.5)).toDF("id", "grp", "v")
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val expected = df.withColumn("t", ntile(4).over(w).cast("long"))
+    val actual = Quantiles.exactNtile(df, "grp", "v", col("id"), 4, "t")
+    assert(expected.exceptAll(actual).count() == 0 &&
+      actual.exceptAll(expected).count() == 0)
+  }
+
+  test("exactNtile: empty input") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String, Double)].toDF("id", "grp", "v")
+    assert(Quantiles.exactNtile(df, "grp", "v", col("id"), 5, "t").count() == 0)
+  }
+
+  test("groupQuantilesDisc == row_number formulation (ties included)") {
+    val df = randomDf(3000, 4, 40).withColumn("v", col("v").cast("long"))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val wOrd = Window.partitionBy("grp").orderBy("v")
+    val wAll = Window.partitionBy("grp")
+    val bySort = df
+      .select(col("grp"), col("v"), row_number().over(wOrd).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy("grp")
+      .agg(max("n").as("n"),
+        ps.map { case (p, nm) =>
+          max(when(col("rn") === ceil(lit(p) * col("n")), col("v"))).as(nm)
+        }: _*)
+    val byHist = Quantiles.groupQuantilesDisc(df.select("grp", "v"), "grp", "v", ps)
+    assert(bySort.exceptAll(byHist).count() == 0 &&
+      byHist.exceptAll(bySort).count() == 0)
+  }
+}
