@@ -61,12 +61,17 @@ object Features {
   def dominance(value: Column, date: String): Column =
     value / Exact.winSum(value, Window.partitionBy(date))
 
-  /** Full Gold derivation over a Silver frame: per-asset features (one
-    * window shuffle), then cross-sectional features (one more). The
-    * recursive indicators (RSI/MACD/ATR) come from ops.Recursive and are
-    * joined on (key, date) by the pipeline when needed. */
+  /** Full Gold derivation over a Silver frame: per-asset windows (one
+    * window shuffle), the recursive indicators (RSI/MACD/ATR from
+    * ops.Recursive.momentum — create_momentum_features /
+    * create_volatility_features) joined back on (key, date), then
+    * cross-sectional features (one more shuffle). Silver is one row per
+    * (key, date) — the canonical-aggregation output — so the momentum
+    * join is a key-preserving equi-join; both sides shuffle on the same
+    * asset key the windows already used. */
   def goldFeatures(silver: DataFrame, key: String, date: String,
-      close: String, volume: String, mcap: String, tiebreak: Column): DataFrame = {
+      close: String, volume: String, mcap: String, tiebreak: Column,
+      high: String = "high", low: String = "low"): DataFrame = {
     val w = assetWindow(key, date, tiebreak)
     val c = col(close)
     val (bbU, bbL, bbW) = bbands(c, w, 20)
@@ -81,7 +86,13 @@ object Features {
       .withColumn("vol_z30", rollingZscore(col(volume), w, 30))
       .withColumn("volatility_30d", rollingVol(col("ret_1d"), w, 30))
       .withColumn("bb_upper", bbU).withColumn("bb_lower", bbL).withColumn("bb_width", bbW)
-    withAsset
+    val mom = Recursive.momentum(silver, key, date, close, high, low)
+    val withMomentum = withAsset
+      .withColumn("_k", col(key).cast("string"))
+      .withColumn("_secs", col(date).cast("timestamp").cast("long"))
+      .join(mom, Seq("_k", "_secs"), "left")
+      .drop("_k", "_secs")
+    withMomentum
       .withColumn("mcap_rank_daily", dailyRank(col(mcap), date))
       .withColumn("dominance_pct", dominance(col(mcap), date))
   }

@@ -100,6 +100,62 @@ object Recursive {
     }
   }
 
+  case class MomentumRow(k: String, secs: Long, rsi_14: Option[Double],
+      macd: Double, macd_sig: Double, macd_hist: Double, atr_14: Double)
+
+  /** All recursive Gold indicators — RSI(14), MACD(12,26,9), ATR(14) — in
+    * ONE fold over any frame carrying (key, date, close, high, low): one
+    * shuffle on the asset key, one sort per bounded group, every
+    * recurrence advanced in the same pass (create_momentum_features /
+    * create_volatility_features, feature_calculation_functions.py:44-93,
+    * which make three separate groupby-apply passes; here the group's rows
+    * are already in hand, so the extra passes would buy nothing). Joined
+    * back on (key, secs) by Features.goldFeatures. */
+  def momentum(df: org.apache.spark.sql.DataFrame, key: String, date: String,
+      close: String, high: String, low: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(key).cast("string").as("_k"),
+        col(date).cast("timestamp").cast("long").as("_secs"),
+        col(close).cast("double").as("_c"),
+        col(high).cast("double").as("_h"),
+        col(low).cast("double").as("_l"))
+      .as[(String, Long, Double, Double, Double)]
+    src.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0; val a9 = 2.0 / 10.0
+      var avgGain, avgLoss = 0.0
+      var seeded = false
+      var e12, e26, sig, atr = 0.0
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        val (_, secs, c, h, l) = r
+        if (i == 0) {
+          e12 = c; e26 = c; sig = 0.0; atr = h - l
+          MomentumRow(k, secs, None, 0.0, 0.0, 0.0, atr)
+        } else {
+          val prev = rows(i - 1)._3
+          val gain = math.max(c - prev, 0.0)
+          val loss = math.max(prev - c, 0.0)
+          if (!seeded) { avgGain = gain; avgLoss = loss; seeded = true }
+          else {
+            avgGain = (avgGain * 13.0 + gain) / 14.0
+            avgLoss = (avgLoss * 13.0 + loss) / 14.0
+          }
+          val rsi = if (avgLoss == 0.0) 100.0
+                    else 100.0 - (100.0 / (1.0 + (avgGain / avgLoss)))
+          e12 = (a12 * c) + ((1.0 - a12) * e12)
+          e26 = (a26 * c) + ((1.0 - a26) * e26)
+          val m = e12 - e26
+          sig = (a9 * m) + ((1.0 - a9) * sig)
+          val pc = prev
+          val tr = math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+          atr = (atr * 13.0 + tr) / 14.0
+          MomentumRow(k, secs, Some(rsi), m, sig, m - sig, atr)
+        }
+      }
+    }.toDF("_k", "_secs", "rsi_14", "macd", "macd_sig", "macd_hist", "atr_14")
+  }
+
   /** ATR(14): true range Wilder-smoothed. */
   def atr(s: SparkSession, d: String): Dataset[AtrRow] = {
     import s.implicits._

@@ -53,10 +53,25 @@ class PipelinesSpec extends SparkSpec {
     val silver = spark.read.parquet(s"$root/silver/historical")
     val a1 = silver.filter(col("canonical_id") === "a1" && col("volume") =!= 20.0).count()
     assert(a1 == 0, "w1 volume not merged into canonical a1")
-    // gold layer carries derived features
+    // gold layer carries derived features, including the recursive
+    // momentum indicators joined from ops.Recursive.momentum
+    // (create_momentum_features / create_volatility_features parity)
     val gold = spark.read.parquet(s"$root/gold/features")
     assert(Seq("ret_1d", "volatility_30d", "bb_upper", "mcap_rank_daily",
-      "dominance_pct").forall(gold.columns.contains))
+      "dominance_pct", "rsi_14", "macd", "macd_sig", "macd_hist",
+      "atr_14").forall(gold.columns.contains))
+    // spot values: a2's close rises exactly +1/day ⇒ no down days ⇒ RSI
+    // is exactly 100 after the seed row; high-low = 4 and |high-prev_close|
+    // = |low-prev_close| = 2 ⇒ TR = 4 every day ⇒ Wilder ATR stays 4.0
+    val a2 = gold.filter(col("canonical_id") === "a2")
+      .orderBy("date").select("rsi_14", "atr_14", "macd", "macd_sig", "macd_hist")
+      .collect()
+    assert(a2.length == 20)
+    assert(a2.head.isNullAt(0), "seed row must have null RSI")
+    assert(a2.tail.forall(_.getDouble(0) == 100.0), "monotone ramp must pin RSI at 100")
+    assert(a2.forall(_.getDouble(1) == 4.0), "constant TR must pin ATR at 4.0")
+    assert(a2.forall(r => r.getDouble(4) == r.getDouble(2) - r.getDouble(3)),
+      "macd_hist must equal macd - macd_sig")
     // snapshot idempotency: second run of the same day appends nothing
     val before = spark.read.parquet(s"$root/derivatives/daily").count()
     val s2 = Pipelines.run(spark, cleanBronze(), mapping, root, universeN = 2)
