@@ -156,8 +156,9 @@ object Corpus {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     val bench = sh.filter(col("source") === benchSource).select("shingle").distinct()
     val train = sh.filter(col("source") =!= benchSource).select("doc_id", "shingle")
-      // feeds the size aggregate AND the overlap join
-      .persist()
+      // feeds the size aggregate AND the overlap join; localCheckpoint so
+      // the blocks free with the result frame (cache hygiene, r4)
+      .localCheckpoint()
     val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val ov = train.join(bench, "shingle").groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))

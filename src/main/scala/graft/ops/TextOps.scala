@@ -86,17 +86,18 @@ object TextOps {
   /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
     * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
     * is the band key, so cost is Σ bucket² not corpus². The band frame
-    * feeds both join sides and is persisted — uncached, the signature
-    * subtree computes twice. (The cached blocks are reclaimed by Spark's
-    * ContextCleaner once the result frame is unreferenced; callers running
-    * many queries per session rely on that, as Bench/Explain do via their
-    * between-rep System.gc().) */
+    * feeds both join sides and is localCheckpoint'ed (eager) — uncached,
+    * the signature subtree computes twice; a lazy persist() would park
+    * blocks in the CacheManager until an explicit unpersist that a
+    * query-shaped API has no hook for. Checkpoint blocks belong to the
+    * result's lineage and are reclaimed by the ContextCleaner as soon as
+    * the caller drops the frame. */
   def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
     }.reduce(_ unionByName _)
-      .persist()
+      .localCheckpoint()
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))

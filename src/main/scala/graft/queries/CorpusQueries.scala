@@ -131,8 +131,9 @@ object CorpusQueries {
         .select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(lit): _*)).as("band"))
         .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
-        // both self-join sides read the signature subtree; persist it once
-        .persist()
+        // both self-join sides read the signature subtree; materialize it
+        // once (localCheckpoint: blocks free with the frame)
+        .localCheckpoint()
       bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band")
           && col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))

@@ -91,8 +91,9 @@ object TextQueries {
   }) {
     (s, d) =>
       // signature computed once, read three times (band pairing + both
-      // sides of the agreement join)
-      val sig = TextOps.minhashSig(documents(s, d)).persist()
+      // sides of the agreement join); localCheckpoint (not persist) so the
+      // blocks free with the frame
+      val sig = TextOps.minhashSig(documents(s, d)).localCheckpoint()
       val pairs = TextOps.minhashPairsFromSig(sig)
       val nAgree = (0 to 7).map(k =>
         when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
@@ -148,15 +149,16 @@ object TextQueries {
           floor(col("ca") / 4), floor(col("ca") / 4) + 1)))
       val bSide = docs.select(col("doc_id").as("doc_b"), col("source"),
         col("n_chars").as("cb"), bucket.as("bucket"))
-      // persist the reused intermediates: `cand` feeds the intersection AND
-      // the final assembly; `shd` feeds both sides of the shingle
+      // checkpoint the reused intermediates: `cand` feeds the intersection
+      // AND the final assembly; `shd` feeds both sides of the shingle
       // intersection and the size aggregate — uncached each consumer
-      // recomputes the full explode/distinct subtree
+      // recomputes the full explode/distinct subtree (localCheckpoint, not
+      // persist: blocks free with the frames)
       val cand = aSide.join(bSide, Seq("source", "bucket"))
         .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-        .persist()
-      val shd = TextOps.shingles3(docs).distinct().persist()
+        .localCheckpoint()
+      val shd = TextOps.shingles3(docs).distinct().localCheckpoint()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand
         .join(shd.as("x"), col("x.doc_id") === col("doc_a"))

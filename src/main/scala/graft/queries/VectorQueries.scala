@@ -132,7 +132,7 @@ object VectorQueries {
           (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),
           (lit(1e-6) / (col("nq") * col("nc"))).as("eps"))
       val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
-      val ranked = fast.withColumn("frn", row_number().over(wF)).persist()
+      val ranked = fast.withColumn("frn", row_number().over(wF)).localCheckpoint()
       val kth = ranked.filter(col("frn") === 5)
         .select(col("q"), col("fcos").as("kthf"), col("eps").as("ekth"))
       val surv = ranked.join(broadcast(kth), Seq("q"), "left")
@@ -182,12 +182,13 @@ object VectorQueries {
         .select(col("vid"), col("cid"),
           (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
       val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
-      // persist: the assignment (tiny: one row per vector) feeds BOTH sides
-      // of the cluster self-join below — without caching, Spark computes
-      // the whole corpus×centroids subtree twice (no common-subplan reuse)
+      // checkpoint: the assignment (tiny: one row per vector) feeds BOTH
+      // sides of the cluster self-join below — without materializing,
+      // Spark computes the whole corpus×centroids subtree twice (no
+      // common-subplan reuse); localCheckpoint so blocks free with the frame
       val assign = ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select(col("vid"), col("cid").as("cluster"))
-        .persist()
+        .localCheckpoint()
       // probe: query's cluster members only, dot over the stored arrays
       val pairs = assign.as("qa").filter(col("qa.vid") < 10)
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
@@ -287,7 +288,7 @@ object VectorQueries {
         expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
       .withColumn("bucket", bucketCol.cast("long"))
       .select("vec_id", "embedding", "nrm", "bucket")
-      .persist()
+      .localCheckpoint()
   }
 
   /** Multi-probe LSH: each query probes its own bucket PLUS the 6 one-bit
