@@ -38,6 +38,26 @@ object VectorOps {
       val d = p.cast("double") - q.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Salted blocking self/pair join: equi-join `a` and `b` on `blockCol`
+    * with a salt widening the key space SALTS-fold. The blocking key's
+    * cardinality can be far below the core count (labels, shards), so a
+    * bare key join caps parallelism at #keys and a hot key becomes one
+    * giant task. Side A gets a deterministic salt from `saltFrom` (its
+    * id), side B is replicated across all salts — every (a, b) pair meets
+    * in exactly one (block, salt) bucket, so the joined SET is unchanged
+    * while the hottest key's work fans out over `salts` tasks. Cost of
+    * the fan-out: side B shuffles `salts`× (the replication) — the knob
+    * trades B-side shuffle volume for per-task bound; raise it until the
+    * hottest (block, salt) bucket fits a task comfortably.
+    * Both sides hash-join after shuffling (never broadcast: at corpus
+    * scale both sides are the corpus). */
+  def saltedBlockJoin(a: DataFrame, b: DataFrame, blockCol: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    val aS = a.withColumn("salt", pmod(hash(saltFrom), lit(salts)))
+    val bS = b.withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    aS.join(bS.hint("shuffle_hash"), Seq(blockCol, "salt"))
+  }
+
   /** Deterministic k-means (Lloyd) over an embedding column.
     *
     * @param df     (idCol, vecCol) rows; vecCol is array<float|double>

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.util.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,11 +82,11 @@ object VectorQueries {
       // salts — every (a,b) pair meets in exactly one (label, salt) bucket,
       // so the pair set (and the output) is unchanged while the join fans
       // out to #labels × SALTS tasks.
+      // (helper + skew-stress spec: ops.VectorOps.saltedBlockJoin /
+      // VectorOpsSpec — a 90%-hot-label fixture pins the 8× per-task bound)
       val SALTS = 8
       val fastDot = "double_dot(ea, eb)"
-      val aS = a.withColumn("salt", pmod(hash(col("va")), lit(SALTS)))
-      val bS = b.withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
-      aS.join(bS.hint("shuffle_hash"), Seq("label", "salt"))
+      graft.ops.VectorOps.saltedBlockJoin(a, b, "label", col("va"), SALTS)
         .filter(col("va") < col("vb"))
         .filter(expr(fastDot) / (col("na") * col("nb")) >= 0.35 - 1e-6)
         .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
@@ -173,10 +174,18 @@ object VectorQueries {
       "WHERE rn <= 3") {
     (s, d) =>
       val base = embeddings(s, d)
-      val all = base.select(col("vec_id").as("vid"),
-        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
         col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      ivfTopK(base, cents)
+  }
+
+  /** The IVF search plan, parameterized by the centroid table: seed
+    * centroids (the registered query above) and ops.VectorOps.fit output
+    * (the trained path, VectorOpsSpec) run the IDENTICAL plan — `cents`
+    * must carry (cid, ecent, ncent). */
+  private[graft] def ivfTopK(base: DataFrame, cents: DataFrame, k: Int = 3): DataFrame = {
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       // centroid assignment: corpus x broadcast(centroids), argmax cosine
       val ccos = all.crossJoin(broadcast(cents))
         .select(col("vid"), col("cid"),
@@ -202,7 +211,7 @@ object VectorQueries {
         .select(col("q"), col("c"), col("cluster"),
           (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
   /** Embedding dimension of the testdata vectors; the plane-count/dim pair

@@ -131,8 +131,27 @@ class OpsSpec extends SparkSpec {
       (1 to 60).map(i => ("stable", f"2024-01-$i%02d", 2.34))
     val df = rows.toDF("canonical_id", "date", "close")
     val flagged = Integrity.precisionBreaks(df, "canonical_id", "date", col("close"),
-      alpha = 0.001, minSamples = 50)
-    assert(flagged.map(_._1) == Seq("broken"))
+      alpha = 0.001, minSamples = 50).collect()
+    assert(flagged.map(_.getString(0)).toSeq == Seq("broken"))
+    // parity: the executor-evaluated t/dof/p must equal the driver-side
+    // scalar path (welch) fed the same moments, recomputed independently
+    val dl = Integrity.decimalLen(col("close"))
+    val halves = df.filter(col("canonical_id") === "broken")
+      .withColumn("dl", dl)
+      .withColumn("second", col("date") >= "2024-02-01")
+      .groupBy("second").agg(count(lit(1)).as("n"), avg("dl").as("m"),
+        var_samp("dl").as("v"))
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n1, m1, v1) = halves(false); val (n2, m2, v2) = halves(true)
+    val expect = Integrity.welch(n1, m1, v1, n2, m2, v2)
+    val got = flagged.head
+    // near-equality: this recomputation aggregates moments in a different
+    // partition order, so the inputs to welch differ by final-ulp FP noise
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    assert(close(got.getDouble(1), expect.t) && close(got.getDouble(2), expect.df),
+      s"t/dof mismatch: got ${got.getDouble(1)}/${got.getDouble(2)}, expect ${expect.t}/${expect.df}")
+    assert(got.getDouble(3) < 0.001 && close(got.getDouble(3), expect.p) || expect.p == 0.0 && got.getDouble(3) == 0.0)
   }
 
   test("Integrity.publicationLagViolations returns only drifted dates") {

@@ -48,4 +48,74 @@ class VectorOpsSpec extends SparkSpec {
     val b = centroidsOf(pts.repartition(13))
     assert(a == b) // exact-decimal means ⇒ bit-identical across partitionings
   }
+
+  test("trained k-means centroids drop into the IVF plan unchanged; recall >= single-probe LSH") {
+    import org.apache.spark.sql.DataFrame
+    val base = graft.util.Tables.embeddings(spark, sf)
+    // trained path: VectorOps.fit output reshaped to the (cid, ecent,
+    // ncent) centroid contract — nothing else changes
+    val model = VectorOps.fit(base, "vec_id", "embedding", k = 4, iters = 3)
+    val trainedCents = model
+      .select(col("cluster_id").as("cid"),
+        // centroids come back as array<double>; the index stores float
+        // vectors (decimal_dot is typed for the embedding column's type)
+        transform(col("centroid"), _.cast("float")).as("ecent"))
+      .withColumn("ncent", expr("sqrt(decimal_dot(ecent, ecent))"))
+    val trained = graft.queries.VectorQueries.ivfTopK(base, trainedCents)
+    val seeded = graft.queries.VectorQueries.annIvf.fn(spark, sf)
+    // identical search-plan shape: the join/window/aggregate operator
+    // sequence must match node for node (the centroid SOURCE differs by
+    // construction: parquet-filter seeds vs fitted LogicalRDD)
+    def searchShape(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case n if Seq("Join", "Window", "Aggregate", "Sort")
+          .exists(n.nodeName.contains) => n.nodeName
+      }
+    assert(searchShape(trained) == searchShape(seeded),
+      s"plan shapes diverged:\n${searchShape(trained)}\nvs\n${searchShape(seeded)}")
+    // retrieval quality: trained single-probe IVF must recall at least as
+    // much of the exact top-3 as single-probe LSH does on this fixture
+    val truth = graft.queries.VectorQueries.annCosineTopk.fn(spark, sf)
+      .filter(col("rn") <= 3).select("q", "c")
+    val truthN = truth.count().toDouble
+    def recall(res: DataFrame): Double =
+      res.select("q", "c").intersect(truth).count() / truthN
+    val ivfRecall = recall(trained)
+    val lshRecall = recall(graft.queries.VectorQueries.annLsh.fn(spark, sf))
+    assert(ivfRecall >= lshRecall,
+      s"trained IVF recall $ivfRecall below single-probe LSH $lshRecall")
+  }
+
+  test("saltedBlockJoin: hot-label skew fans out ~SALTS ways, pair set unchanged") {
+    import spark.implicits._
+    // 90% of rows share one label — the q_dedup_embed_cosine skew case:
+    // a bare label join would push 0.9n × 0.9n pairs through ONE task
+    val n = 1000
+    val SALTS = 8
+    val rows = (1L to n.toLong).map(i =>
+      (i, if (i <= n * 9 / 10) "hot" else s"cold${i % 4}"))
+    val base = rows.toDF("id", "label")
+    val a = base.select(col("id").as("ida"), col("label"))
+    val b = base.select(col("id").as("idb"), col("label"))
+    val salted = VectorOps.saltedBlockJoin(a, b, "label", col("ida"), SALTS)
+
+    // 1. correctness: exactly the bare equi-join's pair set, each pair once
+    val bare = a.join(b, "label")
+    assert(salted.count() == bare.count())
+    assert(salted.select("ida", "idb").exceptAll(bare.select("ida", "idb")).count() == 0)
+
+    // 2. skew bound: per-(label, salt) bucket join sizes — what each task
+    // processes — must divide the hot label's work ~SALTS ways. hash(ida)
+    // spreads A-side rows near-evenly, so the hottest bucket stays within
+    // 2× of perfectly uniform fan-out (the slop absorbs hash variance).
+    val buckets = salted.groupBy("label", "salt").count().collect()
+    val hotTotal = buckets.filter(_.getString(0) == "hot").map(_.getLong(2)).sum
+    val hotMax = buckets.filter(_.getString(0) == "hot").map(_.getLong(2)).max
+    assert(buckets.filter(_.getString(0) == "hot").length == SALTS,
+      "hot label must occupy all salt buckets")
+    assert(hotMax <= 2L * hotTotal / SALTS,
+      s"hottest bucket $hotMax exceeds 2x the uniform share ${hotTotal / SALTS}")
+    // contrast with the unsalted plan: the whole hot workload in one task
+    assert(hotMax * (SALTS / 2) <= hotTotal, "salting must divide the hot task")
+  }
 }
