@@ -110,13 +110,20 @@ object CorpusQueries {
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
   }
 
-  /** SimHash near-dup pairs: band-blocked candidates (4 bands of 8 bits —
-    * hamming ≤ 2 over 32 bits guarantees ≥ 1 identical band, so blocking
-    * loses nothing), then exact `bit_count(xor)` hamming distance. The
-    * XOR/popcount runs only on band-collision survivors, never all pairs.
-    * Production note: simhash bits over one corpus are correlated (shared
-    * vocab skews each bit's majority), which fattens band buckets — at
-    * 100 TB, permute/rotate bit positions per band to re-uniform the keys. */
+  /** SimHash near-dup pairs: band-pair-blocked candidates, then exact
+    * `bit_count(xor)` hamming distance on collision survivors only.
+    * Blocking key (r4): hamming ≤ 2 over 32 bits means the ≤ 2 differing
+    * bits fall in at most 2 of the 4 8-bit bands, so at least TWO bands
+    * are identical — every qualifying pair shares one of the C(4,2) = 6
+    * ordered band-pairs. Blocking on (pair-id, 16 concatenated bits)
+    * is therefore still provably lossless, but the keyspace is 256× a
+    * single band's, so CHANCE collisions (the quadratic term: corpus²/
+    * keyspace) drop 256× for 1.5× replication (6 keys/doc vs 4). The sf1
+    * scaling run measured the single-band form at ~47× cost for 10× rows
+    * — this form restores ~linear candidate growth until corpus² / 2¹⁶
+    * dominates; at larger corpora, widen the signature (64-bit, 16-bit
+    * bands) the same way. Output is identical either way (the hamming
+    * filter decides membership; blocking only bounds what it inspects). */
   val dedupSimhashPairs = Q("q_dedup_simhash_pairs", "band-blocked SimHash hamming pairs")(
     "WITH " + TextQueries.simhashSigBody +
       ", bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sig), " +
@@ -127,16 +134,20 @@ object CorpusQueries {
       "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(sa, sb)) <= 2") {
     (s, d) =>
-      val bands = TextOps.simhashSig(documents(s, d))
+      val bandPairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+      val keys = bandPairs.zipWithIndex.map { case ((i, j), p) =>
+        expr(s"$p * 65536 + (shiftright(simhash, ${i * 8}) & 255) * 256 + " +
+          s"(shiftright(simhash, ${j * 8}) & 255)")
+      }
+      val blocked = TextOps.simhashSig(documents(s, d))
         .select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+          explode(array(keys: _*)).as("key"))
         // both self-join sides read the signature subtree; materialize it
         // once (localCheckpoint: blocks free with the frame)
         .localCheckpoint()
-      bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band")
-          && col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      blocked.as("a")
+        .join(blocked.as("b"), col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.simhash").as("sa"), col("b.simhash").as("sb"))
         .distinct()
