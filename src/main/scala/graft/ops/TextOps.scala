@@ -86,18 +86,21 @@ object TextOps {
   /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
     * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
     * is the band key, so cost is Σ bucket² not corpus². The band frame
-    * feeds both join sides and is localCheckpoint'ed (eager) — uncached,
-    * the signature subtree computes twice; a lazy persist() would park
-    * blocks in the CacheManager until an explicit unpersist that a
-    * query-shaped API has no hook for. Checkpoint blocks belong to the
-    * result's lineage and are reclaimed by the ContextCleaner as soon as
-    * the caller drops the frame. */
-  def minhashPairsFromSig(sig: DataFrame): DataFrame = {
-    val bands = (0 to 3).map { b =>
+    * feeds both join sides; by default it is localCheckpoint'ed (eager) —
+    * uncached, the signature subtree computes twice; a lazy persist()
+    * would park blocks in the CacheManager until an explicit unpersist
+    * that a query-shaped API has no hook for, while checkpoint blocks
+    * free with the frame. Pass `materialize = false` when `sig` is
+    * ALREADY a materialized frame (q_minhash_jaccard_est checkpoints the
+    * signature itself for its rerank joins): banding is then a cheap map
+    * over checkpoint blocks and a second eager materialization — one
+    * blocking job + block write per query run — would only add cost. */
+  def minhashPairsFromSig(sig: DataFrame, materialize: Boolean = true): DataFrame = {
+    val banded = (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
     }.reduce(_ unionByName _)
-      .localCheckpoint()
+    val bands = if (materialize) banded.localCheckpoint() else banded
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))

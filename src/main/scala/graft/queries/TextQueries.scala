@@ -94,7 +94,7 @@ object TextQueries {
       // sides of the agreement join); localCheckpoint (not persist) so the
       // blocks free with the frame
       val sig = TextOps.minhashSig(documents(s, d)).localCheckpoint()
-      val pairs = TextOps.minhashPairsFromSig(sig)
+      val pairs = TextOps.minhashPairsFromSig(sig, materialize = false)
       val nAgree = (0 to 7).map(k =>
         when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
       pairs
