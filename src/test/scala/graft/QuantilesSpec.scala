@@ -61,6 +61,17 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exactNtile(df, "grp", "v", col("id"), 5, "t").count() == 0)
   }
 
+  test("q_win_ntile boundary branch pushes its value range to the parquet scan") {
+    val plan = graft.queries.WindowQueries.winNtile.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the boundary-bucket rescan must carry a pushable l_extendedprice
+    // range (parquet row-group min/max skipping at scale); the resolved
+    // branch scans unfiltered by design
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_extendedprice"),
+      s"boundary scan lost its pushed value range:\n${plan.take(2000)}")
+  }
+
   test("groupQuantilesDisc == row_number formulation (ties included)") {
     val df = randomDf(3000, 4, 40).withColumn("v", col("v").cast("long"))
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
