@@ -116,7 +116,18 @@ object TextQueries {
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
-    * |length diff| ≤ 2): |A∩B| / |A∪B| on distinct shingle sets. */
+    * |length diff| ≤ 2): |A∩B| / |A∪B| on distinct shingle sets.
+    *
+    * Scale note (r4 sf1 run: ~9× cost at 10× rows — linear so far): the
+    * candidate count carries a corpus²/(sources × length-buckets) term,
+    * and both blocking dimensions have FIXED cardinality, so it turns
+    * quadratic once per-(source, bucket) membership outgrows the doc
+    * count per length value. The widening rule mirrors the SimHash
+    * band-pair fix: grow the blocking keyspace with the corpus — tighter
+    * length buckets, plus a cheap content facet in the key (e.g. the
+    * rarest-shingle minhash), so keyspace ∝ corpus keeps the per-bucket
+    * pair rate constant without losing recall beyond the facet's miss
+    * rate. */
   val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "blocked-pair 3-gram Jaccard")(
     shinglesSql +
       ", cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
