@@ -46,7 +46,12 @@ object ChunkedFetch {
   /** Run `fetch` once per chunk, one chunk per task. Retries a failed
     * chunk up to `maxRetries` times with exponential backoff starting at
     * `backoffMs`; sleeps `throttleMs` after each successful fetch (the
-    * reference's per-request courtesy sleep, applied per task). */
+    * reference's per-request courtesy sleep, applied per task).
+    *
+    * Only `NonFatal` failures are retried: fatal errors (OutOfMemoryError
+    * etc.) propagate immediately, and `InterruptedException` rethrows with
+    * the interrupt flag restored so Spark task-kill / speculation
+    * cancellation is never swallowed into a backoff sleep. */
   def fetchPartitioned[T: Encoder: scala.reflect.ClassTag](spark: SparkSession, chunks: Seq[Chunk],
       fetch: Chunk => Iterator[T], throttleMs: Long = 0L,
       maxRetries: Int = 3, backoffMs: Long = 1000L): Dataset[T] = {
@@ -60,7 +65,11 @@ object ChunkedFetch {
           while (out.isEmpty && attempt <= maxRetries) {
             if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
             try out = Some(fetch(ch).toVector)
-            catch { case e: Throwable => last = e }
+            catch {
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e
+              case scala.util.control.NonFatal(e) => last = e
+            }
             attempt += 1
           }
           if (throttleMs > 0) Thread.sleep(throttleMs)

@@ -208,7 +208,11 @@ object Corpus {
     * Bit-identical to the single-sort form: integer arithmetic only, same
     * (ws_tokens desc, doc_id) order, one value-run of over-scan at most. */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
-    val tok = docs.withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    // null text counts as 0 tokens (it spends no budget) rather than being
+    // silently dropped by the inner run-join below — the window form kept
+    // such rows too, because sum() over the window ignores null addends.
+    val tok = docs.withColumn("ws_tokens",
+      coalesce(size(split(trim(col("text")), "\\s+")).cast("long"), lit(0L)))
     val wRun = Window.partitionBy("lang").orderBy(col("ws_tokens").desc)
     val runs = tok.groupBy("lang", "ws_tokens").agg(count(lit(1)).as("_rc"))
       .withColumn("_before",

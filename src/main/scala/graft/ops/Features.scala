@@ -86,7 +86,7 @@ object Features {
       .withColumn("vol_z30", rollingZscore(col(volume), w, 30))
       .withColumn("volatility_30d", rollingVol(col("ret_1d"), w, 30))
       .withColumn("bb_upper", bbU).withColumn("bb_lower", bbL).withColumn("bb_width", bbW)
-    val mom = Recursive.momentum(silver, key, date, close, high, low)
+    val mom = Recursive.momentum(silver, key, date, close, high, low, tiebreak)
     val withMomentum = withAsset
       .withColumn("_k", col(key).cast("string"))
       .withColumn("_secs", col(date).cast("timestamp").cast("long"))

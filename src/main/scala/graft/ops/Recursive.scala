@@ -110,25 +110,34 @@ object Recursive {
     * create_volatility_features, feature_calculation_functions.py:44-93,
     * which make three separate groupby-apply passes; here the group's rows
     * are already in hand, so the extra passes would buy nothing). Joined
-    * back on (key, secs) by Features.goldFeatures. */
+    * back on (key, secs) by Features.goldFeatures.
+    *
+    * Determinism: group rows sort by (secs, tiebreak-as-string) — like
+    * `sorted()` above, a UNIQUE tiebreak makes the fold order (and every
+    * recursive output) independent of partitioning even when a key carries
+    * duplicate timestamps. Tiebreak order is the string order of the
+    * rendered column — any deterministic total order works, it only has
+    * to be stable. */
   def momentum(df: org.apache.spark.sql.DataFrame, key: String, date: String,
-      close: String, high: String, low: String): org.apache.spark.sql.DataFrame = {
+      close: String, high: String, low: String,
+      tiebreak: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val src = df.select(col(key).cast("string").as("_k"),
         col(date).cast("timestamp").cast("long").as("_secs"),
         col(close).cast("double").as("_c"),
         col(high).cast("double").as("_h"),
-        col(low).cast("double").as("_l"))
-      .as[(String, Long, Double, Double, Double)]
+        col(low).cast("double").as("_l"),
+        tiebreak.cast("string").as("_tb"))
+      .as[(String, Long, Double, Double, Double, String)]
     src.groupByKey(_._1).flatMapGroups { (k, it) =>
-      val rows = it.toArray.sortBy(_._2)
+      val rows = it.toArray.sortBy(r => (r._2, r._6))
       val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0; val a9 = 2.0 / 10.0
       var avgGain, avgLoss = 0.0
       var seeded = false
       var e12, e26, sig, atr = 0.0
       rows.iterator.zipWithIndex.map { case (r, i) =>
-        val (_, secs, c, h, l) = r
+        val (_, secs, c, h, l, _) = r
         if (i == 0) {
           e12 = c; e26 = c; sig = 0.0; atr = h - l
           MomentumRow(k, secs, None, 0.0, 0.0, 0.0, atr)
