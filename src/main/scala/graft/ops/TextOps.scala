@@ -46,12 +46,17 @@ object TextOps {
           element_at(col("sp"), col("i") + 1), lit(" "),
           element_at(col("sp"), col("i") + 2)).as("shingle"))
 
-  /** One MinHash value: min over shingles of a seeded md5 (first 16 hex
-    * chars — string min, identical in any engine). Use inside a
-    * groupBy(doc_id).agg(...). */
-  def minhash(seed: Int): Column =
-    min(substring(md5(concat(lit(s"$seed|"), col("shingle")).cast("binary")), 1, 16))
-      .as(s"mh$seed")
+  /** Prime modulus (> 2³²) of the universal minhash family below. */
+  val MinhashP = 4294967311L
+
+  /** The k-th minhash function over a shingle's md5 words: the
+    * Carter–Wegman universal family h_k = (h1 + k·h2) mod P, h1/h2 the
+    * md5's first two 32-bit words. ONE md5 per shingle serves every k —
+    * the corpus scan hashes each shingle once instead of once per
+    * signature slot (8× less hashing at 100 TB); md5 keeps the values
+    * engine-portable. k·h2 ≤ 7·2³² and the sum stay far inside Long. */
+  def minhashK(k: Int, h1: Column, h2: Column): Column =
+    min((h1 + lit(k.toLong) * h2) % MinhashP).as(s"mh$k")
 
   /** Word 2-grams as (doc_id, bigram) rows — the repetition-signal unit
     * (duplicated bigrams ≈ boilerplate / degenerate generation). */
@@ -79,9 +84,21 @@ object TextOps {
       .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
-  /** Full MinHash signature: (doc_id, mh0..mh7) from word-3-shingles. */
-  def minhashSig(docs: DataFrame): DataFrame =
-    shingles3(docs).groupBy("doc_id").agg(minhash(0), (1 to 7).map(minhash): _*)
+  /** A shingle frame extended with the two md5 words the universal
+    * minhash family draws from. */
+  def shingleHashWords(shingles: DataFrame): DataFrame =
+    shingles
+      .withColumn("_md5", md5(col("shingle").cast("binary")))
+      .withColumn("_h1", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(col("_md5"), 9, 8), 16, 10).cast("long"))
+
+  /** Full MinHash signature: (doc_id, mh0..mh7) from word-3-shingles —
+    * one md5 per shingle, eight derived universal hashes (see minhashK). */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    val words = shingleHashWords(shingles3(docs))
+    val aggs = (0 to 7).map(k => minhashK(k, col("_h1"), col("_h2")))
+    words.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
     * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
@@ -98,12 +115,12 @@ object TextOps {
   def minhashPairsFromSig(sig: DataFrame, materialize: Boolean = true): DataFrame = {
     val banded = (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
+        col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
     }.reduce(_ unionByName _)
     val bands = if (materialize) banded.localCheckpoint() else banded
     val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
+        && col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
   }
 

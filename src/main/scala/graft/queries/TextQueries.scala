@@ -32,18 +32,24 @@ object TextQueries {
   private[queries] val tokwBody = tokBody +
     ", tokw AS (SELECT doc_id, i, sp[i] AS word FROM tok)"
 
+  /** One md5 per shingle; the 8 signature slots are the universal family
+    * (h1 + k·h2) mod P over the md5's two 32-bit words — mirrors
+    * TextOps.minhashK exactly (same md5 bytes, same modulus). */
   private[queries] val minhashPairsBody = {
     val mh = (0 to 7).map(k =>
-      s"min(substr(md5('$k|' || shingle), 1, 16)) AS mh$k").mkString(", ")
+      s"min((h1 + $k * h2) % ${graft.ops.TextOps.MinhashP}) AS mh$k").mkString(", ")
     shinglesBody +
-      s", sig AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id), " +
+      ", shh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1, " +
+      "('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 FROM sh), " +
+      s"sig AS (SELECT doc_id, $mh FROM shh GROUP BY doc_id), " +
       "bands AS (" +
-      "SELECT doc_id, 0 AS band, mh0 || mh1 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 1 AS band, mh2 || mh3 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 2 AS band, mh4 || mh5 AS key FROM sig UNION ALL " +
-      "SELECT doc_id, 3 AS band, mh6 || mh7 AS key FROM sig), " +
+      "SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig UNION ALL " +
+      "SELECT doc_id, 1 AS band, mh2 AS k1, mh3 AS k2 FROM sig UNION ALL " +
+      "SELECT doc_id, 2 AS band, mh4 AS k1, mh5 AS k2 FROM sig UNION ALL " +
+      "SELECT doc_id, 3 AS band, mh6 AS k1, mh7 AS k2 FROM sig), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"
+      "JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 " +
+      "AND a.doc_id < b.doc_id)"
   }
 
   private[queries] val simhashSigBody = tokwBody +
@@ -67,10 +73,10 @@ object TextQueries {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
   }
 
-  /** MinHash+LSH near-dup candidates: word-3-shingles → 8 seeded minhashes
-    * → 4 bands of 2 → pairs sharing a band. The shuffle key is the band
-    * key, so cost is Σ bucket² not corpus² — the standard web-scale dedup
-    * layout. */
+  /** MinHash+LSH near-dup candidates: word-3-shingles → one md5 each →
+    * 8 universal-hash minhashes → 4 bands of 2 → pairs sharing a band.
+    * The shuffle key is the band key, so cost is Σ bucket² not corpus² —
+    * the standard web-scale dedup layout. */
   val dedupMinhash = Q("q_dedup_minhash", "MinHash-LSH candidate pairs")(
     "WITH " + minhashPairsBody + " SELECT doc_a, doc_b FROM pairs") {
     (s, d) => TextOps.minhashPairs(documents(s, d))
@@ -92,8 +98,11 @@ object TextQueries {
     (s, d) =>
       // signature computed once, read three times (band pairing + both
       // sides of the agreement join); localCheckpoint (not persist) so the
-      // blocks free with the frame
-      val sig = TextOps.minhashSig(documents(s, d)).localCheckpoint()
+      // blocks free with the frame. LAZY: the eager form runs a separate
+      // blocking materialization job at query-construction time (measured
+      // 4.6× at sf0.1, VERDICT r4); lazy materializes the blocks inside
+      // the query's own first action and every later consumer reads them.
+      val sig = TextOps.minhashSig(documents(s, d)).localCheckpoint(eager = false)
       val pairs = TextOps.minhashPairsFromSig(sig, materialize = false)
       val nAgree = (0 to 7).map(k =>
         when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
