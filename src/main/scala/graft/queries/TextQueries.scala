@@ -125,23 +125,35 @@ object TextQueries {
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
-    * |length diff| ≤ 2): |A∩B| / |A∪B| on distinct shingle sets.
+    * |length diff| ≤ 2, same min-shingle facet): |A∩B| / |A∪B| on
+    * distinct shingle sets.
     *
-    * Scale note (r4 sf1 run: ~9× cost at 10× rows — linear so far): the
-    * candidate count carries a corpus²/(sources × length-buckets) term,
-    * and both blocking dimensions have FIXED cardinality, so it turns
-    * quadratic once per-(source, bucket) membership outgrows the doc
-    * count per length value. The widening rule mirrors the SimHash
-    * band-pair fix: grow the blocking keyspace with the corpus — tighter
-    * length buckets, plus a cheap content facet in the key (e.g. the
-    * rarest-shingle minhash), so keyspace ∝ corpus keeps the per-bucket
-    * pair rate constant without losing recall beyond the facet's miss
-    * rate. */
-  val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "blocked-pair 3-gram Jaccard")(
+    * Blocking keyspace (r5, implements the r4-documented widening rule):
+    * (source, length-bucket) alone has FIXED cardinality, so the
+    * candidate count carries a corpus²/(sources × buckets) term — ~9×
+    * cost at 10× rows in the r4 sf1 run, quadratic beyond. The key now
+    * adds a CONTENT facet: the document's minimum universal-hash shingle
+    * (minhashK slot 8 — a 1-slot minhash). Facet cardinality grows with
+    * the corpus's distinct-shingle count, so keyspace ∝ corpus and the
+    * per-bucket pair rate stays constant at any scale.
+    *
+    * Recall argument (the facet is part of the operator's candidate
+    * contract, oracle updated in lockstep): two docs within the ≤2-char
+    * contract differ in at most 2 words ⇒ at most 6 of their shingles
+    * differ, so their min-shingle facets agree unless one of those ≤6
+    * shingles is the argmin of the hash — miss probability ≤
+    * 6/min(|A|,|B|) shingles, vanishing for real documents. Docs with no
+    * shingles (<3 tokens) were never scored (the size join is inner). */
+  val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "facet-blocked 3-gram Jaccard")(
     shinglesSql +
-      ", cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
+      ", fac AS (SELECT doc_id, min((('0x' || substr(md5(shingle), 1, 8))::BIGINT " +
+      "+ 8 * ('0x' || substr(md5(shingle), 9, 8))::BIGINT) " +
+      s"% ${graft.ops.TextOps.MinhashP}) AS facet FROM sh GROUP BY 1), " +
+      "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
       "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2 " +
-      "AND a.doc_id < b.doc_id), " +
+      "AND a.doc_id < b.doc_id " +
+      "JOIN fac fa ON fa.doc_id = a.doc_id " +
+      "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.facet = fa.facet), " +
       "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), " +
       "sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1), " +
       "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c " +
@@ -154,31 +166,40 @@ object TextQueries {
       "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b") {
     (s, d) =>
       val docs = documents(s, d)
-      // Candidate generation joins on the EQUI key (source, length-bucket)
-      // rather than source alone: a popular source would otherwise form one
-      // giant sort-merge key scanned quadratically by the length residual.
-      // Bucket width 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land in
-      // the same or adjacent buckets, so emitting side A at {k-1, k, k+1}
-      // and side B at {k} finds every qualifying pair exactly once (B's
-      // bucket is a single value). The |Δ| ≤ 2 residual then only runs
-      // inside width-4 buckets — bounded work per key, no skew blow-up.
+      val shd = TextOps.shingles3(docs).distinct().localCheckpoint()
+      // the content facet: a 1-slot minhash of the shingle set. Computed
+      // over the DISTINCT shingles (min is multiplicity-blind) so the md5
+      // work rides the already-checkpointed shd frame.
+      val fac = TextOps.shingleHashWords(shd).groupBy("doc_id")
+        .agg(TextOps.minhashK(8, col("_h1"), col("_h2")).as("facet"))
+      // Candidate generation joins on the EQUI key (source, length-bucket,
+      // facet) rather than source alone: a popular source would otherwise
+      // form one giant sort-merge key scanned quadratically by the length
+      // residual, and without the facet the (source, bucket) keyspace is
+      // FIXED, leaving a corpus²/keyspace candidate term. Bucket width
+      // 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land in the same or
+      // adjacent buckets, so emitting side A at {k-1, k, k+1} and side B
+      // at {k} finds every qualifying pair exactly once (B's bucket is a
+      // single value). The |Δ| ≤ 2 residual then only runs inside width-4
+      // buckets sliced by facet — bounded work per key, no skew blow-up.
       val bucket = floor(col("n_chars") / 4)
       val aSide = docs.select(col("doc_id").as("doc_a"), col("source"),
           col("n_chars").as("ca"))
+        .join(fac.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumn("bucket", explode(array(floor(col("ca") / 4) - 1,
           floor(col("ca") / 4), floor(col("ca") / 4) + 1)))
       val bSide = docs.select(col("doc_id").as("doc_b"), col("source"),
-        col("n_chars").as("cb"), bucket.as("bucket"))
+          col("n_chars").as("cb"), bucket.as("bucket"))
+        .join(fac.withColumnRenamed("doc_id", "doc_b"), "doc_b")
       // checkpoint the reused intermediates: `cand` feeds the intersection
-      // AND the final assembly; `shd` feeds both sides of the shingle
-      // intersection and the size aggregate — uncached each consumer
-      // recomputes the full explode/distinct subtree (localCheckpoint, not
-      // persist: blocks free with the frames)
-      val cand = aSide.join(bSide, Seq("source", "bucket"))
+      // AND the final assembly; `shd` feeds the facet, both sides of the
+      // shingle intersection and the size aggregate — uncached each
+      // consumer recomputes the full explode/distinct subtree
+      // (localCheckpoint, not persist: blocks free with the frames)
+      val cand = aSide.join(bSide, Seq("source", "bucket", "facet"))
         .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
-      val shd = TextOps.shingles3(docs).distinct().localCheckpoint()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand
         .join(shd.as("x"), col("x.doc_id") === col("doc_a"))
