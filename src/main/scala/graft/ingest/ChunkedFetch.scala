@@ -72,7 +72,9 @@ object ChunkedFetch {
             }
             attempt += 1
           }
-          if (throttleMs > 0) Thread.sleep(throttleMs)
+          // courtesy throttle applies to successful fetches only — a chunk
+          // that exhausted its retries should fail immediately, not sleep
+          if (out.isDefined && throttleMs > 0) Thread.sleep(throttleMs)
           out.getOrElse(throw new IllegalStateException(
             s"chunk ${ch.idx} [${ch.fromSec},${ch.toSec}] failed after $attempt attempts", last))
         }

@@ -208,22 +208,38 @@ object Corpus {
     * Bit-identical to the single-sort form: integer arithmetic only, same
     * (ws_tokens desc, doc_id) order, one value-run of over-scan at most. */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
-    // null text counts as 0 tokens (it spends no budget) rather than being
-    // silently dropped by the inner run-join below — the window form kept
-    // such rows too, because sum() over the window ignores null addends.
-    val tok = docs.withColumn("ws_tokens",
-      coalesce(size(split(trim(col("text")), "\\s+")).cast("long"), lit(0L)))
-    val wRun = Window.partitionBy("lang").orderBy(col("ws_tokens").desc)
-    val runs = tok.groupBy("lang", "ws_tokens").agg(count(lit(1)).as("_rc"))
+    // ws_tokens stays NULLABLE in the output (the window form's
+    // len(split(NULL)) is NULL); the COALESCED `_wsc` is used only for the
+    // run key and budget arithmetic — window-sum semantics: a null addend
+    // spends no budget, so a null-text row's running total is the sum of
+    // the (nulls-last-ordered) real rows before it, and a language whose
+    // EVERY text is null has a NULL running sum and drops entirely.
+    // The run join keys on `_wsc` (not ws_tokens) because Spark/SQL
+    // equi-joins are null-unsafe and would silently drop the null run;
+    // real token counts are ≥ 1 (split of any non-null string is
+    // non-empty), so _wsc = 0 identifies the null run exactly.
+    // size() of a null array is -1 under legacy sizeOfNull (ANSI off) —
+    // guard explicitly so null text yields NULL tokens like the SQL form
+    val tok = docs
+      .withColumn("ws_tokens", when(col("text").isNotNull,
+        size(split(trim(col("text")), "\\s+")).cast("long")))
+      .withColumn("_wsc", coalesce(col("ws_tokens"), lit(0L)))
+    val wRun = Window.partitionBy("lang").orderBy(col("_wsc").desc)
+    val runs = tok.groupBy("lang", "_wsc").agg(count(lit(1)).as("_rc"))
       .withColumn("_before",
-        sum(col("_rc") * col("ws_tokens")).over(wRun) - col("_rc") * col("ws_tokens"))
+        sum(col("_rc") * col("_wsc")).over(wRun) - col("_rc") * col("_wsc"))
+      .withColumn("_nreal",
+        sum(when(col("_wsc") > 0, col("_rc")).otherwise(0L))
+          .over(Window.partitionBy("lang")))
       .filter(col("_before") <= budget)
-      .select("lang", "ws_tokens", "_before")
-    val wIn = Window.partitionBy("lang", "ws_tokens").orderBy("doc_id")
-    tok.join(runs, Seq("lang", "ws_tokens"))
+      .select("lang", "_wsc", "_before", "_nreal")
+    val wIn = Window.partitionBy("lang", "_wsc").orderBy("doc_id")
+    tok.join(runs, Seq("lang", "_wsc"))
       .withColumn("cum_tokens",
-        (col("_before") + col("ws_tokens") * row_number().over(wIn)).cast("long"))
+        when(col("ws_tokens").isNotNull,
+          col("_before") + col("ws_tokens") * row_number().over(wIn))
+          .otherwise(when(col("_nreal") > 0, col("_before"))).cast("long"))
       .filter(col("cum_tokens") <= budget)
-      .drop("_before")
+      .drop("_before", "_nreal", "_wsc")
   }
 }

@@ -117,7 +117,11 @@ object Recursive {
     * recursive output) independent of partitioning even when a key carries
     * duplicate timestamps. Tiebreak order is the string order of the
     * rendered column — any deterministic total order works, it only has
-    * to be stable. */
+    * to be stable. A null tiebreak renders as '' (sorting first), so the
+    * fold never NPEs on a nullable column; note this string order can
+    * differ from Features.assetWindow's native-type orderBy for NUMERIC
+    * tiebreaks under duplicate timestamps ("2" > "10" as strings) — pass a
+    * zero-padded rendering if the two must agree on such keys. */
   def momentum(df: org.apache.spark.sql.DataFrame, key: String, date: String,
       close: String, high: String, low: String,
       tiebreak: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
@@ -128,7 +132,7 @@ object Recursive {
         col(close).cast("double").as("_c"),
         col(high).cast("double").as("_h"),
         col(low).cast("double").as("_l"),
-        tiebreak.cast("string").as("_tb"))
+        coalesce(tiebreak.cast("string"), lit("")).as("_tb"))
       .as[(String, Long, Double, Double, Double, String)]
     src.groupByKey(_._1).flatMapGroups { (k, it) =>
       val rows = it.toArray.sortBy(r => (r._2, r._6))

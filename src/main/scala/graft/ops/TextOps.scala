@@ -84,6 +84,33 @@ object TextOps {
       .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
+  /** 64-bit SimHash signature, carried as TWO 32-bit halves
+    * (doc_id, sim_lo, sim_hi) — bits 0-31 of the word hash vote into
+    * sim_lo, bits 32-63 (the md5's second 32-bit word) into sim_hi.
+    * Splitting avoids the sign bit entirely: every value stays in
+    * [0, 2³²), so shifts, sums and band extraction are portable across
+    * engines with no unsigned-64 gymnastics. sim_lo is bit-identical to
+    * the 32-bit `simhashSig` signature (same h1 bits, same votes), so the
+    * 64-bit form strictly extends it. Same layout as simhashSig: 64 agg
+    * columns, no row explosion — one scan, one shuffle on doc_id. */
+  def simhashSig64(docs: DataFrame): DataFrame = {
+    val words = explodeTokens(docs)
+      .withColumn("_md5", md5(col("word").cast("binary")))
+      .withColumn("_h1", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(col("_md5"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) "_h1" else "_h2"
+      sum(when(expr(s"(shiftright($src, ${b % 32}) & 1) = 1"), 1).otherwise(-1))
+        .cast("long").as(s"s$b")
+    }
+    def half(lo: Int): Column = (lo until lo + 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << (b % 32))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), half(0).cast("long").as("sim_lo"),
+        half(32).cast("long").as("sim_hi"))
+  }
+
   /** A shingle frame extended with the two md5 words the universal
     * minhash family draws from. */
   def shingleHashWords(shingles: DataFrame): DataFrame =

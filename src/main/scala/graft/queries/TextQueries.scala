@@ -59,6 +59,20 @@ object TextQueries {
     "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) " +
     "AS simhash FROM bits GROUP BY doc_id)"
 
+  /** 64-bit signature as two 32-bit halves — mirrors TextOps.simhashSig64
+    * (same md5 words, same per-bit majority votes). Keeping each half
+    * below 2³² sidesteps signed-64 overflow on both engines. */
+  private[queries] val simhashSig64Body = tokwBody +
+    ", h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h1, " +
+    "('0x' || substr(md5(word), 9, 8))::BIGINT AS h2 FROM tokw), " +
+    "bits AS (SELECT doc_id, b, CAST(sum((CASE WHEN b < 32 THEN (h1 >> b) & 1 " +
+    "ELSE (h2 >> (b - 32)) & 1 END) * 2 - 1) AS BIGINT) AS s " +
+    "FROM h, (SELECT unnest(range(0, 64)) AS b) bs GROUP BY doc_id, b), " +
+    "sig AS (SELECT doc_id, " +
+    "CAST(sum(CASE WHEN s > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS sim_lo, " +
+    "CAST(sum(CASE WHEN s > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0::BIGINT END) AS BIGINT) AS sim_hi " +
+    "FROM bits GROUP BY doc_id)"
+
   private val shinglesSql = "WITH " + shinglesBody + " "
 
   private val tokwSql = "WITH " + tokwBody + " "

@@ -55,13 +55,97 @@ class CorpusSessionSpec extends SparkSpec {
   test("q_dedup_simhash_pairs: hamming recomputed from signatures, bound holds") {
     val out = CorpusQueries.dedupSimhashPairs.fn(spark, sf).cache()
     assert(out.filter(col("hamming") > 2).count() == 0)
-    val sig = TextOps.simhashSig(Tables.documents(spark, sf))
-    val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val sig = TextOps.simhashSig64(Tables.documents(spark, sf))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sim_lo").as("la"),
+      col("sim_hi").as("ha"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sim_lo").as("lb"),
+      col("sim_hi").as("hb"))
     val recomputed = out.join(sa, "doc_a").join(sb, "doc_b")
-      .filter(expr("bit_count(sa ^ sb)").cast("long") =!= col("hamming"))
+      .filter(expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long")
+        =!= col("hamming"))
     assert(recomputed.count() == 0)
+    // the 64-bit signature's low half IS the 32-bit signature (same md5
+    // word, same votes) — the widening strictly extends, never redefines
+    val s32 = TextOps.simhashSig(Tables.documents(spark, sf))
+    assert(sig.join(s32, "doc_id")
+      .filter(col("sim_lo") =!= col("simhash")).count() == 0)
     out.unpersist()
+  }
+
+  test("q_dedup_simhash_pairs blocking is lossless: every hamming<=2 pair of a planted corpus survives") {
+    import spark.implicits._
+    // docs built to differ in 0-2 signature bits: exact copies and
+    // single-word swaps of a shared base text, plus unrelated noise docs
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base), (2L, base),                       // hamming 0
+      (3L, base.replace("tok7", "tok7x")),           // few-bit drift
+      (4L, base.replace("tok31", "tok31y")),
+      (5L, "completely different words here entirely unrelated content")
+    )).toDF("doc_id", "text")
+    // brute-force ground truth over ALL pairs from the 64-bit signatures
+    val sig = TextOps.simhashSig64(docs)
+    val all = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sim_lo ^ b.sim_lo) + bit_count(a.sim_hi ^ b.sim_hi)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+    // run the registered query's own candidate pipeline on the fixture by
+    // rebuilding it from the op (the Q closure reads parquet; here we care
+    // about the blocking argument itself)
+    val band = IndexedSeq("sim_lo & 65535", "shiftright(sim_lo, 16) & 65535",
+      "sim_hi & 65535", "shiftright(sim_hi, 16) & 65535")
+    val bandPairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+    val keys = bandPairs.zipWithIndex.map { case ((i, j), p) =>
+      expr(s"$p * 4294967296 + (${band(i)}) * 65536 + (${band(j)})")
+    }
+    val blocked = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array(keys: _*)).as("key"))
+    val viaBlocking = blocked.as("a")
+      .join(blocked.as("b"), col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sim_lo ^ b.sim_lo) + bit_count(a.sim_hi ^ b.sim_hi)")
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+    assert(all.count() >= 2, "fixture must actually contain near-dup pairs")
+    assert(all.exceptAll(viaBlocking).count() == 0, "blocking dropped a qualifying pair")
+    assert(viaBlocking.exceptAll(all).count() == 0)
+  }
+
+  test("tokenBudget: null text keeps nullable ws_tokens and matches the window form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c d"),                  // 4 tokens
+      (2L, "en", null.asInstanceOf[String]),  // null text: spends no budget
+      (3L, "en", "a b"),                      // 2 tokens
+      (4L, "en", "a b c d e f"),              // 6 tokens
+      (5L, "de", null.asInstanceOf[String]),  // a language of ONLY null text
+      (6L, "de", null.asInstanceOf[String]),  //   -> NULL running sum, drops
+      (7L, "fr", "x y z")
+    ).toDF("doc_id", "lang", "text")
+    val budget = 15L
+    val out = graft.ops.Corpus.tokenBudget(docs, budget)
+      .select("doc_id", "lang", "ws_tokens", "cum_tokens")
+    // oracle-shaped window form: len(split(NULL)) is NULL, sum() skips
+    // null addends, nulls order last, and a NULL cumulative total fails
+    // the budget predicate
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("ws_tokens").desc_nulls_last, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .withColumn("ws_tokens", when(col("text").isNotNull,
+        size(split(trim(col("text")), "\\s+")).cast("long")))
+      .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "lang", "ws_tokens", "cum_tokens")
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+    // the kept null-text row reports NULL tokens (not 0) with the real
+    // rows' total as its running sum; the all-null language is gone
+    val r2 = out.filter(col("doc_id") === 2L).head()
+    assert(r2.isNullAt(2) && r2.getLong(3) == 12L)
+    assert(out.filter(col("lang") === "de").count() == 0)
   }
 
   test("q_text_repetition: fractions bounded, distinct <= total") {
