@@ -139,35 +139,49 @@ object TextQueries {
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
-    * |length diff| ≤ 2, same min-shingle facet): |A∩B| / |A∪B| on
+    * |length diff| ≤ 2, sharing ≥ 1 facet slot): |A∩B| / |A∪B| on
     * distinct shingle sets.
     *
-    * Blocking keyspace (r5, implements the r4-documented widening rule):
-    * (source, length-bucket) alone has FIXED cardinality, so the
-    * candidate count carries a corpus²/(sources × buckets) term — ~9×
-    * cost at 10× rows in the r4 sf1 run, quadratic beyond. The key now
-    * adds a CONTENT facet: the document's minimum universal-hash shingle
-    * (minhashK slot 8 — a 1-slot minhash). Facet cardinality grows with
-    * the corpus's distinct-shingle count, so keyspace ∝ corpus and the
-    * per-bucket pair rate stays constant at any scale.
+    * Blocking keyspace (r5 introduced the content facet; r6 widened it to
+    * a SKETCH): (source, length-bucket) alone has FIXED cardinality, so
+    * the candidate count carries a corpus²/(sources × buckets) term — ~9×
+    * cost at 10× rows in the r4 sf1 run, quadratic beyond. The key adds a
+    * CONTENT facet whose cardinality grows with the corpus's
+    * distinct-shingle count, so keyspace ∝ corpus and the per-bucket pair
+    * rate stays constant at any scale.
     *
-    * Recall argument (the facet is part of the operator's candidate
-    * contract, oracle updated in lockstep): two docs within the ≤2-char
-    * contract differ in at most 2 words ⇒ at most 6 of their shingles
-    * differ, so their min-shingle facets agree unless one of those ≤6
-    * shingles is the argmin of the hash — miss probability ≤
-    * 6/min(|A|,|B|) shingles, vanishing for real documents. Docs with no
-    * shingles (<3 tokens) were never scored (the size join is inner). */
-  val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "facet-blocked 3-gram Jaccard")(
+    * Facet (r6): an 8-slot minhash bottom-sketch — universal-family slots
+    * 8..15 over the shingle md5 words (slots 0..7 belong to the LSH
+    * signature; disjoint slots keep the two operators' blocking
+    * independent). A pair is a candidate when ANY slot agrees. By the
+    * minhash property P(slot k agrees) = jaccard, so
+    * P(miss | jaccard = j) ≈ (1−j)⁸ — 0.4% at j = 0.5 where the r5
+    * single-slot facet missed 50%, and for the ≤2-word-diff near-dup
+    * case (≤ 6 differing shingles of n) the miss is ≤ (6/n)⁸ ≈ 0. The
+    * facet remains part of the candidate CONTRACT (oracle in lockstep):
+    * pairs with j ≈ 0 — which is every pair the facet prunes — are not
+    * near-duplicates and carry no information for a dedup pass.
+    * NgramFacetSpec measures recall empirically against the pre-facet
+    * candidate set on a planted near-dup corpus and pins the hot-facet
+    * skew bound. Docs with no shingles (<3 tokens) were never scored
+    * (the size join is inner). */
+  val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "sketch-blocked 3-gram Jaccard")(
     shinglesSql +
-      ", fac AS (SELECT doc_id, min((('0x' || substr(md5(shingle), 1, 8))::BIGINT " +
-      "+ 8 * ('0x' || substr(md5(shingle), 9, 8))::BIGINT) " +
-      s"% ${graft.ops.TextOps.MinhashP}) AS facet FROM sh GROUP BY 1), " +
-      "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
+      ", fh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1, " +
+      "('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 " +
+      "FROM (SELECT DISTINCT doc_id, shingle FROM sh)), " +
+      "sigf AS (SELECT doc_id, " +
+      (8 to 15).map(k => s"min((h1 + $k * h2) % ${graft.ops.TextOps.MinhashP}) AS mh$k")
+        .mkString(", ") +
+      " FROM fh GROUP BY 1), " +
+      "fac AS (" +
+      (8 to 15).map(k => s"SELECT doc_id, $k AS slot, mh$k AS fv FROM sigf")
+        .mkString(" UNION ALL ") + "), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
       "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2 " +
       "AND a.doc_id < b.doc_id " +
       "JOIN fac fa ON fa.doc_id = a.doc_id " +
-      "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.facet = fa.facet), " +
+      "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.slot = fa.slot AND fb.fv = fa.fv), " +
       "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), " +
       "sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1), " +
       "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c " +
@@ -181,21 +195,27 @@ object TextQueries {
     (s, d) =>
       val docs = documents(s, d)
       val shd = TextOps.shingles3(docs).distinct().localCheckpoint()
-      // the content facet: a 1-slot minhash of the shingle set. Computed
+      // the content facet: an 8-slot minhash bottom-sketch of the shingle
+      // set (slots 8..15), unpivoted to (doc_id, slot, fv) rows. Computed
       // over the DISTINCT shingles (min is multiplicity-blind) so the md5
       // work rides the already-checkpointed shd frame.
-      val fac = TextOps.shingleHashWords(shd).groupBy("doc_id")
-        .agg(TextOps.minhashK(8, col("_h1"), col("_h2")).as("facet"))
+      val sigf = TextOps.shingleHashWords(shd).groupBy("doc_id")
+        .agg(TextOps.minhashK(8, col("_h1"), col("_h2")),
+          (9 to 15).map(k => TextOps.minhashK(k, col("_h1"), col("_h2"))): _*)
+      val fac = sigf.select(col("doc_id"), explode(array((8 to 15).map(k =>
+          struct(lit(k).as("slot"), col(s"mh$k").as("fv"))): _*)).as("f"))
+        .select(col("doc_id"), col("f.slot").as("slot"), col("f.fv").as("fv"))
       // Candidate generation joins on the EQUI key (source, length-bucket,
-      // facet) rather than source alone: a popular source would otherwise
-      // form one giant sort-merge key scanned quadratically by the length
-      // residual, and without the facet the (source, bucket) keyspace is
-      // FIXED, leaving a corpus²/keyspace candidate term. Bucket width
-      // 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land in the same or
-      // adjacent buckets, so emitting side A at {k-1, k, k+1} and side B
-      // at {k} finds every qualifying pair exactly once (B's bucket is a
-      // single value). The |Δ| ≤ 2 residual then only runs inside width-4
-      // buckets sliced by facet — bounded work per key, no skew blow-up.
+      // slot, fv) rather than source alone: a popular source would
+      // otherwise form one giant sort-merge key scanned quadratically by
+      // the length residual, and without the facet the (source, bucket)
+      // keyspace is FIXED, leaving a corpus²/keyspace candidate term.
+      // Bucket width 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land
+      // in the same or adjacent buckets, so emitting side A at {k-1, k,
+      // k+1} and side B at {k} finds every qualifying (pair, slot) match
+      // exactly once; the DISTINCT below collapses multi-slot agreement.
+      // The |Δ| ≤ 2 residual then only runs inside width-4 buckets sliced
+      // by facet value — bounded work per key, no skew blow-up.
       val bucket = floor(col("n_chars") / 4)
       val aSide = docs.select(col("doc_id").as("doc_a"), col("source"),
           col("n_chars").as("ca"))
@@ -210,9 +230,10 @@ object TextQueries {
       // shingle intersection and the size aggregate — uncached each
       // consumer recomputes the full explode/distinct subtree
       // (localCheckpoint, not persist: blocks free with the frames)
-      val cand = aSide.join(bSide, Seq("source", "bucket", "facet"))
+      val cand = aSide.join(bSide, Seq("source", "bucket", "slot", "fv"))
         .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
+        .distinct()
         .localCheckpoint()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand

@@ -1,0 +1,149 @@
+package graft
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evidence suite for the sketch-blocked q_dedup_ngram_jaccard (VERDICT r5
+  * task #2 + ADVICE r5 medium): the driver corpus holds NO true near-dups
+  * inside the (source, |Δchars| ≤ 2) contract (every r4 pre-facet pair had
+  * jaccard ≤ 0.009), so the registered query's correctness row is an
+  * empty-vs-empty comparison. These specs plant near-duplicate pairs
+  * WITHIN the contract, run the registered pipeline end-to-end on them,
+  * and measure facet recall against the pre-facet candidate set; the last
+  * spec pins the hot-facet skew bound (a boilerplate min-shingle shared by
+  * most of the corpus must not re-concentrate the blocking key).
+  */
+class NgramFacetSpec extends SparkSpec {
+
+  /** Write a documents.parquet fixture dir and return its path. */
+  private def writeFixture(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram_fix").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def shingleSet(text: String): Set[String] =
+    text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+
+  private def jac(a: String, b: String): Double = {
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  // 40-word base docs; variants swap 1-2 words for SAME-LENGTH words so
+  // |Δn_chars| = 0 keeps the pair inside the length contract
+  private val words =
+    (1 to 40).map(i => f"w$i%02d").toVector // all 3 chars
+  private val base = words.mkString(" ")
+  private val v1 = words.updated(10, "x11").mkString(" ")          // 1 swap, j ≈ 0.86
+  private val v2 = words.updated(5, "y06").updated(30, "y31").mkString(" ") // 2 swaps, j ≈ 0.74
+  // every 3rd word replaced -> zero shared 3-shingles, jaccard exactly 0:
+  // a same-length pair the sketch must PRUNE
+  private val far = words.zipWithIndex.map { case (w, i) =>
+    if (i % 3 == 0) f"z$i%02d" else w }.mkString(" ")
+  // 20 same-length noise docs with disjoint vocabularies: 190 pre-facet
+  // candidate pairs, all jaccard 0
+  private val noise = (1 to 20).map(i =>
+    (100L + i, (1 to 40).map(t => f"n$i%02d$t%02d").mkString(" "), "en", "srcA"))
+
+  test("planted near-dups inside the contract flow through the registered query with nonzero output") {
+    val docs = Seq(
+      (1L, base, "en", "srcA"), (2L, v1, "en", "srcA"),
+      (3L, v2, "en", "srcA"), (4L, far, "en", "srcA")
+    ) ++ noise
+    val dir = writeFixture(docs)
+    val out = TextQueries.dedupNgramJaccard.fn(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // end-to-end: output is nonzero and the planted pairs are present with
+    // exactly the hand-computed jaccard
+    assert(out.nonEmpty)
+    val textOf = docs.map(d => d._1 -> d._2).toMap
+    for ((a, b) <- Seq((1L, 2L), (1L, 3L), (2L, 3L))) {
+      assert(out.contains((a, b)), s"planted near-dup ($a,$b) missing")
+      assert(math.abs(out((a, b)) - jac(textOf(a), textOf(b))) < 1e-12)
+    }
+  }
+
+  test("facet recall: every pre-facet candidate with jaccard >= 0.3 survives the sketch") {
+    val docs = (Seq(
+      (1L, base, "en", "srcA"), (2L, v1, "en", "srcA"),
+      (3L, v2, "en", "srcA"), (4L, far, "en", "srcA")
+    ) ++ noise)
+    val dir = writeFixture(docs)
+    val got = TextQueries.dedupNgramJaccard.fn(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pre-facet candidate set (the r4 contract): same source, |Δchars| <= 2
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    val preFacet = for {
+      (a, ta, _, sa) <- docs; (b, tb, _, sb) <- docs
+      if a < b && sa == sb && math.abs(ta.length - tb.length) <= 2
+    } yield ((a, b), jac(ta, tb))
+    assert(preFacet.nonEmpty)
+    val shouldKeep = preFacet.filter(_._2 >= 0.3).map(_._1)
+    assert(shouldKeep.nonEmpty)
+    val missed = shouldKeep.filterNot(got.contains)
+    assert(missed.isEmpty,
+      s"sketch facet missed high-jaccard pairs: $missed (P(miss) ≈ (1-j)^8)")
+    // and the facet actually PRUNES: strictly fewer candidates than the
+    // pre-facet contract admits (the scale point of the whole design)
+    assert(got.size < preFacet.size)
+  }
+
+  test("hot facet: a boilerplate min-shingle shared by most docs does not re-concentrate the key") {
+    // >= 50% of the corpus shares the same 12-word boilerplate header, so
+    // its shingles (including the corpus-min hash one) dominate every
+    // bottom sketch; lengths are spread, so the length-bucket dimension
+    // must keep each (source, bucket, slot, fv) group bounded by the
+    // docs-per-bucket count, not the hot-facet population
+    // 40 boilerplate words -> 38 shared shingles dominate each bottom
+    // sketch; short unique tails (3-10 words) both carry the doc identity
+    // and spread lengths across ~8 width-4 buckets
+    val boiler = (1 to 40).map(i => f"bp$i%02d").mkString(" ")
+    val hot = (1 to 120).map { i =>
+      val tail = (1 to (i % 8 + 3)).map(t => f"u$i%03dt$t%02d").mkString(" ")
+      (i.toLong, s"$boiler $tail", "en", "srcA")
+    }
+    val cold = (1 to 40).map { i =>
+      val tail = (1 to (i + 3)).map(t => f"c$i%03dt$t%02d").mkString(" ")
+      (1000L + i, tail, "en", "srcA")
+    }
+    val docs = hot ++ cold
+    val dir = writeFixture(docs)
+    val frame = graft.util.Tables.documents(spark, dir)
+
+    // rebuild the query's own blocked A-side key frame and measure the
+    // largest (source, bucket, slot, fv) group — the unit of quadratic
+    // risk (candidates within a key are group²)
+    val shd = graft.ops.TextOps.shingles3(frame).distinct()
+    val sigf = graft.ops.TextOps.shingleHashWords(shd).groupBy("doc_id")
+      .agg(graft.ops.TextOps.minhashK(8, col("_h1"), col("_h2")),
+        (9 to 15).map(k => graft.ops.TextOps.minhashK(k, col("_h1"), col("_h2"))): _*)
+    val fac = sigf.select(col("doc_id"), explode(array((8 to 15).map(k =>
+        struct(lit(k).as("slot"), col(s"mh$k").as("fv"))): _*)).as("f"))
+      .select(col("doc_id"), col("f.slot").as("slot"), col("f.fv").as("fv"))
+    val keyed = frame.select(col("doc_id"), col("source"),
+        floor(col("n_chars") / 4).as("bucket"))
+      .join(fac, "doc_id")
+    val maxGroup = keyed.groupBy("source", "bucket", "slot", "fv")
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    val maxPerBucket = frame.groupBy(floor(col("n_chars") / 4))
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    // the sanity anchor: the hot facet really is hot (many docs share slot
+    // values), yet no blocking key exceeds the docs-per-bucket bound
+    val hotFacetPop = fac.groupBy("slot", "fv").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(hotFacetPop >= docs.size / 2, s"fixture not hot enough: $hotFacetPop")
+    assert(maxGroup <= maxPerBucket,
+      s"hot facet re-concentrated a blocking key: maxGroup=$maxGroup > perBucket=$maxPerBucket")
+
+    // end-to-end: candidate volume stays ~linear (<= 3 bucket probes × max
+    // bucket occupancy per doc), nowhere near the corpus² hot-key blow-up
+    val out = TextQueries.dedupNgramJaccard.fn(spark, dir)
+    val n = docs.size.toLong
+    assert(out.count() <= 3 * n * maxPerBucket)
+  }
+}
