@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -150,6 +150,33 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** IEEE-754 bit pattern of a double as a long (`Double.doubleToLongBits`,
+  * canonical NaN). The building block of order-preserving bit-prefix
+  * bucketing (ops.Quantiles): for non-negative doubles the bit pattern is
+  * monotone in the value, and flipping the low 63 bits of negatives makes
+  * the SIGNED long order match the double order end to end — so a
+  * histogram keyed on a bit prefix needs NO min/max pre-pass, unlike an
+  * affine [min, max] grid. Codegen is a single intrinsic call. */
+case class DoubleBits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"double_bits requires a double argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToLongBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBits =
+    copy(child = newChild)
+}
+
 object DecimalDot {
 
   /** HALF_UP quantization of a double to a scale-8 unscaled long — the
@@ -197,6 +224,13 @@ object DecimalDot {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "double_dot takes exactly 2 arguments")
         DoubleDot(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_bits",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "double_bits takes exactly 1 argument")
+        DoubleBits(exprs.head)
       },
       "built-in")
   }

@@ -37,27 +37,44 @@ object Quantiles {
 
   /** Exact `ntile(tiles)` over `(partition by part order by value, ord)`
     * with no per-partition global sort. Returns `df` plus `outCol`
-    * (long, 1-based tile), matching SQL NTILE bit-for-bit: with n rows
-    * and r = n % tiles, the first r tiles hold n/tiles + 1 rows.
+    * (long, 1-based tile), matching Spark's NTILE bit-for-bit: with n
+    * rows and r = n % tiles, the first r tiles hold n/tiles + 1 rows.
+    * Null values order FIRST and NaN LAST — exactly where
+    * `ORDER BY value ASC` puts them in a Spark window — so no row ever
+    * silently vanishes (the r5 affine form dropped null/NaN rows).
     *
-    * `buckets` trades histogram size against boundary-scan size: each of
-    * the (tiles-1) cut positions costs one exact rank over ~n/buckets
-    * rows. Degenerate inputs (one dominant value) collapse into one
-    * boundary bucket — ntile on a near-constant column is inherently a
-    * tie-break sort; the ordinal ordering inside the bucket still bounds
-    * it to that bucket's rows, and `buckets` can be raised to shrink it.
+    * Bucketing (r6): an order-preserving IEEE-754 bit prefix instead of
+    * an affine [min, max] grid. `double_bits(v)` is monotone in v for
+    * v ≥ 0, and XOR-flipping the low 63 bits of negatives extends the
+    * monotonicity across the whole double line (canonical NaN lands past
+    * +Inf, matching NaN-last ordering; nulls take a Long.MinValue
+    * sentinel bucket, matching nulls-first). The bucket is the top
+    * (64 − shift) bits of that sortable long:
+    *   - needs NO min/max pre-pass — ONE driver action (the histogram
+    *     collect) instead of the affine form's two, one fewer scan of df;
+    *   - exact integer math end to end — bucket boundaries invert to
+    *     exact doubles, so the boundary-scan predicate needs no
+    *     "widen a bucket each side" FP insurance;
+    *   - resolution is relative (2^(52−shift) buckets per binade), so it
+    *     adapts to any value scale without knowing the range up front.
+    *
+    * `buckets` trades histogram size against boundary-scan size as
+    * before, now as per-binade resolution (rounded up to a power of 2):
+    * each of the (tiles-1) cut positions costs one exact rank over the
+    * rows of one bucket. Degenerate inputs (one dominant value) collapse
+    * into one boundary bucket — ntile on a near-constant column is
+    * inherently a tie-break sort; the ordinal ordering inside the bucket
+    * still bounds it to that bucket's rows.
     */
   def exactNtile(df: DataFrame, part: String, value: String, ord: Column,
       tiles: Int, outCol: String, buckets: Int = 4096): DataFrame = {
-    val stats = df.agg(min(col(value)).cast("double"), max(col(value)).cast("double")).head()
-    val (vmin, vmax) =
-      if (stats.isNullAt(0)) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
-    val width = (vmax - vmin) / buckets
-    // monotone non-decreasing in value (IEEE subtraction and division by a
-    // positive constant are monotone; floor is monotone), so bucket order
-    // IS value order and equal values always share a bucket.
-    val bucket =
-      if (width == 0) lit(0) else least(floor((col(value) - vmin) / width), lit(buckets - 1)).cast("int")
+    val shift = 52 - (64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 1)))
+    val NullBkt = Long.MinValue
+    // sortable long: monotone (non-strictly, via the double cast) in the
+    // raw value; +0.0 normalizes -0.0 so SQL-equal zeros share a bucket
+    val nb = expr(s"double_bits(cast(`$value` as double) + 0.0D)")
+    val sortable = when(nb < 0, nb.bitwiseXOR(lit(Long.MaxValue))).otherwise(nb)
+    val bucket = coalesce(shiftright(sortable, shift), lit(NullBkt))
     val rows = df.withColumn("_bkt", bucket)
 
     val hist = rows.groupBy(part, "_bkt").agg(count(lit(1)).as("_cnt"))
@@ -78,7 +95,7 @@ object Quantiles {
     val tileOfBucket = cuts.map(c => when(c <= col("_before"), 1).otherwise(0)).reduce(_ + _) + 1
     val mapDf = cum.select(col(part), col("_bkt"), col("_n"), col("_before"),
       isBoundary.as("_isb"), tileOfBucket.cast("long").as("_tile"))
-    // The threshold map is buckets-sized (≤ |part| × `buckets` rows) —
+    // The threshold map is buckets-sized (≤ |part| × occupied buckets) —
     // collect it once and rejoin as a broadcast local relation, so (a) the
     // histogram subtree runs exactly once instead of once per union branch
     // below, (b) the data-side resolution is map-only with zero cached
@@ -93,20 +110,31 @@ object Quantiles {
     val resolved = joined.filter(!col("_isb")).withColumn(outCol, col("_tile"))
     // Boundary buckets: exact (value, ord) rank inside the bucket gives the
     // global row position _before + rank; tile follows from the NTILE
-    // partition formula. Partition key is (part, bucket): ~n/buckets rows.
-    // The boundary buckets' value ranges are known after the collect, so
-    // this branch's scan gets a pushable value predicate (parquet row-group
-    // min/max skipping reads ~(tiles-1)/buckets of the data, not all of
-    // it); ranges are widened a bucket each side so FP rounding in the
-    // bucket formula can never exclude a true member — the (part, _bkt)
-    // join stays the exact membership test.
+    // partition formula. Partition key is (part, bucket): one bucket's
+    // rows. The boundary buckets' value ranges invert EXACTLY from the bit
+    // prefix, so this branch's scan gets a pushable value predicate
+    // (parquet row-group min/max skipping reads ~(tiles-1) buckets of the
+    // data, not all of it); the (part, _bkt) join stays the exact
+    // membership test, the predicate only has to be a superset. nextDown/
+    // nextUp widen one ulp in case the engine compares the raw column to
+    // the double literal in a type that rounds it.
     val boundaryBuckets = collected.filter(_.getAs[Boolean]("_isb"))
+    def invSortable(t: Long): Double =
+      java.lang.Double.longBitsToDouble(if (t < 0) t ^ Long.MaxValue else t)
     val boundaryPred =
       if (boundaryBuckets.isEmpty) lit(false)
-      else if (width == 0) lit(true)
-      else boundaryBuckets.map { r =>
-        val b = r.getAs[Int]("_bkt")
-        col(value) >= vmin + (b - 1) * width && col(value) <= vmin + (b + 2) * width
+      else boundaryBuckets.map { row =>
+        val b = row.getAs[Long]("_bkt")
+        if (b == NullBkt) col(value).isNull
+        else {
+          val dLo = invSortable(b << shift)
+          val dHi = invSortable(((b + 1) << shift) - 1)
+          val lo = if (dLo.isNaN) Double.NegativeInfinity else Math.nextDown(dLo)
+          if (dHi.isNaN)
+            col(value) >= lo // reaches NaN space: no finite upper bound
+          else
+            col(value) >= lo && col(value) <= Math.nextUp(dHi)
+        }
       }.reduce(_ || _)
     val wIn = Window.partitionBy(part, "_bkt").orderBy(col(value), ord)
     val rn = col("_before") + row_number().over(wIn)

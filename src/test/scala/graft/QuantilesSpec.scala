@@ -55,21 +55,51 @@ class QuantilesSpec extends SparkSpec {
       actual.exceptAll(expected).count() == 0)
   }
 
+  test("exactNtile: null and NaN rows match the window form (nulls first, NaN last)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map { i =>
+      val v: Option[Double] =
+        if (i % 11 == 0) None
+        else if (i % 13 == 0) Some(Double.NaN)
+        else if (i % 17 == 0) Some(if (i % 2 == 0) 0.0 else -0.0) // SQL-equal zeros
+        else Some(rnd.nextInt(40) * 3.25 - 20.0) // negatives exercise the sign flip
+      (i.toLong, s"g${i % 3}", v)
+    }.toDF("id", "grp", "v")
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val expected = df.withColumn("t", ntile(4).over(w).cast("long"))
+    val actual = Quantiles.exactNtile(df, "grp", "v", col("id"), 4, "t", buckets = 16)
+    assert(actual.count() == 500) // no row silently vanishes
+    assert(expected.exceptAll(actual).count() == 0 &&
+      actual.exceptAll(expected).count() == 0)
+  }
+
   test("exactNtile: empty input") {
     import spark.implicits._
     val df = Seq.empty[(Long, String, Double)].toDF("id", "grp", "v")
     assert(Quantiles.exactNtile(df, "grp", "v", col("id"), 5, "t").count() == 0)
   }
 
-  test("q_win_ntile boundary branch pushes its value range to the parquet scan") {
-    val plan = graft.queries.WindowQueries.winNtile.fn(spark, sf)
-      .queryExecution.executedPlan.toString
-    // the boundary-bucket rescan must carry a pushable l_extendedprice
-    // range (parquet row-group min/max skipping at scale); the resolved
-    // branch scans unfiltered by design
+  test("boundary branch pushes its value range to the parquet scan (and vanishes when empty)") {
+    // coarse resolution forces cut positions inside occupied buckets: the
+    // boundary-bucket rescan must carry a pushable l_extendedprice range
+    // (parquet row-group min/max skipping at scale)
+    val li = graft.util.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val coarse = Quantiles.exactNtile(li, "l_returnflag", "l_extendedprice",
+      col("l_orderkey") * 10 + col("l_linenumber"), 5, "t", buckets = 8)
+    val plan = coarse.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(l_extendedprice"),
       s"boundary scan lost its pushed value range:\n${plan.take(2000)}")
+    // at fine resolution cuts can land exactly between buckets — the
+    // boundary branch must then disappear from the plan entirely (filter
+    // on a false literal folds away) rather than scan anything
+    val fine = graft.queries.WindowQueries.winNtile.fn(spark, sf)
+    val finePlan = fine.queryExecution.executedPlan.toString
+    assert(finePlan.contains("Union") ==
+      finePlan.contains("GreaterThanOrEqual(l_extendedprice"),
+      s"boundary branch present without a pushed range:\n${finePlan.take(2000)}")
   }
 
   test("groupQuantilesDisc == row_number formulation (ties included)") {
