@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,9 +12,10 @@ import org.apache.spark.sql.functions._
   * count, and every join/aggregate keys on doc_id, a hash, or a band key
   * (see DESIGN.md §2 for the per-operator scale arguments).
   *
-  * Caching: tiny id/label frames are `localCheckpoint`ed (eager) — plans
-  * stay bounded, double computation is avoided, and the blocks are
-  * reclaimed by Spark's ContextCleaner once the frame is unreferenced.
+  * Caching: reuse points go through the util.Materialize gate —
+  * localCheckpoint by default (bounded plans, blocks reclaimed with the
+  * frame), switchable to persist / reliable checkpoint for clusters with
+  * executor churn (see Materialize's scaladoc for the trade-offs).
   */
 object Corpus {
 
@@ -50,7 +52,7 @@ object Corpus {
     val pairs = TextOps.minhashPairs(docs)
     // star edges oriented larger → smaller (src > dst always)
     var e = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().materialized()
     def chk(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum("src"), sum("dst")).head()
       (r.getLong(0),
@@ -79,7 +81,7 @@ object Corpus {
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mSmall.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint()
+        .materialized()
       val cur = chk(next)
       converged = cur == prev && next.exceptAll(e).isEmpty
       e = next
@@ -109,7 +111,7 @@ object Corpus {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
       .select("doc_id")
-      .localCheckpoint()
+      .materialized()
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
@@ -141,7 +143,7 @@ object Corpus {
       .filter(col("dup_token_frac") > maxDupTokenFrac
         || col("top_bigram_frac") > maxTopBigramFrac)
       .select("doc_id")
-      .localCheckpoint()
+      .materialized()
     val kept = docs.join(bad, Seq("doc_id"), "left_anti")
     (kept, bad.count())
   }
@@ -158,7 +160,7 @@ object Corpus {
     val train = sh.filter(col("source") =!= benchSource).select("doc_id", "shingle")
       // feeds the size aggregate AND the overlap join; localCheckpoint so
       // the blocks free with the result frame (cache hygiene, r4)
-      .localCheckpoint()
+      .materialized()
     val st = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val ov = train.join(bench, "shingle").groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
@@ -178,7 +180,7 @@ object Corpus {
     val flagged = contaminationScan(docs, benchSource, flagFrac = maxFrac)
       .filter(col("flagged"))
       .select("doc_id")
-      .localCheckpoint()
+      .materialized()
     val kept = docs.filter(col("source") =!= benchSource)
       .join(flagged, Seq("doc_id"), "left_anti")
     (kept, flagged.count())

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -130,7 +131,8 @@ object TextOps {
   /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
     * 4 bands of 2 minhashes → self-join on the band key. The shuffle key
     * is the band key, so cost is Σ bucket² not corpus². The band frame
-    * feeds both join sides; by default it is localCheckpoint'ed (eager) —
+    * feeds both join sides; by default it is materialized via the
+    * util.Materialize gate (localCheckpoint unless configured otherwise) —
     * uncached, the signature subtree computes twice; a lazy persist()
     * would park blocks in the CacheManager until an explicit unpersist
     * that a query-shaped API has no hook for, while checkpoint blocks
@@ -144,7 +146,7 @@ object TextOps {
       sig.select(col("doc_id"), lit(b).as("band"),
         col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
     }.reduce(_ unionByName _)
-    val bands = if (materialize) banded.localCheckpoint() else banded
+    val bands = if (materialize) banded.materialized() else banded
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
         && col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))

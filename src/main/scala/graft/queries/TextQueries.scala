@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.util.Materialize.Ops
 import graft.Q
 import graft.ops.TextOps
 import graft.util.Tables._
@@ -116,7 +117,7 @@ object TextQueries {
       // blocking materialization job at query-construction time (measured
       // 4.6× at sf0.1, VERDICT r4); lazy materializes the blocks inside
       // the query's own first action and every later consumer reads them.
-      val sig = TextOps.minhashSig(documents(s, d)).localCheckpoint(eager = false)
+      val sig = TextOps.minhashSig(documents(s, d)).materialized(eager = false)
       val pairs = TextOps.minhashPairsFromSig(sig, materialize = false)
       val nAgree = (0 to 7).map(k =>
         when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
@@ -194,7 +195,7 @@ object TextQueries {
       "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b") {
     (s, d) =>
       val docs = documents(s, d)
-      val shd = TextOps.shingles3(docs).distinct().localCheckpoint()
+      val shd = TextOps.shingles3(docs).distinct().materialized()
       // the content facet: an 8-slot minhash bottom-sketch of the shingle
       // set (slots 8..15), unpivoted to (doc_id, slot, fv) rows. Computed
       // over the DISTINCT shingles (min is multiplicity-blind) so the md5
@@ -234,7 +235,7 @@ object TextQueries {
         .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
-        .localCheckpoint()
+        .materialized()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand
         .join(shd.as("x"), col("x.doc_id") === col("doc_a"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.util.Materialize.Ops
 import graft.Q
 import graft.util.Tables._
 import org.apache.spark.sql.DataFrame
@@ -133,7 +134,7 @@ object VectorQueries {
           (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),
           (lit(1e-6) / (col("nq") * col("nc"))).as("eps"))
       val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
-      val ranked = fast.withColumn("frn", row_number().over(wF)).localCheckpoint()
+      val ranked = fast.withColumn("frn", row_number().over(wF)).materialized()
       val kth = ranked.filter(col("frn") === 5)
         .select(col("q"), col("fcos").as("kthf"), col("eps").as("ekth"))
       val surv = ranked.join(broadcast(kth), Seq("q"), "left")
@@ -197,7 +198,7 @@ object VectorQueries {
       // common-subplan reuse); localCheckpoint so blocks free with the frame
       val assign = ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select(col("vid"), col("cid").as("cluster"))
-        .localCheckpoint()
+        .materialized()
       // probe: query's cluster members only, dot over the stored arrays
       val pairs = assign.as("qa").filter(col("qa.vid") < 10)
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
@@ -297,7 +298,7 @@ object VectorQueries {
         expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
       .withColumn("bucket", bucketCol.cast("long"))
       .select("vec_id", "embedding", "nrm", "bucket")
-      .localCheckpoint()
+      .materialized()
   }
 
   /** Multi-probe LSH: each query probes its own bucket PLUS the 6 one-bit
