@@ -244,4 +244,64 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
       .drop("_before", "_nreal", "_wsc")
   }
+
+  /** Token-budget curation ordered by a CONTINUOUS quality metric
+    * (r4 task #5 / r6): per language, keep the best-scoring documents —
+    * `metric` desc (nulls last), doc_id tiebreak — while the running
+    * whitespace-token total stays within `budget`.
+    *
+    * The `tokenBudget` run-histogram degenerates here: a double-valued
+    * score makes every "run" a singleton, so its histogram would be
+    * data-sized and the within-run window a no-op — the plan would slide
+    * back toward a per-language sort. Instead the runs become
+    * order-preserving IEEE bit-prefix BUCKETS of the (negated) metric —
+    * the exactNtile machinery (ops.Quantiles): monotone in metric-desc by
+    * construction, no min/max pre-pass, ~2^(52-shift) buckets per binade.
+    *   1. histogram per (lang, bucket): row count + token sum — a hash
+    *      aggregate, output buckets-sized;
+    *   2. prefix over the histogram gives each bucket's tokens-before;
+    *   3. buckets already past the budget drop with a bucket-level
+    *      filter — only budget-reachable rows re-join (AQE broadcast);
+    *   4. the exact running total is `before + running token sum` over
+    *      `partitionBy(lang, bucket) orderBy(metric desc, doc_id)` — a
+    *      window over ONE bucket's rows, never a whole language.
+    * Bit-identical to the single-sort form: bucket order is metric-desc
+    * order, score ties share a bucket and resolve by the same (metric
+    * desc, doc_id) ordering inside it, and token sums are exact longs.
+    * No driver action anywhere. Contract: metric is a non-NaN double
+    * (NaN has no defined desc position here); null metrics order last
+    * and spend nothing, like null text in `tokenBudget`. */
+  def tokenBudgetBy(docs: DataFrame, metric: String, budget: Long,
+      buckets: Int = 4096): DataFrame = {
+    val shift = 52 - (64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 1)))
+    // negate so bucket ASC = metric DESC; +0.0 normalizes -0.0
+    val nb = expr(s"double_bits((0.0D - cast(`$metric` as double)) + 0.0D)")
+    val sortable = when(nb < 0, nb.bitwiseXOR(lit(Long.MaxValue))).otherwise(nb)
+    val bucket = coalesce(shiftright(sortable, shift), lit(Long.MaxValue))
+    val tok = docs
+      .withColumn("ws_tokens", when(col("text").isNotNull,
+        size(split(trim(col("text")), "\\s+")).cast("long")))
+      .withColumn("_wsc", coalesce(col("ws_tokens"), lit(0L)))
+      .withColumn("_bkt", bucket)
+    val wBkt = Window.partitionBy("lang").orderBy("_bkt")
+    val runs = tok.groupBy("lang", "_bkt").agg(sum(col("_wsc")).as("_w"),
+        sum(when(col("ws_tokens").isNotNull, 1L).otherwise(0L)).as("_rcr"))
+      .withColumn("_before", sum(col("_w")).over(wBkt) - col("_w"))
+      .withColumn("_nrb", sum(col("_rcr")).over(wBkt) - col("_rcr"))
+      .filter(col("_before") <= budget)
+      .select("lang", "_bkt", "_before", "_nrb")
+    val wIn = Window.partitionBy("lang", "_bkt")
+      .orderBy(col(metric).desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum is NULL exactly when the whole prefix has null text (the window
+    // form's sum() of an all-null prefix) — such rows fail the budget
+    // predicate, like tokenBudget's all-null language
+    tok.join(runs, Seq("lang", "_bkt"))
+      .withColumn("cum_tokens",
+        when(col("_nrb") + count(col("ws_tokens")).over(wIn) > 0,
+          col("_before") + coalesce(sum(col("ws_tokens")).over(wIn), lit(0L)))
+          .cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_before", "_nrb", "_wsc", "_bkt")
+  }
 }

@@ -237,6 +237,40 @@ class CorpusSessionSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("tokenBudgetBy: continuous metric matches the per-language sort form bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // unique double scores -> every value-run is a singleton: exactly the
+    // shape that degenerates the run-histogram tokenBudget to a full sort
+    val docs = (1 to 800).map { i =>
+      val lang = s"l${i % 4}"
+      val text = if (i % 97 == 0) null
+        else (1 to (i % 17 + 1)).map(t => s"w$t").mkString(" ")
+      val score = rnd.nextDouble() * 8 - 3 // negatives exercise the sign flip
+      (i.toLong, lang, text, score)
+    }.toDF("doc_id", "lang", "text", "score")
+    val budget = 400L
+    val out = graft.ops.Corpus.tokenBudgetBy(docs, "score", budget, buckets = 64)
+      .select("doc_id", "lang", "ws_tokens", "cum_tokens")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .withColumn("ws_tokens", when(col("text").isNotNull,
+        size(split(trim(col("text")), "\\s+")).cast("long")))
+      .withColumn("cum_tokens", sum("ws_tokens").over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "lang", "ws_tokens", "cum_tokens")
+    assert(naive.count() > 0)
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+    // the plan must never sort a whole language by the metric: every sort
+    // that orders by score is bucket-scoped (lang, _bkt, score, ...)
+    val plan = graft.ops.Corpus.tokenBudgetBy(docs, "score", budget, buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Sort \\[lang#\\d+ [^,]+, score#.*"),
+      s"language-wide metric sort found in plan:\n${plan.take(1500)}")
+  }
+
   test("q_minhash_jaccard_est: pair set matches LSH candidates, estimate = agree/8") {
     val est = graft.queries.TextQueries.minhashJaccardEst.fn(spark, sf).cache()
     val pairs = graft.queries.TextQueries.dedupMinhash.fn(spark, sf)
