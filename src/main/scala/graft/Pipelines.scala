@@ -110,6 +110,35 @@ object Pipelines {
         sum("value").as("market_cap"))
   }
 
+  /** One Bronze fact row as a chunked source yields it — `dateSec` in
+    * epoch seconds (day-aligned), converted to the lake's timestamp on
+    * assembly. */
+  final case class BronzeRow(coin_id: String, dateSec: Long, open: Double,
+    high: Double, low: Double, close: Double, volume: Double, market_cap: Double)
+
+  /** Bronze ingestion through the partitioned chunked-range fetcher
+    * (ingest.ChunkedFetch — the reference's 179-day OHLC backfill loop,
+    * pipeline_helpers.py:221-244, one chunk per Spark task instead of a
+    * serial driver loop). `fetch` is the connector boundary: a real
+    * deployment closes over an HTTP client built inside the task; tests
+    * pass a deterministic stub. The assembled frame carries the exact
+    * Bronze contract `run` expects, so
+    * `run(spark, bronzeChunked(...), ...)` is the end-to-end deep-history
+    * backfill chain. */
+  def bronzeChunked(spark: SparkSession, fromSec: Long, toSec: Long,
+      fetch: graft.ingest.ChunkedFetch.Chunk => Iterator[BronzeRow],
+      chunkDays: Int = 179, throttleMs: Long = 0L,
+      maxRetries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val chunks = graft.ingest.ChunkedFetch.chunkCalendar(fromSec, toSec, chunkDays)
+    graft.ingest.ChunkedFetch
+      .fetchPartitioned(spark, chunks, fetch, throttleMs, maxRetries)
+      .toDF()
+      .withColumn("date", col("dateSec").cast("timestamp"))
+      .select("coin_id", "date", "open", "high", "low", "close",
+        "volume", "market_cap")
+  }
+
   /** `runMain graft.Pipelines <sfDir> <lakeRoot>` — the `run_pipelines.sh`
     * analog against driver testdata. */
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,37 @@ class PipelinesSpec extends SparkSpec {
     Seq(("w1", "a1")).toDF("from_id", "to_id")
   }
 
+  test("bronze assembled via fetchPartitioned equals the direct frame and feeds the chain") {
+    // the stub source: the direct events-derived bronze, collected once
+    // and served back one chunk window at a time (a real deployment's
+    // fetch closes over an HTTP client built inside the task instead)
+    val direct = Pipelines.bronzeFromEvents(spark, sf)
+    val served = direct.collect().map { r =>
+      Pipelines.BronzeRow(r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))
+    }
+    val fromSec = served.map(_.dateSec).min
+    val toSec = served.map(_.dateSec).max
+    // small windows so the calendar genuinely partitions the range
+    val chunkDays = 7
+    assert(graft.ingest.ChunkedFetch.chunkCalendar(fromSec, toSec, chunkDays).size > 1)
+    val assembled = Pipelines.bronzeChunked(spark, fromSec, toSec,
+      ch => served.iterator.filter(r => r.dateSec >= ch.fromSec && r.dateSec <= ch.toSec),
+      chunkDays = chunkDays)
+    // chunk windows are disjoint and cover the range: the assembly is the
+    // direct frame, row for row
+    assert(assembled.count() == direct.count())
+    assert(assembled.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(assembled).count() == 0)
+    // and it satisfies the Bronze contract end-to-end: the full chain runs
+    // off the chunked assembly with the same layer counts as a direct run
+    val (rootA, rootB) = (tmp(), tmp())
+    val sA = Pipelines.run(spark, assembled, mapping, rootA, universeN = 2)
+    val sB = Pipelines.run(spark, direct, mapping, rootB, universeN = 2)
+    assert(sA == sB)
+  }
+
   test("Pipelines.run materializes every layer with fail-fast ordering") {
     val root = tmp()
     val s = Pipelines.run(spark, cleanBronze(), mapping, root, universeN = 2)
