@@ -272,25 +272,18 @@ object VectorQueries {
       "SELECT q, c, bucket, cosine, rn FROM (SELECT cosd.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 3") {
-    (s, d) =>
-      val buck = lshBuckets(s, d)
-      val qv = buck.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
-        col("embedding").as("eq"), col("nrm").as("nq"), col("bucket"))
-      val cv = buck.select(col("vec_id").as("c"),
-        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
-      // only the query side is broadcast — the corpus side never is
-      val cosd = cv.join(broadcast(qv), Seq("bucket")).filter(col("c") =!= col("q"))
-        .select(col("q"), col("c"), col("bucket"),
-          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
-      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+    (s, d) => lshSearch(s, d, planes = 6, multiProbe = false)
   }
 
   /** The sketch pass shared by the LSH variants: (vec_id, embedding, nrm,
-    * bucket), persisted because it feeds both join sides. */
-  private def lshBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val projCols = (0 until 6).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
-    val bucketCol = (0 until 6).map { j =>
+    * bucket), persisted because it feeds both join sides. `planes` is THE
+    * bucket-granularity knob: 2^planes buckets, so each single-probe
+    * search touches ~corpus/2^planes candidates — more planes = cheaper
+    * search and lower recall (ANNRecallSpec pins the trade empirically). */
+  private[graft] def lshBuckets(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int = 6) = {
+    val projCols = (0 until planes).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
+    val bucketCol = (0 until planes).map { j =>
       when(col(s"pj$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings(s, d)
@@ -299,6 +292,43 @@ object VectorQueries {
       .withColumn("bucket", bucketCol.cast("long"))
       .select("vec_id", "embedding", "nrm", "bucket")
       .materialized()
+  }
+
+  /** The LSH search plan both registered variants delegate to,
+    * parameterized by the index knobs so ANNRecallSpec can sweep them:
+    * `planes` sets bucket granularity, `multiProbe` adds the one-bit-flip
+    * probe expansion on the query side. The registered queries run
+    * (planes = 6, single) and (planes = 6, multi). */
+  private[graft] def lshSearch(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int, multiProbe: Boolean): DataFrame = {
+    val buck = lshBuckets(s, d, planes)
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+    if (!multiProbe) {
+      val qv = buck.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
+        col("embedding").as("eq"), col("nrm").as("nq"), col("bucket"))
+      val cv = buck.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+      // only the query side is broadcast — the corpus side never is
+      val cosd = cv.join(broadcast(qv), Seq("bucket")).filter(col("c") =!= col("q"))
+        .select(col("q"), col("c"), col("bucket"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+    } else {
+      val probes = buck.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"),
+          col("bucket"), explode(array((0 to planes).map(lit): _*)).as("f"))
+        .withColumn("probe",
+          expr(s"bucket ^ (CASE WHEN f = $planes THEN 0L ELSE shiftleft(1L, f) END)"))
+      val cv = buck.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+      val cand = cv.join(broadcast(probes), cv("bucket") === probes("probe")
+          && col("c") =!= col("q"))
+        .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
+        .dropDuplicates("q", "c")
+      val cosd = cand.select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+    }
   }
 
   /** Multi-probe LSH: each query probes its own bucket PLUS the 6 one-bit
@@ -327,23 +357,7 @@ object VectorQueries {
       "SELECT q, c, cosine, rn FROM (SELECT cosd.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 3") {
-    (s, d) =>
-      val buck = lshBuckets(s, d)
-      val probes = buck.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"),
-          col("bucket"), explode(array((0 until 7).map(lit): _*)).as("f"))
-        .withColumn("probe",
-          expr("bucket ^ (CASE WHEN f = 6 THEN 0L ELSE shiftleft(1L, f) END)"))
-      val cv = buck.select(col("vec_id").as("c"),
-        col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
-      val cand = cv.join(broadcast(probes), cv("bucket") === probes("probe")
-          && col("c") =!= col("q"))
-        .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
-        .dropDuplicates("q", "c")
-      val cosd = cand.select(col("q"), col("c"),
-        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
-      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+    (s, d) => lshSearch(s, d, planes = 6, multiProbe = true)
   }
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh, annLshProbe)
