@@ -239,6 +239,33 @@ object CorpusQueries {
       .select("doc_id", "lang", "ws_tokens", "cum_tokens")
   }
 
+  /** Token-budget curation ordered by a CONTINUOUS quality score (r6,
+    * closes r4 task #5 with oracle-gated evidence): same per-language
+    * budget fill, but ranked by a double-valued metric — the shape where
+    * the value-run histogram of q_tokens_budget degenerates (every run a
+    * singleton) and a naive plan slides back to a per-language sort. The
+    * plan (ops.Corpus.tokenBudgetBy) buckets the negated score by its
+    * IEEE bit prefix — monotone, no min/max pre-pass — and ranks only
+    * inside one bucket at a time. The score here is a deterministic
+    * md5-derived double in [0, 1) (portable across engines, like
+    * q_sample_stratified's bucket hash); a real pipeline plugs in
+    * q_text_quality's score. */
+  val tokensBudgetScore = Q("q_tokens_budget_score", "quality-score token-budget curation")(
+    "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT / 65535.0 AS score " +
+      "FROM documents), " +
+      "c AS (SELECT *, CAST(sum(ws_tokens) OVER (PARTITION BY lang " +
+      "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
+      "SELECT doc_id, lang, ws_tokens, score, cum_tokens FROM c WHERE cum_tokens <= 3000") {
+    (s, d) =>
+      val score = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long") / 65535.0
+      graft.ops.Corpus.tokenBudgetBy(
+        documents(s, d).withColumn("score", score), "score", 3000)
+        .select("doc_id", "lang", "ws_tokens", "score", "cum_tokens")
+  }
+
   /** Implementation lives in ops.Corpus.clusterLabels: localCheckpoint
     * (eager) rather than persist — it TRUNCATES lineage at the
     * materialized edge list. With plain persist, round k's plan still
@@ -252,5 +279,6 @@ object CorpusQueries {
         (col("doc_id") === col("cluster")).as("is_keeper"))
 
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
-    quantileGroup, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget)
+    quantileGroup, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget,
+    tokensBudgetScore)
 }
