@@ -36,16 +36,22 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos0", "word")))
       .withColumn("i", col("pos0") + 1).drop("pos0")
 
-  /** Word k-shingles as (doc_id, shingle) rows, k=3. One row per window
-    * position; shingle text joined with single spaces. */
-  def shingles3(docs: DataFrame): DataFrame =
+  /** Word k-shingles with their 1-based window position, k=3:
+    * (doc_id, i, shingle) rows. Position-aware callers (winnowing) need
+    * `i`; set-semantics callers use [[shingles3]] which prunes it. */
+  def shingles3Pos(docs: DataFrame): DataFrame =
     docs.withColumn("sp", tokens(col("text")))
       .select(col("doc_id"), col("sp"), explode(sequence(lit(1), size(col("sp")))).as("i"))
       .filter(col("i") + 2 <= size(col("sp")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"),
         concat(element_at(col("sp"), col("i")), lit(" "),
           element_at(col("sp"), col("i") + 1), lit(" "),
           element_at(col("sp"), col("i") + 2)).as("shingle"))
+
+  /** Word k-shingles as (doc_id, shingle) rows, k=3. One row per window
+    * position; shingle text joined with single spaces. */
+  def shingles3(docs: DataFrame): DataFrame =
+    shingles3Pos(docs).select(col("doc_id"), col("shingle"))
 
   /** Prime modulus (> 2³²) of the universal minhash family below. */
   val MinhashP = 4294967311L

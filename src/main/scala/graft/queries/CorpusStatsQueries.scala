@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.TextOps
+import graft.util.Portable
+import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 north-star: corpus-statistics and curation-scoring
+  * operators over `documents` — TF-IDF term weighting, BM25 relevance,
+  * winnowing fingerprints, boilerplate n-gram detection, bigram PMI and
+  * normalization-robust dedup. These are the "rank / clean / select"
+  * half of a training-data pipeline, complementing the dedup/ANN half in
+  * TextQueries/CorpusQueries.
+  *
+  * Scale notes: every op is explode → aggregate with corpus-linear row
+  * counts. Per-term statistics (df, unigram counts) are vocabulary-sized
+  * tables joined back on the word key — a shuffle keyed on `word`, never
+  * on the corpus. Corpus-global scalars (N, avgdl, token totals) are
+  * 1-row aggregate frames cross-broadcast into the scoring projection,
+  * never collected to the driver.
+  *
+  * Exactness: doubles appear only as single correctly-rounded IEEE ops
+  * (cast, +, *, /) applied in one fixed written order on both engines.
+  * Logarithmic scores go through [[graft.util.Portable.pln]] — engine-
+  * native `ln` disagrees between the JVM and libm by 1 ulp on some
+  * inputs (measured), so a portable log built from correctly-rounded
+  * primitives is the only way a log-weighted score is reproducible
+  * across engines. Integer math (hashes, counts) is exact everywhere.
+  */
+object CorpusStatsQueries {
+
+  /** TF-IDF top-3 terms per document: tf × (ln((N+1)/(df+1)) + 1), the
+    * smoothed sklearn-style idf. Candidate keyword extraction / topic
+    * signal for curation. Window top-k is partitioned by doc — no global
+    * sort; df join is vocabulary-sized. */
+  val textTfidf = Q("q_text_tfidf", "TF-IDF top-3 terms per doc")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
+      "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(DISTINCT doc_id) AS n FROM tokw), " +
+      "dfx AS (SELECT word, (CAST(n.n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0) AS _lnx " +
+      "FROM df CROSS JOIN n), " +
+      Portable.plnSqlCtes("dfx", "idf") + ", " +
+      "sc AS (SELECT t.doc_id, t.word AS term, " +
+      "CAST(t.tf AS DOUBLE) * (i._pln + 1.0) AS tfidf " +
+      "FROM tf t JOIN idf i ON i.word = t.word), " +
+      "rk AS (SELECT doc_id, term, tfidf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
+      "SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3") {
+    (s, d) =>
+      val tokw = TextOps.explodeTokens(documents(s, d))
+      val tf = tokw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = tokw.agg(countDistinct(col("doc_id")).as("n"))
+      // idf on the vocabulary-sized df table (not per tf row): pln runs
+      // |vocab| times, and the word join broadcasts at any corpus scale
+      val idf = df.crossJoin(broadcast(n))
+        .select(col("word"),
+          (Portable.pln((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+            + lit(1.0)).as("idf"))
+      val sc = tf.join(idf, "word")
+        .select(col("doc_id"), col("word").as("term"),
+          (col("tf").cast("double") * col("idf")).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+  }
+
+  /** BM25 (k1 = 1.2, b = 0.75) of every document against a fixed query
+    * term set — the retrieval-quality score a curation pass ranks on.
+    * Per-term contributions are pivoted to columns and added in a FIXED
+    * order (a float `sum()` over an unordered group would be partition-
+    * order-dependent); corpus stats (N, avgdl) ride in on a broadcast
+    * 1-row frame. */
+  val textBm25 = Q("q_text_bm25", "BM25 score vs fixed query terms")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tokw GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw " +
+      "WHERE word IN ('join', 'hash', 'scan') GROUP BY 1, 2), " +
+      "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "dfx AS (SELECT word, " +
+      "1.0 + ((CAST(s.n AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5) AS _lnx " +
+      "FROM df CROSS JOIN stats s), " +
+      Portable.plnSqlCtes("dfx", "idf") + ", " +
+      "contrib AS (SELECT t.doc_id, t.word, " +
+      "i._pln * ((CAST(t.tf AS DOUBLE) * 2.2) / " +
+      "(CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))) AS c " +
+      "FROM tf t JOIN dl l ON l.doc_id = t.doc_id JOIN idf i ON i.word = t.word CROSS JOIN stats s), " +
+      "piv AS (SELECT doc_id, " +
+      "sum(CASE WHEN word = 'join' THEN c END) AS cj, " +
+      "sum(CASE WHEN word = 'hash' THEN c END) AS ch, " +
+      "sum(CASE WHEN word = 'scan' THEN c END) AS cs FROM contrib GROUP BY 1) " +
+      "SELECT doc_id, (COALESCE(cj, 0.0) + COALESCE(ch, 0.0)) + COALESCE(cs, 0.0) AS bm25 FROM piv") {
+    (s, d) =>
+      val terms = Seq("join", "hash", "scan")
+      val tokw = TextOps.explodeTokens(documents(s, d))
+      val dl = tokw.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val tf = tokw.filter(col("word").isin(terms: _*))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val idf = df.crossJoin(broadcast(stats))
+        .select(col("word"),
+          Portable.pln(lit(1.0) + ((col("n").cast("double") - col("df").cast("double")) + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"))
+      val contrib = tf.join(dl, "doc_id").join(idf, "word").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("word"),
+          (col("idf") *
+            ((col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))).as("c"))
+      contrib.groupBy("doc_id").agg(
+          sum(when(col("word") === "join", col("c"))).as("cj"),
+          sum(when(col("word") === "hash", col("c"))).as("ch"),
+          sum(when(col("word") === "scan", col("c"))).as("cs"))
+        .select(col("doc_id"),
+          (coalesce(col("cj"), lit(0.0)) + coalesce(col("ch"), lit(0.0)) + coalesce(col("cs"), lit(0.0)))
+            .as("bm25"))
+  }
+
+  /** Winnowing fingerprints (MOSS): per 3-shingle position take the min
+    * 32-bit shingle hash over a w = 4 sliding window, keep the distinct
+    * minima per doc. The selected set is position-robust — editing one
+    * region of a document disturbs only the fingerprints whose windows
+    * overlap the edit — which is what makes it the standard
+    * partial-overlap / plagiarism detector at corpus scale. Integer math
+    * only; the window is per-doc ordered by position (no global sort). */
+  val textWinnow = Q("q_text_winnow", "winnowing fingerprint selection (w=4)")(
+    "WITH " + TextQueries.tokBody + ", " +
+      "shp AS (SELECT doc_id, i, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+      "FROM tok WHERE i + 2 <= len(sp)), " +
+      "hh AS (SELECT doc_id, i, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shp), " +
+      "win AS (SELECT doc_id, " +
+      "min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
+      "count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn " +
+      "FROM hh) " +
+      "SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4") {
+    (s, d) =>
+      val hh = TextOps.shingles3Pos(documents(s, d))
+        .select(col("doc_id"), col("i"), TextOps.hash32(col("shingle")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+      hh.select(col("doc_id"), min("h").over(w).as("fp"), count(lit(1)).over(w).as("wn"))
+        .filter(col("wn") === 4)
+        .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Boilerplate n-gram detection: 3-shingles appearing in ≥ 5 distinct
+    * documents, with document frequency and total occurrences. The
+    * template/header/footer detector that feeds a cleaning pass. One
+    * explode + one aggregation keyed on the shingle — corpus-linear, and
+    * the HAVING filter is map-side-combinable. */
+  val ngramBoilerplate = Q("q_ngram_boilerplate", "boilerplate 3-grams (df >= 5)")(
+    "WITH " + TextQueries.shinglesBody + " " +
+      "SELECT shingle, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur " +
+      "FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5") {
+    (s, d) =>
+      TextOps.shingles3(documents(s, d))
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 5)
+  }
+
+  /** Pointwise mutual information of adjacent token bigrams (count ≥ 5):
+    * ln(P(ab) / (P(a)·P(b))) over corpus token statistics — the
+    * collocation detector (phrase mining / tokenizer-merge candidates).
+    * Unigram tables are vocabulary-sized joins on the word key; corpus
+    * totals are broadcast 1-row frames; products are ordered left-to-right
+    * identically on both engines. */
+  val bigramPmi = Q("q_bigram_pmi", "adjacent-bigram PMI (count >= 5)")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "bg AS (SELECT doc_id, sp[i] AS w1, sp[i+1] AS w2 FROM tok WHERE i + 1 <= len(sp)), " +
+      "cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2), " +
+      "cu AS (SELECT word, count(*) AS cw FROM tokw GROUP BY 1), " +
+      "tot AS (SELECT sum(cw) AS t FROM cu), " +
+      "totb AS (SELECT sum(cab) AS tb FROM cb), " +
+      "pmx AS (SELECT b.w1, b.w2, b.cab, " +
+      "((CAST(b.cab AS DOUBLE) * CAST(t.t AS DOUBLE)) * CAST(t.t AS DOUBLE)) / " +
+      "((CAST(tb.tb AS DOUBLE) * CAST(u1.cw AS DOUBLE)) * CAST(u2.cw AS DOUBLE)) AS _lnx " +
+      "FROM cb b JOIN cu u1 ON u1.word = b.w1 JOIN cu u2 ON u2.word = b.w2 " +
+      "CROSS JOIN tot t CROSS JOIN totb tb WHERE b.cab >= 5), " +
+      Portable.plnSqlCtes("pmx", "pml") + " " +
+      "SELECT w1, w2, cab, _pln AS pmi FROM pml") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val tokw = TextOps.explodeTokens(docs)
+      val bg = docs.withColumn("sp", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("sp"),
+          explode(sequence(lit(1), size(col("sp")))).as("i"))
+        .filter(col("i") + 1 <= size(col("sp")))
+        .select(element_at(col("sp"), col("i")).as("w1"),
+          element_at(col("sp"), col("i") + 1).as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val cu = tokw.groupBy("word").agg(count(lit(1)).as("cw"))
+      val tot = cu.agg(sum("cw").as("t"))
+      val totb = cb.agg(sum("cab").as("tb"))
+      cb.filter(col("cab") >= 5)
+        .join(cu.select(col("word").as("w1"), col("cw").as("cw1")), "w1")
+        .join(cu.select(col("word").as("w2"), col("cw").as("cw2")), "w2")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(totb))
+        .select(col("w1"), col("w2"), col("cab"),
+          Portable.pln(
+            ((col("cab").cast("double") * col("t").cast("double")) * col("t").cast("double")) /
+              ((col("tb").cast("double") * col("cw1").cast("double")) * col("cw2").cast("double")))
+            .as("pmi"))
+  }
+
+  /** Normalization-robust exact dedup: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim — then the same md5 groupBy as
+    * q_dedup_exact. Catches the case/punctuation/whitespace re-encodings
+    * that survive byte-exact dedup; the normalized hash is the dedup
+    * identity a crawl pipeline keys on. Per-row expression work + one
+    * corpus-linear aggregation. */
+  val dedupNormalized = Q("q_dedup_normalized", "case/punct/space-normalized dedup")(
+    "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+      "' +', ' ', 'g'))) AS norm_hash, count(*) AS n_copies, min(doc_id) AS keeper " +
+      "FROM documents GROUP BY 1") {
+    (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      documents(s, d)
+        .groupBy(TextOps.contentHash(norm).as("norm_hash"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+  }
+
+  val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi, dedupNormalized)
+}

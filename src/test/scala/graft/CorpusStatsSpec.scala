@@ -1,0 +1,124 @@
+package graft
+
+import graft.queries.CorpusStatsQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed semantics for the corpus-statistics operators
+  * (CorpusStatsQueries): TF-IDF ranks, BM25 ordering, winnowing
+  * fingerprint laws, boilerplate detection and normalized dedup on
+  * planted fixture corpora small enough to verify by hand.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def writeFixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstats_fix").toString
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(q: Q, dir: String): DataFrame = q.fn(spark, dir)
+
+  test("tfidf: rare terms outrank common terms, ranks are dense per doc") {
+    // 'rare' appears in doc 0 only (3x); 'all' appears in every doc.
+    val dir = writeFixture(Seq(
+      0L -> "rare rare rare all all all all",
+      1L -> "all all all blue blue",
+      2L -> "all all green green green green"))
+    val out = run(CorpusStatsQueries.textTfidf, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val doc0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // doc 0: tf(rare)=3 idf(rare)=ln(4/2)+1, tf(all)=4 idf(all)=ln(4/4)+1=1
+    // 3*(ln2+1) = 5.079 > 4*1 = 4 -> rare first despite lower tf
+    assert(doc0.map(_._3).toSeq == Seq("rare", "all"))
+    assert(math.abs(doc0(0)._4 - 3.0 * (math.log(2.0) + 1.0)) < 1e-9)
+    assert(math.abs(doc0(1)._4 - 4.0) < 1e-9)
+    // ranks are 1..k dense for every doc, k = min(3, distinct terms)
+    Seq(1L, 2L).foreach { id =>
+      assert(out.filter(_._1 == id).map(_._2).sorted.toSeq == Seq(1, 2))
+    }
+  }
+
+  test("bm25: more matched-term occurrences at equal length scores higher; no-match docs absent") {
+    // equal length (5 tokens) so the dl normalization is identical; doc 2
+    // has no query terms at all
+    val dir = writeFixture(Seq(
+      0L -> "join join join pad pad",
+      1L -> "join pad pad pad pad",
+      2L -> "pad pad pad pad pad"))
+    val out = run(CorpusStatsQueries.textBm25, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) > out(1L) && out(1L) > 0.0)
+  }
+
+  test("winnow: fingerprints are shingle hashes, prefix-stable, and need a full window") {
+    val words = (1 to 30).map(i => f"t$i%02d")
+    val a = words.take(20).mkString(" ")
+    val ext = words.mkString(" ") // a + 10 more tokens
+    val short = "a b c d e"       // 3 shingles < window of 4 -> no output
+    val dir = writeFixture(Seq(0L -> a, 1L -> ext, 2L -> short, 3L -> a))
+    val out = run(CorpusStatsQueries.textWinnow, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(2L))
+    // identical docs -> identical fingerprint sets
+    assert(byDoc(0L) == byDoc(3L))
+    // extending a doc only ADDS fingerprints (windows inside the prefix
+    // are untouched) — the position-robustness that makes winnowing a
+    // partial-overlap detector
+    assert(byDoc(0L).subsetOf(byDoc(1L)))
+    // every fingerprint is one of the doc's shingle hashes
+    val hashes = graft.ops.TextOps.shingles3Pos(
+        spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") === 0L))
+      .select(graft.ops.TextOps.hash32(col("shingle"))).collect().map(_.getLong(0)).toSet
+    assert(byDoc(0L).subsetOf(hashes))
+    // selection is sparse: at most one fingerprint per window position
+    assert(byDoc(0L).size <= 18 - 3)
+  }
+
+  test("boilerplate: a shingle planted in >= 5 docs is flagged with exact df, rarer ones are not") {
+    val boiler = "terms of service"
+    val docs = (0L to 5L).map(i => i -> s"$boiler unique$i filler$i text$i") ++
+      Seq(6L -> "terms of use only here", 7L -> "terms of use only there")
+    val dir = writeFixture(docs)
+    val out = run(CorpusStatsQueries.ngramBoilerplate, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(r => r._1 == boiler && r._2 == 6L && r._3 == 6L))
+    // 'of use only' etc. appear in only 2 docs -> below threshold
+    assert(out.forall(_._2 >= 5L))
+    assert(!out.exists(_._1.contains("use")))
+  }
+
+  test("bigram_pmi: an always-adjacent pair gets the hand-computed positive pmi, counts exact") {
+    // 'a b' always adjacent; 'pad' separates repeats so 'b a' never forms.
+    // 6 docs x "a b pad a b pad": T = 36 tokens, TB = 30 bigrams,
+    // c(a b) = 12, c(a) = c(b) = 12, c(pad) = 12
+    val dir = writeFixture((0L to 5L).map(i => i -> "a b pad a b pad"))
+    val out = run(CorpusStatsQueries.bigramPmi, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val (cab, pmi) = out(("a", "b"))
+    assert(cab == 12L)
+    val want = math.log((12.0 * 36.0 * 36.0) / (30.0 * 12.0 * 12.0))
+    assert(math.abs(pmi - want) < 1e-9 && pmi > 0.0)
+    assert(!out.contains(("b", "a")))
+    // 'b pad' occurs 12x too but is less informative than 'a b'? No -
+    // same counts here; just assert it is present with the same cab
+    assert(out(("b", "pad"))._1 == 12L)
+  }
+
+  test("dedup_normalized: case/punctuation/whitespace variants collapse to one group") {
+    val dir = writeFixture(Seq(
+      0L -> "Hello,   World!",
+      1L -> "hello world",
+      2L -> "HELLO *** world",
+      3L -> "a different document"))
+    val out = run(CorpusStatsQueries.dedupNormalized, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((3L, 0L), (1L, 3L)))
+  }
+}
