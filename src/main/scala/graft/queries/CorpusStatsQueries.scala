@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.ops.TextOps
+import graft.util.Materialize.Ops
 import graft.util.Portable
 import graft.util.Tables._
 import org.apache.spark.sql.expressions.Window
@@ -39,7 +40,7 @@ object CorpusStatsQueries {
     "WITH " + TextQueries.tokwBody + ", " +
       "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
       "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
-      "n AS (SELECT count(DISTINCT doc_id) AS n FROM tokw), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
       "dfx AS (SELECT word, (CAST(n.n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0) AS _lnx " +
       "FROM df CROSS JOIN n), " +
       Portable.plnSqlCtes("dfx", "idf") + ", " +
@@ -51,15 +52,24 @@ object CorpusStatsQueries {
       "SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3") {
     (s, d) =>
       val tokw = TextOps.explodeTokens(documents(s, d))
+      // (doc, word) counts feed df, N and the scoring join: materialize
+      // once (strategy gate; lazy — blocks appear inside the query's own
+      // first action) instead of re-running the token explode three times
       val tf = tokw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .materialized(eager = false)
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val n = tokw.agg(countDistinct(col("doc_id")).as("n"))
+      // N = |documents| exactly (split('') = [''] gives every doc >= 1
+      // token row), read from the table directly: keeps the broadcast
+      // scalar's subtree INDEPENDENT of the materialized tf — a broadcast
+      // subquery nested inside another broadcast subquery over the same
+      // checkpointed frame re-evaluated the explode repeatedly (measured
+      // 8 -> 27 s degradation across reps before this flattening)
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
       // idf on the vocabulary-sized df table (not per tf row): pln runs
       // |vocab| times, and the word join broadcasts at any corpus scale
-      val idf = df.crossJoin(broadcast(n))
-        .select(col("word"),
-          (Portable.pln((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
-            + lit(1.0)).as("idf"))
+      val idf = Portable.pln(df.crossJoin(broadcast(n)),
+          (col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)), "idf0")
+        .select(col("word"), (col("idf0") + lit(1.0)).as("idf"))
       val sc = tf.join(idf, "word")
         .select(col("doc_id"), col("word").as("term"),
           (col("tf").cast("double") * col("idf")).as("tfidf"))
@@ -77,10 +87,12 @@ object CorpusStatsQueries {
     * 1-row frame. */
   val textBm25 = Q("q_text_bm25", "BM25 score vs fixed query terms")(
     "WITH " + TextQueries.tokwBody + ", " +
-      "dl AS (SELECT doc_id, count(*) AS dl FROM tokw GROUP BY 1), " +
-      "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl), " +
-      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw " +
-      "WHERE word IN ('join', 'hash', 'scan') GROUP BY 1, 2), " +
+      "tfw AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, sum(tf) AS dl FROM tfw GROUP BY 1), " +
+      "stats AS (SELECT d.n AS n, CAST(t.c AS DOUBLE) / CAST(d.n AS DOUBLE) AS avgdl " +
+      "FROM (SELECT count(*) AS c FROM tokw) t CROSS JOIN (SELECT count(*) AS n FROM documents) d), " +
+      "tf AS (SELECT doc_id, word, tf FROM tfw " +
+      "WHERE word IN ('join', 'hash', 'scan')), " +
       "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
       "dfx AS (SELECT word, " +
       "1.0 + ((CAST(s.n AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5) AS _lnx " +
@@ -98,16 +110,24 @@ object CorpusStatsQueries {
     (s, d) =>
       val terms = Seq("join", "hash", "scan")
       val tokw = TextOps.explodeTokens(documents(s, d))
-      val dl = tokw.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"),
-        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      val tf = tokw.filter(col("word").isin(terms: _*))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // one token-explode pass: (doc, word) counts materialize (lazy),
+      // then dl is a vocabulary-collapse sum and tf a term filter of it
+      val tfw = tokw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .materialized(eager = false)
+      val dl = tfw.groupBy("doc_id").agg(sum("tf").as("dl"))
+      // corpus scalars from the raw scans, NOT from the materialized tfw:
+      // total tokens = |tokw| and N = |documents| (same values as
+      // sum(dl)/count(dl) — every doc has >= 1 token row), so the nested
+      // broadcast subtree never re-enters the checkpointed frame
+      val stats = tokw.agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n"))))
+        .select(col("n"), (col("c").cast("double") / col("n").cast("double")).as("avgdl"))
+      val tf = tfw.filter(col("word").isin(terms: _*))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val idf = df.crossJoin(broadcast(stats))
-        .select(col("word"),
-          Portable.pln(lit(1.0) + ((col("n").cast("double") - col("df").cast("double")) + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))).as("idf"))
+      val idf = Portable.pln(df.crossJoin(broadcast(stats)),
+          lit(1.0) + ((col("n").cast("double") - col("df").cast("double")) + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)), "idf")
+        .select(col("word"), col("idf"))
       val contrib = tf.join(dl, "doc_id").join(idf, "word").crossJoin(broadcast(stats))
         .select(col("doc_id"), col("word"),
           (col("idf") *
@@ -194,19 +214,21 @@ object CorpusStatsQueries {
         .filter(col("i") + 1 <= size(col("sp")))
         .select(element_at(col("sp"), col("i")).as("w1"),
           element_at(col("sp"), col("i") + 1).as("w2"))
+      // bigram counts feed the corpus total AND the scoring join:
+      // materialize (lazy) so the bigram explode runs once
       val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        .materialized(eager = false)
       val cu = tokw.groupBy("word").agg(count(lit(1)).as("cw"))
       val tot = cu.agg(sum("cw").as("t"))
       val totb = cb.agg(sum("cab").as("tb"))
-      cb.filter(col("cab") >= 5)
+      val scored = cb.filter(col("cab") >= 5)
         .join(cu.select(col("word").as("w1"), col("cw").as("cw1")), "w1")
         .join(cu.select(col("word").as("w2"), col("cw").as("cw2")), "w2")
         .crossJoin(broadcast(tot)).crossJoin(broadcast(totb))
-        .select(col("w1"), col("w2"), col("cab"),
-          Portable.pln(
-            ((col("cab").cast("double") * col("t").cast("double")) * col("t").cast("double")) /
-              ((col("tb").cast("double") * col("cw1").cast("double")) * col("cw2").cast("double")))
-            .as("pmi"))
+      Portable.pln(scored,
+          ((col("cab").cast("double") * col("t").cast("double")) * col("t").cast("double")) /
+            ((col("tb").cast("double") * col("cw1").cast("double")) * col("cw2").cast("double")), "pmi")
+        .select(col("w1"), col("w2"), col("cab"), col("pmi"))
   }
 
   /** Normalization-robust exact dedup: lowercase, strip non-alphanumerics,

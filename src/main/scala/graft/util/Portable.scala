@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Engine-portable transcendental functions.
@@ -36,16 +36,35 @@ object Portable {
 
   private val OddRecips = Seq(23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3)
 
-  /** Portable natural log of a positive column (null in, null out). */
-  def pln(x: Column): Column = {
-    val k0 = floor(log2(x)).cast("double")
-    val m0 = x / pow(lit(2.0), k0)
-    val m = when(m0 >= 2.0, m0 / 2.0).when(m0 < 1.0, m0 * 2.0).otherwise(m0)
-    val k = when(m0 >= 2.0, k0 + 1.0).when(m0 < 1.0, k0 - 1.0).otherwise(k0)
-    val t = (m - 1.0) / (m + 1.0)
-    val u = t * t
-    val poly = OddRecips.foldLeft(lit(1.0 / 25.0): Column)((p, c) => p * u + 1.0 / c) * u + 1.0
-    k * Ln2 + (t * 2.0) * poly
+  /** Portable natural log of a positive expression (null in, null out),
+    * appended to `df` as column `out`.
+    *
+    * Staged as named projections, NOT one nested Column: inlined, each
+    * recipe step duplicates its operands' subtrees (u copies t twice,
+    * every Horner step copies u, m copies m0 three times…) — a ~300×
+    * expression blow-up that compiled for ~50 s and shipped MB-scale task
+    * binaries when first written that way. As attribute-referencing
+    * projection steps the tree is linear; CollapseProject keeps
+    * multiply-referenced non-trivial aliases staged rather than
+    * re-inlining them. */
+  def pln(df: DataFrame, x: Column, out: String): DataFrame = {
+    val staged = df.withColumn("_lnx", x)
+      .withColumn("_k0", floor(log2(col("_lnx"))).cast("double"))
+      .withColumn("_m0", col("_lnx") / pow(lit(2.0), col("_k0")))
+      .withColumn("_m",
+        when(col("_m0") >= 2.0, col("_m0") / 2.0)
+          .when(col("_m0") < 1.0, col("_m0") * 2.0)
+          .otherwise(col("_m0")))
+      .withColumn("_k",
+        when(col("_m0") >= 2.0, col("_k0") + 1.0)
+          .when(col("_m0") < 1.0, col("_k0") - 1.0)
+          .otherwise(col("_k0")))
+      .withColumn("_t", (col("_m") - 1.0) / (col("_m") + 1.0))
+      .withColumn("_u", col("_t") * col("_t"))
+    val poly = OddRecips.foldLeft(lit(1.0 / 25.0): Column)((p, c) =>
+      p * col("_u") + 1.0 / c) * col("_u") + 1.0
+    staged.withColumn(out, col("_k") * Ln2 + (col("_t") * 2.0) * poly)
+      .drop("_lnx", "_k0", "_m0", "_m", "_k", "_t", "_u")
   }
 
   /** The same recipe as chained DuckDB CTEs: reads column `_lnx` from CTE

@@ -14,7 +14,7 @@ class PortableLnSpec extends SparkSpec {
 
   private def plnOf(xs: Seq[Double]): Seq[Double] = {
     import spark.implicits._
-    xs.toDF("x").select(Portable.pln(col("x")).as("y"))
+    Portable.pln(xs.toDF("x"), col("x"), "y").select("y")
       .collect().map(_.getDouble(0)).toSeq
   }
 
@@ -51,8 +51,8 @@ class PortableLnSpec extends SparkSpec {
 
   test("pln propagates null") {
     import spark.implicits._
-    val r = Seq[Option[Double]](Some(2.0), None).toDF("x")
-      .select(Portable.pln(col("x")).as("y")).collect()
+    val r = Portable.pln(Seq[Option[Double]](Some(2.0), None).toDF("x"), col("x"), "y")
+      .select("y").collect()
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
 }
