@@ -249,5 +249,36 @@ object CorpusStatsQueries {
         .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
   }
 
-  val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi, dedupNormalized)
+  /** Per-document token (Shannon) entropy in nats — the
+    * repetition/diversity quality signal: H = ln(dl) − (Σ tf·ln tf)/dl
+    * over the doc's term frequencies. Low H flags template/spam docs a
+    * curation pass drops. Composition of the two exactness layers: pln
+    * for portable logs, Exact decimal sums so the per-doc float Σ is
+    * associative (partition-order-independent) — one explode → one
+    * (doc, word) aggregate → one per-doc aggregate, all corpus-linear. */
+  val textEntropy = Q("q_text_entropy", "per-doc token entropy (nats)")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
+      "tfx AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) AS _lnx FROM tf), " +
+      Portable.plnSqlCtes("tfx", "ltf") + ", " +
+      "s AS (SELECT doc_id, " +
+      graft.util.Exact.Sql.sum("CAST(tf AS DOUBLE) * _pln") + " AS s, " +
+      "sum(tf) AS dl FROM ltf GROUP BY 1), " +
+      "sx AS (SELECT doc_id, dl, s, CAST(dl AS DOUBLE) AS _lnx FROM s), " +
+      Portable.plnSqlCtes("sx", "ldl") + " " +
+      "SELECT doc_id, dl, _pln - (s / CAST(dl AS DOUBLE)) AS entropy FROM ldl") {
+    (s, d) =>
+      val tokw = TextOps.explodeTokens(documents(s, d))
+      val tf = tokw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val perDoc = Portable.pln(tf, col("tf").cast("double"), "lntf")
+        .groupBy("doc_id")
+        .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lntf")).as("s"),
+          sum("tf").as("dl"))
+      Portable.pln(perDoc, col("dl").cast("double"), "lndl")
+        .select(col("doc_id"), col("dl"),
+          (col("lndl") - (col("s") / col("dl").cast("double"))).as("entropy"))
+  }
+
+  val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
+    dedupNormalized, textEntropy)
 }

@@ -111,6 +111,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("b", "pad"))._1 == 12L)
   }
 
+  test("entropy: uniform doc hits ln(n) exactly, constant doc ~0, mixed in between") {
+    val dir = writeFixture(Seq(
+      0L -> "a b c d",       // uniform over 4 -> H = ln 4 (exactly 2*Ln2: s = 0)
+      1L -> "a a a a",       // constant -> H = 0 (up to the 1e-8 decimal quantum)
+      2L -> "a a b c"))      // mixed -> 0 < H < ln 4
+    val out = run(CorpusStatsQueries.textEntropy, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 4L && out(0L)._2 == 2.0 * graft.util.Portable.Ln2)
+    assert(math.abs(out(1L)._2) < 1e-7)
+    val hMixed = 0.25 * math.log(4.0) * 2 + 0.5 * math.log(2.0)
+    assert(math.abs(out(2L)._2 - hMixed) < 1e-7 && out(2L)._2 < out(0L)._2)
+  }
+
   test("dedup_normalized: case/punctuation/whitespace variants collapse to one group") {
     val dir = writeFixture(Seq(
       0L -> "Hello,   World!",
