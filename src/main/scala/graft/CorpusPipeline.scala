@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * curated training mix over Lake layers.
   *
   *   1. Bronze: raw corpus persisted as-is
-  *   2. Dedup (Silver): exact dedup → MinHash-LSH near-dup clustering →
+  *   2. Dedup (Silver): normalized exact dedup (case/punct/whitespace
+  *      re-encodings collapse) → MinHash-LSH near-dup clustering →
   *      per-cluster keeper selection
-  *   3. Quality gate: Gopher-style repetition thresholds, with a
-  *      circuit breaker — losing more than `maxLossPct` of the corpus
-  *      aborts the chain (bad thresholds or a poisoned batch must not
-  *      silently wipe the dataset)
+  *   3. Quality gate: Gopher-style repetition thresholds plus a token-
+  *      entropy floor (template/spam), with a circuit breaker — losing
+  *      more than `maxLossPct` of the corpus aborts the chain (bad
+  *      thresholds or a poisoned batch must not silently wipe the
+  *      dataset)
   *   4. Contamination gate: drop the benchmark source's documents
   *      entirely (eval data must never reach the training mix) plus any
   *      training document overlapping the benchmark's n-gram set
@@ -39,7 +41,8 @@ object CorpusPipeline {
   def run(spark: SparkSession, raw: DataFrame, lakeRoot: String,
       benchSource: String = "src0", maxDupTokenFrac: Double = 0.7,
       maxTopBigramFrac: Double = 0.18, maxContamFrac: Double = 0.5,
-      langBudget: Long = 3000, maxLossPct: Double = 80.0): Summary = {
+      langBudget: Long = 3000, maxLossPct: Double = 80.0,
+      minEntropy: Option[Double] = Some(0.5)): Summary = {
     val lake = new Lake(spark, lakeRoot)
 
     log("step 1/5: raw corpus -> bronze")
@@ -47,19 +50,19 @@ object CorpusPipeline {
     val bronze = lake.read("bronze", "documents")
     val bronzeRows = bronze.count()
 
-    log("step 2/5: exact + near-dup dedup -> silver")
+    log("step 2/5: exact (normalized) + near-dup dedup -> silver")
     // read three times (count, cluster input, keeper anti-join): persist
-    val exact = Corpus.exactDedup(bronze).persist()
+    val exact = Corpus.exactDedup(bronze, normalized = true).persist()
     val afterExact = exact.count()
     val deduped = Corpus.nearDupDedup(exact)
     lake.write(deduped, "silver", "deduped")
     exact.unpersist()
     val afterNearDup = lake.read("silver", "deduped").count()
 
-    log("step 3/5: repetition quality gate")
+    log("step 3/5: repetition + entropy quality gate")
     val (quality, removedByQuality) =
       Corpus.qualityFilter(lake.read("silver", "deduped"),
-        maxDupTokenFrac, maxTopBigramFrac)
+        maxDupTokenFrac, maxTopBigramFrac, minEntropy)
     val lossPct = 100.0 * removedByQuality / math.max(afterNearDup, 1L)
     if (lossPct > maxLossPct)
       throw new IllegalStateException(

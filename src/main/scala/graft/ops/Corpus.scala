@@ -20,13 +20,33 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   /** Exact-duplicate keeper filter: one representative (min doc_id) per
-    * distinct text. Linear: hash → groupBy → semi-join. */
-  def exactDedup(docs: DataFrame): DataFrame = {
+    * distinct text. Linear: hash → groupBy → semi-join. With
+    * `normalized = true` the identity is the case/punctuation/whitespace-
+    * normalized hash (TextOps.normalizeText) — catches re-encoded copies
+    * byte-exact dedup misses; same cost shape. */
+  def exactDedup(docs: DataFrame, normalized: Boolean = false): DataFrame = {
+    val id = if (normalized) TextOps.normalizeText(col("text")) else col("text")
     val keepers = docs
-      .groupBy(TextOps.contentHash(col("text")).as("h"))
+      .groupBy(TextOps.contentHash(id).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** Per-document token Shannon entropy in nats (q_text_entropy is a
+    * straight select over this): H = pln(dl) − (Σ tf·pln tf)/dl. Portable
+    * log (util.Portable) + decimal-exact associative sum (util.Exact), so
+    * the score is bit-stable across engines and partitionings. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = TextOps.explodeTokens(docs).groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = graft.util.Portable.pln(tf, col("tf").cast("double"), "lntf")
+      .groupBy("doc_id")
+      .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lntf")).as("s"),
+        sum("tf").as("dl"))
+    graft.util.Portable.pln(perDoc, col("dl").cast("double"), "lndl")
+      .select(col("doc_id"), col("dl"),
+        (col("lndl") - (col("s") / col("dl").cast("double"))).as("entropy"))
   }
 
   /** Connected-component labels over the MinHash-LSH candidate graph:
@@ -135,15 +155,20 @@ object Corpus {
   }
 
   /** Quality gate: drop documents whose repetition signals exceed the
-    * thresholds. Returns (kept, removedCount); the flagged id set is
-    * checkpointed so the signal subtree runs once, not once per consumer. */
+    * thresholds — and, when `minEntropy` is set, whose token entropy
+    * falls below it (template/spam floor). Returns (kept, removedCount);
+    * the flagged id set is checkpointed so the signal subtrees run once,
+    * not once per consumer. */
   def qualityFilter(docs: DataFrame, maxDupTokenFrac: Double,
-      maxTopBigramFrac: Double): (DataFrame, Long) = {
-    val bad = repetitionSignals(docs)
+      maxTopBigramFrac: Double, minEntropy: Option[Double] = None): (DataFrame, Long) = {
+    val repBad = repetitionSignals(docs)
       .filter(col("dup_token_frac") > maxDupTokenFrac
         || col("top_bigram_frac") > maxTopBigramFrac)
       .select("doc_id")
-      .materialized()
+    val bad = minEntropy.fold(repBad) { h =>
+      repBad.union(tokenEntropy(docs).filter(col("entropy") < h).select("doc_id"))
+        .distinct()
+    }.materialized()
     val kept = docs.join(bad, Seq("doc_id"), "left_anti")
     (kept, bad.count())
   }

@@ -30,6 +30,15 @@ object TextOps {
     * batch-built corpora diverge. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  /** Canonical text normalization for dedup robust to re-encodings:
+    * lowercase, strip non-alphanumerics, collapse space runs, trim. THE
+    * normalized-dedup identity is contentHash(normalizeText(text)) —
+    * shared by q_dedup_normalized, Corpus.exactDedup(normalized = true)
+    * and Streams.corpusIngest(normalized = true) for the same
+    * batch/stream-parity reason as contentHash. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Explode a document into (i, word) rows, i 1-based. */
   def explodeTokens(docs: DataFrame): DataFrame =
     docs.withColumn("sp", tokens(col("text")))

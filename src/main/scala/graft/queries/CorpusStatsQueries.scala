@@ -242,10 +242,8 @@ object CorpusStatsQueries {
       "' +', ' ', 'g'))) AS norm_hash, count(*) AS n_copies, min(doc_id) AS keeper " +
       "FROM documents GROUP BY 1") {
     (s, d) =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
       documents(s, d)
-        .groupBy(TextOps.contentHash(norm).as("norm_hash"))
+        .groupBy(TextOps.contentHash(TextOps.normalizeText(col("text"))).as("norm_hash"))
         .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
   }
 
@@ -267,16 +265,7 @@ object CorpusStatsQueries {
       "sx AS (SELECT doc_id, dl, s, CAST(dl AS DOUBLE) AS _lnx FROM s), " +
       Portable.plnSqlCtes("sx", "ldl") + " " +
       "SELECT doc_id, dl, _pln - (s / CAST(dl AS DOUBLE)) AS entropy FROM ldl") {
-    (s, d) =>
-      val tokw = TextOps.explodeTokens(documents(s, d))
-      val tf = tokw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val perDoc = Portable.pln(tf, col("tf").cast("double"), "lntf")
-        .groupBy("doc_id")
-        .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lntf")).as("s"),
-          sum("tf").as("dl"))
-      Portable.pln(perDoc, col("dl").cast("double"), "lndl")
-        .select(col("doc_id"), col("dl"),
-          (col("lndl") - (col("s") / col("dl").cast("double"))).as("entropy"))
+    (s, d) => graft.ops.Corpus.tokenEntropy(documents(s, d))
   }
 
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,

@@ -73,14 +73,18 @@ object Streams {
     * checkpoint loss. The hash is TextOps.contentHash — the same
     * definition the batch operator uses, so the surviving TEXT set of a
     * stream-built corpus matches a batch-built one (kept doc_ids may
-    * differ: the stream keeps first arrival, the batch keeps min doc_id).
+    * differ: the stream keeps first arrival, the batch keeps min doc_id);
+    * `normalized = true` switches BOTH to the normalizeText identity,
+    * mirroring Corpus.exactDedup(normalized = true).
     * The corpus probe goes through the Hadoop FileSystem (works for
     * gs://…/s3:// lake roots, not just local disk) and keys on the
     * _SUCCESS marker so a torn first write is never mis-read as data. */
   def corpusIngest(spark: SparkSession, sourceDir: String, schema: StructType,
-      checkpoint: String, corpusDir: String): StreamingQuery =
+      checkpoint: String, corpusDir: String,
+      normalized: Boolean = false): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("text_hash", graft.ops.TextOps.contentHash(col("text")))
+      .withColumn("text_hash", graft.ops.TextOps.contentHash(
+        if (normalized) graft.ops.TextOps.normalizeText(col("text")) else col("text")))
       .dropDuplicates("text_hash")
       .writeStream
       .trigger(Trigger.AvailableNow())

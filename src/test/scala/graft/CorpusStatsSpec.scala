@@ -134,4 +134,37 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSet == Set((3L, 0L), (1L, 3L)))
   }
+
+  test("Corpus.exactDedup(normalized) keeps min-id per normalized group") {
+    val dir = writeFixture(Seq(
+      0L -> "Hello,   World!",
+      1L -> "hello world",
+      2L -> "HELLO *** world",
+      3L -> "a different document"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = graft.ops.Corpus.exactDedup(docs, normalized = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L))
+    // byte-exact default keeps all four (no two texts identical)
+    assert(graft.ops.Corpus.exactDedup(docs).count() == 4)
+  }
+
+  test("Corpus.qualityFilter entropy floor drops template docs and unions with repetition flags") {
+    val dir = writeFixture(Seq(
+      0L -> "spam spam spam spam spam spam spam spam",     // H = 0, dup_token_frac high
+      1L -> "w01 w02 w03 w04 w05 w06 w07 w08",             // H = ln 8, clean
+      2L -> "x y x y x y x y"))                            // H = ln 2 ~ 0.69, repetitive
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // entropy floor alone (repetition thresholds disabled at 1.0/1.0
+    // except doc 0, whose dup_token_frac = 7/8 would trip any threshold):
+    // floor 1.0 drops docs 0 and 2; the union with doc 0's repetition
+    // flag must not double-count
+    val (kept, removed) =
+      graft.ops.Corpus.qualityFilter(docs, 0.8, 1.0, Some(1.0))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(removed == 2L)
+    // no floor: only the repetition signal fires
+    val (kept2, removed2) = graft.ops.Corpus.qualityFilter(docs, 0.8, 1.0)
+    assert(kept2.count() == 2 && removed2 == 1L)
+  }
 }

@@ -131,6 +131,28 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.select("text").distinct().count() == 3)
   }
 
+  test("Streams.corpusIngest(normalized) dedups re-encoded variants like the batch op") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val corpus = tmp() + "/corpus"
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    // doc 2 is doc 1 re-encoded (case/punct/space); doc 3 is genuinely new
+    docs(Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other text")))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = Streams.corpusIngest(spark, src, schema, ckpt, corpus, normalized = true)
+    q.awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 2)
+    // the surviving TEXT set matches the batch op on the same input
+    val batch = graft.ops.Corpus.exactDedup(
+      docs(Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other text")))
+        .withColumn("n_chars", length(col("text"))),
+      normalized = true)
+    assert(got.select("text_hash").as[String].collect().toSet ==
+      batch.select(graft.ops.TextOps.contentHash(
+        graft.ops.TextOps.normalizeText(col("text"))).as("h")).as[String].collect().toSet)
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
