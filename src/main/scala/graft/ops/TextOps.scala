@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.util.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Building blocks for the LLM-training-data operators (SURVEY.md §2.12):
@@ -61,6 +62,20 @@ object TextOps {
     * position; shingle text joined with single spaces. */
   def shingles3(docs: DataFrame): DataFrame =
     shingles3Pos(docs).select(col("doc_id"), col("shingle"))
+
+  /** Winnowing (MOSS) fingerprint set per document: min 32-bit shingle
+    * hash over a w = 4 sliding window of 3-shingle positions, distinct
+    * minima. The per-doc ordered window never sorts across documents;
+    * q_text_winnow is a straight select and q_dedup_winnow joins these
+    * sets for partial-overlap candidates. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val hh = shingles3Pos(docs)
+      .select(col("doc_id"), col("i"), hash32(col("shingle")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    hh.select(col("doc_id"), min("h").over(w).as("fp"), count(lit(1)).over(w).as("wn"))
+      .filter(col("wn") === 4)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 
   /** Prime modulus (> 2³²) of the universal minhash family below. */
   val MinhashP = 4294967311L

@@ -150,23 +150,21 @@ object CorpusStatsQueries {
     * overlap the edit — which is what makes it the standard
     * partial-overlap / plagiarism detector at corpus scale. Integer math
     * only; the window is per-doc ordered by position (no global sort). */
+  /** Shared oracle CTE chain ending in `fp(doc_id, fp)` — the winnowed
+    * fingerprint sets (mirrors TextOps.winnowFingerprints). */
+  private val winnowBody = TextQueries.tokBody + ", " +
+    "shp AS (SELECT doc_id, i, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+    "FROM tok WHERE i + 2 <= len(sp)), " +
+    "hh AS (SELECT doc_id, i, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shp), " +
+    "win AS (SELECT doc_id, " +
+    "min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
+    "count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn " +
+    "FROM hh), " +
+    "fp AS (SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4)"
+
   val textWinnow = Q("q_text_winnow", "winnowing fingerprint selection (w=4)")(
-    "WITH " + TextQueries.tokBody + ", " +
-      "shp AS (SELECT doc_id, i, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
-      "FROM tok WHERE i + 2 <= len(sp)), " +
-      "hh AS (SELECT doc_id, i, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shp), " +
-      "win AS (SELECT doc_id, " +
-      "min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
-      "count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn " +
-      "FROM hh) " +
-      "SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4") {
-    (s, d) =>
-      val hh = TextOps.shingles3Pos(documents(s, d))
-        .select(col("doc_id"), col("i"), TextOps.hash32(col("shingle")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-      hh.select(col("doc_id"), min("h").over(w).as("fp"), count(lit(1)).over(w).as("wn"))
-        .filter(col("wn") === 4)
-        .select(col("doc_id"), col("fp")).distinct()
+    "WITH " + winnowBody + " SELECT doc_id, fp FROM fp") {
+    (s, d) => TextOps.winnowFingerprints(documents(s, d))
   }
 
   /** Boilerplate n-gram detection: 3-shingles appearing in ≥ 5 distinct
@@ -268,6 +266,53 @@ object CorpusStatsQueries {
     (s, d) => graft.ops.Corpus.tokenEntropy(documents(s, d))
   }
 
+  /** Partial-overlap candidate pairs from winnowed fingerprint sets:
+    * pairs sharing ≥ 3 fingerprints, scored by fingerprint-set Jaccard.
+    * This is the granularity between exact dedup and whole-doc near-dup —
+    * a copied SECTION inside an otherwise-different document still shares
+    * the fingerprints whose windows sit inside the copy (MOSS).
+    *
+    * The join key is the fingerprint, and fingerprints appearing in > 8
+    * documents are dropped FIRST (part of the candidate contract, oracle
+    * in lockstep): a boilerplate fingerprint carries no dup signal and
+    * would otherwise contribute a |docs|² term on one hot key — the same
+    * keyspace argument as the ngram facet and simhash band-pairs. After
+    * the cap, per-fingerprint join cost is ≤ 8², and candidate volume is
+    * Σ bucket² over a corpus-proportional keyspace. */
+  val dedupWinnow = Q("q_dedup_winnow", "winnow-fingerprint partial-overlap pairs")(
+    "WITH " + winnowBody + ", " +
+      "fpf AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 8), " +
+      "fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN fpf USING (fp)), " +
+      "sizes AS (SELECT doc_id, count(*) AS nfp FROM fpk GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared " +
+      "FROM fpk a JOIN fpk b ON b.fp = a.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3) " +
+      "SELECT p.doc_a, p.doc_b, p.n_shared, " +
+      "CAST(p.n_shared AS DOUBLE) / (sa.nfp + sb.nfp - p.n_shared) AS overlap " +
+      "FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a " +
+      "JOIN sizes sb ON sb.doc_id = p.doc_b") {
+    (s, d) =>
+      // the fingerprint table feeds the frequency cap, both join sides
+      // and the set sizes: materialize once
+      val fp = TextOps.winnowFingerprints(documents(s, d)).materialized(eager = false)
+      val fpf = fp.groupBy("fp").agg(count(lit(1)).as("nd")).filter(col("nd") <= 8)
+        .select("fp")
+      val fpk = fp.join(fpf, "fp")
+      val sizes = fpk.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val pairs = fpk.as("a")
+        .join(fpk.as("b"),
+          col("b.fp") === col("a.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("nfp_a") + col("nfp_b") - col("n_shared")).cast("double")).as("overlap"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
-    dedupNormalized, textEntropy)
+    dedupNormalized, textEntropy, dedupWinnow)
 }

@@ -135,6 +135,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSet == Set((3L, 0L), (1L, 3L)))
   }
 
+  test("dedup_winnow: a copied section pairs the docs; boilerplate fingerprints are capped out") {
+    // A and B share a 30-token section (B appends 15 different tokens):
+    // windows inside the shared run select identical minima, so the pair
+    // must surface with n_shared >= 3. Docs 10..19 are ten copies of one
+    // boilerplate text: every fingerprint of theirs lives in 10 > 8 docs,
+    // so the frequency cap removes them BEFORE the join — identical docs
+    // are exact-dedup's job, not the partial-overlap detector's.
+    val shared = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val tailB = (1 to 15).map(i => f"z$i%02d").mkString(" ")
+    val boiler = (1 to 20).map(i => f"b$i%02d").mkString(" ")
+    val dir = writeFixture(
+      Seq(0L -> shared, 1L -> s"$shared $tailB") ++
+        (10L to 19L).map(i => i -> boiler))
+    val out = run(CorpusStatsQueries.dedupWinnow, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (a, b, n, ov) = out.head
+    assert(a == 0L && b == 1L && n >= 3L && ov > 0.0 && ov <= 1.0)
+  }
+
   test("Corpus.exactDedup(normalized) keeps min-id per normalized group") {
     val dir = writeFixture(Seq(
       0L -> "Hello,   World!",
