@@ -40,6 +40,24 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** PII patterns, restricted to syntax Java regex and RE2 interpret
+    * identically (character classes, bounded repetition, ASCII \b — no
+    * alternation, no backreferences, no lookaround) so the DuckDB oracle
+    * and Spark agree on every match boundary. Heuristic by design:
+    * 999.999.999.999 "matches" IPv4 — a curation scan wants recall, and
+    * octet-range tightening would need alternation with engine-specific
+    * leftmost semantics. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Sequential PII redaction, fixed order email → ip → phone (email
+    * first so an address' host part can never be half-eaten by the IP
+    * pass). THE redaction identity for q_text_pii and platform callers. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"), PiiPhone, "<PHONE>")
+
   /** Explode a document into (i, word) rows, i 1-based. */
   def explodeTokens(docs: DataFrame): DataFrame =
     docs.withColumn("sp", tokens(col("text")))
