@@ -113,5 +113,102 @@ object CurationQueries {
             .as("dup_frac"))
   }
 
-  val all: Seq[Q] = Seq(textPii, dedupSubstring)
+  /** Within-document repeated-line removal (the C4-style cleanup pass):
+    * drop every line after its first occurrence, preserving order, and
+    * report per doc the line count, removed count, and md5 of the
+    * deduplicated text. On a corpus with no newlines this is the
+    * identity (0 removed, hash of the original) — still one real row
+    * per document.
+    *
+    * Scale: map-only — `array_distinct` preserves first-occurrence
+    * order, so the whole pass is a projection with no shuffle. The
+    * oracle reproduces that order with a row_number-over-(doc, line)
+    * window + ordered string_agg, since its list_distinct does not
+    * guarantee order. Null-text docs are excluded on both sides (the
+    * contract is WHERE text IS NOT NULL). */
+  val textDedupLines = Q("q_text_dedup_lines", "within-doc repeated-line removal (C4)")(
+    "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM documents " +
+      "WHERE text IS NOT NULL), " +
+      "li AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM ls), " +
+      "ln AS (SELECT doc_id, i, sp[i] AS ln FROM li), " +
+      "fo AS (SELECT doc_id, i, ln, " +
+      "row_number() OVER (PARTITION BY doc_id, ln ORDER BY i) AS rn FROM ln), " +
+      "ded AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS txt, " +
+      "count(*) AS n_kept FROM fo WHERE rn = 1 GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id) " +
+      "SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines, " +
+      "CAST(t.n_lines - d.n_kept AS BIGINT) AS n_dup_lines, " +
+      "md5(d.txt) AS ded_hash " +
+      "FROM tot t JOIN ded d ON d.doc_id = t.doc_id") {
+    (s, d) =>
+      val sp = split(col("text"), "\n")
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), sp.as("sp"), array_distinct(sp).as("ded"))
+        .select(col("doc_id"),
+          size(col("sp")).cast("long").as("n_lines"),
+          (size(col("sp")) - size(col("ded"))).cast("long").as("n_dup_lines"),
+          md5(array_join(col("ded"), "\n").cast("binary")).as("ded_hash"))
+  }
+
+  /** Gopher-rule quality filter (Rae et al. 2021, published heuristic
+    * set): per-document word count, mean word length, alphabetic-word
+    * fraction, distinct-stopword hits, symbol ratio (# and ...), and
+    * bullet-line fraction, plus the composite pass flag
+    * (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥ 80% alpha words,
+    * ≥ 2 distinct stopwords, symbol ratio < 0.1). Thresholds are the
+    * paper's; the stopword list is trimmed to words the corpus
+    * tokenizer can see.
+    *
+    * Scale: map-only projection — every metric is array arithmetic on
+    * the token split (higher-order filter/aggregate, codegen'd), no
+    * explode, no shuffle. All ratios divide exact integers, so the
+    * doubles are bit-identical across engines. Null-text docs excluded
+    * (same contract as q_text_dedup_lines). */
+  val textGopher = Q("q_text_gopher", "Gopher-rule quality filter")(
+    "SELECT doc_id, " +
+      "CAST(len(sp) AS BIGINT) AS n_words, " +
+      "CAST(list_sum(list_transform(sp, x -> len(x))) AS DOUBLE) / len(sp) AS mean_word_len, " +
+      "CAST(len(list_filter(sp, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(sp) AS frac_alpha, " +
+      "CAST(list_contains(sp, 'the') AS BIGINT) + CAST(list_contains(sp, 'a') AS BIGINT) " +
+      "+ CAST(list_contains(sp, 'and') AS BIGINT) + CAST(list_contains(sp, 'of') AS BIGINT) AS n_stop, " +
+      "CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) " +
+      "/ len(sp) AS symbol_ratio, " +
+      "CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '^[-*]'))) AS DOUBLE) " +
+      "/ len(string_split(text, chr(10))) AS frac_bullet, " +
+      "(len(sp) BETWEEN 50 AND 100000) " +
+      "AND (CAST(list_sum(list_transform(sp, x -> len(x))) AS DOUBLE) / len(sp) BETWEEN 3.0 AND 10.0) " +
+      "AND (CAST(len(list_filter(sp, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(sp) >= 0.8) " +
+      "AND (CAST(list_contains(sp, 'the') AS BIGINT) + CAST(list_contains(sp, 'a') AS BIGINT) " +
+      "+ CAST(list_contains(sp, 'and') AS BIGINT) + CAST(list_contains(sp, 'of') AS BIGINT) >= 2) " +
+      "AND (CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) " +
+      "/ len(sp) < 0.1) AS gopher_pass " +
+      "FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents " +
+      "WHERE text IS NOT NULL)") {
+    (s, d) =>
+      val stops = Seq("the", "a", "and", "of")
+      val base = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("sp"),
+          split(col("text"), "\n").as("lines"))
+      val nWords = size(col("sp"))
+      val sumLen = aggregate(transform(col("sp"), w => length(w)), lit(0), (acc, x) => acc + x)
+      val nAlpha = size(filter(col("sp"), w => w.rlike("[A-Za-z]")))
+      val nStop = stops.map(w => array_contains(col("sp"), w).cast("long")).reduce(_ + _)
+      val nSym = size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+      val nBullet = size(filter(col("lines"), l => l.rlike("^[-*]")))
+      val meanLen = sumLen.cast("double") / nWords
+      val fracAlpha = nAlpha.cast("double") / nWords
+      val symRatio = nSym.cast("double") / nWords
+      base.select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha"),
+        nStop.as("n_stop"),
+        symRatio.as("symbol_ratio"),
+        (nBullet.cast("double") / size(col("lines"))).as("frac_bullet"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          fracAlpha >= 0.8 && nStop >= 2 && symRatio < 0.1).as("gopher_pass"))
+  }
+
+  val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher)
 }

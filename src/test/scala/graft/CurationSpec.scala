@@ -73,6 +73,41 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)))
   }
 
+  test("dedup_lines: repeated lines drop after first occurrence, order preserved") {
+    // doc 0: lines A B A C B → dedup keeps A B C in order (2 removed);
+    // doc 1: no newlines → identity (1 line, 0 removed, hash unchanged)
+    val doc0 = "alpha one\nbeta two\nalpha one\ngamma three\nbeta two"
+    val doc1 = "single line only"
+    val dir = writeFixture(Seq(0L -> doc0, 1L -> doc1))
+    val out = run(CurationQueries.textDedupLines, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((5L, 2L, md5hex("alpha one\nbeta two\ngamma three"))))
+    assert(out(1L) == ((1L, 0L, md5hex(doc1))))
+  }
+
+  test("gopher: rule metrics and the composite flag on planted pass/fail docs") {
+    // doc 0: 52 alpha words incl. 'the' and 'a', mean len in [3,10] → pass.
+    // doc 1: 9 words → fails the 50-word floor (metrics still emitted).
+    // doc 2: 52 words but half numeric → frac_alpha 0.5 < 0.8 → fail;
+    //        also a '#' symbol and a bullet line.
+    val pass = "the quick brown fox jumps over a lazy dog today " +
+      (1 to 42).map(i => f"word$i%03d").mkString(" ")
+    val short = "the a tiny doc with only ten small words"
+    val nums = "the a " + (1 to 25).map(_.toString).mkString(" ") + " " +
+      (1 to 25).map(i => f"w$i%02d").mkString(" ") + "\n- bullet line # tag"
+    val dir = writeFixture(Seq(0L -> pass, 1L -> short, 2L -> nums))
+    val out = run(CurationQueries.textGopher, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getDouble(3), r.getBoolean(7))))
+      .toMap
+    assert(out(0L)._1 == 52L && out(0L)._2 == 2L && out(0L)._3 == 1.0 && out(0L)._4)
+    assert(out(1L)._1 == 9L && !out(1L)._4)
+    assert(!out(2L)._4 && out(2L)._3 < 0.8)
+    val r2 = run(CurationQueries.textGopher, dir).filter(col("doc_id") === 2L).collect().head
+    assert(r2.getDouble(5) > 0.0 && r2.getDouble(6) == 0.5)
+  }
+
   test("dedup_substring: repetition within a single doc is not cross-doc duplication") {
     // U repeated twice inside one doc gives identical window hashes at
     // i and i+20, but count(DISTINCT doc_id) = 1 keeps them unmarked.
