@@ -58,6 +58,36 @@ object TextOps {
     regexp_replace(regexp_replace(regexp_replace(text,
       PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"), PiiPhone, "<PHONE>")
 
+  /** Gopher-rule quality metrics (Rae et al. 2021) as one struct column
+    * — THE definition shared by the batch query (q_text_gopher) and the
+    * streaming curation twin (Streams.curateIngest), so a stream-curated
+    * corpus keeps exactly the documents the batch filter would keep.
+    * Pure array arithmetic on the token split: map-only, codegen'd. */
+  val GopherStops = Seq("the", "a", "and", "of")
+  def gopher(text: Column): Column = {
+    val sp = split(text, " ")
+    val lines = split(text, "\n")
+    val nWords = size(sp)
+    val sumLen = aggregate(transform(sp, w => length(w)), lit(0), (acc, x) => acc + x)
+    val nAlpha = size(filter(sp, w => w.rlike("[A-Za-z]")))
+    val nStop = GopherStops.map(w => array_contains(sp, w).cast("long")).reduce(_ + _)
+    val nSym = size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val nBullet = size(filter(lines, l => l.rlike("^[-*]")))
+    val meanLen = sumLen.cast("double") / nWords
+    val fracAlpha = nAlpha.cast("double") / nWords
+    val symRatio = nSym.cast("double") / nWords
+    struct(
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      fracAlpha.as("frac_alpha"),
+      nStop.as("n_stop"),
+      symRatio.as("symbol_ratio"),
+      (nBullet.cast("double") / size(lines)).as("frac_bullet"),
+      (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        fracAlpha >= 0.8 && nStop >= 2 && symRatio < 0.1).as("gopher_pass"))
+  }
+
   /** Explode a document into (i, word) rows, i 1-based. */
   def explodeTokens(docs: DataFrame): DataFrame =
     docs.withColumn("sp", tokens(col("text")))

@@ -185,29 +185,9 @@ object CurationQueries {
       "FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents " +
       "WHERE text IS NOT NULL)") {
     (s, d) =>
-      val stops = Seq("the", "a", "and", "of")
-      val base = documents(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"), split(col("text"), " ").as("sp"),
-          split(col("text"), "\n").as("lines"))
-      val nWords = size(col("sp"))
-      val sumLen = aggregate(transform(col("sp"), w => length(w)), lit(0), (acc, x) => acc + x)
-      val nAlpha = size(filter(col("sp"), w => w.rlike("[A-Za-z]")))
-      val nStop = stops.map(w => array_contains(col("sp"), w).cast("long")).reduce(_ + _)
-      val nSym = size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
-        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
-      val nBullet = size(filter(col("lines"), l => l.rlike("^[-*]")))
-      val meanLen = sumLen.cast("double") / nWords
-      val fracAlpha = nAlpha.cast("double") / nWords
-      val symRatio = nSym.cast("double") / nWords
-      base.select(col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        fracAlpha.as("frac_alpha"),
-        nStop.as("n_stop"),
-        symRatio.as("symbol_ratio"),
-        (nBullet.cast("double") / size(col("lines"))).as("frac_bullet"),
-        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-          fracAlpha >= 0.8 && nStop >= 2 && symRatio < 0.1).as("gopher_pass"))
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.gopher(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
   }
 
   val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher)

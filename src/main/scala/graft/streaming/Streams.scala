@@ -145,4 +145,25 @@ object Streams {
         out.iterator
       }.toDF()
   }
+
+  /** Streaming curation ingest — the continuous form of the batch
+    * quality + privacy pass: documents that clear the Gopher filter
+    * (TextOps.gopher, the SAME expression q_text_gopher evaluates) are
+    * PII-redacted (TextOps.piiRedact, the q_text_pii identity) and
+    * appended to the curated corpus. Stateless map+filter per
+    * micro-batch — no streaming state at all, so the only recovery
+    * surface is the file-source checkpoint; a stream-curated corpus
+    * holds exactly the redaction of the batch-filtered set. */
+  def curateIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, outDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("text").isNotNull)
+      .filter(graft.ops.TextOps.gopher(col("text")).getField("gopher_pass"))
+      .withColumn("text", graft.ops.TextOps.piiRedact(col("text")))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
 }

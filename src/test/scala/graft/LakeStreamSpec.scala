@@ -153,6 +153,35 @@ class LakeStreamSpec extends SparkSpec {
         graft.ops.TextOps.normalizeText(col("text"))).as("h")).as[String].collect().toSet)
   }
 
+  test("Streams.curateIngest keeps the batch-filtered set, redacted") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp() + "/curated"
+    // doc 1 passes Gopher (52 words, 2 stopwords, alpha) and carries an
+    // email to redact; doc 2 fails the 50-word floor; doc 3 fails the
+    // alpha-fraction rule
+    val passTxt = "the quick brown fox mails jane.doe@example.com from a box " +
+      (1 to 42).map(i => f"word$i%03d").mkString(" ")
+    val numsTxt = "the a " + (1 to 50).map(_.toString).mkString(" ")
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    docs(Seq((1L, passTxt), (2L, "too short"), (3L, numsTxt)))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = Streams.curateIngest(spark, src, schema, ckpt, out)
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    assert(got.length == 1)
+    assert(got.head._1 == 1L)
+    assert(got.head._2 == passTxt.replace("jane.doe@example.com", "<EMAIL>"))
+    // stream output = batch filter + redaction on the same input
+    val batch = docs(Seq((1L, passTxt), (2L, "too short"), (3L, numsTxt)))
+      .filter(graft.ops.TextOps.gopher(col("text")).getField("gopher_pass"))
+      .select(col("doc_id"),
+        graft.ops.TextOps.piiRedact(col("text")).as("text"))
+      .as[(Long, String)].collect()
+    assert(got.toSet == batch.toSet)
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
