@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * curated training mix over Lake layers.
   *
   *   1. Bronze: raw corpus persisted as-is
-  *   2. Dedup (Silver): normalized exact dedup (case/punct/whitespace
+  *   2. Dedup (Silver): within-doc repeated-line removal (C4 cleanup,
+  *      so documents differing only in boilerplate-line repetition
+  *      collapse) → normalized exact dedup (case/punct/whitespace
   *      re-encodings collapse) → MinHash-LSH near-dup clustering →
   *      per-cluster keeper selection
   *   3. Quality gate: Gopher-style repetition thresholds plus a token-
@@ -22,7 +24,10 @@ import org.apache.spark.sql.functions._
   *   4. Contamination gate: drop the benchmark source's documents
   *      entirely (eval data must never reach the training mix) plus any
   *      training document overlapping the benchmark's n-gram set
-  *   5. Gold: per-language token-budget curation → the training mix
+  *   5. PII redaction: email/phone/IPv4 scrubbed from every surviving
+  *      document (late, after the gates — no cycles spent redacting
+  *      text that filtering was about to drop)
+  *   6. Gold: per-language token-budget curation → the training mix
   *
   * Every stage reads the previous stage's LAKE artifact, so a 100 TB run
   * restarts from the last completed layer; the breaker mirrors the
@@ -32,8 +37,8 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   final case class Summary(bronzeRows: Long, afterExact: Long, afterNearDup: Long,
-    removedByQuality: Long, removedByContamination: Long, goldRows: Long,
-    goldTokens: Long)
+    removedByQuality: Long, removedByContamination: Long, piiDocs: Long,
+    goldRows: Long, goldTokens: Long)
 
   private def log(msg: String): Unit =
     println(s"[corpus-pipeline] $msg")
@@ -45,21 +50,21 @@ object CorpusPipeline {
       minEntropy: Option[Double] = Some(0.5)): Summary = {
     val lake = new Lake(spark, lakeRoot)
 
-    log("step 1/5: raw corpus -> bronze")
+    log("step 1/6: raw corpus -> bronze")
     lake.write(raw, "bronze", "documents")
     val bronze = lake.read("bronze", "documents")
     val bronzeRows = bronze.count()
 
-    log("step 2/5: exact (normalized) + near-dup dedup -> silver")
+    log("step 2/6: line cleanup + exact (normalized) + near-dup dedup -> silver")
     // read three times (count, cluster input, keeper anti-join): persist
-    val exact = Corpus.exactDedup(bronze, normalized = true).persist()
+    val exact = Corpus.exactDedup(Corpus.dedupLines(bronze), normalized = true).persist()
     val afterExact = exact.count()
     val deduped = Corpus.nearDupDedup(exact)
     lake.write(deduped, "silver", "deduped")
     exact.unpersist()
     val afterNearDup = lake.read("silver", "deduped").count()
 
-    log("step 3/5: repetition + entropy quality gate")
+    log("step 3/6: repetition + entropy quality gate")
     val (quality, removedByQuality) =
       Corpus.qualityFilter(lake.read("silver", "deduped"),
         maxDupTokenFrac, maxTopBigramFrac, minEntropy)
@@ -70,14 +75,18 @@ object CorpusPipeline {
           f"(> $maxLossPct%.1f%%) — aborting before gold is touched")
     lake.write(quality, "silver", "quality")
 
-    log("step 4/5: benchmark contamination gate")
+    log("step 4/6: benchmark contamination gate")
     val (clean, removedByContamination) =
       Corpus.contaminationFilter(lake.read("silver", "quality"),
         benchSource, maxContamFrac)
     lake.write(clean, "silver", "clean")
 
-    log("step 5/5: per-language token budget -> gold training mix")
-    val gold = Corpus.tokenBudget(lake.read("silver", "clean"), langBudget)
+    log("step 5/6: PII redaction")
+    val (redacted, piiDocs) = Corpus.redactPii(lake.read("silver", "clean"))
+    lake.write(redacted, "silver", "redacted")
+
+    log("step 6/6: per-language token budget -> gold training mix")
+    val gold = Corpus.tokenBudget(lake.read("silver", "redacted"), langBudget)
     lake.write(gold, "gold", "training_mix")
     val goldDf = lake.read("gold", "training_mix")
     val goldRows = goldDf.count()
@@ -88,7 +97,7 @@ object CorpusPipeline {
 
     log("corpus pipeline completed successfully")
     Summary(bronzeRows, afterExact, afterNearDup, removedByQuality,
-      removedByContamination, goldRows, goldTokens)
+      removedByContamination, piiDocs, goldRows, goldTokens)
   }
 
   /** `runMain graft.CorpusPipeline <sfDir> <lakeRoot>` against the driver

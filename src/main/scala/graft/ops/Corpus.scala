@@ -24,6 +24,28 @@ object Corpus {
     * `normalized = true` the identity is the case/punctuation/whitespace-
     * normalized hash (TextOps.normalizeText) — catches re-encoded copies
     * byte-exact dedup misses; same cost shape. */
+  /** C4-style within-document cleanup: drop every line after its first
+    * occurrence (order-preserving, the q_text_dedup_lines identity) and
+    * recompute n_chars. Map-only; the identity on single-line documents.
+    * Runs BEFORE corpus-level dedup so two documents differing only in
+    * how often they repeat a boilerplate line collapse together. */
+  def dedupLines(docs: DataFrame): DataFrame =
+    docs.withColumn("text", array_join(array_distinct(split(col("text"), "\n")), "\n"))
+      .withColumn("n_chars", length(col("text")))
+
+  /** PII redaction pass (the q_text_pii identity, TextOps.piiRedact):
+    * returns the redacted frame plus the number of documents whose text
+    * changed. Two map-only scans (one aggregate for the count, one for
+    * the downstream write) — no shuffle, no materialization; null text
+    * passes through unchanged and uncounted. */
+  def redactPii(docs: DataFrame): (DataFrame, Long) = {
+    val red = docs.withColumn("_red", TextOps.piiRedact(col("text")))
+    val changed = red.filter(col("_red") =!= col("text")).count()
+    val out = red.withColumn("text", col("_red")).drop("_red")
+      .withColumn("n_chars", length(col("text")))
+    (out, changed)
+  }
+
   def exactDedup(docs: DataFrame, normalized: Boolean = false): DataFrame = {
     val id = if (normalized) TextOps.normalizeText(col("text")) else col("text")
     val keepers = docs

@@ -303,14 +303,42 @@ class CorpusSessionSpec extends SparkSpec {
     assert(s.goldRows > 0)
     assert(s.goldTokens > 0)
     for (layer <- Seq("bronze/documents", "silver/deduped", "silver/quality",
-        "silver/clean", "gold/training_mix"))
+        "silver/clean", "silver/redacted", "gold/training_mix"))
       assert(new java.io.File(s"$root/$layer").exists(), layer)
+    // the synthetic corpus carries no PII and no newlines: the redaction
+    // and line-cleanup stages must be exact identities on it
+    assert(s.piiDocs == 0L)
     // the gold mix respects the per-language budget AND contains no
     // benchmark-source (eval) documents
     val gold = spark.read.parquet(s"$root/gold/training_mix")
     assert(gold.groupBy("lang").agg(max("cum_tokens").as("m"))
       .filter(col("m") > 3000).count() == 0)
     assert(gold.filter(col("source") === "src0").count() == 0)
+  }
+
+  test("CorpusPipeline.run line-cleans and redacts planted documents end to end") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_t3").toString
+    // doc 1: PII to redact; doc 2: doc 1 with its one line repeated — the
+    // line cleanup must collapse it back onto doc 1's text so exact dedup
+    // removes it; doc 3: clean filler so gates have a population
+    val body = (1 to 20).map(i => f"word$i%02d").mkString(" ")
+    val withPii = s"reach admin@example.org or 555-867-5309 then $body"
+    val raw = Seq(
+      (1L, withPii, "en", "src1"),
+      (2L, s"$withPii\n$withPii", "en", "src1"),
+      (3L, s"other filler text $body", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val s = CorpusPipeline.run(spark, raw, root, benchSource = "srcX",
+      minEntropy = None)
+    // line cleanup made doc 2 identical to doc 1 -> exact dedup eats it
+    assert(s.bronzeRows == 3L && s.afterExact == 2L)
+    assert(s.piiDocs == 1L)
+    val gold = spark.read.parquet(s"$root/gold/training_mix")
+    val texts = gold.select("text").as[String].collect()
+    assert(texts.exists(t => t.contains("<EMAIL>") && t.contains("<PHONE>")))
+    assert(!texts.exists(t => t.contains("admin@example.org") || t.contains("555-867-5309")))
   }
 
   test("CorpusPipeline.run trips the corpus circuit breaker and never writes gold") {
