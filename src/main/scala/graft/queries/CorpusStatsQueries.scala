@@ -313,6 +313,49 @@ object CorpusStatsQueries {
             (col("nfp_a") + col("nfp_b") - col("n_shared")).cast("double")).as("overlap"))
   }
 
+  /** Per-document mean surprisal under the corpus's own unigram LM:
+    * score = ln N − (Σ_tokens ln cf(token)) / doc_len, i.e. the mean of
+    * −ln p(token) with p = cf/N — the statistical stand-in for a
+    * perplexity quality filter (high = rare/garbled vocabulary, low =
+    * common boilerplate). No model shipped: the corpus scores itself.
+    *
+    * Scale: pln runs once per VOCABULARY word (on the cf table), not per
+    * token; Σ tf·ln cf folds over the (doc, word) tf table through the
+    * decimal-exact sum (order-independent); N is a 1-row aggregate
+    * cross-broadcast into the final projection from its own scan of
+    * `documents` — independent of the materialized tf subtree (the
+    * nested-broadcast re-evaluation lesson from q_text_tfidf). */
+  val textUnigramLogprob = Q("q_text_unigram_logprob", "mean unigram surprisal (corpus LM)")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
+      "cf AS (SELECT word, sum(tf) AS cf FROM tf GROUP BY 1), " +
+      "n AS (SELECT sum(len(string_split(text, ' '))) AS n FROM documents), " +
+      "cfx AS (SELECT word, CAST(cf AS DOUBLE) AS _lnx FROM cf), " +
+      Portable.plnSqlCtes("cfx", "lcf") + ", " +
+      "s AS (SELECT t.doc_id, " +
+      graft.util.Exact.Sql.sum("CAST(t.tf AS DOUBLE) * l._pln") + " AS s, " +
+      "sum(t.tf) AS dl FROM tf t JOIN lcf l ON l.word = t.word GROUP BY 1), " +
+      "sx AS (SELECT doc_id, dl, s, CAST(n.n AS DOUBLE) AS _lnx FROM s CROSS JOIN n), " +
+      Portable.plnSqlCtes("sx", "lnn") + " " +
+      "SELECT doc_id, dl, _pln - (s / CAST(dl AS DOUBLE)) AS logprob FROM lnn") {
+    (s, d) =>
+      val tf = TextOps.explodeTokens(documents(s, d))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .materialized(eager = false)
+      val lcf = Portable.pln(
+        tf.groupBy("word").agg(sum("tf").as("cf")),
+        col("cf").cast("double"), "lcf")
+        .select("word", "lcf")
+      val agg = tf.join(lcf, "word").groupBy("doc_id")
+        .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lcf")).as("s"),
+          sum("tf").as("dl"))
+      val n = documents(s, d)
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+      Portable.pln(agg.crossJoin(broadcast(n)), col("n").cast("double"), "lnn")
+        .select(col("doc_id"), col("dl"),
+          (col("lnn") - (col("s") / col("dl").cast("double"))).as("logprob"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
-    dedupNormalized, textEntropy, dedupWinnow)
+    dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob)
 }

@@ -124,6 +124,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - hMixed) < 1e-7 && out(2L)._2 < out(0L)._2)
   }
 
+  test("unigram_logprob: mean surprisal matches the hand-computed corpus LM") {
+    // corpus: doc 0 = "a a b", doc 1 = "b c". N = 5; cf(a)=2, cf(b)=2,
+    // cf(c)=1. doc 0 mean -ln p = ln5 - (2·ln2 + ln2)/3 = ln5 - ln2;
+    // doc 1 = ln5 - (ln2 + 0)/2. Portable ln is within ~1e-13 of libm.
+    val dir = writeFixture(Seq(0L -> "a a b", 1L -> "b c"))
+    val out = run(CorpusStatsQueries.textUnigramLogprob, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln5 = math.log(5.0); val ln2 = math.log(2.0)
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2 - (ln5 - ln2)) < 1e-9)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - (ln5 - ln2 / 2.0)) < 1e-9)
+    // rare vocabulary scores strictly higher than common vocabulary
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
   test("dedup_normalized: case/punctuation/whitespace variants collapse to one group") {
     val dir = writeFixture(Seq(
       0L -> "Hello,   World!",

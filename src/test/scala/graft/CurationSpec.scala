@@ -108,6 +108,17 @@ class CurationSpec extends SparkSpec {
     assert(r2.getDouble(5) > 0.0 && r2.getDouble(6) == 0.5)
   }
 
+  test("pii, gopher, and line-dedup plans are shuffle-free projections") {
+    // the scale contract for the map-only curation ops: no Exchange node
+    // anywhere in the executed plan — the whole pass rides the scan
+    val dir = writeFixture(Seq(0L -> "some text here", 1L -> "other text there"))
+    for (q <- Seq(CurationQueries.textPii, CurationQueries.textGopher,
+        CurationQueries.textDedupLines)) {
+      val plan = run(q, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"${q.id} plan has a shuffle:\n$plan")
+    }
+  }
+
   test("dedup_substring: repetition within a single doc is not cross-doc duplication") {
     // U repeated twice inside one doc gives identical window hashes at
     // i and i+20, but count(DISTINCT doc_id) = 1 keeps them unmarked.
