@@ -81,9 +81,13 @@ object Multimodal {
         val (w, h, _) = decodeStub(r.payload)
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val outLen = math.max(1, math.min(r.payload.length, ow * oh))
-        val stride = math.max(1, r.payload.length / outLen)
-        val out = Array.tabulate(outLen)(i => r.payload((i * stride) % r.payload.length))
+        // empty payload: nothing to sample (the modulo index would divide
+        // by zero); geometry still reports the stub's minimum box
+        val out = if (r.payload.isEmpty) Array.emptyByteArray else {
+          val outLen = math.max(1, math.min(r.payload.length, ow * oh))
+          val stride = math.max(1, r.payload.length / outLen)
+          Array.tabulate(outLen)(i => r.payload((i * stride) % r.payload.length))
+        }
         ResizedRow(r.media_id, r.kind, ow, oh, out)
       }
     }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.util.Materialize.Ops
 import graft.Q
-import graft.ops.TextOps
+import graft.ops.{Multimodal, TextOps}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -339,6 +339,61 @@ object TextQueries {
         (expr("octet_length(encode(text, 'UTF-8')) div 100") + 1).cast("long").as("n_frames"))
   }
 
+  /** Frame sampling over the typed decode path: mediaTable → per-partition
+    * extractFeatures (the codec-amortizing mapPartitions batch) →
+    * sampleFrames(stride=2) — one row per sampled frame index. The oracle
+    * replays the decode stub's deterministic frame arithmetic in SQL, so
+    * the whole typed pipeline (Encoders, mapPartitions, explode) is
+    * hash-gated, not just shape-tested.
+    *
+    * Scale: map-only — no shuffle anywhere; the frames explosion is
+    * bounded by n_frames/stride per row, and a metadata-only consumer
+    * never deserializes the payload column past extractFeatures. */
+  val mmFrameSample = Q("q_mm_frame_sample", "typed decode → frame sampling (stride 2)")(
+    "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS kind, " +
+      "CAST(unnest(range(0, (octet_length(encode(text)) // 100) + 1, 2)) AS BIGINT) AS frame_idx " +
+      "FROM documents WHERE text IS NOT NULL") {
+    (s, d) =>
+      val media = Multimodal.mediaTable(s, d).filter(col("payload").isNotNull)
+      Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 2)
+        .select(col("media_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"))
+  }
+
+  /** Resize geometry contract over the typed per-partition scaler:
+    * bounding-box 32×32, aspect preserved, strided-byte resample sized to
+    * the output pixel count. The oracle replays the geometry arithmetic
+    * (IEEE double scale + floor-truncation) bit-for-bit; payload length is
+    * gated, payload bytes stay on the Spark side (md5-free — the sampled
+    * bytes themselves are covered by OpsSpec).
+    *
+    * Scale: map-only like the decoder; a real scaler drops into the same
+    * mapPartitions slot with once-per-task init. */
+  val mmResizeMeta = Q("q_mm_resize_meta", "typed resize geometry (32×32 box)")(
+    "WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, " +
+      "(octet_length(encode(text)) % 64) + 16 AS w, " +
+      "(octet_length(encode(text)) % 48) + 16 AS h " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "sc AS (SELECT doc_id, n, w, h, " +
+      "least(1.0, least(32.0 / w, 32.0 / h)) AS scale FROM g), " +
+      "geo AS (SELECT doc_id, n, " +
+      "greatest(1, CAST(floor(w * scale) AS INT)) AS out_w, " +
+      "greatest(1, CAST(floor(h * scale) AS INT)) AS out_h FROM sc) " +
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS kind, out_w, out_h, " +
+      "CAST(CASE WHEN n = 0 THEN 0 ELSE greatest(1, least(n, out_w * out_h)) END AS BIGINT) " +
+      "AS out_bytes FROM geo") {
+    (s, d) =>
+      val media = Multimodal.mediaTable(s, d).filter(col("payload").isNotNull)
+      Multimodal.resize(media, maxW = 32, maxH = 32).toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").as("out_w"), col("height").as("out_h"),
+          octet_length(col("payload")).cast("long").as("out_bytes"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
-    dedupNgramJaccard, textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta)
+    dedupNgramJaccard, textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta,
+    mmFrameSample, mmResizeMeta)
 }

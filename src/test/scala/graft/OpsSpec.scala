@@ -225,4 +225,15 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.repartitionByByteBudget(media, 1L << 40)
       .rdd.getNumPartitions == 1)
   }
+
+  test("Multimodal.resize handles an empty payload without the modulo-zero crash") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.emptyByteArray, "image"),
+      Multimodal.MediaRow(2L, "abc".getBytes("UTF-8"), "audio")).toDS()
+    val rs = Multimodal.resize(media, maxW = 32, maxH = 32).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rs(1L).payload.isEmpty && rs(1L).width == 16 && rs(1L).height == 16)
+    assert(rs(2L).payload.nonEmpty)
+  }
 }
