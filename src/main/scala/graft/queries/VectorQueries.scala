@@ -184,21 +184,26 @@ object VectorQueries {
     * centroids (the registered query above) and ops.VectorOps.fit output
     * (the trained path, VectorOpsSpec) run the IDENTICAL plan — `cents`
     * must carry (cid, ecent, ncent). */
+  /** Argmax-cosine centroid assignment: corpus × broadcast(centroids) →
+    * (vid, cluster), one row per vector. Materialized because every caller
+    * feeds it into BOTH sides of a cluster self-join — without
+    * materializing, Spark computes the whole corpus×centroids subtree
+    * twice (no common-subplan reuse); localCheckpoint so blocks free with
+    * the frame. `all` must carry (vid, ev, nv); `cents` (cid, ecent, ncent). */
+  private[graft] def assignClusters(all: DataFrame, cents: DataFrame): DataFrame = {
+    val ccos = all.crossJoin(broadcast(cents))
+      .select(col("vid"), col("cid"),
+        (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
+    val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
+    ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vid"), col("cid").as("cluster"))
+      .materialized()
+  }
+
   private[graft] def ivfTopK(base: DataFrame, cents: DataFrame, k: Int = 3): DataFrame = {
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
-      // centroid assignment: corpus x broadcast(centroids), argmax cosine
-      val ccos = all.crossJoin(broadcast(cents))
-        .select(col("vid"), col("cid"),
-          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
-      val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
-      // checkpoint: the assignment (tiny: one row per vector) feeds BOTH
-      // sides of the cluster self-join below — without materializing,
-      // Spark computes the whole corpus×centroids subtree twice (no
-      // common-subplan reuse); localCheckpoint so blocks free with the frame
-      val assign = ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-        .select(col("vid"), col("cid").as("cluster"))
-        .materialized()
+      val assign = assignClusters(all, cents)
       // probe: query's cluster members only, dot over the stored arrays
       val pairs = assign.as("qa").filter(col("qa.vid") < 10)
         .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
@@ -360,5 +365,59 @@ object VectorQueries {
     (s, d) => lshSearch(s, d, planes = 6, multiProbe = true)
   }
 
-  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh, annLshProbe)
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, published
+    * pipeline): cluster the corpus (here the seed-centroid assignment —
+    * the trained k-means of ops.VectorOps.fit drops into the identical
+    * plan), then search for cosine near-dups only WITHIN each cluster.
+    * This is the label-FREE variant of q_dedup_embed_cosine: at 100 TB
+    * there is no label column to block on, and the cluster key replaces
+    * it — candidate pairs fall from corpus²/2 to Σ cluster²/2 ≈
+    * corpus²/(2k), with k chosen ∝ corpus so cluster sizes stay bounded.
+    *
+    * Scale: assignment is corpus × broadcast(centroids), map-side; the
+    * within-cluster self-join is salted exactly like the label variant
+    * (cluster cardinality can be far below core count, and a hot cluster
+    * would otherwise become one giant task); the cheap double-fold dot
+    * pre-screens pairs with a provable 1e-6 margin before the
+    * decimal-exact cosine that alone decides the output. */
+  val dedupSemantic = Q("q_dedup_semantic", "cluster-blocked cosine near-dup (SemDeDup)")(
+    vecsSql +
+      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
+      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
+      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      "WHERE rn = 1), " +
+      "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
+      "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM pa a JOIN pa b ON a.i = b.i AND a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT d.va, d.vb, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.va JOIN n nb ON nb.vec_id = d.vb " +
+      "WHERE d.dot / (na.nrm * nb.nrm) >= 0.35") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClusters(all, cents)
+      val a = all.join(assign, "vid").select(col("vid").as("va"), col("cluster"),
+        col("ev").as("ea"), col("nv").as("na"))
+      val b = all.join(assign, "vid").select(col("vid").as("vb"), col("cluster"),
+        col("ev").as("eb"), col("nv").as("nb"))
+      val SALTS = 8
+      graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("va"), SALTS)
+        .filter(col("va") < col("vb"))
+        .filter(expr("double_dot(ea, eb)") / (col("na") * col("nb")) >= 0.35 - 1e-6)
+        .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .select(col("va"), col("vb"), col("cluster"), col("cosine"))
+        .filter(col("cosine") >= 0.35)
+  }
+
+  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh, annLshProbe,
+    dedupSemantic)
 }

@@ -118,4 +118,36 @@ class VectorOpsSpec extends SparkSpec {
     // contrast with the unsalted plan: the whole hot workload in one task
     assert(hotMax * (SALTS / 2) <= hotTotal, "salting must divide the hot task")
   }
+
+  test("q_dedup_semantic matches a driver-side brute-force SemDeDup at sf0.001") {
+    // independent oracle: collect the (tiny) sf0.001 embeddings, assign
+    // each vector to its argmax-cosine seed centroid in plain Scala, and
+    // enumerate within-cluster pairs above threshold — then compare sets.
+    val rows = graft.util.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = rows.keys.filter(_ % 50 == 0).toSeq.sorted
+    val cluster = rows.map { case (id, v) =>
+      id -> cents.map(c => c -> cos(v, rows(c))).maxBy { case (c, s) => (s, -c) }._1
+    }
+    val ids = rows.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cluster(i) == cluster(j)
+      c = cos(rows(i), rows(j)) if c >= 0.35 + 1e-6
+    } yield (i, j)).toSet
+    val tooClose = (for {
+      i <- ids; j <- ids if i < j && cluster(i) == cluster(j)
+      c = cos(rows(i), rows(j)) if math.abs(c - 0.35) <= 1e-6
+    } yield (i, j)).toSet
+    val got = graft.queries.VectorQueries.dedupSemantic.fn(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // outside the 1e-6 threshold band, driver math and the decimal-exact
+    // plan must agree exactly; inside the band either verdict is legal
+    assert(expected.subsetOf(got), s"missing pairs: ${expected -- got}")
+    assert((got -- expected).subsetOf(tooClose), s"extra pairs: ${got -- expected -- tooClose}")
+  }
 }
