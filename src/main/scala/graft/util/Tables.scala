@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §2).
   *
@@ -21,15 +21,28 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long only
-    * under `spark.sql.legacy.parquet.nanosAsLong` (set in Session). We
-    * floor-divide to µs — the same truncation DuckDB applies on read, so
-    * oracle comparisons see identical instants. */
+  /** events.ts: published schema is TimestampType (UTC instant). The lake has
+    * been written with different physical encodings across regenerations, so
+    * the loader normalizes every one of them instead of trusting a single
+    * physical type:
+    *   - TIMESTAMP(NANOS) → long under `spark.sql.legacy.parquet.nanosAsLong`
+    *     (set in Session): floor-divide to µs — the same truncation DuckDB
+    *     applies on read, so oracle comparisons see identical instants.
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *     TimestampType. The session timezone is pinned UTC, so the wall-clock
+    *     fields are reinterpreted as the same UTC instant DuckDB reads.
+    *   - timestamp[us/ms] isAdjustedToUTC=true → already TimestampType.
+    * A 100 TB lake WILL contain mixed-writer parquet; normalizing at the
+    * loader is the invariant every downstream query relies on. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case LongType            => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType    => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType    => raw
+      case other               =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — extend Tables.events normalization")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
