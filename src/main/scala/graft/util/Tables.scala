@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, expr}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §2).
   *
@@ -16,35 +16,42 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  /** events.ts: published schema is TimestampType (UTC instant). The lake has
-    * been written with different physical encodings across regenerations, so
-    * the loader normalizes every one of them instead of trusting a single
-    * physical type:
+  /** Normalize one timestamp column to the published TimestampType (UTC
+    * instant), whatever physical encoding the current lake writer used.
+    * A 100 TB lake WILL contain mixed-writer parquet; loaders publish a
+    * type contract, they do not forward whatever the last writer chose:
     *   - TIMESTAMP(NANOS) → long under `spark.sql.legacy.parquet.nanosAsLong`
-    *     (set in Session): floor-divide to µs — the same truncation DuckDB
+    *     (set in Sessions): floor-divide to µs — the same truncation DuckDB
     *     applies on read, so oracle comparisons see identical instants.
     *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
     *     TimestampType. The session timezone is pinned UTC, so the wall-clock
     *     fields are reinterpreted as the same UTC instant DuckDB reads.
     *   - timestamp[us/ms] isAdjustedToUTC=true → already TimestampType.
-    * A 100 TB lake WILL contain mixed-writer parquet; normalizing at the
-    * loader is the invariant every downstream query relies on. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType            => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType    => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _: TimestampType    => raw
-      case other               =>
+    * Anything else fails loudly at load instead of as a downstream analysis
+    * error in whichever query touches the column first. */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType    => df
+      case other =>
         throw new IllegalStateException(
-          s"events.ts: unsupported physical type $other — extend Tables.events normalization")
+          s"$c: unsupported physical type $other — extend Tables.normTs")
     }
-  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = normTs(table(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame   = normTs(table(s, d, "orders"), "o_orderdate")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  /** events published schema: event_id long, ts timestamp, user_id long,
+    * event_type string, value double, props string (EncodingInvariantSpec
+    * pins it). value/props casts are no-ops today and survive a writer
+    * switching to float/large_string the way ts survived NTZ. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normTs(table(s, d, "events"), "ts")
+      .withColumn("value", col("value").cast(DoubleType))
+      .withColumn("props", col("props").cast(StringType))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
