@@ -36,15 +36,21 @@ case class DecimalDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"decimal_dot requires two array<float> arguments, got " +
+        s"decimal_dot requires two array<float|double> arguments, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "decimal_dot"
+
+  // element type is fixed at bind time: float arrays widen to double, double
+  // arrays (trained centroids) are read as-is — the quantized addend set is
+  // identical to the oracle's SUM(CAST(a*b AS DECIMAL)) either way
+  private lazy val leftIsFloat = DecimalDot.isFloatArray(left.dataType)
+  private lazy val rightIsFloat = DecimalDot.isFloatArray(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -54,8 +60,9 @@ case class DecimalDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      sum += DecimalDot.quantize8(p)
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += DecimalDot.quantize8(xv * yv)
       i += 1
     }
     new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 8).doubleValue()
@@ -67,6 +74,8 @@ case class DecimalDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val p = ctx.freshName("p")
+      val getX = DecimalDot.elemCode(x, i, leftIsFloat)
+      val getY = DecimalDot.elemCode(y, i, rightIsFloat)
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $sum = 0L;
@@ -74,7 +83,7 @@ case class DecimalDot(left: Expression, right: Expression)
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    double $p = ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    double $p = $getX * $getY;
          |    $sum += graft.functions.DecimalDot.quantize8($p);
          |  }
          |}
@@ -102,15 +111,18 @@ case class DoubleDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"double_dot requires two array<float> arguments, got " +
+        s"double_dot requires two array<float|double> arguments, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "double_dot"
+
+  private lazy val leftIsFloat = DecimalDot.isFloatArray(left.dataType)
+  private lazy val rightIsFloat = DecimalDot.isFloatArray(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -120,7 +132,9 @@ case class DoubleDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -131,6 +145,8 @@ case class DoubleDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getX = DecimalDot.elemCode(x, i, leftIsFloat)
+      val getY = DecimalDot.elemCode(y, i, rightIsFloat)
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
@@ -138,7 +154,7 @@ case class DoubleDot(left: Expression, right: Expression)
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    $acc += $getX * $getY;
          |  }
          |}
          |${ev.value} = $acc;
@@ -178,6 +194,14 @@ case class DoubleBits(child: Expression) extends UnaryExpression {
 }
 
 object DecimalDot {
+
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private[functions] def elemCode(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
 
   /** HALF_UP quantization of a double to a scale-8 unscaled long — the
     * exact value `BigDecimal.valueOf(p).setScale(8, HALF_UP)` produces,

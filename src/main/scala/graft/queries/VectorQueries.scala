@@ -365,14 +365,66 @@ object VectorQueries {
     (s, d) => lshSearch(s, d, planes = 6, multiProbe = true)
   }
 
-  /** SemDeDup-style semantic dedup (Abbas et al. 2023, published
-    * pipeline): cluster the corpus (here the seed-centroid assignment —
-    * the trained k-means of ops.VectorOps.fit drops into the identical
-    * plan), then search for cosine near-dups only WITHIN each cluster.
+  /** Decimal-exact Lloyd k-means, the trained-centroid path of SemDeDup
+    * (and a drop-in `cents` producer for ivfTopK). Unlike ops.VectorOps.fit
+    * (plain-double cosine — fine for ANN indexes, where recall, not
+    * bit-parity, is the contract), every comparison here goes through the
+    * decimal-exact dot and `Exact.exactAvg`, so a DuckDB oracle running the
+    * identical recipe reproduces the assignment — and therefore the final
+    * pair set — bit-for-bit.
+    *
+    * Shape per iteration: corpus × broadcast(k centroids) argmax
+    * (map-side, no row explosion past the argmax window), then one
+    * posexplode → groupBy(cluster, component) shuffle for the exact means
+    * — O(corpus·k·d) compute, O(corpus·d) shuffle, never corpus².
+    * Seeds are the k lowest vec_ids (distributed TakeOrdered, then a
+    * k-row window for renumbering); empty clusters keep their previous
+    * centroid (standard Lloyd fix, mirrored in the oracle). */
+  private[graft] def fitExact(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    val all = base.select(col("vec_id").as("vid"),
+      col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+    val wSeed = Window.orderBy("vid")
+    var cents = all.orderBy("vid").limit(k)
+      .withColumn("cid", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cid"), transform(col("ev"), _.cast("double")).as("ecent"))
+      .withColumn("ncent", expr(normExpr("ecent")))
+    for (_ <- 1 to iters) {
+      val assign = assignClusters(all, cents) // (vid, cluster)
+      val comp = all.join(assign, "vid")
+        .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "e")))
+      val means = comp.groupBy("cluster", "i")
+        .agg(graft.util.Exact.exactAvg(col("e").cast("double")).as("m"))
+      val rebuilt = means.groupBy("cluster")
+        .agg(collect_list(struct(col("i"), col("m"))).as("pairs"))
+        .select(col("cluster").as("cid"),
+          transform(array_sort(col("pairs")), p => p.getField("m")).as("ecent"))
+      cents = cents.as("old").join(rebuilt.as("new"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new.ecent"), col("old.ecent")).as("ecent"))
+        .withColumn("ncent", expr(normExpr("ecent")))
+        .localCheckpoint() // truncate the growing lineage between iterations
+    }
+    cents
+  }
+
+  /** SemDeDup iteration count and the k rule. k = ⌈√corpus⌉ balances the
+    * two cost terms of single-level cluster blocking — assignment
+    * corpus·k and within-cluster candidates corpus²/k — at Θ(corpus^1.5)
+    * each. The r6-registered seed rule (k = corpus/50) bounded cluster
+    * size but made assignment corpus²/50 (measured 5.3× CPU at 10× rows,
+    * DESIGN.md); a fixed k flips the quadratic onto the candidate term.
+    * √corpus is the single-level optimum; below Θ(corpus^1.5) requires
+    * hierarchical (coarse→fine) assignment — documented as the next rung,
+    * same plan shape applied twice. */
+  private val SemIters = 2
+
+  /** SemDeDup (Abbas et al. 2023, published pipeline): k-means-cluster the
+    * corpus, then search for cosine near-dups only WITHIN each cluster.
     * This is the label-FREE variant of q_dedup_embed_cosine: at 100 TB
-    * there is no label column to block on, and the cluster key replaces
-    * it — candidate pairs fall from corpus²/2 to Σ cluster²/2 ≈
-    * corpus²/(2k), with k chosen ∝ corpus so cluster sizes stay bounded.
+    * there is no label column to block on, and the trained cluster key
+    * replaces it. Centroids come from `fitExact` (k = ⌈√corpus⌉, 2 exact
+    * Lloyd iterations) — the oracle replays the identical training, so the
+    * gate certifies the WHOLE pipeline including the clustering, not just
+    * the final join.
     *
     * Scale: assignment is corpus × broadcast(centroids), map-side; the
     * within-cluster self-join is salted exactly like the label variant
@@ -380,16 +432,53 @@ object VectorQueries {
     * would otherwise become one giant task); the cheap double-fold dot
     * pre-screens pairs with a provable 1e-6 margin before the
     * decimal-exact cosine that alone decides the output. */
-  val dedupSemantic = Q("q_dedup_semantic", "cluster-blocked cosine near-dup (SemDeDup)")(
+  val dedupSemantic = Q("q_dedup_semantic", "trained-cluster cosine near-dup (SemDeDup)")(
     vecsSql +
-      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
-      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
-      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
-      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
-      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      // k = ceil(sqrt(corpus)); seeds = k lowest vec_ids renumbered 0..k-1
+      ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+      "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
+      "FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)), " +
+      // c0: exploded seed centroids (cid, i, m) as double
+      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM seeds s JOIN v ON v.vec_id = s.vec_id), " +
+      // Lloyd iteration 1: exact-cosine argmax assignment, exact component means
+      "cn0 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      "FROM c0 GROUP BY 1), " +
+      "a1 AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      "FROM v JOIN c0 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cn0 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
       "WHERE rn = 1), " +
+      "m1 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
+      "FROM a1 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
+      "c1 AS (SELECT c0.cid, c0.i, COALESCE(m1.m, c0.m) AS m FROM c0 " +
+      "LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = c0.i), " +
+      // Lloyd iteration 2
+      "cn1 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      "FROM c1 GROUP BY 1), " +
+      "a2 AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      "FROM v JOIN c1 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cn1 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
+      "WHERE rn = 1), " +
+      "m2 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
+      "FROM a2 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
+      "c2 AS (SELECT c1.cid, c1.i, COALESCE(m2.m, c1.m) AS m FROM c1 " +
+      "LEFT JOIN m2 ON m2.cid = c1.cid AND m2.i = c1.i), " +
+      // final assignment against the trained centroids
+      "cn2 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      "FROM c2 GROUP BY 1), " +
+      "assign AS (SELECT vec_id AS vid, cid AS cluster FROM (SELECT d.vec_id, d.cid, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      "FROM v JOIN c2 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cn2 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
+      "WHERE rn = 1), " +
+      // within-cluster near-dup pairs (unchanged tail)
       "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
       "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
@@ -400,8 +489,8 @@ object VectorQueries {
       "WHERE d.dot / (na.nrm * nb.nrm) >= 0.35") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val k = math.ceil(math.sqrt(base.count().toDouble)).toInt
+      val cents = fitExact(base, k, SemIters)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val assign = assignClusters(all, cents)

@@ -31,6 +31,24 @@ class DecimalDotSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("decimal_dot and double_dot accept double arrays and mixed float/double (trained centroids)") {
+    val e = Tables.embeddings(spark, sf)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("af"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("bf")))
+      .filter(col("ia") < col("ib")).limit(500)
+      // widening float->double is value-preserving, so the double-array and
+      // mixed forms must equal the all-float form bit-for-bit
+      .withColumn("ad", transform(col("af"), _.cast("double")))
+      .withColumn("bd", transform(col("bf"), _.cast("double")))
+    val diff = pairs.select(
+      expr("decimal_dot(af, bf)").as("ff"), expr("decimal_dot(ad, bd)").as("dd"),
+      expr("decimal_dot(af, bd)").as("fd"),
+      expr("double_dot(af, bf)").as("pff"), expr("double_dot(ad, bd)").as("pdd"))
+      .filter(col("ff") =!= col("dd") || col("ff") =!= col("fd")
+        || col("pff") =!= col("pdd"))
+    assert(diff.count() == 0)
+  }
+
   test("quantize8 equals the BigDecimal reference on boundary and random values") {
     def ref(p: Double): Long = java.math.BigDecimal.valueOf(p)
       .setScale(8, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()

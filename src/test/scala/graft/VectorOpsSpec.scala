@@ -119,35 +119,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(hotMax * (SALTS / 2) <= hotTotal, "salting must divide the hot task")
   }
 
-  test("q_dedup_semantic matches a driver-side brute-force SemDeDup at sf0.001") {
-    // independent oracle: collect the (tiny) sf0.001 embeddings, assign
-    // each vector to its argmax-cosine seed centroid in plain Scala, and
-    // enumerate within-cluster pairs above threshold — then compare sets.
+  test("q_dedup_semantic matches a driver-side trained SemDeDup at sf0.001") {
+    // independent oracle: collect the (tiny) sf0.001 embeddings and replay
+    // the registered recipe in plain Scala — k = ceil(sqrt(n)) seeds from
+    // the lowest ids, 2 Lloyd iterations, argmax-cosine assignment, within-
+    // cluster pairs ≥ 0.35 — using the SAME quantized arithmetic
+    // (DecimalDot.quantize8 addends, exact-sum/count means), so the driver
+    // result must equal the distributed plan exactly, not approximately.
+    import graft.functions.DecimalDot.quantize8
     val rows = graft.util.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.indices.map(i => a(i) * b(i)).sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    def qdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += quantize8(a(i) * b(i)); i += 1 }
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8).doubleValue()
     }
-    val cents = rows.keys.filter(_ % 50 == 0).toSeq.sorted
-    val cluster = rows.map { case (id, v) =>
-      id -> cents.map(c => c -> cos(v, rows(c))).maxBy { case (c, s) => (s, -c) }._1
-    }
+    def nrm(a: Array[Double]): Double = math.sqrt(qdot(a, a))
+    def cos(a: Array[Double], b: Array[Double]): Double = qdot(a, b) / (nrm(a) * nrm(b))
+    def argmax(v: Array[Double], cents: Map[Long, Array[Double]]): Long =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
     val ids = rows.keys.toSeq.sorted
+    val k = math.ceil(math.sqrt(rows.size.toDouble)).toInt
+    var cents: Map[Long, Array[Double]] =
+      ids.take(k).zipWithIndex.map { case (vid, ci) => ci.toLong -> rows(vid) }.toMap
+    for (_ <- 1 to 2) {
+      val assign = rows.map { case (id, v) => id -> argmax(v, cents) }
+      cents = cents.map { case (c, old) =>
+        val members = rows.collect { case (id, v) if assign(id) == c => v }.toSeq
+        if (members.isEmpty) c -> old
+        else c -> Array.tabulate(old.length) { i =>
+          var s = 0L
+          members.foreach(m => s += quantize8(m(i)))
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8)
+            .doubleValue() / members.size
+        }
+      }
+    }
+    val cluster = rows.map { case (id, v) => id -> argmax(v, cents) }
     val expected = (for {
       i <- ids; j <- ids if i < j && cluster(i) == cluster(j)
-      c = cos(rows(i), rows(j)) if c >= 0.35 + 1e-6
-    } yield (i, j)).toSet
-    val tooClose = (for {
-      i <- ids; j <- ids if i < j && cluster(i) == cluster(j)
-      c = cos(rows(i), rows(j)) if math.abs(c - 0.35) <= 1e-6
+      c = cos(rows(i), rows(j)) if c >= 0.35
     } yield (i, j)).toSet
     val got = graft.queries.VectorQueries.dedupSemantic.fn(spark, sf)
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // outside the 1e-6 threshold band, driver math and the decimal-exact
-    // plan must agree exactly; inside the band either verdict is legal
-    assert(expected.subsetOf(got), s"missing pairs: ${expected -- got}")
-    assert((got -- expected).subsetOf(tooClose), s"extra pairs: ${got -- expected -- tooClose}")
+    assert(got === expected,
+      s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 }
