@@ -251,20 +251,28 @@ object VectorQueries {
       "CAST(0 AS DECIMAL(18,8)), (acc, v) -> CAST(acc + v AS DECIMAL(18,8))) AS DOUBLE)"
   }
 
-  /** Random-hyperplane LSH ANN: 6 sign-hash hyperplanes → 64 cosine-similar
+  /** Random-hyperplane LSH ANN: sign-hash hyperplanes → cosine-similar
     * buckets → candidates share the query's bucket → exact cosine rerank,
     * top-3. The whole-corpus path of ANN (vs IVF's trained centroids): the
-    * sketch is one map-only pass (6 in-row array folds, no component
+    * sketch is one map-only pass (in-row array folds, no component
     * shuffle), candidate generation is an equi-join on the bucket key, and
     * only the tiny query set is broadcast. Scale knobs: more planes →
-    * smaller buckets; multiple hash tables / probing neighbor buckets
-    * (flip one bit) → higher recall. */
+    * smaller buckets (cheaper search, lower recall); multiple hash tables /
+    * probing neighbor buckets (flip one bit) → higher recall.
+    *
+    * The REGISTERED single-probe config is planes = 2: the pinned sweep
+    * (ANNRecallSpec) measured recall@3 = 0.40 at 2 planes vs 0.00 at 6 on
+    * this corpus — near-random embeddings are adversarial for cosine LSH,
+    * and a default that returns none of the true neighbors is evidence,
+    * not an index (VERDICT r6 #6). 2 planes = 4 buckets → each search
+    * touches ~corpus/4; production would raise planes AND probe (the
+    * q_ann_lsh_probe path) or stack hash tables to buy both back. */
   val annLsh = Q("q_ann_lsh", "hyperplane-LSH bucketed cosine top-3")(
     vecsSql +
       ", proj AS (SELECT v.vec_id, p.j, " +
       "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
       "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
-      "FROM v, (SELECT unnest(range(0, 6)) AS j) p GROUP BY 1, 2), " +
+      "FROM v, (SELECT unnest(range(0, 2)) AS j) p GROUP BY 1, 2), " +
       "buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket " +
       "FROM proj GROUP BY 1), " +
       "cand AS (SELECT q.vec_id AS q, c.vec_id AS c, q.bucket FROM buck q " +
@@ -277,7 +285,7 @@ object VectorQueries {
       "SELECT q, c, bucket, cosine, rn FROM (SELECT cosd.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 3") {
-    (s, d) => lshSearch(s, d, planes = 6, multiProbe = false)
+    (s, d) => lshSearch(s, d, planes = 2, multiProbe = false)
   }
 
   /** The sketch pass shared by the LSH variants: (vec_id, embedding, nrm,
@@ -303,7 +311,8 @@ object VectorQueries {
     * parameterized by the index knobs so ANNRecallSpec can sweep them:
     * `planes` sets bucket granularity, `multiProbe` adds the one-bit-flip
     * probe expansion on the query side. The registered queries run
-    * (planes = 6, single) and (planes = 6, multi). */
+    * (planes = 2, single — see annLsh's recall note) and
+    * (planes = 6, multi). */
   private[graft] def lshSearch(s: org.apache.spark.sql.SparkSession, d: String,
       planes: Int, multiProbe: Boolean): DataFrame = {
     val buck = lshBuckets(s, d, planes)
