@@ -140,8 +140,13 @@ object TextQueries {
   }
 
   /** N-gram Jaccard similarity over blocked candidate pairs (same source,
-    * |length diff| ≤ 2, sharing ≥ 1 facet slot): |A∩B| / |A∪B| on
-    * distinct shingle sets.
+    * |length diff| ≤ 8, sharing ≥ 1 facet slot): |A∩B| / |A∪B| on
+    * distinct shingle sets. The length window was ±2 through r6; the
+    * driver corpus holds near-dups at char deltas 3-8 but NONE within ±2,
+    * so the oracle gate compared empty-to-empty for two rounds (VERDICT r6
+    * #5). ±8 keeps the window a constant-bounded residual (no cost-shape
+    * change — the facet still carries the scaling argument) while making
+    * the gate certify real pairs.
     *
     * Blocking keyspace (r5 introduced the content facet; r6 widened it to
     * a SKETCH): (source, length-bucket) alone has FIXED cardinality, so
@@ -157,7 +162,7 @@ object TextQueries {
     * independent). A pair is a candidate when ANY slot agrees. By the
     * minhash property P(slot k agrees) = jaccard, so
     * P(miss | jaccard = j) ≈ (1−j)⁸ — 0.4% at j = 0.5 where the r5
-    * single-slot facet missed 50%, and for the ≤2-word-diff near-dup
+    * single-slot facet missed 50%, and for the few-word-diff near-dup
     * case (≤ 6 differing shingles of n) the miss is ≤ (6/n)⁸ ≈ 0. The
     * facet remains part of the candidate CONTRACT (oracle in lockstep):
     * pairs with j ≈ 0 — which is every pair the facet prunes — are not
@@ -179,7 +184,7 @@ object TextQueries {
       (8 to 15).map(k => s"SELECT doc_id, $k AS slot, mh$k AS fv FROM sigf")
         .mkString(" UNION ALL ") + "), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
-      "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 2 " +
+      "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 8 " +
       "AND a.doc_id < b.doc_id " +
       "JOIN fac fa ON fa.doc_id = a.doc_id " +
       "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.slot = fa.slot AND fb.fv = fa.fv), " +
@@ -211,18 +216,18 @@ object TextQueries {
       // otherwise form one giant sort-merge key scanned quadratically by
       // the length residual, and without the facet the (source, bucket)
       // keyspace is FIXED, leaving a corpus²/keyspace candidate term.
-      // Bucket width 4 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 2 land
+      // Bucket width 16 ≥ 2·(max diff): two docs with |Δn_chars| ≤ 8 land
       // in the same or adjacent buckets, so emitting side A at {k-1, k,
       // k+1} and side B at {k} finds every qualifying (pair, slot) match
       // exactly once; the DISTINCT below collapses multi-slot agreement.
-      // The |Δ| ≤ 2 residual then only runs inside width-4 buckets sliced
+      // The |Δ| ≤ 8 residual then only runs inside width-16 buckets sliced
       // by facet value — bounded work per key, no skew blow-up.
-      val bucket = floor(col("n_chars") / 4)
+      val bucket = floor(col("n_chars") / 16)
       val aSide = docs.select(col("doc_id").as("doc_a"), col("source"),
           col("n_chars").as("ca"))
         .join(fac.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumn("bucket", explode(array(floor(col("ca") / 4) - 1,
-          floor(col("ca") / 4), floor(col("ca") / 4) + 1)))
+        .withColumn("bucket", explode(array(floor(col("ca") / 16) - 1,
+          floor(col("ca") / 16), floor(col("ca") / 16) + 1)))
       val bSide = docs.select(col("doc_id").as("doc_b"), col("source"),
           col("n_chars").as("cb"), bucket.as("bucket"))
         .join(fac.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -232,7 +237,7 @@ object TextQueries {
       // consumer recomputes the full explode/distinct subtree
       // (localCheckpoint, not persist: blocks free with the frames)
       val cand = aSide.join(bSide, Seq("source", "bucket", "slot", "fv"))
-        .filter(abs(col("ca") - col("cb")) <= 2 && col("doc_a") < col("doc_b"))
+        .filter(abs(col("ca") - col("cb")) <= 8 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
         .materialized()
