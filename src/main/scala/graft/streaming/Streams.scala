@@ -146,6 +146,59 @@ object Streams {
       }.toDF()
   }
 
+  final case class FunnelEvent(user_id: Long, day: java.sql.Timestamp,
+      ts_us: Long, event_type: String)
+  final case class FunnelStaged(user_id: Long, day: java.sql.Timestamp,
+      vt: Option[Long], ct: Option[Long], pt: Option[Long])
+
+  /** Streaming ordered funnel — the continuous twin of the batch
+    * q_event_funnel (queries/SessionQueries.scala): per (user_id, day),
+    * the staged mins vt (first 'view'), ct (first 'click' strictly after
+    * vt), pt (first 'purchase' strictly after ct), carried across
+    * micro-batches with `flatMapGroupsWithState`. Column identities match
+    * the batch operator's staged frame, so the day-level rollup
+    * (count(vt)/count(ct)/count(pt) over the LATEST row per user-day) is
+    * the batch result.
+    *
+    * State is one 3-field case class per active (user, day) — bounded by
+    * active user-days, never by event volume. Each micro-batch folds its
+    * rows in event-time order; like streamingEma, batches are assumed to
+    * arrive in time order per key (the AvailableNow snapshot-drop layout
+    * provides this) — an out-of-order view arriving AFTER a click was
+    * already staged could not retroactively admit clicks between the two
+    * view times. Every batch re-emits the group's refreshed staged row
+    * (Append sink ⇒ consumers take the last row per key, the same
+    * read-side contract as corpusIngest's append-only corpus). */
+  def funnelStages(spark: SparkSession, sourceDir: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[FunnelStaged, FunnelStaged](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case ((uid, day), rows, state) =>
+        var (vt, ct, pt) = state.getOption
+          .map(s => (s.vt, s.ct, s.pt)).getOrElse((None: Option[Long], None: Option[Long], None: Option[Long]))
+        // time-ordered fold = the batch staged-min semantics: first view,
+        // first click strictly after it, first purchase strictly after that
+        rows.toSeq.sortBy(_.ts_us).foreach { e =>
+          e.event_type match {
+            case "view"     if vt.isEmpty                            => vt = Some(e.ts_us)
+            case "click"    if ct.isEmpty && vt.exists(e.ts_us > _)  => ct = Some(e.ts_us)
+            case "purchase" if pt.isEmpty && ct.exists(e.ts_us > _)  => pt = Some(e.ts_us)
+            case _ =>
+          }
+        }
+        val out = FunnelStaged(uid, day, vt, ct, pt)
+        state.update(out)
+        Iterator.single(out)
+      }.toDF()
+  }
+
   /** Streaming curation ingest — the continuous form of the batch
     * quality + privacy pass: documents that clear the Gopher filter
     * (TextOps.gopher, the SAME expression q_text_gopher evaluates) are

@@ -182,6 +182,68 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.toSet == batch.toSet)
   }
 
+  test("Streams.funnelStages carries per-user-day staged mins across runs and matches the batch funnel") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.funnelStages(spark, src, schema)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: user 1 views then clicks; user 2 clicks only (no view →
+    // click must NOT stage); user 1 also has a click at exactly vt
+    // (strictly-after rule must reject it)
+    ev(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (2L, "2024-01-01 09:00:00", "click")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // batch 2 (separate run = restart): user 1 purchases — must convert
+    // against the click staged in run 1; user 2 views (too late for the
+    // run-1 click, which stays unstaged under in-order arrival)
+    ev(Seq(
+      (1L, "2024-01-01 11:00:00", "purchase"),
+      (2L, "2024-01-01 11:30:00", "view")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // consumers read the LAST emitted row per (user, day)
+    val last = spark.read.parquet(out).as[Streams.FunnelStaged].collect()
+      .groupBy(s => (s.user_id, s.day))
+      .map { case (k, rows) =>
+        k -> rows.maxBy(s => (s.vt.size + s.ct.size + s.pt.size)) }
+    val day = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val u1 = last((1L, day))
+    assert(u1.vt.contains(tsUs("2024-01-01 10:00:00")))
+    assert(u1.ct.contains(tsUs("2024-01-01 10:05:00"))) // 10:00 click == vt rejected
+    assert(u1.pt.contains(tsUs("2024-01-01 11:00:00"))) // staged across the restart
+    val u2 = last((2L, day))
+    assert(u2.vt.contains(tsUs("2024-01-01 11:30:00")) && u2.ct.isEmpty && u2.pt.isEmpty)
+
+    // the batch q_event_funnel on the same events agrees at the day level:
+    // 2 users, 2 views, 1 click-after-view, 1 purchase-after-click
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    val batch = graft.queries.SessionQueries.eventFunnel.fn(spark, evDir)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect()
+    assert(batch.length == 1)
+    assert(batch.head == ((day, 2L, 2L, 1L, 1L)))
+  }
+
+  private def tsUs(s: String): Long =
+    java.sql.Timestamp.valueOf(s).getTime * 1000L
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
