@@ -52,7 +52,22 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // tee the full per-query record in-repo (append, one line per run):
+    // the driver's bench artifact truncates its tail, which erased the
+    // alphabetically-early half of the suite's timing history for rounds
+    // 1-6 — BENCH_LOCAL.jsonl is the complete, versioned record
+    try {
+      val tee = sys.env.getOrElse("SPARK_GRAFT_BENCH_TEE", "BENCH_LOCAL.jsonl")
+      if (tee.nonEmpty) {
+        val stamped = line.patch(1, s""""at":"${java.time.Instant.now()}",""", 0)
+        java.nio.file.Files.write(java.nio.file.Paths.get(tee),
+          (stamped + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] tee failed: $e") }
     spark.stop()
   }
 }

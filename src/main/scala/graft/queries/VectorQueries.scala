@@ -415,16 +415,28 @@ object VectorQueries {
     cents
   }
 
-  /** SemDeDup iteration count and the k rule. k = ⌈√corpus⌉ balances the
-    * two cost terms of single-level cluster blocking — assignment
-    * corpus·k and within-cluster candidates corpus²/k — at Θ(corpus^1.5)
-    * each. The r6-registered seed rule (k = corpus/50) bounded cluster
-    * size but made assignment corpus²/50 (measured 5.3× CPU at 10× rows,
-    * DESIGN.md); a fixed k flips the quadratic onto the candidate term.
-    * √corpus is the single-level optimum; below Θ(corpus^1.5) requires
-    * hierarchical (coarse→fine) assignment — documented as the next rung,
-    * same plan shape applied twice. */
+  /** SemDeDup iteration count, the k rule, and the training-sample cap.
+    *
+    * k = ⌈√corpus⌉ balances the two post-training cost terms of
+    * single-level cluster blocking — final assignment corpus·k and
+    * within-cluster candidates corpus²/k — at Θ(corpus^1.5) each. The
+    * r6-registered seed rule (k = corpus/50) bounded cluster size but made
+    * assignment corpus²/50 (measured 5.3× CPU at 10× rows, DESIGN.md); a
+    * fixed k flips the quadratic onto the candidate term. √corpus is the
+    * single-level optimum; below Θ(corpus^1.5) requires hierarchical
+    * (coarse→fine) assignment — documented as the next rung, the same
+    * argmax plan applied twice.
+    *
+    * TRAINING is capped: Lloyd iterations run over a deterministic
+    * vec_id-stride sample of max(20000, 40·k) vectors — the published
+    * SemDeDup practice of training on a subset and assigning everything.
+    * Training work is then ≤ 2·40·k² = 80·corpus for large corpora —
+    * LINEAR — while keeping ≥ 40 sample points per centroid at any scale
+    * (a fixed cap would starve the means as k = √corpus grows). Below
+    * 20 000 vectors the stride is 1 and training sees the full corpus. */
   private val SemIters = 2
+  private val SemTrainSample = 20000.0
+  private val SemTrainPerCentroid = 40.0
 
   /** SemDeDup (Abbas et al. 2023, published pipeline): k-means-cluster the
     * corpus, then search for cosine near-dups only WITHIN each cluster.
@@ -443,10 +455,15 @@ object VectorQueries {
     * decimal-exact cosine that alone decides the output. */
   val dedupSemantic = Q("q_dedup_semantic", "trained-cluster cosine near-dup (SemDeDup)")(
     vecsSql +
-      // k = ceil(sqrt(corpus)); seeds = k lowest vec_ids renumbered 0..k-1
-      ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings), " +
+      // k = ceil(sqrt(corpus)); training sample = 1-in-samp vec_id stride
+      // (samp = 1 below 20k vectors); seeds = k lowest SAMPLE vec_ids 0..k-1
+      ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k, " +
+      "greatest(1, CAST(ceil(count(*) / greatest(20000.0, 40.0 * ceil(sqrt(count(*))))) AS BIGINT)) AS samp " +
+      "FROM embeddings), " +
+      "vs AS (SELECT * FROM v WHERE vec_id % (SELECT samp FROM kk) = 0), " +
       "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
-      "FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)), " +
+      "FROM embeddings WHERE vec_id % (SELECT samp FROM kk) = 0 " +
+      "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)), " +
       // c0: exploded seed centroids (cid, i, m) as double
       "c0 AS (SELECT s.cid, v.i, v.e AS m FROM seeds s JOIN v ON v.vec_id = s.vec_id), " +
       // Lloyd iteration 1: exact-cosine argmax assignment, exact component means
@@ -456,11 +473,11 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
       "FROM (SELECT v.vec_id, c.cid, " +
       "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
-      "FROM v JOIN c0 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "FROM vs v JOIN c0 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
       "JOIN cn0 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
       "WHERE rn = 1), " +
       "m1 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
-      "FROM a1 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
+      "FROM a1 a JOIN vs v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
       "c1 AS (SELECT c0.cid, c0.i, COALESCE(m1.m, c0.m) AS m FROM c0 " +
       "LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = c0.i), " +
       // Lloyd iteration 2
@@ -470,11 +487,11 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
       "FROM (SELECT v.vec_id, c.cid, " +
       "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
-      "FROM v JOIN c1 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "FROM vs v JOIN c1 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
       "JOIN cn1 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
       "WHERE rn = 1), " +
       "m2 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
-      "FROM a2 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
+      "FROM a2 a JOIN vs v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
       "c2 AS (SELECT c1.cid, c1.i, COALESCE(m2.m, c1.m) AS m FROM c1 " +
       "LEFT JOIN m2 ON m2.cid = c1.cid AND m2.i = c1.i), " +
       // final assignment against the trained centroids
@@ -498,8 +515,11 @@ object VectorQueries {
       "WHERE d.dot / (na.nrm * nb.nrm) >= 0.35") {
     (s, d) =>
       val base = embeddings(s, d)
-      val k = math.ceil(math.sqrt(base.count().toDouble)).toInt
-      val cents = fitExact(base, k, SemIters)
+      val n = base.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val target = math.max(SemTrainSample, SemTrainPerCentroid * k)
+      val samp = math.max(1L, math.ceil(n / target).toLong)
+      val cents = fitExact(base.filter(col("vec_id") % samp === 0), k, SemIters)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val assign = assignClusters(all, cents)
