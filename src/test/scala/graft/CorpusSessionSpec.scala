@@ -283,15 +283,19 @@ class CorpusSessionSpec extends SparkSpec {
   }
 
   test("q_ann_lsh_probe: multi-probe recall dominates single-bucket recall") {
-    val single = VectorQueries.annLsh.fn(spark, sf)
-      .filter(col("rn") === 1).select(col("q"), col("cosine").as("c1"))
-    val probed = VectorQueries.annLshProbe.fn(spark, sf)
-      .filter(col("rn") === 1).select(col("q"), col("cosine").as("cp"))
-    // the probe candidate set is a superset, so its best hit per query is
-    // at least as good
-    val j = single.join(probed, "q")
-    assert(j.count() > 0)
-    assert(j.filter(col("cp") < col("c1")).count() == 0)
+    // the superset law (probing adds buckets, so the best hit per query is
+    // at least as good) holds per plane count — compare like-for-like at
+    // q_ann_lsh_probe's 6 planes AND q_ann_lsh's 2 planes (the registered
+    // configs themselves use different plane counts since r7)
+    for (planes <- Seq(2, 6)) {
+      val single = VectorQueries.lshSearch(spark, sf, planes, multiProbe = false)
+        .filter(col("rn") === 1).select(col("q"), col("cosine").as("c1"))
+      val probed = VectorQueries.lshSearch(spark, sf, planes, multiProbe = true)
+        .filter(col("rn") === 1).select(col("q"), col("cosine").as("cp"))
+      val j = single.join(probed, "q")
+      assert(j.count() > 0)
+      assert(j.filter(col("cp") < col("c1")).count() == 0, s"planes=$planes")
+    }
   }
 
   test("CorpusPipeline.run materializes every layer with monotone row counts") {
