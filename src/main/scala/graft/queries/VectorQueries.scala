@@ -389,6 +389,25 @@ object VectorQueries {
     * Seeds are the k lowest vec_ids (distributed TakeOrdered, then a
     * k-row window for renumbering); empty clusters keep their previous
     * centroid (standard Lloyd fix, mirrored in the oracle). */
+  /** One exact Lloyd step: argmax-cosine assignment of `all` (vid, ev,
+    * nv) against `cents` (cid, ecent, ncent), then decimal-exact
+    * component means; empty clusters keep their previous centroid. */
+  private[graft] def lloydStep(all: DataFrame, cents: DataFrame): DataFrame = {
+    val assign = assignClusters(all, cents) // (vid, cluster)
+    val comp = all.join(assign, "vid")
+      .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "e")))
+    val means = comp.groupBy("cluster", "i")
+      .agg(graft.util.Exact.exactAvg(col("e").cast("double")).as("m"))
+    val rebuilt = means.groupBy("cluster")
+      .agg(collect_list(struct(col("i"), col("m"))).as("pairs"))
+      .select(col("cluster").as("cid"),
+        transform(array_sort(col("pairs")), p => p.getField("m")).as("ecent"))
+    cents.as("old").join(rebuilt.as("new"), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("new.ecent"), col("old.ecent")).as("ecent"))
+      .withColumn("ncent", expr(normExpr("ecent")))
+      .localCheckpoint() // truncate the growing lineage between iterations
+  }
+
   private[graft] def fitExact(base: DataFrame, k: Int, iters: Int): DataFrame = {
     val all = base.select(col("vec_id").as("vid"),
       col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
@@ -397,22 +416,48 @@ object VectorQueries {
       .withColumn("cid", (row_number().over(wSeed) - 1).cast("long"))
       .select(col("cid"), transform(col("ev"), _.cast("double")).as("ecent"))
       .withColumn("ncent", expr(normExpr("ecent")))
-    for (_ <- 1 to iters) {
-      val assign = assignClusters(all, cents) // (vid, cluster)
-      val comp = all.join(assign, "vid")
-        .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "e")))
-      val means = comp.groupBy("cluster", "i")
-        .agg(graft.util.Exact.exactAvg(col("e").cast("double")).as("m"))
-      val rebuilt = means.groupBy("cluster")
-        .agg(collect_list(struct(col("i"), col("m"))).as("pairs"))
-        .select(col("cluster").as("cid"),
-          transform(array_sort(col("pairs")), p => p.getField("m")).as("ecent"))
-      cents = cents.as("old").join(rebuilt.as("new"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("new.ecent"), col("old.ecent")).as("ecent"))
-        .withColumn("ncent", expr(normExpr("ecent")))
-        .localCheckpoint() // truncate the growing lineage between iterations
-    }
+    for (_ <- 1 to iters) cents = lloydStep(all, cents)
     cents
+  }
+
+  /** Two-level exact argmax assignment — the corpus^1.25 rung below the
+    * registered flat assignment (DESIGN.md §4): build ⌈√k⌉ super-centroids
+    * with one exact Lloyd step over the centroids themselves (seeds = the
+    * ⌈√k⌉ lowest cids; cids are dense 0..k-1), fix each centroid's
+    * membership under the FINAL supers, then per vector argmax over the
+    * supers and argmax over the chosen super's member centroids —
+    * ~(√k + k/√k) = 2√k dots per vector instead of k.
+    *
+    * Same decimal-exact arithmetic and tie rules as the flat path, so the
+    * result is DETERMINISTIC and a SQL oracle extends mechanically — but
+    * it is a coarser CONTRACT, not a bit-equal drop-in: a vector may
+    * choose a super whose best member is globally second-best. For
+    * cluster-blocking (SemDeDup) that trades a little pair recall for a
+    * 10×+ assignment-cost cut at large k; swap it into q_dedup_semantic
+    * (with the oracle extended the same way) when corpus^1.5 assignment
+    * becomes the measured bottleneck. */
+  private[graft] def assignClustersHier(all: DataFrame, cents: DataFrame): DataFrame = {
+    val k = cents.count()
+    val nS = math.ceil(math.sqrt(k.toDouble)).toLong
+    val centVecs = cents.select(col("cid").as("vid"),
+      col("ecent").as("ev"), col("ncent").as("nv"))
+    val superSeeds = cents.filter(col("cid") < nS)
+    val supers = lloydStep(centVecs, superSeeds) // (cid = sid, ecent, ncent)
+    val member = assignClusters(centVecs, supers)
+      .select(col("vid").as("mcid"), col("cluster").as("sid"))
+    val vSup = assignClusters(all, supers)
+      .select(col("vid"), col("cluster").as("sid"))
+    // stage 2: exact cosine only against the chosen super's members; the
+    // (sid → member centroid) table is k rows — always broadcast-sized
+    val candCents = member.join(cents, member("mcid") === cents("cid"))
+      .select(col("sid"), col("cid"), col("ecent"), col("ncent"))
+    val pairs = vSup.join(all, "vid").join(broadcast(candCents), "sid")
+      .select(col("vid"), col("cid"),
+        (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
+    val w = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid"), col("cid").as("cluster"))
+      .materialized()
   }
 
   /** SemDeDup iteration count, the k rule, and the training-sample cap.

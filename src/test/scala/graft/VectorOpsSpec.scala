@@ -119,6 +119,62 @@ class VectorOpsSpec extends SparkSpec {
     assert(hotMax * (SALTS / 2) <= hotTotal, "salting must divide the hot task")
   }
 
+  test("assignClustersHier: stage-2 argmax is exact within the chosen super and the plan is deterministic") {
+    import org.apache.spark.sql.functions.{col, expr, transform => atransform}
+    val base = graft.util.Tables.embeddings(spark, sf)
+    val k = 15
+    val cents = graft.queries.VectorQueries.fitExact(base, k, 1)
+    val all = base.select(col("vec_id").as("vid"), col("embedding").as("ev"),
+      expr("sqrt(decimal_dot(embedding, embedding))").as("nv"))
+    val hier = graft.queries.VectorQueries.assignClustersHier(all, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.size == base.count())
+
+    // driver replay with the same quantized arithmetic: supers = one exact
+    // Lloyd step over the centroids seeded by the ceil(sqrt(k)) lowest cids,
+    // membership + two-stage argmax — must match EXACTLY
+    import graft.functions.DecimalDot.quantize8
+    def qdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += quantize8(a(i) * b(i)); i += 1 }
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8).doubleValue()
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(qdot(a, a))
+    def cos(a: Array[Double], b: Array[Double]): Double = qdot(a, b) / (nrm(a) * nrm(b))
+    def argmax(v: Array[Double], cs: Map[Long, Array[Double]]): Long =
+      cs.toSeq.map { case (c, cv) => (c, cos(v, cv)) }.minBy { case (c, s) => (-s, c) }._1
+    val centArr = cents.select(col("cid"),
+        atransform(col("ecent"), _.cast("double")).as("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val nS = math.ceil(math.sqrt(k.toDouble)).toLong
+    var supers = centArr.filter(_._1 < nS)
+    val sAssign = centArr.map { case (c, v) => c -> argmax(v, supers) }
+    supers = supers.map { case (sid, old) =>
+      val members = centArr.collect { case (c, v) if sAssign(c) == sid => v }.toSeq
+      if (members.isEmpty) sid -> old
+      else sid -> Array.tabulate(old.length) { i =>
+        var s = 0L
+        members.foreach(m => s += quantize8(m(i)))
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8)
+          .doubleValue() / members.size
+      }
+    }
+    val memberOf = centArr.map { case (c, v) => c -> argmax(v, supers) }
+    val vecs = base.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val expected = vecs.map { case (vid, v) =>
+      val sid = argmax(v, supers)
+      vid -> argmax(v, centArr.filter { case (c, _) => memberOf(c) == sid })
+    }
+    assert(hier === expected)
+
+    // determinism under repartitioning (retries / AQE re-plans)
+    val hier2 = graft.queries.VectorQueries.assignClustersHier(
+      all.repartition(7), cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier2 === hier)
+  }
+
   test("q_dedup_semantic matches a driver-side trained SemDeDup at sf0.001") {
     // independent oracle: collect the (tiny) sf0.001 embeddings and replay
     // the registered recipe in plain Scala — k = ceil(sqrt(n)) seeds from
