@@ -184,19 +184,46 @@ object VectorQueries {
     * centroids (the registered query above) and ops.VectorOps.fit output
     * (the trained path, VectorOpsSpec) run the IDENTICAL plan — `cents`
     * must carry (cid, ecent, ncent). */
-  /** Argmax-cosine centroid assignment: corpus × broadcast(centroids) →
-    * (vid, cluster), one row per vector. Materialized because every caller
-    * feeds it into BOTH sides of a cluster self-join — without
-    * materializing, Spark computes the whole corpus×centroids subtree
-    * twice (no common-subplan reuse); localCheckpoint so blocks free with
-    * the frame. `all` must carry (vid, ev, nv); `cents` (cid, ecent, ncent). */
+  /** Argmax-cosine centroid assignment: (vid, cluster), one row per
+    * vector, as a MAP-ONLY projection. The k centroids are packed into
+    * ONE broadcast row (array<struct>, sorted by cid) and each corpus row
+    * folds over it with the native decimal-exact dot — so assignment
+    * needs NO corpus×k row materialization and NO Exchange. The previous
+    * window-argmax form shuffled corpus×k (vid, cid, cosine) rows through
+    * a per-vid sort (~3.6 GB at sf1's 200k×448); this plan's only
+    * data movement is the k-row broadcast.
+    *
+    * Bit-parity with the SQL-oracle argmax: the fold computes the
+    * IDENTICAL decimal-exact cosine per (vector, centroid), and the
+    * strict `>` over the cid-ascending array keeps the FIRST maximum —
+    * the same (cosine DESC, cid ASC) tie rule as the oracle's
+    * row_number. (A NaN cosine — zero-norm vector — would never win the
+    * fold while an ORDER BY would sort it first; all norms here are
+    * nonzero by construction.)
+    *
+    * Materialized because every caller feeds it into BOTH sides of a
+    * cluster self-join — without materializing, Spark computes the whole
+    * corpus-scan subtree twice (no common-subplan reuse); localCheckpoint
+    * so blocks free with the frame. `all` must carry (vid, ev, nv);
+    * `cents` (cid, ecent, ncent). */
   private[graft] def assignClusters(all: DataFrame, cents: DataFrame): DataFrame = {
-    val ccos = all.crossJoin(broadcast(cents))
-      .select(col("vid"), col("cid"),
-        (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
-    val wAssign = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
-    ccos.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vid"), col("cid").as("cluster"))
+    import org.apache.spark.sql.GraftColumnBridge
+    def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftColumnBridge.column(graft.functions.DecimalDot(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    // one row: the centroids as an array<struct(cid, ecent, ncent)>,
+    // array_sort orders by the first struct field = cid (unique)
+    val packed = cents
+      .select(struct(col("cid"), col("ecent"), col("ncent")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+    val init = struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos"))
+    val best = aggregate(col("cents"), init, (acc, c) => {
+      val cos = ddot(col("ev"), c.getField("ecent")) / (col("nv") * c.getField("ncent"))
+      when(cos > acc.getField("cos"),
+        struct(c.getField("cid").as("cid"), cos.as("cos"))).otherwise(acc)
+    })
+    all.crossJoin(broadcast(packed))
+      .select(col("vid"), best.getField("cid").as("cluster"))
       .materialized()
   }
 
