@@ -57,18 +57,23 @@ object Corpus {
 
   /** Per-document token Shannon entropy in nats (q_text_entropy is a
     * straight select over this): H = pln(dl) − (Σ tf·pln tf)/dl. Portable
-    * log (util.Portable) + decimal-exact associative sum (util.Exact), so
-    * the score is bit-stable across engines and partitionings. */
+    * log (util.Portable) + binary-grid integer sum and final-score pin
+    * (util.Exact.portableSum/pinScore) — the sum is associative
+    * (partition-order-free) AND involves no engine decimal cast, so the
+    * published score is bit-stable across engines, partitionings, and
+    * oracle-engine versions (see Exact's PinGrid scaladoc for why the
+    * earlier decimal-sum form drifted on transcendental addends). */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     val tf = TextOps.explodeTokens(docs).groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
     val perDoc = graft.util.Portable.pln(tf, col("tf").cast("double"), "lntf")
       .groupBy("doc_id")
-      .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lntf")).as("s"),
+      .agg(graft.util.Exact.portableSum(col("tf").cast("double") * col("lntf")).as("s"),
         sum("tf").as("dl"))
     graft.util.Portable.pln(perDoc, col("dl").cast("double"), "lndl")
       .select(col("doc_id"), col("dl"),
-        (col("lndl") - (col("s") / col("dl").cast("double"))).as("entropy"))
+        graft.util.Exact.pinScore(col("lndl") - (col("s") / col("dl").cast("double")))
+          .as("entropy"))
   }
 
   /** Connected-component labels over the MinHash-LSH candidate graph:

@@ -49,7 +49,8 @@ object CorpusStatsQueries {
       "FROM tf t JOIN idf i ON i.word = t.word), " +
       "rk AS (SELECT doc_id, term, tfidf, " +
       "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
-      "SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3") {
+      "SELECT doc_id, rk, term, " + graft.util.Exact.Sql.pinScore("tfidf") +
+      " AS tfidf FROM rk WHERE rk <= 3") {
     (s, d) =>
       val tokw = TextOps.explodeTokens(documents(s, d))
       // (doc, word) counts feed df, N and the scoring join: materialize
@@ -76,7 +77,8 @@ object CorpusStatsQueries {
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       sc.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .select(col("doc_id"), col("rk"), col("term"),
+          graft.util.Exact.pinScore(col("tfidf")).as("tfidf"))
   }
 
   /** BM25 (k1 = 1.2, b = 0.75) of every document against a fixed query
@@ -106,7 +108,10 @@ object CorpusStatsQueries {
       "sum(CASE WHEN word = 'join' THEN c END) AS cj, " +
       "sum(CASE WHEN word = 'hash' THEN c END) AS ch, " +
       "sum(CASE WHEN word = 'scan' THEN c END) AS cs FROM contrib GROUP BY 1) " +
-      "SELECT doc_id, (COALESCE(cj, 0.0) + COALESCE(ch, 0.0)) + COALESCE(cs, 0.0) AS bm25 FROM piv") {
+      "SELECT doc_id, " +
+      graft.util.Exact.Sql.pinScore(
+        "(COALESCE(cj, 0.0) + COALESCE(ch, 0.0)) + COALESCE(cs, 0.0)") +
+      " AS bm25 FROM piv") {
     (s, d) =>
       val terms = Seq("join", "hash", "scan")
       val tokw = TextOps.explodeTokens(documents(s, d))
@@ -139,7 +144,9 @@ object CorpusStatsQueries {
           sum(when(col("word") === "hash", col("c"))).as("ch"),
           sum(when(col("word") === "scan", col("c"))).as("cs"))
         .select(col("doc_id"),
-          (coalesce(col("cj"), lit(0.0)) + coalesce(col("ch"), lit(0.0)) + coalesce(col("cs"), lit(0.0)))
+          graft.util.Exact.pinScore(
+            coalesce(col("cj"), lit(0.0)) + coalesce(col("ch"), lit(0.0)) +
+              coalesce(col("cs"), lit(0.0)))
             .as("bm25"))
   }
 
@@ -202,7 +209,8 @@ object CorpusStatsQueries {
       "FROM cb b JOIN cu u1 ON u1.word = b.w1 JOIN cu u2 ON u2.word = b.w2 " +
       "CROSS JOIN tot t CROSS JOIN totb tb WHERE b.cab >= 5), " +
       Portable.plnSqlCtes("pmx", "pml") + " " +
-      "SELECT w1, w2, cab, _pln AS pmi FROM pml") {
+      "SELECT w1, w2, cab, " + graft.util.Exact.Sql.pinScore("_pln") +
+      " AS pmi FROM pml") {
     (s, d) =>
       val docs = documents(s, d)
       val tokw = TextOps.explodeTokens(docs)
@@ -226,7 +234,8 @@ object CorpusStatsQueries {
       Portable.pln(scored,
           ((col("cab").cast("double") * col("t").cast("double")) * col("t").cast("double")) /
             ((col("tb").cast("double") * col("cw1").cast("double")) * col("cw2").cast("double")), "pmi")
-        .select(col("w1"), col("w2"), col("cab"), col("pmi"))
+        .select(col("w1"), col("w2"), col("cab"),
+          graft.util.Exact.pinScore(col("pmi")).as("pmi"))
   }
 
   /** Normalization-robust exact dedup: lowercase, strip non-alphanumerics,
@@ -249,20 +258,24 @@ object CorpusStatsQueries {
     * repetition/diversity quality signal: H = ln(dl) − (Σ tf·ln tf)/dl
     * over the doc's term frequencies. Low H flags template/spam docs a
     * curation pass drops. Composition of the two exactness layers: pln
-    * for portable logs, Exact decimal sums so the per-doc float Σ is
-    * associative (partition-order-independent) — one explode → one
-    * (doc, word) aggregate → one per-doc aggregate, all corpus-linear. */
+    * for portable logs, binary-grid integer sums (Exact.portableSum — no
+    * engine decimal cast anywhere) so the per-doc float Σ is associative
+    * AND oracle-engine-version-proof, and the published score pinned to
+    * the 2⁻³⁰ grid — one explode → one (doc, word) aggregate → one
+    * per-doc aggregate, all corpus-linear. */
   val textEntropy = Q("q_text_entropy", "per-doc token entropy (nats)")(
     "WITH " + TextQueries.tokwBody + ", " +
       "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
       "tfx AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) AS _lnx FROM tf), " +
       Portable.plnSqlCtes("tfx", "ltf") + ", " +
       "s AS (SELECT doc_id, " +
-      graft.util.Exact.Sql.sum("CAST(tf AS DOUBLE) * _pln") + " AS s, " +
+      graft.util.Exact.Sql.portableSum("CAST(tf AS DOUBLE) * _pln") + " AS s, " +
       "sum(tf) AS dl FROM ltf GROUP BY 1), " +
       "sx AS (SELECT doc_id, dl, s, CAST(dl AS DOUBLE) AS _lnx FROM s), " +
       Portable.plnSqlCtes("sx", "ldl") + " " +
-      "SELECT doc_id, dl, _pln - (s / CAST(dl AS DOUBLE)) AS entropy FROM ldl") {
+      "SELECT doc_id, dl, " +
+      graft.util.Exact.Sql.pinScore("_pln - (s / CAST(dl AS DOUBLE))") +
+      " AS entropy FROM ldl") {
     (s, d) => graft.ops.Corpus.tokenEntropy(documents(s, d))
   }
 
@@ -321,7 +334,8 @@ object CorpusStatsQueries {
     *
     * Scale: pln runs once per VOCABULARY word (on the cf table), not per
     * token; Σ tf·ln cf folds over the (doc, word) tf table through the
-    * decimal-exact sum (order-independent); N is a 1-row aggregate
+    * binary-grid integer sum (order-independent, no engine decimal cast —
+    * Exact.portableSum), the published score pinned; N is a 1-row aggregate
     * cross-broadcast into the final projection from its own scan of
     * `documents` — independent of the materialized tf subtree (the
     * nested-broadcast re-evaluation lesson from q_text_tfidf). */
@@ -333,11 +347,13 @@ object CorpusStatsQueries {
       "cfx AS (SELECT word, CAST(cf AS DOUBLE) AS _lnx FROM cf), " +
       Portable.plnSqlCtes("cfx", "lcf") + ", " +
       "s AS (SELECT t.doc_id, " +
-      graft.util.Exact.Sql.sum("CAST(t.tf AS DOUBLE) * l._pln") + " AS s, " +
+      graft.util.Exact.Sql.portableSum("CAST(t.tf AS DOUBLE) * l._pln") + " AS s, " +
       "sum(t.tf) AS dl FROM tf t JOIN lcf l ON l.word = t.word GROUP BY 1), " +
       "sx AS (SELECT doc_id, dl, s, CAST(n.n AS DOUBLE) AS _lnx FROM s CROSS JOIN n), " +
       Portable.plnSqlCtes("sx", "lnn") + " " +
-      "SELECT doc_id, dl, _pln - (s / CAST(dl AS DOUBLE)) AS logprob FROM lnn") {
+      "SELECT doc_id, dl, " +
+      graft.util.Exact.Sql.pinScore("_pln - (s / CAST(dl AS DOUBLE))") +
+      " AS logprob FROM lnn") {
     (s, d) =>
       val tf = TextOps.explodeTokens(documents(s, d))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -347,13 +363,14 @@ object CorpusStatsQueries {
         col("cf").cast("double"), "lcf")
         .select("word", "lcf")
       val agg = tf.join(lcf, "word").groupBy("doc_id")
-        .agg(graft.util.Exact.exactSum(col("tf").cast("double") * col("lcf")).as("s"),
+        .agg(graft.util.Exact.portableSum(col("tf").cast("double") * col("lcf")).as("s"),
           sum("tf").as("dl"))
       val n = documents(s, d)
         .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
       Portable.pln(agg.crossJoin(broadcast(n)), col("n").cast("double"), "lnn")
         .select(col("doc_id"), col("dl"),
-          (col("lnn") - (col("s") / col("dl").cast("double"))).as("logprob"))
+          graft.util.Exact.pinScore(col("lnn") - (col("s") / col("dl").cast("double")))
+            .as("logprob"))
   }
 
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,

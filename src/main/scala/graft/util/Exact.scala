@@ -137,6 +137,52 @@ object Exact {
       .drop(cs, cq, cn)
   }
 
+  /** Binary-grid quantization and summation for TRANSCENDENTAL-derived
+    * scores — the engine-portable alternative to the decimal detour.
+    *
+    * Why not decimals here: a double→decimal cast is NOT exactly rounded
+    * in every engine. DuckDB (measured on 1.0.0, and the implementation
+    * is version-dependent) computes `fl(x · 10^scale)` in DOUBLE and then
+    * rounds — two roundings, ties-to-even — while Spark rounds the
+    * double's decimal expansion HALF_UP. On 200k adversarial values near
+    * .5·10⁻¹² boundaries the two disagreed on 11%; on values uniformly
+    * distributed mod the grid (any log-derived score) they disagree with
+    * probability ~ulp(x·10^scale)/1 per cast, ACCUMULATING over addends.
+    * That is precisely why q_text_entropy / q_text_unigram_logprob — the
+    * only queries feeding transcendental addends through a decimal cast —
+    * were the only driver-gate hash-reds for two rounds while every
+    * near-integer-addend Exact user (prices, quantities) stayed green:
+    * "nice" values sit far from rounding boundaries, log values don't.
+    *
+    * The binary grid uses ONLY IEEE-exact operations: ×2³⁰ (exponent
+    * shift, never rounds), floor (exact), integer sum (associative,
+    * order-free), ÷2³⁰ (exponent shift). Any two IEEE-754 engines agree
+    * bit-for-bit, with no dependence on decimal-cast implementation, libm,
+    * or rounding-mode conventions — verified 0/200k disagreements vs
+    * DuckDB on the same adversarial set.
+    *
+    * Grid 2⁻³⁰ ≈ 9.3·10⁻¹⁰: far below any ranking-relevant resolution for
+    * a quality score, far above ulp-scale engine drift. Precondition
+    * |x| < 2²³ per pinned value (floor result must stay exactly castable;
+    * score domains here are ≤ ~10³). Sums stay exact in 64-bit integers
+    * to Σ|x| < 2⁶³/2³⁰ ≈ 8.6·10⁹ per group — a 10⁶-token document sums
+    * tf·ln(tf) to ~10⁷. */
+  private val PinGrid = 1073741824.0 // 2^30, exactly representable
+
+  /** Quantize a published score to the 2⁻³⁰ grid (round toward −∞ on both
+    * engines). Apply to EVERY transcendental-derived double that leaves a
+    * query — the last projection before the result — so sub-grid engine
+    * drift can never flip the driver's hash. Null in, null out. */
+  def pinScore(c: Column): Column = floor(c * PinGrid) / PinGrid
+
+  /** Order-free exact sum of transcendental-derived addends: each addend
+    * is floored onto the 2⁻³⁰ grid (exact ops only), summed as integers,
+    * and rescaled by an exact power-of-two divide. Unlike [[exactSum]],
+    * no double→decimal cast is involved, so the result is reproducible on
+    * any IEEE engine regardless of its decimal implementation. */
+  def portableSum(c: Column): Column =
+    sum(floor(c * PinGrid)).cast("double") / PinGrid
+
   /** Statistics over withRollingMoments output columns. */
   def momentsAvg(tag: String): Column = col(s"${tag}_s") / col(s"${tag}_n")
   def momentsStddevSamp(tag: String): Column = {
@@ -185,5 +231,18 @@ object Exact {
       val (n, s, sq) = mom(c)
       s"(CASE WHEN $n > 1 THEN greatest(0.0, ($sq - $s*$s/$n) / ($n - 1.0)) END)"
     }
+
+    /** DuckDB twin of [[Exact.pinScore]] — identical exact-op sequence
+      * (floor returns DOUBLE in DuckDB, LONG in Spark; both hold the same
+      * integer exactly below 2⁵³, and the power-of-two divide is exact,
+      * so the final doubles are bit-identical). */
+    def pinScore(c: String): String =
+      s"(floor(($c) * 1073741824.0) / 1073741824.0)"
+
+    /** DuckDB twin of [[Exact.portableSum]]: BIGINT-grid sum (DuckDB sums
+      * BIGINT into INT128; the final int→double cast is one correct
+      * rounding — exact below 2⁵³ — and ÷2³⁰ is exact). */
+    def portableSum(c: String): String =
+      s"(CAST(SUM(CAST(floor(($c) * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0)"
   }
 }

@@ -113,12 +113,15 @@ class CorpusStatsSpec extends SparkSpec {
 
   test("entropy: uniform doc hits ln(n) exactly, constant doc ~0, mixed in between") {
     val dir = writeFixture(Seq(
-      0L -> "a b c d",       // uniform over 4 -> H = ln 4 (exactly 2*Ln2: s = 0)
-      1L -> "a a a a",       // constant -> H = 0 (up to the 1e-8 decimal quantum)
+      0L -> "a b c d",       // uniform over 4 -> H = ln 4 (s = 0 exactly)
+      1L -> "a a a a",       // constant -> H = 0 (up to the 2^-30 grid quantum)
       2L -> "a a b c"))      // mixed -> 0 < H < ln 4
     val out = run(CorpusStatsQueries.textEntropy, dir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
-    assert(out(0L)._1 == 4L && out(0L)._2 == 2.0 * graft.util.Portable.Ln2)
+    // published scores ride the 2^-30 pin grid (Exact.pinScore): the
+    // uniform doc's H = pln(4) = 2*Ln2 exactly, floored onto the grid
+    val pinnedLn4 = math.floor(2.0 * graft.util.Portable.Ln2 * 1073741824.0) / 1073741824.0
+    assert(out(0L)._1 == 4L && out(0L)._2 == pinnedLn4)
     assert(math.abs(out(1L)._2) < 1e-7)
     val hMixed = 0.25 * math.log(4.0) * 2 + 0.5 * math.log(2.0)
     assert(math.abs(out(2L)._2 - hMixed) < 1e-7 && out(2L)._2 < out(0L)._2)
@@ -127,15 +130,16 @@ class CorpusStatsSpec extends SparkSpec {
   test("unigram_logprob: mean surprisal matches the hand-computed corpus LM") {
     // corpus: doc 0 = "a a b", doc 1 = "b c". N = 5; cf(a)=2, cf(b)=2,
     // cf(c)=1. doc 0 mean -ln p = ln5 - (2·ln2 + ln2)/3 = ln5 - ln2;
-    // doc 1 = ln5 - (ln2 + 0)/2. Portable ln is within ~1e-13 of libm.
+    // doc 1 = ln5 - (ln2 + 0)/2. Portable ln is within ~1e-13 of libm;
+    // the grid sum + final pin each add up to 2^-30 ≈ 9.3e-10.
     val dir = writeFixture(Seq(0L -> "a a b", 1L -> "b c"))
     val out = run(CorpusStatsQueries.textUnigramLogprob, dir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val ln5 = math.log(5.0); val ln2 = math.log(2.0)
     assert(out(0L)._1 == 3L)
-    assert(math.abs(out(0L)._2 - (ln5 - ln2)) < 1e-9)
+    assert(math.abs(out(0L)._2 - (ln5 - ln2)) < 3e-9)
     assert(out(1L)._1 == 2L)
-    assert(math.abs(out(1L)._2 - (ln5 - ln2 / 2.0)) < 1e-9)
+    assert(math.abs(out(1L)._2 - (ln5 - ln2 / 2.0)) < 3e-9)
     // rare vocabulary scores strictly higher than common vocabulary
     assert(out(1L)._2 > out(0L)._2)
   }

@@ -82,4 +82,42 @@ class ExactSpec extends SparkSpec {
     // and no surviving value is a plausible-but-wrong partial sum
     assert(out.filter(col("m_s").isNotNull && col("m_s") > 1e10 * 5).count() == 0)
   }
+
+  test("pinScore is the exact binary-grid floor and absorbs ulp-scale drift") {
+    import spark.implicits._
+    val gen = Gen.listOfN(4000, Gen.choose(-500.0, 500.0))
+    val xs = gen.apply(Gen.Parameters.default, Seed(7L)).get
+      .map(x => math.log(math.abs(x) + 1e-3) * 37.0) // transcendental-ish domain
+    val got = xs.map(Tuple1(_)).toDF("v")
+      .select(Exact.pinScore(col("v")).as("p")).collect().map(_.getDouble(0))
+    // the reference recipe uses only IEEE-exact ops; Spark must match it bit-for-bit
+    val ref = xs.map(x => math.floor(x * 1073741824.0) / 1073741824.0)
+    assert(got.toSeq == ref)
+    // idempotent (grid points are fixed points), and off-grid drift below the
+    // distance to the next boundary cannot move the pinned value
+    assert(ref.map(x => math.floor(x * 1073741824.0) / 1073741824.0).toSeq == ref)
+    val nudged = xs.map(x => math.floor((x + math.ulp(x)) * 1073741824.0) / 1073741824.0)
+    val flips = nudged.zip(ref).count { case (a, b) => a != b }
+    assert(flips < xs.size / 100, s"ulp-nudge flipped $flips of ${xs.size}")
+  }
+
+  test("portableSum is partition-order-invariant and decimal-cast-free exact") {
+    import spark.implicits._
+    // log-derived addends — the domain where the DECIMAL detour drifted
+    // across oracle-engine versions (VERDICT r7 #1)
+    val vals = (1 to 5000).map(i => (i % 7, i.toDouble * math.log(i + 1.0)))
+    val df = vals.toDF("k", "v")
+    val a = df.repartition(1).groupBy("k").agg(Exact.portableSum(col("v")).as("s"))
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    val b = df.repartition(32).groupBy("k").agg(Exact.portableSum(col("v")).as("s"))
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(a == b) // bit-identical
+    // and equal to the integer-grid reference computed on the driver
+    val ref = vals.groupBy(_._1).view.mapValues(
+      g => g.map(v => math.floor(v._2 * 1073741824.0).toLong).sum / 1073741824.0
+    ).toMap
+    val gotMap = df.groupBy("k").agg(Exact.portableSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (k, v) => assert(gotMap(k) == v, s"key $k") }
+  }
 }
