@@ -34,6 +34,8 @@ val jdk17AddOpens = Seq(
 // moves that one-time cost to JVM startup. Builder and driver both fork
 // through sbt, so both measure under the same flags.
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // lets forked mains (Bench tee) resolve repo-rooted paths regardless of cwd
+  s"-Dgraft.repo.root=${baseDirectory.value.getAbsolutePath}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

@@ -59,7 +59,12 @@ object Bench {
     // alphabetically-early half of the suite's timing history for rounds
     // 1-6 — BENCH_LOCAL.jsonl is the complete, versioned record
     try {
-      val tee = sys.env.getOrElse("SPARK_GRAFT_BENCH_TEE", "BENCH_LOCAL.jsonl")
+      // default tee resolves against the repo root (build-injected
+      // property), not bare cwd: an sbt launched elsewhere would silently
+      // scatter the versioned record into untracked files (ADVICE r7)
+      val tee = sys.env.getOrElse("SPARK_GRAFT_BENCH_TEE",
+        sys.props.get("graft.repo.root")
+          .map(_ + "/BENCH_LOCAL.jsonl").getOrElse("BENCH_LOCAL.jsonl"))
       if (tee.nonEmpty) {
         val stamped = line.patch(1, s""""at":"${java.time.Instant.now()}",""", 0)
         java.nio.file.Files.write(java.nio.file.Paths.get(tee),

@@ -224,6 +224,19 @@ object VectorQueries {
     })
     all.crossJoin(broadcast(packed))
       .select(col("vid"), best.getField("cid").as("cluster"))
+      // A fold that never beats -Infinity means every cosine was null
+      // (null embedding element poisons the dot) or `cents` was empty.
+      // The oracle's SUM skips null addends and would still assign a real
+      // cid, so such rows would silently diverge AND collapse into one
+      // shared "-1" block in the dedup self-join — fail loudly instead
+      // (ADVICE r7): embeddings with null elements must be cleaned
+      // upstream, not absorbed here.
+      .withColumn("cluster",
+        when(col("cluster") === -1L,
+          expr("raise_error('graft.assignClusters: vector with no valid " +
+            "cosine (null embedding element or empty centroid set)')")
+            .cast("long"))
+          .otherwise(col("cluster")))
       .materialized()
   }
 
@@ -463,8 +476,11 @@ object VectorQueries {
     * 10×+ assignment-cost cut at large k; swap it into q_dedup_semantic
     * (with the oracle extended the same way) when corpus^1.5 assignment
     * becomes the measured bottleneck. */
-  private[graft] def assignClustersHier(all: DataFrame, cents: DataFrame): DataFrame = {
-    val k = cents.count()
+  private[graft] def assignClustersHier(all: DataFrame, cents: DataFrame,
+      k: Long): DataFrame = {
+    // k is passed by the caller (it chose it) rather than counted here: a
+    // count() on the un-materialized fitExact lineage would re-run the
+    // whole training subtree just to learn a number already known (ADVICE r7)
     val nS = math.ceil(math.sqrt(k.toDouble)).toLong
     val centVecs = cents.select(col("cid").as("vid"),
       col("ecent").as("ev"), col("ncent").as("nv"))

@@ -23,15 +23,27 @@ object Tables {
     *   - TIMESTAMP(NANOS) → long under `spark.sql.legacy.parquet.nanosAsLong`
     *     (set in Sessions): floor-divide to µs — the same truncation DuckDB
     *     applies on read, so oracle comparisons see identical instants.
+    *     ONLY where a nanos encoding has actually been observed
+    *     (`longIsNanos = true` — events.ts, the r1-r5 writer): a bare long
+    *     is ambiguous (nanos? micros? epoch-days?), and decoding an
+    *     unobserved encoding with the wrong unit would load silently as
+    *     ~1970 instants. Elsewhere a long column fails loudly so the NEW
+    *     encoding gets an explicit decision here (ADVICE r7).
     *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
     *     TimestampType. The session timezone is pinned UTC, so the wall-clock
     *     fields are reinterpreted as the same UTC instant DuckDB reads.
     *   - timestamp[us/ms] isAdjustedToUTC=true → already TimestampType.
     * Anything else fails loudly at load instead of as a downstream analysis
     * error in whichever query touches the column first. */
-  private def normTs(df: DataFrame, c: String): DataFrame =
+  private def normTs(df: DataFrame, c: String, longIsNanos: Boolean = false): DataFrame =
     df.schema(c).dataType match {
-      case LongType         => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType if longIsNanos =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType =>
+        throw new IllegalStateException(
+          s"$c: raw INT64 with no known unit for this table — decide the " +
+            "encoding explicitly in Tables.normTs (only events.ts has an " +
+            "observed long-nanos history)")
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType    => df
       case other =>
@@ -49,7 +61,7 @@ object Tables {
     * pins it). value/props casts are no-ops today and survive a writer
     * switching to float/large_string the way ts survived NTZ. */
   def events(s: SparkSession, d: String): DataFrame =
-    normTs(table(s, d, "events"), "ts")
+    normTs(table(s, d, "events"), "ts", longIsNanos = true)
       .withColumn("value", col("value").cast(DoubleType))
       .withColumn("props", col("props").cast(StringType))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

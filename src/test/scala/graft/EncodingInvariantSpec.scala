@@ -68,6 +68,20 @@ class EncodingInvariantSpec extends SparkSpec {
     assert(first === Timestamp.valueOf("2024-01-01 00:00:00"))
   }
 
+  test("a raw INT64 date column outside events.ts fails loudly instead of decoding as nanos") {
+    // only events.ts has an observed long-nanos history; a future writer
+    // emitting long micros/days for l_shipdate must NOT load as ~1970
+    // instants via the nanos branch (ADVICE r7) — it must throw here
+    val root = Files.createTempDirectory("graft_enc_long").toFile.getAbsolutePath
+    Seq((1L, 2L, 3L, 1, 1.0, 2.0, 0.1, 0.2, "N", "O", 1704067200000000L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val e = intercept[IllegalStateException] { Tables.lineitem(spark, root) }
+    assert(e.getMessage.contains("no known unit"))
+  }
+
   test("loader output schemas on the real testdata match the published contract") {
     def fieldTypes(df: DataFrame): Seq[(String, DataType)] =
       df.schema.fields.toSeq.map(f => f.name -> f.dataType)

@@ -126,7 +126,7 @@ class VectorOpsSpec extends SparkSpec {
     val cents = graft.queries.VectorQueries.fitExact(base, k, 1)
     val all = base.select(col("vec_id").as("vid"), col("embedding").as("ev"),
       expr("sqrt(decimal_dot(embedding, embedding))").as("nv"))
-    val hier = graft.queries.VectorQueries.assignClustersHier(all, cents)
+    val hier = graft.queries.VectorQueries.assignClustersHier(all, cents, k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hier.size == base.count())
 
@@ -170,7 +170,7 @@ class VectorOpsSpec extends SparkSpec {
 
     // determinism under repartitioning (retries / AQE re-plans)
     val hier2 = graft.queries.VectorQueries.assignClustersHier(
-      all.repartition(7), cents).collect()
+      all.repartition(7), cents, k).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hier2 === hier)
   }
@@ -222,5 +222,27 @@ class VectorOpsSpec extends SparkSpec {
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected,
       s"missing: ${expected -- got}; extra: ${got -- expected}")
+  }
+
+  test("assignClusters fails loudly on a vector with no valid cosine instead of emitting cid=-1") {
+    // a null embedding element nulls the decimal dot, so every cosine is
+    // null and the fold never beats -Infinity; the SQL oracle's SUM would
+    // skip the null addend and still assign a real cid — silently
+    // diverging — so the plan must throw, not absorb (ADVICE r7 medium)
+    import org.apache.spark.sql.functions.expr
+    val cents = spark.sql(
+      "SELECT 0L AS cid, array(1.0D, 0.0D) AS ecent UNION ALL " +
+        "SELECT 1L, array(0.0D, 1.0D)")
+      .withColumn("ncent", expr("sqrt(decimal_dot(ecent, ecent))"))
+    val bad = spark.sql(
+      "SELECT 7L AS vid, array(1.0D, CAST(NULL AS DOUBLE)) AS ev")
+      .withColumn("nv", expr("sqrt(decimal_dot(ev, ev))"))
+    val e = intercept[Throwable] {
+      graft.queries.VectorQueries.assignClusters(bad, cents).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("no valid cosine")),
+      s"unexpected failure: ${messages(e).mkString(" | ")}")
   }
 }
