@@ -414,6 +414,81 @@ object VectorQueries {
     (s, d) => lshSearch(s, d, planes = 6, multiProbe = true)
   }
 
+  /** Oracle-side exact-Lloyd CTE chain, mirroring [[lloydStep]] iteration
+    * for iteration (the same per-CTE text as q_dedup_semantic's
+    * hand-written oracle, factored so trained-centroid variants share it).
+    * Requires CTEs `v` (vec_id, i, e), `n` (vec_id, nrm) and `c0`
+    * (cid, i, m) = the exploded seed centroids; training rows come from
+    * `vsrc` (any CTE with v's shape). Emits cn{t}, a{t+1}, m{t+1},
+    * c{t+1} for t in 0 until iters — the trained centroids end in
+    * CTE `c{iters}`. */
+  private def lloydSqlCtes(vsrc: String, iters: Int): String =
+    (0 until iters).map { t =>
+      s"cn$t AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+        s"FROM c$t GROUP BY 1), " +
+        s"a${t + 1} AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid, " +
+        "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+        "FROM (SELECT v.vec_id, c.cid, " +
+        "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+        s"FROM $vsrc v JOIN c$t c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+        s"JOIN cn$t cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
+        "WHERE rn = 1), " +
+        s"m${t + 1} AS (SELECT a.cid, v.i, " +
+        "CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
+        s"FROM a${t + 1} a JOIN $vsrc v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
+        s"c${t + 1} AS (SELECT c$t.cid, c$t.i, COALESCE(m${t + 1}.m, c$t.m) AS m FROM c$t " +
+        s"LEFT JOIN m${t + 1} ON m${t + 1}.cid = c$t.cid AND m${t + 1}.i = c$t.i)"
+    }.mkString(", ")
+
+  /** Trained-centroid IVF knobs: k fixed (the index budget a deployment
+    * chooses), 2 exact Lloyd iterations. Training here runs over the full
+    * corpus (corpus·k·d per iteration — linear in the corpus for fixed
+    * k); a production index at 100 TB would train on a stride sample
+    * exactly like q_dedup_semantic and assign everything, which drops
+    * into the same plan unchanged. */
+  private val IvfTrainedK = 8
+  private val IvfTrainedIters = 2
+
+  /** IVF over TRAINED centroids — closes the gap between the spec'd
+    * trained path (fitExact → ivfTopK drop-in, VectorOpsSpec) and the
+    * oracle-certified path (VERDICT r7 #3): the oracle replays the entire
+    * exact-Lloyd training bit-for-bit (like q_dedup_semantic's does), so
+    * the gate certifies seeding, both Lloyd iterations, final assignment
+    * AND the probe — not just the search tail. Same search plan as
+    * q_ann_ivf: assignment is a map-only broadcast fold, the probe
+    * touches only the query's cluster, and only query vectors are ever
+    * broadcast. */
+  val annIvfTrained = Q("q_ann_ivf_trained", "IVF single-probe over trained k-means centroids")(
+    vecsSql +
+      s", kseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
+      s"FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= $IvfTrainedK), " +
+      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM kseeds s JOIN v ON v.vec_id = s.vec_id), " +
+      lloydSqlCtes("v", IvfTrainedIters) + ", " +
+      s"cnf AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      s"FROM c$IvfTrainedIters GROUP BY 1), " +
+      "assign AS (SELECT vec_id AS vid, cid AS cluster FROM (SELECT d.vec_id, d.cid, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      s"FROM v JOIN c$IvfTrainedIters c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cnf cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
+      "WHERE rn = 1), " +
+      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+      "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid WHERE qa.vid < 10), " +
+      "pdots AS (SELECT p.q, p.c, p.cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      ivfTopK(base, fitExact(base, IvfTrainedK, IvfTrainedIters))
+  }
+
   /** Decimal-exact Lloyd k-means, the trained-centroid path of SemDeDup
     * (and a drop-in `cents` producer for ivfTopK). Unlike ops.VectorOps.fit
     * (plain-double cosine — fine for ANN indexes, where recall, not
@@ -624,6 +699,6 @@ object VectorQueries {
         .filter(col("cosine") >= 0.35)
   }
 
-  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annLsh, annLshProbe,
-    dedupSemantic)
+  val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
+    annLsh, annLshProbe, dedupSemantic)
 }

@@ -26,13 +26,15 @@ class ANNRecallSpec extends SparkSpec {
   test("registered variants: recall@3 pinned against brute-force ground truth") {
     assert(exactTop3.size == 30) // 10 queries x 3
     val ivf = hits(VectorQueries.annIvf.fn(spark, sf))
+    val ivft = hits(VectorQueries.annIvfTrained.fn(spark, sf))
     val lsh = hits(VectorQueries.annLsh.fn(spark, sf))
     val prb = hits(VectorQueries.annLshProbe.fn(spark, sf))
-    assert(ivf == 6, s"ivf=$ivf")  // recall 0.20
+    assert(ivf == 6, s"ivf=$ivf")   // recall 0.20
+    assert(ivft == 25, s"ivft=$ivft") // recall 0.83 — training beats seed IVF 4x
     assert(lsh == 12, s"lsh=$lsh") // recall 0.40 (planes=2; 6 planes pinned 0.00)
     assert(prb == 7, s"prb=$prb")  // recall 0.23
     // no registered ANN variant may default to a zero-recall knob point
-    assert(ivf > 0 && lsh > 0 && prb > 0)
+    assert(ivf > 0 && ivft > 0 && lsh > 0 && prb > 0)
   }
 
   test("LSH knobs move recall the documented direction: fewer planes and multi-probe raise it") {
