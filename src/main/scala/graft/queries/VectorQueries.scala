@@ -619,44 +619,10 @@ object VectorQueries {
   val dedupSemantic = Q("q_dedup_semantic", "trained-cluster cosine near-dup (SemDeDup)")(
     vecsSql +
       // k = ceil(sqrt(corpus)); training sample = 1-in-samp vec_id stride
-      // (samp = 1 below 20k vectors); seeds = k lowest SAMPLE vec_ids 0..k-1
-      ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k, " +
-      "greatest(1, CAST(ceil(count(*) / greatest(20000.0, 40.0 * ceil(sqrt(count(*))))) AS BIGINT)) AS samp " +
-      "FROM embeddings), " +
-      "vs AS (SELECT * FROM v WHERE vec_id % (SELECT samp FROM kk) = 0), " +
-      "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
-      "FROM embeddings WHERE vec_id % (SELECT samp FROM kk) = 0 " +
-      "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)), " +
-      // c0: exploded seed centroids (cid, i, m) as double
-      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM seeds s JOIN v ON v.vec_id = s.vec_id), " +
-      // Lloyd iteration 1: exact-cosine argmax assignment, exact component means
-      "cn0 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
-      "FROM c0 GROUP BY 1), " +
-      "a1 AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid, " +
-      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
-      "FROM (SELECT v.vec_id, c.cid, " +
-      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
-      "FROM vs v JOIN c0 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
-      "JOIN cn0 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
-      "WHERE rn = 1), " +
-      "m1 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
-      "FROM a1 a JOIN vs v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
-      "c1 AS (SELECT c0.cid, c0.i, COALESCE(m1.m, c0.m) AS m FROM c0 " +
-      "LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = c0.i), " +
-      // Lloyd iteration 2
-      "cn1 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
-      "FROM c1 GROUP BY 1), " +
-      "a2 AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid, " +
-      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
-      "FROM (SELECT v.vec_id, c.cid, " +
-      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
-      "FROM vs v JOIN c1 c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
-      "JOIN cn1 cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
-      "WHERE rn = 1), " +
-      "m2 AS (SELECT a.cid, v.i, CAST(SUM(CAST(v.e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v.e) AS m " +
-      "FROM a2 a JOIN vs v ON v.vec_id = a.vec_id GROUP BY 1, 2), " +
-      "c2 AS (SELECT c1.cid, c1.i, COALESCE(m2.m, c1.m) AS m FROM c1 " +
-      "LEFT JOIN m2 ON m2.cid = c1.cid AND m2.i = c1.i), " +
+      // (samp = 1 below 20k vectors); seeds = k lowest SAMPLE vec_ids
+      // 0..k-1; then 2 exact-Lloyd iterations (shared CTE generator —
+      // the same text the trained-IVF and hier variants replay)
+      semTrainSqlCtes + ", " +
       // final assignment against the trained centroids
       "cn2 AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
       "FROM c2 GROUP BY 1), " +
@@ -699,6 +665,116 @@ object VectorQueries {
         .filter(col("cosine") >= 0.35)
   }
 
+  /** The shared training prefix of the SemDeDup oracles: k/sample rule,
+    * stride-sampled training rows, seed centroids, and the 2-iteration
+    * exact-Lloyd chain ending in trained centroids `c2` (mirrors
+    * dedupSemantic's hand-written literal via lloydSqlCtes). */
+  private def semTrainSqlCtes: String =
+    ", kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k, " +
+      "greatest(1, CAST(ceil(count(*) / greatest(20000.0, 40.0 * ceil(sqrt(count(*))))) AS BIGINT)) AS samp " +
+      "FROM embeddings), " +
+      "vs AS (SELECT * FROM v WHERE vec_id % (SELECT samp FROM kk) = 0), " +
+      "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
+      "FROM embeddings WHERE vec_id % (SELECT samp FROM kk) = 0 " +
+      "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)), " +
+      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM seeds s JOIN v ON v.vec_id = s.vec_id), " +
+      lloydSqlCtes("vs", SemIters)
+
+  /** Hierarchical (two-level) SemDeDup — the corpus^1.25 rung below
+    * q_dedup_semantic's flat corpus^1.5 assignment (VERDICT r7 #4):
+    * identical training, then assignClustersHier's coarse→fine argmax
+    * (⌈√k⌉ supers from one exact Lloyd step over the centroids
+    * themselves, then argmax only over the chosen super's member
+    * centroids — ~2√k dots per vector instead of k). The oracle replays
+    * training AND both hierarchy stages bit-for-bit, so the registered
+    * gate certifies the full coarse→fine contract, not just the pair
+    * tail. A DELIBERATELY coarser contract than the flat id: a vector
+    * may pick a super whose best member is globally second-best, so the
+    * pair set may differ from q_dedup_semantic's — both ids stay
+    * registered because at 100 TB the flat assignment term (corpus·√corpus
+    * dots) is the measured next bottleneck and this is its designed
+    * replacement (DESIGN.md §4). */
+  val dedupSemanticHier = Q("q_dedup_semantic_hier",
+    "two-level trained-cluster cosine near-dup (hierarchical SemDeDup)")(
+    vecsSql + semTrainSqlCtes + ", " +
+      // supers: ns = ceil(sqrt(k)); seeds = the ns lowest-cid trained
+      // centroids; ONE exact Lloyd step over the centroids themselves
+      "sk AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS ns FROM kk), " +
+      "c2n AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      "FROM c2 GROUP BY 1), " +
+      "s0 AS (SELECT cid AS sid, i, m FROM c2 WHERE cid < (SELECT ns FROM sk)), " +
+      "sn0 AS (SELECT sid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS snrm " +
+      "FROM s0 GROUP BY 1), " +
+      "sa1 AS (SELECT cid, sid FROM (SELECT d.cid, d.sid, " +
+      "row_number() OVER (PARTITION BY d.cid ORDER BY d.cos DESC, d.sid) AS rn " +
+      "FROM (SELECT c.cid, s.sid, " +
+      "CAST(SUM(CAST(c.m * s.m AS DECIMAL(38,8))) AS DOUBLE) / (cn.cnrm * sn.snrm) AS cos " +
+      "FROM c2 c JOIN s0 s ON s.i = c.i JOIN c2n cn ON cn.cid = c.cid " +
+      "JOIN sn0 sn ON sn.sid = s.sid GROUP BY c.cid, s.sid, cn.cnrm, sn.snrm) d) " +
+      "WHERE rn = 1), " +
+      "sm1 AS (SELECT a.sid, c.i, CAST(SUM(CAST(c.m AS DECIMAL(38,8))) AS DOUBLE) / COUNT(c.m) AS m " +
+      "FROM sa1 a JOIN c2 c ON c.cid = a.cid GROUP BY 1, 2), " +
+      "s1 AS (SELECT s0.sid, s0.i, COALESCE(sm1.m, s0.m) AS m FROM s0 " +
+      "LEFT JOIN sm1 ON sm1.sid = s0.sid AND sm1.i = s0.i), " +
+      "sn1 AS (SELECT sid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS snrm " +
+      "FROM s1 GROUP BY 1), " +
+      // each trained centroid's membership under the FINAL supers
+      "member AS (SELECT cid AS mcid, sid FROM (SELECT d.cid, d.sid, " +
+      "row_number() OVER (PARTITION BY d.cid ORDER BY d.cos DESC, d.sid) AS rn " +
+      "FROM (SELECT c.cid, s.sid, " +
+      "CAST(SUM(CAST(c.m * s.m AS DECIMAL(38,8))) AS DOUBLE) / (cn.cnrm * sn.snrm) AS cos " +
+      "FROM c2 c JOIN s1 s ON s.i = c.i JOIN c2n cn ON cn.cid = c.cid " +
+      "JOIN sn1 sn ON sn.sid = s.sid GROUP BY c.cid, s.sid, cn.cnrm, sn.snrm) d) " +
+      "WHERE rn = 1), " +
+      // stage 1: per-vector super choice
+      "vsup AS (SELECT vec_id AS vid, sid FROM (SELECT d.vec_id, d.sid, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.sid) AS rn " +
+      "FROM (SELECT v.vec_id, s.sid, " +
+      "CAST(SUM(CAST(v.e * s.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * sn.snrm) AS cos " +
+      "FROM v JOIN s1 s ON s.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN sn1 sn ON sn.sid = s.sid GROUP BY v.vec_id, s.sid, n.nrm, sn.snrm) d) " +
+      "WHERE rn = 1), " +
+      // stage 2: argmax only over the chosen super's member centroids
+      "assign AS (SELECT vid, cid AS cluster FROM (SELECT d.vid, d.cid, " +
+      "row_number() OVER (PARTITION BY d.vid ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT p.vid, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      "FROM vsup p JOIN member mm ON mm.sid = p.sid JOIN c2 c ON c.cid = mm.mcid " +
+      "JOIN v ON v.vec_id = p.vid AND v.i = c.i JOIN n ON n.vec_id = p.vid " +
+      "JOIN c2n cn ON cn.cid = c.cid GROUP BY p.vid, c.cid, n.nrm, cn.cnrm) d) " +
+      "WHERE rn = 1), " +
+      // within-cluster near-dup pairs (same tail as q_dedup_semantic)
+      "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
+      "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM pa a JOIN pa b ON a.i = b.i AND a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT d.va, d.vb, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.va JOIN n nb ON nb.vec_id = d.vb " +
+      "WHERE d.dot / (na.nrm * nb.nrm) >= 0.35") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val n = base.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val target = math.max(SemTrainSample, SemTrainPerCentroid * k)
+      val samp = math.max(1L, math.ceil(n / target).toLong)
+      val cents = fitExact(base.filter(col("vec_id") % samp === 0), k, SemIters)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClustersHier(all, cents, k)
+      val a = all.join(assign, "vid").select(col("vid").as("va"), col("cluster"),
+        col("ev").as("ea"), col("nv").as("na"))
+      val b = all.join(assign, "vid").select(col("vid").as("vb"), col("cluster"),
+        col("ev").as("eb"), col("nv").as("nb"))
+      val SALTS = 8
+      graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("va"), SALTS)
+        .filter(col("va") < col("vb"))
+        .filter(expr("double_dot(ea, eb)") / (col("na") * col("nb")) >= 0.35 - 1e-6)
+        .withColumn("cosine", expr(dotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .select(col("va"), col("vb"), col("cluster"), col("cosine"))
+        .filter(col("cosine") >= 0.35)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
-    annLsh, annLshProbe, dedupSemantic)
+    annLsh, annLshProbe, dedupSemantic, dedupSemanticHier)
 }
