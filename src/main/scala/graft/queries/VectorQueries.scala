@@ -385,6 +385,80 @@ object VectorQueries {
     }
   }
 
+  /** Stacked-hash (multi-table) LSH search: `tables` INDEPENDENT
+    * hyperplane sets, each hashing the corpus into 2^planes buckets;
+    * candidates = union over tables of same-bucket vectors. This is the
+    * recall knob that does NOT collapse bucket granularity (ADVICE r7):
+    * dropping planes (the registered q_ann_lsh default) buys recall by
+    * making every bucket ~corpus/2^planes large, while stacking keeps
+    * per-table buckets fine at 2^planes and multiplies the independent
+    * chances a true neighbor collides — candidate volume grows ~linearly
+    * in `tables` (≤ tables · corpus/2^planes per query, before the
+    * cross-table dedup) instead of exponentially in dropped planes.
+    * Index cost: tables× (vec_id, t, bucket) rows — the classic
+    * memory-for-recall LSH trade. Table t uses plane indices
+    * t·planes..t·planes+planes−1 of the same deterministic sign-pattern
+    * family, so the whole index is one map-only pass over the corpus. */
+  private[graft] def lshSearchStacked(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int, tables: Int): DataFrame = {
+    val projCols = (0 until tables * planes).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
+    val withProj = embeddings(s, d)
+      .select(Seq(col("vec_id"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { j =>
+        when(col(s"pj${t * planes + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.cast("long").as("bucket"))
+    }
+    val buck = withProj
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .materialized()
+    val qv = buck.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
+      col("embedding").as("eq"), col("nrm").as("nq"), col("t"), col("bucket"))
+    val cv = buck.select(col("vec_id").as("c"),
+      col("embedding").as("ec"), col("nrm").as("nc"), col("t"), col("bucket"))
+    // only the query side is broadcast; cross-table duplicates collapse
+    // BEFORE the exact rerank so each surviving pair pays one decimal dot
+    val cand = cv.join(broadcast(qv), Seq("t", "bucket"))
+      .filter(col("c") =!= col("q"))
+      .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
+      .dropDuplicates("q", "c")
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+    cand.select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
+  /** Registered stacked config: 4 tables × 4 planes (16 buckets each).
+    * See the scaladoc above for the scaling argument; ANNRecallSpec pins
+    * its recall@3 alongside the other variants. */
+  val annLshStacked = Q("q_ann_lsh_stacked", "stacked multi-table LSH cosine top-3")(
+    vecsSql +
+      ", proj AS (SELECT v.vec_id, p.j, " +
+      "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
+      "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
+      "FROM v, (SELECT unnest(range(0, 16)) AS j) p GROUP BY 1, 2), " +
+      "buck AS (SELECT vec_id, j // 4 AS t, " +
+      "CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM proj GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT q.vec_id AS q, c.vec_id AS c FROM buck q " +
+      "JOIN buck c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id " +
+      "WHERE q.vec_id < 10), " +
+      "dots AS (SELECT p.q, p.c, CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM cand p JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2), " +
+      "cosd AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cosine, rn FROM (SELECT cosd.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
+      "WHERE rn <= 3") {
+    (s, d) => lshSearchStacked(s, d, planes = 4, tables = 4)
+  }
+
   /** Multi-probe LSH: each query probes its own bucket PLUS the 6 one-bit
     * flips — the standard recall knob (a near neighbor that fell on the
     * other side of one hyperplane is recovered from the adjacent bucket)
@@ -776,5 +850,5 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
-    annLsh, annLshProbe, dedupSemantic, dedupSemanticHier)
+    annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier)
 }

@@ -29,12 +29,14 @@ class ANNRecallSpec extends SparkSpec {
     val ivft = hits(VectorQueries.annIvfTrained.fn(spark, sf))
     val lsh = hits(VectorQueries.annLsh.fn(spark, sf))
     val prb = hits(VectorQueries.annLshProbe.fn(spark, sf))
+    val stk = hits(VectorQueries.annLshStacked.fn(spark, sf))
     assert(ivf == 6, s"ivf=$ivf")   // recall 0.20
     assert(ivft == 25, s"ivft=$ivft") // recall 0.83 — training beats seed IVF 4x
     assert(lsh == 12, s"lsh=$lsh") // recall 0.40 (planes=2; 6 planes pinned 0.00)
     assert(prb == 7, s"prb=$prb")  // recall 0.23
+    assert(stk == 14, s"stk=$stk")  // recall 0.47: 4 tables x 16 fine buckets
     // no registered ANN variant may default to a zero-recall knob point
-    assert(ivf > 0 && ivft > 0 && lsh > 0 && prb > 0)
+    assert(ivf > 0 && ivft > 0 && lsh > 0 && prb > 0 && stk > 0)
   }
 
   test("LSH knobs move recall the documented direction: fewer planes and multi-probe raise it") {
@@ -48,5 +50,12 @@ class ANNRecallSpec extends SparkSpec {
     // the knob laws the pins instantiate
     assert(m26 > s26 && m66 > s66, "multi-probe must dominate single-probe")
     assert(s26 > s66 && m26 > m66, "coarser buckets must not lower recall here")
+  }
+
+  test("stacking hash tables raises recall over one table at the same plane count") {
+    val one = hits(VectorQueries.lshSearchStacked(spark, sf, planes = 4, tables = 1))
+    val four = hits(VectorQueries.lshSearchStacked(spark, sf, planes = 4, tables = 4))
+    assert(one == 4 && four == 14, s"one=$one four=$four") // 0.13 -> 0.47
+    assert(four > one, "stacked tables must dominate a single table")
   }
 }
