@@ -199,6 +199,49 @@ object Streams {
       }.toDF()
   }
 
+  /** Day-level conversion rollup over funnelStages staged rows — the
+    * columns q_event_funnel publishes (n_users / n_view /
+    * n_click_after_view / n_purchase_after_click per day). Staged fields
+    * are WRITE-ONCE (a staged min can only appear, never change value:
+    * `vt`/`ct`/`pt` go None → Some(x) and stay x), so the latest row per
+    * (user, day) on an append-only sink is recovered COLUMNWISE by
+    * max() — no emission-order column needed, and the rollup is correct
+    * over any number of re-emitted refreshes. Input may carry extra
+    * columns (e.g. a batch partition key); only the funnel columns are
+    * touched. */
+  def funnelDailyRollup(staged: DataFrame): DataFrame =
+    staged.groupBy("user_id", "day")
+      .agg(max("vt").as("vt"), max("ct").as("ct"), max("pt").as("pt"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_users"), count("vt").as("n_view"),
+        count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
+
+  /** The streaming sink form of the funnel day rollup (VERDICT r7 #7):
+    * each micro-batch (a) lands funnelStages' refreshed staged rows in a
+    * batch-id-keyed partition (overwrite ⇒ a retried batch rewrites the
+    * SAME directory — idempotent, the foreachBatch exactly-once recipe)
+    * and (b) recomputes the day-level rollup over the whole staged lake
+    * and publishes it atomically-ish as an overwrite. The rollup input is
+    * one row per ACTIVE user-day per drained batch — bounded by user-days
+    * (state-sized), never by event volume, so the per-batch recompute
+    * stays cheap at any event scale; day-partitioning the staged lake
+    * and pruning closed days is the documented next knob if user-day
+    * cardinality itself grows unbounded. */
+  def funnelDaily(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, stagedDir: String, rollupDir: String): StreamingQuery =
+    funnelStages(spark, sourceDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$stagedDir/batch=$batchId")
+        funnelDailyRollup(spark.read.parquet(stagedDir))
+          .write.mode("overwrite").parquet(rollupDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming curation ingest — the continuous form of the batch
     * quality + privacy pass: documents that clear the Gopher filter
     * (TextOps.gopher, the SAME expression q_text_gopher evaluates) are

@@ -244,6 +244,52 @@ class LakeStreamSpec extends SparkSpec {
   private def tsUs(s: String): Long =
     java.sql.Timestamp.valueOf(s).getTime * 1000L
 
+  test("Streams.funnelDaily publishes the batch q_event_funnel rollup across restarted drains") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val staged = tmp() + "/staged"
+    val rollup = tmp() + "/rollup"
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.funnelDaily(spark, src, schema, ckpt, staged, rollup)
+      q.awaitTermination()
+    }
+    // two days, three users, conversions completing across the restart
+    ev(Seq(
+      (1L, "2024-03-01 10:00:00", "view"),
+      (1L, "2024-03-01 10:05:00", "click"),
+      (2L, "2024-03-01 09:00:00", "view"),
+      (3L, "2024-03-02 08:00:00", "click"))) // click with no view: never stages
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    ev(Seq(
+      (1L, "2024-03-01 11:00:00", "purchase"), // completes across restart
+      (2L, "2024-03-01 11:30:00", "click"),
+      (3L, "2024-03-02 09:00:00", "view")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // the published rollup equals the batch operator run over the same lake
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    val got = spark.read.parquet(rollup)
+      .select("day", "n_users", "n_view", "n_click_after_view", "n_purchase_after_click")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.queries.SessionQueries.eventFunnel.fn(spark, evDir)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"stream rollup $got != batch funnel $batch")
+    // and the expected conversions themselves: day 1 = 2 users / 2 views /
+    // 2 clicks-after-view / 1 purchase; day 2 = 1 user, view only
+    val d1 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val d2 = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    assert(got == Set((d1, 2L, 2L, 2L, 1L), (d2, 1L, 1L, 0L, 0L)))
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
