@@ -373,6 +373,64 @@ object CorpusStatsQueries {
             .as("logprob"))
   }
 
+  /** Per-document mean CONDITIONAL surprisal under the corpus's own
+    * bigram LM: −mean ln p(wᵢ | wᵢ₋₁) with p = cb(w₁,w₂)/cu(w₁) — the
+    * next rung of the perplexity-filter family above
+    * q_text_unigram_logprob (CCNet-style pipelines score with an n-gram
+    * LM; the corpus scores itself here, so every observed bigram has
+    * cb ≥ 1 and no smoothing/backoff branch is reachable — that branch
+    * belongs to held-out scoring and is documented, not dead-coded).
+    * LOW surprisal = predictable/templated word sequences (the signal a
+    * curation pass reads alongside entropy); docs with < 2 tokens have
+    * no bigram and are absent by contract (identical join semantics in
+    * the oracle). Denominator is the plain unigram count cu(w₁) — the
+    * standard MLE approximation that skips the end-of-doc correction —
+    * identically on both engines.
+    *
+    * Scale: pln runs once per DISTINCT BIGRAM (vocabulary²-bounded,
+    * corpus-limited), never per token; the per-position score join is
+    * keyed on the bigram; the per-doc Σ ln p rides the binary-grid
+    * integer sum and the published score is pinned — the full r8
+    * drift-proof contract on a fresh operator. */
+  val textBigramLogprob = Q("q_text_bigram_logprob", "mean bigram conditional surprisal (corpus LM)")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "bg AS (SELECT doc_id, sp[i] AS w1, sp[i+1] AS w2 FROM tok WHERE i + 1 <= len(sp)), " +
+      "cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2), " +
+      "cu AS (SELECT word, count(*) AS cw FROM tokw GROUP BY 1), " +
+      "bpx AS (SELECT b.w1, b.w2, CAST(b.cab AS DOUBLE) / CAST(u.cw AS DOUBLE) AS _lnx " +
+      "FROM cb b JOIN cu u ON u.word = b.w1), " +
+      Portable.plnSqlCtes("bpx", "bpl") + ", " +
+      "s AS (SELECT g.doc_id, " +
+      graft.util.Exact.Sql.portableSum("l._pln") + " AS s, count(*) AS n_bigrams " +
+      "FROM bg g JOIN bpl l ON l.w1 = g.w1 AND l.w2 = g.w2 GROUP BY 1) " +
+      "SELECT doc_id, n_bigrams, " +
+      graft.util.Exact.Sql.pinScore("-(s / CAST(n_bigrams AS DOUBLE))") +
+      " AS logprob2 FROM s") {
+    (s, d) =>
+      val docs = documents(s, d)
+      // bigram positions feed the count table AND the scoring join:
+      // materialize once (same pattern as q_bigram_pmi's cb)
+      val bg = docs.withColumn("sp", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("sp"),
+          explode(sequence(lit(1), size(col("sp")))).as("i"))
+        .filter(col("i") + 1 <= size(col("sp")))
+        .select(col("doc_id"), element_at(col("sp"), col("i")).as("w1"),
+          element_at(col("sp"), col("i") + 1).as("w2"))
+        .materialized(eager = false)
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val cu = TextOps.explodeTokens(docs).groupBy("word").agg(count(lit(1)).as("cw"))
+      val bpl = Portable.pln(
+        cb.join(cu.select(col("word").as("w1"), col("cw")), "w1"),
+        col("cab").cast("double") / col("cw").cast("double"), "lnp")
+        .select("w1", "w2", "lnp")
+      bg.join(bpl, Seq("w1", "w2")).groupBy("doc_id")
+        .agg(graft.util.Exact.portableSum(col("lnp")).as("s"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.util.Exact.pinScore(-(col("s") / col("n_bigrams").cast("double")))
+            .as("logprob2"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
-    dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob)
+    dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob)
 }

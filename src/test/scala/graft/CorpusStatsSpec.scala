@@ -144,6 +144,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L)._2 > out(0L)._2)
   }
 
+  test("bigram_logprob: mean conditional surprisal matches the hand-computed bigram LM") {
+    // corpus: doc 0 = "a b a b" (bigrams ab, ba, ab), doc 1 = "b c".
+    // cu: a=2, b=3, c=1. cb: (a,b)=2, (b,a)=1, (b,c)=1.
+    // p(b|a) = 2/2 = 1 -> ln 1 = 0; p(a|b) = 1/3; p(c|b) = 1/3.
+    // doc 0: -(0 + ln(1/3) + 0)/3 = ln3/3; doc 1: -ln(1/3)/1 = ln3.
+    // single-token doc 2 has no bigram -> absent by contract.
+    val dir = writeFixture(Seq(0L -> "a b a b", 1L -> "b c", 2L -> "x"))
+    val out = run(CorpusStatsQueries.textBigramLogprob, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln3 = math.log(3.0)
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - ln3 / 3.0) < 3e-9)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - ln3) < 3e-9)
+    // templated text scores LOWER than diverse text (the curation signal)
+    assert(out(0L)._2 < out(1L)._2)
+  }
+
   test("dedup_normalized: case/punctuation/whitespace variants collapse to one group") {
     val dir = writeFixture(Seq(
       0L -> "Hello,   World!",
