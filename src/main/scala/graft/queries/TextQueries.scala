@@ -398,7 +398,52 @@ object TextQueries {
           octet_length(col("payload")).cast("long").as("out_bytes"))
   }
 
+  /** Asymmetric shingle CONTAINMENT over the MinHash-LSH candidate
+    * pairs: |Sh(a)∩Sh(b)| / |Sh(a)| (and /|Sh(b)|) on DISTINCT
+    * 3-shingles. Jaccard misses the quote/aggregator case — a short
+    * document fully contained in a long one has tiny Jaccard but
+    * containment ≈ 1 — and containment-of-the-smaller is the measure
+    * web-corpus dedup actually keys keep/drop decisions on (Broder's
+    * containment, the resemblance/containment pair). Candidates come
+    * from the SAME banded-LSH blocking as q_dedup_minhash (Σ bucket²,
+    * never corpus²); the exact intersection join is keyed on
+    * (doc, shingle) and runs only over candidate pairs; integer counts,
+    * one correctly-rounded division per published ratio. */
+  val dedupContainment = Q("q_dedup_containment", "shingle containment over LSH candidates")(
+    "WITH " + minhashPairsBody + ", " +
+      "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), " +
+      "sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1), " +
+      "shared AS (SELECT p.doc_a, p.doc_b, count(*) AS n_shared " +
+      "FROM pairs p JOIN shd a ON a.doc_id = p.doc_a " +
+      "JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle GROUP BY 1, 2) " +
+      "SELECT s.doc_a, s.doc_b, s.n_shared, " +
+      "CAST(s.n_shared AS DOUBLE) / sa.nsh AS cont_a, " +
+      "CAST(s.n_shared AS DOUBLE) / sb.nsh AS cont_b " +
+      "FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a " +
+      "JOIN sizes sb ON sb.doc_id = s.doc_b " +
+      "WHERE CAST(s.n_shared AS DOUBLE) / sa.nsh >= 0.5 " +
+      "OR CAST(s.n_shared AS DOUBLE) / sb.nsh >= 0.5") {
+    (s, d) =>
+      val docs = documents(s, d)
+      // distinct shingles feed the sizes AND both sides of the
+      // intersection join: materialize once (lazy)
+      val shd = TextOps.shingles3(docs).distinct().materialized(eager = false)
+      val pairs = TextOps.minhashPairs(docs)
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shared = pairs
+        .join(shd.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(shd.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") / col("nsh_a")).as("cont_a"),
+          (col("n_shared").cast("double") / col("nsh_b")).as("cont_b"))
+        .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
-    dedupNgramJaccard, textLangid, textQuality, textTokens, textFingerprint, mmBinaryMeta,
-    mmFrameSample, mmResizeMeta)
+    dedupNgramJaccard, dedupContainment, textLangid, textQuality, textTokens,
+    textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta)
 }

@@ -849,6 +849,36 @@ object VectorQueries {
         .filter(col("cosine") >= 0.35)
   }
 
+  /** Mean-pool embeddings per label — the multimodal aggregation step
+    * that turns frame/chunk embeddings into one asset embedding (video =
+    * mean of frame vectors, document = mean of chunk vectors; `label`
+    * stands in for the asset key the way it stands in for the blocking
+    * key in q_dedup_embed_cosine). Decimal-exact per-component means
+    * (identical machinery to the Lloyd centroid step, so the pooled
+    * vector is bit-reproducible under any partitioning), reassembled in
+    * component order. Shuffle is keyed on (label, component) — corpus-
+    * linear, partial-aggregated map-side; the pooled table is
+    * |labels|-sized and feeds ANN/dedup over assets instead of frames. */
+  val mmEmbedPool = Q("q_mm_embed_pool", "per-label mean-pooled embedding")(
+    "WITH v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e, " +
+      "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), " +
+      "m AS (SELECT label, i, " + graft.util.Exact.Sql.avg("e") + " AS m " +
+      "FROM v GROUP BY 1, 2), " +
+      "p AS (SELECT label, list(m ORDER BY i) AS pooled FROM m GROUP BY 1), " +
+      "n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1) " +
+      "SELECT p.label, n.n_vecs, p.pooled FROM p JOIN n ON n.label = p.label") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val v = base.select(col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      val m = v.groupBy("label", "i")
+        .agg(graft.util.Exact.exactAvg(col("e").cast("double")).as("m"))
+      val pooled = m.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
+        .select(col("label"), transform(col("p"), x => x.getField("m")).as("pooled"))
+      val n = base.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      pooled.join(n, "label").select("label", "n_vecs", "pooled")
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
-    annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier)
+    annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier, mmEmbedPool)
 }

@@ -144,6 +144,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L)._2 > out(0L)._2)
   }
 
+  test("containment: a fully-contained document scores cont=1.0 where Jaccard stays small") {
+    // doc 1 = doc 0 verbatim + a long tail: Sh(0) ⊆ Sh(1) (plus the two
+    // seam shingles), so containment(0 in 1) = 1.0 while Jaccard is
+    // ~|Sh0|/|Sh1| ≈ 0.45. Being a verbatim prefix, doc 1's minhash over
+    // the superset keeps every slot where the min falls inside the shared
+    // region — the pair must surface as an LSH candidate here.
+    val a = (1 to 24).map(i => f"w$i%02d").mkString(" ")
+    val tail = (1 to 26).map(i => f"t$i%02d").mkString(" ")
+    val dir = writeFixture(Seq(0L -> a, 1L -> (a + " " + tail), 2L -> "unrelated text entirely"))
+    val out = run(graft.queries.TextQueries.dedupContainment, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.contains((0L, 1L)), s"planted pair missing: ${out.keySet}")
+    val (nShared, contA, contB) = out((0L, 1L))
+    // |Sh(0)| = 24-2 = 22 distinct shingles, all contained in doc 1
+    assert(nShared == 22L)
+    assert(contA == 1.0)                       // exact: 22/22
+    assert(contB == 22.0 / 48.0)               // doc 1 has 50-2 = 48 shingles
+    assert(!out.keySet.exists { case (x, y) => x == 2L || y == 2L })
+  }
+
   test("bigram_logprob: mean conditional surprisal matches the hand-computed bigram LM") {
     // corpus: doc 0 = "a b a b" (bigrams ab, ba, ab), doc 1 = "b c".
     // cu: a=2, b=3, c=1. cb: (a,b)=2, (b,a)=1, (b,c)=1.

@@ -224,6 +224,31 @@ class VectorOpsSpec extends SparkSpec {
       s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
+  test("q_mm_embed_pool equals the driver-side quantized mean per label") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.DecimalDot.quantize8
+    val base = graft.util.Tables.embeddings(spark, sf)
+    val rows = base.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val expected = rows.groupBy(_._1).map { case (label, vs) =>
+      val dim = vs.head._2.length
+      label -> (vs.size.toLong, Array.tabulate(dim) { i =>
+        var s = 0L
+        vs.foreach { case (_, v) => s += quantize8(v(i)) }
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8)
+          .doubleValue() / vs.size
+      }.toSeq)
+    }
+    val got = graft.queries.VectorQueries.mmEmbedPool.fn(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toSeq))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (label, (n, vec)) =>
+      assert(got(label)._1 == n, s"label $label count")
+      assert(got(label)._2 == vec, s"label $label pooled vector") // bit-exact
+    }
+  }
+
   test("assignClusters fails loudly on a vector with no valid cosine instead of emitting cid=-1") {
     // a null embedding element nulls the decimal dot, so every cosine is
     // null and the fold never beats -Infinity; the SQL oracle's SUM would
