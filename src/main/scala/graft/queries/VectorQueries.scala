@@ -240,15 +240,33 @@ object VectorQueries {
       .materialized()
   }
 
-  private[graft] def ivfTopK(base: DataFrame, cents: DataFrame, k: Int = 3): DataFrame = {
+  private[graft] def ivfTopK(base: DataFrame, cents: DataFrame, k: Int = 3,
+      nprobe: Int = 1): DataFrame = {
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val assign = assignClusters(all, cents)
-      // probe: query's cluster members only, dot over the stored arrays
-      val pairs = assign.as("qa").filter(col("qa.vid") < 10)
-        .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
-          && col("ca.vid") =!= col("qa.vid"))
-        .select(col("qa.vid").as("q"), col("ca.vid").as("c"), col("qa.cluster").as("cluster"))
+      // probe: the query's top-`nprobe` clusters' members. nprobe = 1
+      // reads the cluster straight off the fold assignment; nprobe > 1
+      // ranks the k centroids per QUERY only (queries × k rows — tiny),
+      // the corpus side is still one equi-join on the cluster key. A
+      // candidate is assigned to exactly one cluster, so probing several
+      // clusters can never duplicate a (q, c) pair.
+      val pairs = if (nprobe == 1) {
+        assign.as("qa").filter(col("qa.vid") < 10)
+          .join(assign.as("ca"), col("ca.cluster") === col("qa.cluster")
+            && col("ca.vid") =!= col("qa.vid"))
+          .select(col("qa.vid").as("q"), col("ca.vid").as("c"), col("qa.cluster").as("cluster"))
+      } else {
+        val qcos = all.filter(col("vid") < 10).crossJoin(broadcast(cents))
+          .select(col("vid").as("q"), col("cid"),
+            (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("qcos"))
+        val wq = Window.partitionBy("q").orderBy(col("qcos").desc, col("cid"))
+        val qprobe = qcos.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= nprobe).select(col("q"), col("cid").as("cluster"))
+        qprobe.join(assign.as("ca"), col("ca.cluster") === qprobe("cluster")
+            && col("ca.vid") =!= qprobe("q"))
+          .select(col("q"), col("ca.vid").as("c"), col("ca.cluster").as("cluster"))
+      }
       // only the query vectors (vid < 10) are broadcast — never the corpus
       val qv = all.filter(col("vid") < 10)
         .select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
@@ -258,6 +276,44 @@ object VectorQueries {
           (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  /** Multi-probe IVF: each query searches its top-2 clusters instead of
+    * one — the standard IVF recall knob (nprobe), completing the knob
+    * matrix alongside trained centroids (q_ann_ivf_trained) and the LSH
+    * levers. Probe ranking runs per QUERY over the k centroids (queries×k
+    * rows — negligible); the corpus side stays one equi-join on the
+    * cluster key, and a vector belongs to exactly one cluster so probing
+    * can never duplicate a candidate pair. */
+  val annIvfProbe = Q("q_ann_ivf_probe", "IVF 2-probe cosine top-3")(
+    vecsSql +
+      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
+      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
+      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      "WHERE rn = 1), " +
+      "qprobe AS (SELECT vid AS q, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn " +
+      "FROM ccos WHERE vid < 10) WHERE rn <= 2), " +
+      "pairs AS (SELECT qp.q, ca.vid AS c, ca.cluster FROM qprobe qp " +
+      "JOIN assign ca ON ca.cluster = qp.cluster AND ca.vid <> qp.q), " +
+      "pdots AS (SELECT p.q, p.c, p.cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      ivfTopK(base, cents, nprobe = 2)
   }
 
   /** Embedding dimension of the testdata vectors; the plane-count/dim pair
@@ -880,5 +936,6 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
-    annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier, mmEmbedPool)
+    annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
+    mmEmbedPool)
 }

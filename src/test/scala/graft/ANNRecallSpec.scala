@@ -27,16 +27,20 @@ class ANNRecallSpec extends SparkSpec {
     assert(exactTop3.size == 30) // 10 queries x 3
     val ivf = hits(VectorQueries.annIvf.fn(spark, sf))
     val ivft = hits(VectorQueries.annIvfTrained.fn(spark, sf))
+    val ivfp = hits(VectorQueries.annIvfProbe.fn(spark, sf))
     val lsh = hits(VectorQueries.annLsh.fn(spark, sf))
     val prb = hits(VectorQueries.annLshProbe.fn(spark, sf))
     val stk = hits(VectorQueries.annLshStacked.fn(spark, sf))
     assert(ivf == 6, s"ivf=$ivf")   // recall 0.20
     assert(ivft == 25, s"ivft=$ivft") // recall 0.83 — training beats seed IVF 4x
+    assert(ivfp == 10, s"ivfp=$ivfp") // recall 0.33: nprobe 1->2 lifts 0.20->0.33
     assert(lsh == 12, s"lsh=$lsh") // recall 0.40 (planes=2; 6 planes pinned 0.00)
     assert(prb == 7, s"prb=$prb")  // recall 0.23
     assert(stk == 14, s"stk=$stk")  // recall 0.47: 4 tables x 16 fine buckets
     // no registered ANN variant may default to a zero-recall knob point
-    assert(ivf > 0 && ivft > 0 && lsh > 0 && prb > 0 && stk > 0)
+    assert(ivf > 0 && ivft > 0 && ivfp > 0 && lsh > 0 && prb > 0 && stk > 0)
+    // the nprobe law: probing 2 clusters can only add candidates
+    assert(ivfp >= ivf, "2-probe IVF must dominate single-probe")
   }
 
   test("LSH knobs move recall the documented direction: fewer planes and multi-probe raise it") {
