@@ -443,7 +443,68 @@ object TextQueries {
         .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
   }
 
+  /** Incremental cross-corpus dedup — the production shape: a NEW batch
+    * (sources src0/src1 stand in for today's crawl) is near-dup-checked
+    * against the existing REFERENCE corpus (every other source) and each
+    * new doc gets a keep/drop verdict. Signature-only end to end: band
+    * keys block new×ref candidates (never new×new or ref×ref — the
+    * reference was already deduped when it was ingested), and the verdict
+    * is the 8-slot minhash-agreement Jaccard estimate ≥ 0.5 — no text is
+    * re-read. At 100 TB the reference signature table is a precomputed
+    * static artifact ~10³× smaller than the corpus; per batch, only the
+    * new docs are shingled/hashed, and the band join costs
+    * Σ bucket_new × bucket_ref. Docs with no candidate emit
+    * n_candidates = 0, null estimate, keep = true. */
+  val dedupIncremental = Q("q_dedup_incremental", "new-batch vs reference-corpus signature dedup")({
+    val agree = (0 to 7).map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    "WITH " + minhashPairsBody + ", " +
+      "news AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id FROM bands a " +
+      "JOIN news na ON na.doc_id = a.doc_id " +
+      "JOIN bands b ON b.band = a.band AND b.k1 = a.k1 AND b.k2 = a.k2 " +
+      "LEFT JOIN news nb ON nb.doc_id = b.doc_id WHERE nb.doc_id IS NULL), " +
+      s"est AS (SELECT c.new_id, CAST($agree AS DOUBLE) / 8 AS jaccard_est " +
+      "FROM cand c JOIN sig a ON a.doc_id = c.new_id JOIN sig b ON b.doc_id = c.ref_id), " +
+      "per_new AS (SELECT new_id, count(*) AS n_candidates, " +
+      "max(jaccard_est) AS max_jaccard_est FROM est GROUP BY 1) " +
+      "SELECT n.doc_id, COALESCE(p.n_candidates, 0) AS n_candidates, " +
+      "p.max_jaccard_est AS max_jaccard_est, " +
+      "(p.max_jaccard_est IS NULL OR p.max_jaccard_est < 0.5) AS keep " +
+      "FROM news n LEFT JOIN per_new p ON p.new_id = n.doc_id"
+  }) {
+    (s, d) =>
+      val docs = documents(s, d)
+      val sig = TextOps.minhashSig(docs).materialized(eager = false)
+      val srcs = docs.select("doc_id", "source")
+      val isNew = col("source").isin("src0", "src1")
+      val banded = (0 to 3).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
+      }.reduce(_ unionByName _)
+      val bandsTag = banded.join(srcs, "doc_id")
+      val aB = bandsTag.filter(isNew)
+        .select(col("doc_id").as("new_id"), col("band"), col("k1"), col("k2"))
+      val bB = bandsTag.filter(!isNew)
+        .select(col("doc_id").as("ref_id"), col("band"), col("k1"), col("k2"))
+      val cand = aB.join(bB, Seq("band", "k1", "k2"))
+        .select("new_id", "ref_id").distinct()
+      val nAgree = (0 to 7).map(k =>
+        when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
+      val est = cand.join(sig.as("a"), col("a.doc_id") === col("new_id"))
+        .join(sig.as("b"), col("b.doc_id") === col("ref_id"))
+        .select(col("new_id"), (nAgree.cast("double") / 8).as("jaccard_est"))
+      val perNew = est.groupBy("new_id").agg(count(lit(1)).as("n_candidates"),
+        max("jaccard_est").as("max_jaccard_est"))
+      val newIds = srcs.filter(isNew).select("doc_id")
+      newIds.join(perNew, newIds("doc_id") === perNew("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("max_jaccard_est"),
+          (col("max_jaccard_est").isNull || col("max_jaccard_est") < 0.5).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
-    dedupNgramJaccard, dedupContainment, textLangid, textQuality, textTokens,
-    textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta)
+    dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
+    textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta)
 }

@@ -165,6 +165,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!out.keySet.exists { case (x, y) => x == 2L || y == 2L })
   }
 
+  test("dedup_incremental: new-batch docs drop on reference near-dups, not on in-batch dups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_fix").toString
+    val shared = (1 to 20).map(i => f"w$i%02d").mkString(" ")
+    val unique = (1 to 20).map(i => f"u$i%02d").mkString(" ")
+    Seq(
+      (0L, shared, "en", "src0"),   // new: verbatim dup of ref doc 10 → drop
+      (1L, unique, "en", "src0"),   // new: nothing like it anywhere → keep
+      (2L, unique, "en", "src1"),   // new: dups doc 1 but BOTH are new — new×new
+                                    // must not pair (the batch dedups itself via
+                                    // q_dedup_exact/minhash, not here) → keep
+      (10L, shared, "en", "src5"),  // reference corpus
+      (11L, "totally different reference words " + (1 to 14).map(i => f"r$i%02d").mkString(" "),
+        "en", "src6"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run(graft.queries.TextQueries.dedupIncremental, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L)) // verdicts for the new batch only
+    assert(out(0L)._1 >= 1L && out(0L)._2.contains(1.0) && !out(0L)._3) // exact dup → est 1.0, drop
+    assert(out(1L) == ((0L, None, true)))  // no candidate → keep
+    assert(out(2L) == ((0L, None, true)))  // in-batch dup pairs are excluded
+  }
+
   test("bigram_logprob: mean conditional surprisal matches the hand-computed bigram LM") {
     // corpus: doc 0 = "a b a b" (bigrams ab, ba, ab), doc 1 = "b c".
     // cu: a=2, b=3, c=1. cb: (a,b)=2, (b,a)=1, (b,c)=1.
