@@ -219,11 +219,18 @@ object TextOps {
     * signature itself for its rerank joins): banding is then a cheap map
     * over checkpoint blocks and a second eager materialization — one
     * blocking job + block write per query run — would only add cost. */
-  def minhashPairsFromSig(sig: DataFrame, materialize: Boolean = true): DataFrame = {
-    val banded = (0 to 3).map { b =>
+  /** The 4 band keys of a signature frame: (doc_id, band, k1, k2) — the
+    * LSH blocking key shared by self-join pairing (minhashPairsFromSig),
+    * cross-corpus dedup (q_dedup_incremental) and the streaming ingest's
+    * stream-static candidate join. */
+  def minhashBands(sig: DataFrame): DataFrame =
+    (0 to 3).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
     }.reduce(_ unionByName _)
+
+  def minhashPairsFromSig(sig: DataFrame, materialize: Boolean = true): DataFrame = {
+    val banded = minhashBands(sig)
     val bands = if (materialize) banded.materialized() else banded
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.k1") === col("b.k1")

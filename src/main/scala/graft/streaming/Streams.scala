@@ -104,6 +104,57 @@ object Streams {
       }
       .start()
 
+  /** Streaming NEAR-dup corpus ingest — the continuous twin of
+    * q_dedup_incremental (the daily-crawl keep/drop): each drained batch
+    * is exact-deduped in-stream (checkpointed dropDuplicates on the
+    * content hash), then near-dup-checked against the EXISTING corpus via
+    * a stream-static band join on the minhash signature keys, and
+    * survivors append WITH their mh0..mh7 signature columns — so the
+    * corpus itself is the precomputed reference-signature artifact the
+    * next batch joins against (no re-shingling of history, ever; at
+    * 100 TB the static side could further prune to the signature columns
+    * only, ~10³× smaller than the text). A batch doc is dropped when any
+    * band-blocked corpus candidate agrees on ≥ `minAgree` of the 8
+    * signature slots (4/8 ≈ Jaccard 0.5 — exactly q_dedup_incremental's
+    * verdict rule); an exact dup of history agrees on 8/8 and is
+    * subsumed. Candidates are band-blocked (Σ bucket_new × bucket_ref),
+    * never batch×corpus. */
+  def corpusIngestNearDup(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, corpusDir: String, minAgree: Int = 4): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withColumn("text_hash", graft.ops.TextOps.contentHash(col("text")))
+      .dropDuplicates("text_hash")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark0 = batch.sparkSession
+        val withSig = batch.join(graft.ops.TextOps.minhashSig(batch), "doc_id")
+        val marker = new org.apache.hadoop.fs.Path(corpusDir + "/_SUCCESS")
+        val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
+        val fresh =
+          if (fs.exists(marker)) {
+            val refSig = spark0.read.parquet(corpusDir)
+              .select(col("doc_id") +: (0 to 7).map(k => col(s"mh$k")): _*)
+            val cand = graft.ops.TextOps.minhashBands(withSig)
+              .withColumnRenamed("doc_id", "new_id")
+              .join(graft.ops.TextOps.minhashBands(refSig)
+                .withColumnRenamed("doc_id", "ref_id"), Seq("band", "k1", "k2"))
+              .select("new_id", "ref_id").distinct()
+            val nAgree = (0 to 7).map(k =>
+              when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
+            val drops = cand
+              .join(withSig.as("a"), col("a.doc_id") === col("new_id"))
+              .join(refSig.as("b"), col("b.doc_id") === col("ref_id"))
+              .filter(nAgree >= minAgree)
+              .select(col("new_id").as("doc_id")).distinct()
+            withSig.join(drops, Seq("doc_id"), "left_anti")
+          } else withSig
+        fresh.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   final case class Tick(key: Long, secs: Long, value: Double)
   final case class EmaState(ema: Double, lastSecs: Long)
   final case class EmaOut(key: Long, secs: Long, value: Double, ema: Double)

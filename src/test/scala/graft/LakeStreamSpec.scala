@@ -153,6 +153,44 @@ class LakeStreamSpec extends SparkSpec {
         graft.ops.TextOps.normalizeText(col("text"))).as("h")).as[String].collect().toSet)
   }
 
+  test("Streams.corpusIngestNearDup drops band-blocked near-dups of corpus history, keeps fresh docs") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val corpus = tmp() + "/corpus"
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.corpusIngestNearDup(spark, src, schema, ckpt, corpus)
+      q.awaitTermination()
+    }
+    val a = (1 to 20).map(i => f"a$i%02d").mkString(" ")
+    val b = (1 to 20).map(i => f"b$i%02d").mkString(" ")
+    val c = (1 to 20).map(i => f"c$i%02d").mkString(" ")
+    docs(Seq((1L, a), (2L, b))).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert(spark.read.parquet(corpus).count() == 2)
+    // run 2: doc 3 duplicates history doc 1 verbatim (8/8 agreement →
+    // drop via the stream-static band join, NOT the in-batch hash state);
+    // doc 4 is genuinely new → keep, and lands with its signature columns
+    docs(Seq((3L, a), (4L, c))).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(corpus)
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the persisted corpus IS the reference signature artifact
+    assert((0 to 7).forall(k => got.columns.contains(s"mh$k")))
+    // and the batch twin agrees: doc 3 drops, doc 4 keeps, under
+    // q_dedup_incremental's est >= 0.5 rule on the same new/ref split
+    val agree = (0 to 7).map(k =>
+      when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
+    val sigAll = graft.ops.TextOps.minhashSig(
+      docs(Seq((1L, a), (2L, b), (3L, a), (4L, c))))
+    val est = sigAll.as("a").filter(col("a.doc_id") >= 3L)
+      .crossJoin(sigAll.as("b").filter(col("b.doc_id") <= 2L))
+      .select(col("a.doc_id").as("n"), (agree.cast("double") / 8).as("e"))
+      .groupBy("n").agg(max("e").as("maxe"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est(3L) >= 0.5 && est(4L) < 0.5)
+  }
+
   test("Streams.curateIngest keeps the batch-filtered set, redacted") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp() + "/curated"
