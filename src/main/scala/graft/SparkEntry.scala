@@ -16,7 +16,8 @@ object SparkEntry {
     val qs = CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowQueries.all ++ RollingQueries.all ++ RecursiveQueries.all ++ SortSetQueries.all ++
       ScalarQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      CorpusQueries.all ++ SessionQueries.all ++ CorpusStatsQueries.all ++ CurationQueries.all
+      CorpusQueries.all ++ SessionQueries.all ++ CorpusStatsQueries.all ++ CurationQueries.all ++
+      PipelineQueries.all
     val dup = qs.groupBy(_.id).collect { case (id, g) if g.size > 1 => id }
     require(dup.isEmpty, s"duplicate query ids: ${dup.mkString(",")}")
     qs

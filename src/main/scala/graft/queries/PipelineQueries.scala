@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.TextOps
+import graft.util.Tables._
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline dataset-management operators (SURVEY.md §2.12,
+  * round 8): deterministic train/val/test splitting, data-mixture
+  * reporting with uniform-mix resample rates, OOV-rate scoring against the
+  * corpus's own top-K vocabulary, and a banded interval (range) join.
+  *
+  * Scale notes: the split is a stateless map-only hash filter (the same
+  * portable-md5 contract as q_sample_stratified — identical membership on
+  * any engine/partitioning/rerun); the mixture report is one grouped
+  * integer aggregate ×broadcast of a two-scalar frame; the vocabulary is a
+  * distributed TakeOrdered (top-K never sorts the corpus) broadcast back;
+  * the range join rewrites the interval predicate to an equi-join on a
+  * bucket key + residual filter, so it needs no cartesian/theta join even
+  * when BOTH sides are large.
+  */
+object PipelineQueries {
+
+  /** Deterministic train/val/test split: bucket = portable 32-bit hash of
+    * "split:"||doc_id mod 1000 (salted so split membership is independent
+    * of q_sample_stratified's sampling bucket), 80/10/10. The
+    * reproducibility contract of dataset splitting at 100 TB: membership
+    * is a pure function of the doc id — stable across engines, reruns,
+    * repartitions, and incremental corpus growth (new docs never move old
+    * ones between splits). Map-only; no shuffle. */
+  val splitTrainTest = Q("q_split_train_test", "deterministic 80/10/10 hash split")(
+    "WITH b AS (SELECT doc_id, lang, " +
+      "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket " +
+      "FROM documents) " +
+      "SELECT doc_id, lang, bucket, CASE WHEN bucket < 800 THEN 'train' " +
+      "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split FROM b") {
+    (s, d) =>
+      val bucket = TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .withColumn("split", when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val").otherwise("test"))
+  }
+
+  /** Data-mixture report: per-source document/token counts, each source's
+    * share of corpus tokens, and the downsampling rate that equalizes the
+    * mix (rate = min-source tokens / source tokens — multiply by it and
+    * every source contributes the same token mass). All counts are
+    * integers; each published double is ONE correctly-rounded division,
+    * so no decimal/pin machinery is needed. Grouped aggregate (shuffle on
+    * source) ×broadcast of the two corpus scalars. */
+  val sourceMix = Q("q_source_mix", "per-source token-mixture report + uniform-mix rates")(
+    "WITH t AS (SELECT source, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS src_tokens " +
+      "FROM t GROUP BY 1), " +
+      "s AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, " +
+      "CAST(min(src_tokens) AS BIGINT) AS min_tokens FROM g) " +
+      "SELECT g.source, g.n_docs, g.src_tokens, " +
+      "CAST(g.src_tokens AS DOUBLE) / s.total_tokens AS token_share, " +
+      "CAST(s.min_tokens AS DOUBLE) / g.src_tokens AS uniform_rate FROM g, s") {
+    (s, d) =>
+      val g = documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("src_tokens"))
+      val scalars = g.agg(sum("src_tokens").as("total_tokens"),
+        min("src_tokens").as("min_tokens"))
+      g.crossJoin(broadcast(scalars))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          (col("src_tokens").cast("double") / col("total_tokens")).as("token_share"),
+          (col("min_tokens").cast("double") / col("src_tokens")).as("uniform_rate"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own top-200
+    * vocabulary (count desc, word asc tie-break — deterministic at the
+    * rank boundary). The tokenizer-coverage signal of a pretraining mix:
+    * high OOV ⇒ the doc is far from the corpus's token distribution.
+    * Scale: word counts are one shuffle on word; top-K is a distributed
+    * TakeOrdered (K rows to the driver plan, never a corpus sort); the
+    * bounded vocab broadcasts back onto the token stream. Integer counts,
+    * one final division. */
+  val textOovRate = Q("q_text_oov_rate", "OOV rate vs corpus top-K vocabulary")(
+    "WITH " + TextQueries.tokwBody +
+      ", cnt AS (SELECT word, count(*) AS c FROM tokw GROUP BY 1), " +
+      "voc AS (SELECT word FROM (SELECT word, row_number() OVER (ORDER BY c DESC, word) AS rn " +
+      "FROM cnt) WHERE rn <= 200), " +
+      "dt AS (SELECT doc_id, count(*) AS n_tokens FROM tokw GROUP BY 1), " +
+      "iv AS (SELECT t.doc_id, count(*) AS n_in FROM tokw t " +
+      "JOIN voc v ON v.word = t.word GROUP BY 1) " +
+      "SELECT dt.doc_id, dt.n_tokens, " +
+      "dt.n_tokens - COALESCE(iv.n_in, 0) AS n_oov, " +
+      "CAST(dt.n_tokens - COALESCE(iv.n_in, 0) AS DOUBLE) / dt.n_tokens AS oov_rate " +
+      "FROM dt LEFT JOIN iv ON iv.doc_id = dt.doc_id") {
+    (s, d) =>
+      val tokw = TextOps.explodeTokens(documents(s, d))
+      val voc = tokw.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(200) // TakeOrdered, not a sort
+        .select("word")
+      val dt = tokw.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val iv = tokw.join(broadcast(voc), "word")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+      dt.join(iv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_in"), lit(0L))).as("n_oov"),
+          ((col("n_tokens") - coalesce(col("n_in"), lit(0L))).cast("double")
+            / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Banded interval (range) join: overlapping price bands derived from
+    * nation (band b covers [b·3500, b·3500 + 4200) — the 700 overlap makes
+    * it a genuine range join, not a partition) matched to lineitem rows by
+    * `price ∈ [lo, hi)`, then count + exact price sum per band.
+    *
+    * Scale layout: the interval predicate is rewritten to an EQUI-join —
+    * items key on bucket = ⌊price/3500⌋; each band explodes to the buckets
+    * its interval overlaps (≤ ⌈4200/3500⌉ + 1 = 3 keys/band, bounded by
+    * interval_width/bucket_width); the residual BETWEEN filter runs on
+    * bucket-collision survivors only. That shape shuffles on the bucket
+    * key and holds when BOTH sides are fact-sized — a plain theta-join
+    * (what `l BETWEEN lo AND hi` plans as) is a broadcast-nested-loop that
+    * dies when the bands side stops fitting in memory. Bucket arithmetic
+    * is exact: band_id·3500 ≤ 2²³ and ⌊·⌋ are IEEE-exact ops. */
+  val joinRange = Q("q_join_range", "banded interval join via bucket-key rewrite")(
+    "WITH bands AS (SELECT n_nationkey AS band_id, n_nationkey * 3500.0 AS lo, " +
+      "n_nationkey * 3500.0 + 4200.0 AS hi FROM nation) " +
+      "SELECT b.band_id, count(*) AS n_items, " +
+      graft.util.Exact.Sql.sum("l.l_extendedprice") + " AS sum_price " +
+      "FROM bands b JOIN lineitem l ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi " +
+      "GROUP BY 1") {
+    (s, d) =>
+      val W = 3500.0
+      val bands = nation(s, d)
+        .select(col("n_nationkey").cast("long").as("band_id"),
+          (col("n_nationkey") * W).as("lo"), (col("n_nationkey") * W + 4200.0).as("hi"))
+        .withColumn("bucket",
+          explode(sequence(floor(col("lo") / W).cast("long"),
+            floor(col("hi") / W).cast("long"))))
+      val items = lineitem(s, d)
+        .select(col("l_extendedprice"),
+          floor(col("l_extendedprice") / W).cast("long").as("bucket"))
+      items.join(bands, "bucket")
+        .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_items"),
+          graft.util.Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange)
+}

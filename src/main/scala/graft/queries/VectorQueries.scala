@@ -935,7 +935,41 @@ object VectorQueries {
       pooled.join(n, "label").select("label", "n_vecs", "pooled")
   }
 
+  /** Cosine RANGE search (r8): every corpus vector within cosine ≥ τ of
+    * each query — the radius-query sibling of top-k (dedup-audit and
+    * "find everything about X" retrieval both want a threshold, not a
+    * count). Same two-phase screen as q_ann_cosine_topk: the cheap
+    * double-fold cosine filters at τ − e(row) with the per-row error bound
+    * e = 1e-6/(nq·nc) (3× the proven 3.2e-7 decimal-quantization bound, so
+    * no qualifying pair can be screened out), and the decimal-exact cosine
+    * — which alone decides membership — runs on survivors only. Queries
+    * broadcast; the corpus side is one map-only scan: no window, no sort —
+    * a range search is strictly cheaper than top-k at 100 TB. */
+  val annRange = Q("q_ann_range", "cosine-threshold range search")(
+    vecsSql +
+      ", dots AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id " +
+      "GROUP BY 1, 2) " +
+      "SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c " +
+      "WHERE d.dot / (na.nrm * nb.nrm) >= 0.25") {
+    (s, d) =>
+      val tau = 0.25
+      val base = embeddings(s, d)
+      val qs = base.filter(col("vec_id") < 5).select(col("vec_id").as("q"),
+        col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
+      val cs = base.select(col("vec_id").as("c"),
+        col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
+      cs.join(broadcast(qs), col("c") =!= col("q"))
+        .filter(expr("double_dot(eq, ec)") / (col("nq") * col("nc"))
+          >= lit(tau) - lit(1e-6) / (col("nq") * col("nc")))
+        .withColumn("cosine", expr(dotExpr("eq", "ec")) / (col("nq") * col("nc")))
+        .filter(col("cosine") >= tau)
+        .select("q", "c", "cosine")
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool)
+    mmEmbedPool, annRange)
 }

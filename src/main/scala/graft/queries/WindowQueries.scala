@@ -131,6 +131,25 @@ object WindowQueries {
         tiles = 5, outCol = "quintile")
   }
 
+  /** Cross-sectional percentile position (r8): percent_rank + cume_dist of
+    * order value within its month — the continuous siblings of the
+    * average-rank and ntile queries (factor pipelines publish percentile
+    * scores, not just buckets). Both functions are TIE-AWARE and depend
+    * only on the value multiset, so ordering by the value alone is already
+    * deterministic under any physical row order; each published double is
+    * one correctly-rounded division of two integers — exact on any engine,
+    * no decimal detour. One window shuffle on the month key. */
+  val winPctRank = Q("q_win_pct_rank", "monthly percent_rank + cume_dist")(
+    "SELECT o_orderkey, date_trunc('month', o_orderdate) AS month, o_totalprice, " +
+      "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume_d FROM orders " +
+      "WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate) ORDER BY o_totalprice)") {
+    (s, d) =>
+      val o = orders(s, d).withColumn("month", date_trunc("month", col("o_orderdate")))
+      val w = Window.partitionBy("month").orderBy("o_totalprice")
+      o.select(col("o_orderkey"), col("month"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cume_d"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
-    monthTrunc, winNtile)
+    monthTrunc, winNtile, winPctRank)
 }

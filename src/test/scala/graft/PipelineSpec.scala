@@ -1,0 +1,97 @@
+package graft
+
+import graft.queries.{PipelineQueries, VectorQueries, WindowQueries}
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants for the round-8 dataset-management operators
+  * (deterministic split, mixture report, OOV rate, banded range join,
+  * cosine range search, percentile windows). The driver's DuckDB gate
+  * certifies oracle equality; these pin the SEMANTIC properties the gate
+  * can't see — split determinism under corpus growth, the bucket rewrite
+  * matching a naive theta join, range/top-k consistency.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("split: buckets in range, all three splits hit, deterministic") {
+    val df = PipelineQueries.splitTrainTest.fn(spark, sf).cache()
+    assert(df.filter(col("bucket") < 0 || col("bucket") >= 1000).count() == 0)
+    val bySplit = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 80/10/10 within loose tolerance at sf0.001 (500 docs)
+    val n = bySplit.values.sum.toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    val again = PipelineQueries.splitTrainTest.fn(spark, sf)
+    assert(df.except(again).count() == 0 && again.except(df).count() == 0)
+    df.unpersist()
+  }
+
+  test("split: membership is a pure function of doc_id (corpus growth can't move docs)") {
+    // recompute the split on a half corpus; every surviving doc keeps its split
+    val full = PipelineQueries.splitTrainTest.fn(spark, sf)
+      .select(col("doc_id"), col("split").as("s_full"))
+    val half = graft.util.Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val bucket = graft.ops.TextOps.hash32(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+    val halfSplit = half.select(col("doc_id"), bucket.as("b"))
+      .withColumn("s_half", when(col("b") < 800, "train")
+        .when(col("b") < 900, "val").otherwise("test"))
+    val moved = full.join(halfSplit, "doc_id")
+      .filter(col("s_full") =!= col("s_half")).count()
+    assert(moved == 0)
+  }
+
+  test("source_mix: shares sum to ~1, rates in (0,1], min source rate is exactly 1") {
+    val df = PipelineQueries.sourceMix.fn(spark, sf).cache()
+    val shareSum = df.agg(sum("token_share")).first().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    assert(df.filter(col("uniform_rate") <= 0 || col("uniform_rate") > 1).count() == 0)
+    val minSrc = df.orderBy("src_tokens").first()
+    assert(minSrc.getAs[Double]("uniform_rate") == 1.0)
+    df.unpersist()
+  }
+
+  test("oov_rate: bounds hold and every document is scored") {
+    val df = PipelineQueries.textOovRate.fn(spark, sf).cache()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("n_oov") > col("n_tokens") || col("n_oov") < 0).count() == 0)
+    assert(df.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("join_range: bucket-key rewrite equals the naive theta join") {
+    import graft.util.Tables
+    val W = 3500.0
+    val bands = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("band_id"),
+        (col("n_nationkey") * W).as("lo"), (col("n_nationkey") * W + 4200.0).as("hi"))
+    val naive = Tables.lineitem(spark, sf)
+      .join(bands, col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        graft.util.Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+    val rewritten = PipelineQueries.joinRange.fn(spark, sf)
+    assert(rewritten.except(naive).count() == 0 && naive.except(rewritten).count() == 0)
+  }
+
+  test("ann_range: every hit clears the threshold; top-k rows above it are all present") {
+    val range = VectorQueries.annRange.fn(spark, sf).cache()
+    assert(range.filter(col("cosine") < 0.25).count() == 0)
+    // exact top-5 rows for the same queries with cosine >= tau must be in the range result
+    val topHits = VectorQueries.annCosineTopk.fn(spark, sf)
+      .filter(col("q") < 5 && col("cosine") >= 0.25).select("q", "c")
+    assert(topHits.except(range.select("q", "c")).count() == 0)
+    range.unpersist()
+  }
+
+  test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
+    val df = WindowQueries.winPctRank.fn(spark, sf).cache()
+    assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
+      || col("cume_d") <= 0 || col("cume_d") > 1).count() == 0)
+    val badMonths = df.groupBy("month").agg(max("cume_d").as("m"))
+      .filter(col("m") =!= 1.0).count()
+    assert(badMonths == 0)
+    df.unpersist()
+  }
+}
