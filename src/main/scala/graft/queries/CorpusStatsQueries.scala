@@ -431,6 +431,31 @@ object CorpusStatsQueries {
             .as("logprob2"))
   }
 
+  /** CCNet-style perplexity bucketing (r8): per-language TERCILES of the
+    * unigram-LM surprisal score — bucket 1 = head (most fluent/common),
+    * 2 = middle, 3 = tail — the quality-partitioning step CCNet applies
+    * before choosing which slice of a crawl to train on. Composition of
+    * two certified pieces: the pinned logprob score (drift-proof across
+    * engines, so it doubles as a portable ORDER key) and the exact-ntile
+    * histogram plan (ops.Quantiles.exactNtile — per-(lang, bit-prefix
+    * bucket) histogram + boundary-bucket ranking; no per-language corpus
+    * sort, so one dominant language costs the same as a uniform mix).
+    * Ties break on doc_id — deterministic on any engine. */
+  val textPplBucket = Q("q_text_ppl_bucket", "per-language perplexity terciles (CCNet slices)")(
+    "SELECT j.doc_id, j.lang, j.logprob, " +
+      "ntile(3) OVER (PARTITION BY j.lang ORDER BY j.logprob, j.doc_id) AS ppl_bucket " +
+      "FROM (SELECT l.doc_id, d2.lang, l.logprob FROM (" +
+      textUnigramLogprob.oracle.get +
+      ") l JOIN documents d2 ON d2.doc_id = l.doc_id) j") {
+    (s, d) =>
+      val scored = textUnigramLogprob.fn(s, d)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "logprob")
+      graft.ops.Quantiles.exactNtile(scored, part = "lang", value = "logprob",
+        ord = col("doc_id"), tiles = 3, outCol = "ppl_bucket")
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
-    dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob)
+    dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
+    textPplBucket)
 }

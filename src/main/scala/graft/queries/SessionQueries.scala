@@ -103,5 +103,64 @@ object SessionQueries {
           count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
   }
 
-  val all: Seq[Q] = Seq(sessionize, eventFunnel)
+  /** Cohort retention (r8): cohort = a user's first active day; for each
+    * (cohort, day-offset ≤ 7) the count of distinct users still active —
+    * the standard product-analytics retention triangle. Two grouped
+    * aggregates and one user_id-keyed join, all shuffling on user_id (the
+    * cohort side is corpus-sized — one row per user — so it is NOT
+    * broadcast); day arithmetic is integer, nothing floats. */
+  val eventRetention = Q("q_event_retention", "daily-cohort retention triangle")(
+    "WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+      "c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) " +
+      "SELECT c.cohort, CAST(date_diff('day', c.cohort, ud.day) AS BIGINT) AS offset_days, " +
+      "count(DISTINCT ud.user_id) AS n_users " +
+      "FROM ud JOIN c ON c.user_id = ud.user_id " +
+      "WHERE date_diff('day', c.cohort, ud.day) <= 7 GROUP BY 1, 2") {
+    (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      val c = ud.groupBy("user_id").agg(min("day").as("cohort"))
+      ud.join(c, "user_id")
+        .withColumn("offset_days", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("offset_days") <= 7)
+        .groupBy("cohort", "offset_days")
+        .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** 7-day = 604800 s in microseconds — the attribution lookback. */
+  private val AttrWindowUs = 7L * 24 * 3600 * 1000000L
+
+  /** Last-touch attribution (r8): each purchase credits the user's most
+    * recent PRECEDING click within a 7-day lookback — the canonical
+    * marketing-attribution join, solved with one per-user ordered window
+    * (carry the last click timestamp via `last(..., ignoreNulls)` over
+    * rows ≺ current) instead of a purchases×clicks range self-join. One
+    * Exchange on user_id; timestamps compared in integer microseconds.
+    * Purchases with no in-window click keep NULL credit — they must stay
+    * visible (unattributed spend is the metric's denominator). */
+  val eventAttribution = Q("q_event_attribution", "last-touch click attribution for purchases")(
+    "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "a AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) " +
+      "OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us FROM e) " +
+      "SELECT event_id, user_id, ts_us, " +
+      s"CASE WHEN ts_us - click_us <= $AttrWindowUs THEN click_us END AS attr_click_us, " +
+      s"CASE WHEN ts_us - click_us <= $AttrWindowUs THEN ts_us - click_us END AS gap_us " +
+      "FROM a WHERE event_type = 'purchase'") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inWin = col("ts_us") - col("click_us") <= AttrWindowUs
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(inWin, col("click_us")).as("attr_click_us"),
+          when(inWin, col("ts_us") - col("click_us")).as("gap_us"))
+  }
+
+  val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution)
 }

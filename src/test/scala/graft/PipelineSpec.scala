@@ -85,6 +85,51 @@ class PipelineSpec extends SparkSpec {
     range.unpersist()
   }
 
+  test("retention: offset-0 equals cohort size and later offsets never exceed it") {
+    val df = graft.queries.SessionQueries.eventRetention.fn(spark, sf).cache()
+    assert(df.filter(col("offset_days") < 0 || col("offset_days") > 7).count() == 0)
+    val day0 = df.filter(col("offset_days") === 0)
+      .select(col("cohort"), col("n_users").as("n0"))
+    // every user's first day IS offset 0, so day-0 rows exist per cohort
+    // and no later offset can retain more users than the cohort had
+    val bad = df.join(day0, "cohort").filter(col("n_users") > col("n0")).count()
+    assert(bad == 0)
+    val cohortSizes = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("cohort"))
+      .groupBy("cohort").count()
+    val mismatch = day0.join(cohortSizes, "cohort")
+      .filter(col("n0") =!= col("count")).count()
+    assert(mismatch == 0)
+    df.unpersist()
+  }
+
+  test("attribution: one row per purchase; credited clicks precede within the window") {
+    val df = graft.queries.SessionQueries.eventAttribution.fn(spark, sf).cache()
+    val nPurch = graft.util.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == nPurch)
+    val winUs = 7L * 24 * 3600 * 1000000L
+    assert(df.filter(col("attr_click_us").isNotNull &&
+      (col("attr_click_us") > col("ts_us")
+        || col("ts_us") - col("attr_click_us") > winUs)).count() == 0)
+    // gap null iff click null
+    assert(df.filter(col("attr_click_us").isNull =!= col("gap_us").isNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("ppl_bucket: balanced per-language terciles, ordered by score") {
+    val df = graft.queries.CorpusStatsQueries.textPplBucket.fn(spark, sf).cache()
+    assert(df.filter(col("ppl_bucket") < 1 || col("ppl_bucket") > 3).count() == 0)
+    val sizes = df.groupBy("lang", "ppl_bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() == 0)
+    val b1max = df.filter(col("ppl_bucket") === 1).groupBy("lang").agg(max("logprob").as("m1"))
+    val b3min = df.filter(col("ppl_bucket") === 3).groupBy("lang").agg(min("logprob").as("m3"))
+    assert(b1max.join(b3min, "lang").filter(col("m1") > col("m3")).count() == 0)
+    df.unpersist()
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
