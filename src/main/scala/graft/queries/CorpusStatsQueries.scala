@@ -448,9 +448,14 @@ object CorpusStatsQueries {
       textUnigramLogprob.oracle.get +
       ") l JOIN documents d2 ON d2.doc_id = l.doc_id) j") {
     (s, d) =>
+      // exactNtile reads its input three times (histogram, resolve join,
+      // boundary branch) — fine over a parquet scan, 3× the full LM
+      // subtree here; materialize the scored frame once (measured 4.85 s
+      // → see DESIGN.md §4c)
       val scored = textUnigramLogprob.fn(s, d)
         .join(documents(s, d).select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "logprob")
+        .materialized()
       graft.ops.Quantiles.exactNtile(scored, part = "lang", value = "logprob",
         ord = col("doc_id"), tiles = 3, outCol = "ppl_bucket")
   }
