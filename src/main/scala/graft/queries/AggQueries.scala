@@ -254,6 +254,26 @@ object AggQueries {
         "measure", "value")
   }
 
+  /** Hierarchical subtotals (r8): ROLLUP over (source, lang) — per-cell,
+    * per-source and grand-total document/token counts in ONE pass, with
+    * `grouping_id` disambiguating real NULLs from rolled-up levels (both
+    * engines use the same bitmask convention: first rollup column = most
+    * significant bit). Spark plans rollup as a single Expand + one hash
+    * aggregate — the subtotal levels cost one extra row per input row per
+    * level, not one extra scan per level, which is the whole point at
+    * 100 TB (the naive form is L separate groupBys = L scans). */
+  val aggRollup = Q("q_agg_rollup", "ROLLUP(source, lang) subtotal hierarchy")(
+    "SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY ROLLUP(source, lang)") {
+    (s, d) =>
+      documents(s, d).rollup("source", "lang")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select("source", "lang", "gid", "n_docs", "sum_chars")
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
-    aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong)
+    aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
+    aggRollup)
 }

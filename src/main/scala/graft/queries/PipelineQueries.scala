@@ -147,5 +147,72 @@ object PipelineQueries {
           graft.util.Exact.exactSum(col("l_extendedprice")).as("sum_price"))
   }
 
-  val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange)
+  /** Temperature-scaled mixture weights (α = 0.5), the multilingual /
+    * multi-source sampling recipe (raise low-resource shares, damp the
+    * head): temp share ∝ src_tokens^α. At α = ½ the power IS `sqrt` — an
+    * IEEE-CORRECTLY-ROUNDED primitive, unlike a general pow — so the whole
+    * computation stays bit-portable with no libm dependence: sqrt per
+    * source (exact), the 20-source normalizer through the binary-grid
+    * portableSum, published scores pinned. `boost` = temp share ÷ natural
+    * share is the per-source up/down-sampling factor a mixture-aware
+    * sampler multiplies into its keep rate. */
+  val mixTemperature = Q("q_mix_temperature", "temperature-scaled (α=0.5) mixture weights")(
+    "WITH t AS (SELECT source, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens FROM t GROUP BY 1), " +
+      "s AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, " +
+      graft.util.Exact.Sql.portableSum("sqrt(src_tokens)") + " AS z FROM g) " +
+      "SELECT g.source, g.src_tokens, " +
+      "CAST(g.src_tokens AS DOUBLE) / s.total_tokens AS nat_share, " +
+      graft.util.Exact.Sql.pinScore("sqrt(g.src_tokens) / s.z") + " AS temp_share, " +
+      graft.util.Exact.Sql.pinScore(
+        "(sqrt(g.src_tokens) / s.z) / (CAST(g.src_tokens AS DOUBLE) / s.total_tokens)") +
+      " AS boost FROM g, s") {
+    (s, d) =>
+      val g = documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("src_tokens"))
+      val scalars = g.agg(sum("src_tokens").as("total_tokens"),
+        graft.util.Exact.portableSum(sqrt(col("src_tokens"))).as("z"))
+      val tempShare = sqrt(col("src_tokens")) / col("z")
+      val natShare = col("src_tokens").cast("double") / col("total_tokens")
+      g.crossJoin(broadcast(scalars))
+        .select(col("source"), col("src_tokens"), natShare.as("nat_share"),
+          graft.util.Exact.pinScore(tempShare).as("temp_share"),
+          graft.util.Exact.pinScore(tempShare / natShare).as("boost"))
+  }
+
+  /** Classifier-evaluation operator: confusion matrix of the registered
+    * language-ID heuristic's prediction against the labeled lang column —
+    * count + row-normalized rate per (lang, pred_lang) cell. The matrix
+    * computation (label join → cell counts → per-label normalize) is the
+    * reusable piece; any per-doc classifier slots into the same plan. Two
+    * grouped aggregates on bounded keys (|langs| × |preds| cells). */
+  val langidConfusion = Q("q_text_langid_confusion", "language-ID confusion matrix")(
+    "WITH " + TextQueries.tokwBody +
+      ", p AS (SELECT doc_id, CASE WHEN " +
+      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.02 " +
+      "THEN 'en' ELSE 'und' END AS pred_lang FROM tokw GROUP BY doc_id), " +
+      "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n FROM p " +
+      "JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2), " +
+      "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1) " +
+      "SELECT c.lang, c.pred_lang, c.n, CAST(c.n AS DOUBLE) / t.n_lang AS rate " +
+      "FROM cells c JOIN tot t ON t.lang = c.lang") {
+    (s, d) =>
+      val hit = when(col("word").isin("the", "a"), 1).otherwise(0)
+      val pred = TextOps.explodeTokens(documents(s, d)).groupBy("doc_id")
+        .agg((sum(hit).cast("double") / count(lit(1))).as("ratio"))
+        .select(col("doc_id"),
+          when(col("ratio") >= 0.02, "en").otherwise("und").as("pred_lang"))
+      val cells = pred.join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("n_lang")).as("rate"))
+  }
+
+  val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
+    mixTemperature, langidConfusion)
 }

@@ -162,5 +162,38 @@ object SessionQueries {
           when(inWin, col("ts_us") - col("click_us")).as("gap_us"))
   }
 
-  val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution)
+  /** Event-rate anomaly detection (r8): daily count per event type,
+    * z-scored against that type's own daily history (exact decimal
+    * moments — counts are integers, so the decimal path is the right
+    * exactness tool, no transcendental grid needed), |z| ≥ 2 flagged.
+    * The monitoring op a pipeline runs over its own telemetry. Shape:
+    * one (type, day) hash aggregate, a 5-row per-type stats frame
+    * broadcast back — nothing corpus-sized crosses the network twice.
+    * sd is NULL when a type has < 2 days of history → z/flag NULL, the
+    * honest cold-start answer (identical CASE semantics in the oracle). */
+  val eventAnomaly = Q("q_event_anomaly", "daily event-rate z-score anomalies")(
+    "WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n " +
+      "FROM events GROUP BY 1, 2), " +
+      "st AS (SELECT event_type, count(*) AS n_days, " +
+      Exact.Sql.avg("CAST(n AS DOUBLE)") + " AS mean_n, " +
+      Exact.Sql.stddevSamp("CAST(n AS DOUBLE)") + " AS sd_n FROM dc GROUP BY 1) " +
+      "SELECT dc.event_type, dc.day, dc.n, " +
+      "(dc.n - st.mean_n) / st.sd_n AS z, " +
+      "abs((dc.n - st.mean_n) / st.sd_n) >= 2.0 AS is_anomaly " +
+      "FROM dc JOIN st ON st.event_type = dc.event_type") {
+    (s, d) =>
+      val dc = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = dc.groupBy("event_type")
+        .agg(Exact.exactAvg(col("n").cast("double")).as("mean_n"),
+          Exact.exactStddevSamp(col("n").cast("double")).as("sd_n"))
+      val z = (col("n") - col("mean_n")) / col("sd_n")
+      dc.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          z.as("z"), (abs(z) >= 2.0).as("is_anomaly"))
+  }
+
+  val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
+    eventAnomaly)
 }

@@ -130,6 +130,57 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rollup: subtotal levels are consistent and gid distinguishes them") {
+    val df = graft.queries.AggQueries.aggRollup.fn(spark, sf).cache()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    val grand = df.filter(col("gid") === 3)
+    assert(grand.count() == 1 && grand.first().getAs[Long]("n_docs") == nDocs)
+    val perSource = df.filter(col("gid") === 1).agg(sum("n_docs")).first().getLong(0)
+    val cells = df.filter(col("gid") === 0).agg(sum("n_docs")).first().getLong(0)
+    assert(perSource == nDocs && cells == nDocs)
+    assert(df.filter(!col("gid").isin(0L, 1L, 3L)).count() == 0)
+    df.unpersist()
+  }
+
+  test("mix_temperature: shares normalize, ordering preserved, boost flattens the mix") {
+    val df = PipelineQueries.mixTemperature.fn(spark, sf).cache()
+    val ts = df.agg(sum("temp_share")).first().getDouble(0)
+    assert(math.abs(ts - 1.0) < 1e-6) // pinned scores: grid-sized slack
+    // sqrt is monotone: temp-share order == token order
+    val tokOrder = df.orderBy(col("src_tokens"), col("source"))
+      .select("source").collect().map(_.getString(0)).toSeq
+    val shareOrder = df.orderBy(col("temp_share"), col("source"))
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(tokOrder == shareOrder)
+    // α<1 lifts below-average sources and damps above-average ones
+    val bad = df.filter(
+      (col("nat_share") < col("temp_share")) =!= (col("boost") > 1.0)).count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+
+  test("langid_confusion: cells cover every document and rates normalize per label") {
+    val df = PipelineQueries.langidConfusion.fn(spark, sf).cache()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n")).first().getLong(0) == nDocs)
+    val badLang = df.groupBy("lang").agg(sum("rate").as("r"))
+      .filter(abs(col("r") - 1.0) > 1e-9).count()
+    assert(badLang == 0)
+    df.unpersist()
+  }
+
+  test("event_anomaly: one row per (type, day); per-type z-scores center on 0") {
+    val df = graft.queries.SessionQueries.eventAnomaly.fn(spark, sf).cache()
+    val expected = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .distinct().count()
+    assert(df.count() == expected)
+    val offCenter = df.groupBy("event_type").agg(avg("z").as("mz"))
+      .filter(abs(col("mz")) > 1e-6).count()
+    assert(offCenter == 0)
+    df.unpersist()
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
