@@ -460,7 +460,81 @@ object CorpusStatsQueries {
         ord = col("doc_id"), tiles = 3, outCol = "ppl_bucket")
   }
 
+  /** HELD-OUT smoothed bigram-LM scoring (r8): the train split's LM
+    * scores the val/test split — the true production shape of a
+    * perplexity filter (q_text_bigram_logprob documents its corpus-scores-
+    * itself form as never reaching a smoothing branch; this query is where
+    * that branch lives and is exercised). Splits come from the SAME salted
+    * portable hash as q_split_train_test (membership parity by
+    * construction); add-1 (Laplace) smoothing over the train vocabulary
+    * gives every held-out bigram finite surprisal:
+    * p(w₂|w₁) = (c_train(w₁,w₂) + 1) / (c_train(w₁) + V).
+    *
+    * Scale: counts shuffle on word/bigram keys; pln runs once per DISTINCT
+    * HELD-OUT bigram (never per token); V is a 1-row broadcast; per-doc
+    * sums ride the binary-grid portableSum and the published score is
+    * pinned — the full drift-proof transcendental contract. */
+  val textHeldoutLogprob = Q("q_text_heldout_logprob", "held-out add-1 bigram-LM surprisal")(
+    "WITH d AS (SELECT doc_id, text, " +
+      "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket " +
+      "FROM documents), " +
+      "tt AS (SELECT doc_id, string_split(text, ' ') AS sp FROM d WHERE bucket < 800), " +
+      "tk AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM tt), " +
+      "cb AS (SELECT sp[i] AS w1, sp[i+1] AS w2, count(*) AS cab FROM tk " +
+      "WHERE i + 1 <= len(sp) GROUP BY 1, 2), " +
+      "cu AS (SELECT sp[i] AS w1, count(*) AS cw FROM tk GROUP BY 1), " +
+      "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu), " +
+      "vt AS (SELECT doc_id, string_split(text, ' ') AS sp FROM d WHERE bucket >= 800), " +
+      "vk AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM vt), " +
+      "vb AS (SELECT doc_id, sp[i] AS w1, sp[i+1] AS w2 FROM vk WHERE i + 1 <= len(sp)), " +
+      "db AS (SELECT DISTINCT w1, w2 FROM vb), " +
+      "px AS (SELECT db.w1, db.w2, " +
+      "CAST(COALESCE(cb.cab, 0) + 1 AS DOUBLE) / (CAST(COALESCE(cu.cw, 0) AS DOUBLE) + vv.v) AS _lnx " +
+      "FROM db LEFT JOIN cb ON cb.w1 = db.w1 AND cb.w2 = db.w2 " +
+      "LEFT JOIN cu ON cu.w1 = db.w1 CROSS JOIN vv), " +
+      Portable.plnSqlCtes("px", "pl") + ", " +
+      "sc AS (SELECT v.doc_id, " +
+      graft.util.Exact.Sql.portableSum("-(pl._pln)") + " AS s, count(*) AS n_bigrams " +
+      "FROM vb v JOIN pl ON pl.w1 = v.w1 AND pl.w2 = v.w2 GROUP BY 1) " +
+      "SELECT doc_id, n_bigrams, " +
+      graft.util.Exact.Sql.pinScore("s / CAST(n_bigrams AS DOUBLE)") +
+      " AS heldout_lp FROM sc") {
+    (s, d) =>
+      val bucket = TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+      val docs = documents(s, d).withColumn("bucket", bucket)
+      def bigramsOf(src: org.apache.spark.sql.DataFrame) =
+        src.withColumn("sp", TextOps.tokens(col("text")))
+          .select(col("doc_id"), col("sp"),
+            explode(sequence(lit(1), size(col("sp")))).as("i"))
+          .filter(col("i") + 1 <= size(col("sp")))
+          .select(col("doc_id"), element_at(col("sp"), col("i")).as("w1"),
+            element_at(col("sp"), col("i") + 1).as("w2"))
+      val train = docs.filter(col("bucket") < 800).select("doc_id", "text")
+      val valD = docs.filter(col("bucket") >= 800).select("doc_id", "text")
+      val cb = bigramsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val cu = TextOps.explodeTokens(train).groupBy("word").agg(count(lit(1)).as("cw"))
+        .withColumnRenamed("word", "w1")
+      val vv = cu.agg(count(lit(1)).as("v"))
+      // held-out bigram positions feed the distinct-score join AND the
+      // per-doc fold: materialize once
+      val vb = bigramsOf(valD).materialized(eager = false)
+      val px = vb.select("w1", "w2").distinct()
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(cu, Seq("w1"), "left")
+        .crossJoin(broadcast(vv))
+      val pl = Portable.pln(px,
+          (coalesce(col("cab"), lit(0)) + 1).cast("double") /
+            (coalesce(col("cw"), lit(0)).cast("double") + col("v")), "lnp")
+        .select("w1", "w2", "lnp")
+      vb.join(pl, Seq("w1", "w2")).groupBy("doc_id")
+        .agg(graft.util.Exact.portableSum(-col("lnp")).as("s"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.util.Exact.pinScore(col("s") / col("n_bigrams").cast("double"))
+            .as("heldout_lp"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
-    textPplBucket)
+    textPplBucket, textHeldoutLogprob)
 }

@@ -969,7 +969,62 @@ object VectorQueries {
         .select("q", "c", "cosine")
   }
 
+  /** kNN-GRAPH construction (r8): every vector's top-3 cosine neighbors
+    * within its IVF cluster — the all-queries sibling of q_ann_ivf and
+    * the build step of graph-based curation (SemDeDup's cluster graph,
+    * kNN-classifier label spreading, embedding-space outlier pruning).
+    *
+    * Scale shape: with every vector a query, broadcast-the-queries dies
+    * by construction — instead the corpus self-joins ON THE CLUSTER KEY
+    * (the dedupSemantic candidate layout: Σ|cluster|² pairs, the standard
+    * IVF trade), SALTED like q_dedup_embed_cosine so a hot cluster fans
+    * out to #clusters × 8 tasks instead of one straggler. Neighbor lists
+    * ride a per-q window over cluster-local candidates only. Same
+    * blocked-exact contract as q_dedup_semantic: exactness within the
+    * block, recall bounded by the blocking (single-probe here; the probe/
+    * trained knobs compose exactly as in the q_ann_ivf* family). */
+  val annKnnJoin = Q("q_ann_knn_join", "within-cluster kNN graph (top-3, all vectors)")(
+    vecsSql +
+      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
+      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
+      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      "WHERE rn = 1), " +
+      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+      "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
+      "pdots AS (SELECT p.q, p.c, p.cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClusters(all, cents)
+      val withVec = all.join(assign, "vid").materialized()
+      val a = withVec.select(col("vid").as("q"), col("cluster"),
+        col("ev").as("eq"), col("nv").as("nq"))
+      val b = withVec.select(col("vid").as("c"), col("cluster"),
+        col("ev").as("ec"), col("nv").as("nc"))
+      val pcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+        .filter(col("q") =!= col("c"))
+        .select(col("q"), col("c"), col("cluster"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange)
+    mmEmbedPool, annRange, annKnnJoin)
 }

@@ -181,6 +181,38 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("knn_join: <=3 cluster-local neighbors per vector; agrees with q_ann_ivf on its queries") {
+    val knn = VectorQueries.annKnnJoin.fn(spark, sf).cache()
+    assert(knn.groupBy("q").count().filter(col("count") > 3).count() == 0)
+    // same blocking, same k, same tie rule => the vid<10 slice IS q_ann_ivf
+    val ivf = VectorQueries.annIvf.fn(spark, sf).select("q", "c", "cosine", "rn")
+    val slice = knn.filter(col("q") < 10).select("q", "c", "cosine", "rn")
+    assert(slice.except(ivf).count() == 0 && ivf.except(slice).count() == 0)
+    knn.unpersist()
+  }
+
+  test("heldout_lp: only val-split docs scored; unseen bigrams exercise the smoothing branch") {
+    val df = graft.queries.CorpusStatsQueries.textHeldoutLogprob.fn(spark, sf).cache()
+    val bucket = graft.ops.TextOps.hash32(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+    val docs = graft.util.Tables.documents(spark, sf).withColumn("bucket", bucket)
+    val trainIds = docs.filter(col("bucket") < 800).select("doc_id")
+    assert(df.join(trainIds, "doc_id").count() == 0)
+    assert(df.filter(col("heldout_lp") <= 0).count() == 0) // surprisal is positive
+    // at least one held-out bigram must be unseen in train (else the
+    // add-1 branch is dead code on this fixture and the test is vacuous)
+    def bigrams(src: org.apache.spark.sql.DataFrame) =
+      src.withColumn("sp", graft.ops.TextOps.tokens(col("text")))
+        .select(col("sp"), explode(sequence(lit(1), size(col("sp")))).as("i"))
+        .filter(col("i") + 1 <= size(col("sp")))
+        .select(element_at(col("sp"), col("i")).as("w1"),
+          element_at(col("sp"), col("i") + 1).as("w2")).distinct()
+    val unseen = bigrams(docs.filter(col("bucket") >= 800))
+      .except(bigrams(docs.filter(col("bucket") < 800))).count()
+    assert(unseen > 0)
+    df.unpersist()
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
