@@ -810,24 +810,16 @@ object VectorQueries {
       "c0 AS (SELECT s.cid, v.i, v.e AS m FROM seeds s JOIN v ON v.vec_id = s.vec_id), " +
       lloydSqlCtes("vs", SemIters)
 
-  /** Hierarchical (two-level) SemDeDup — the corpus^1.25 rung below
-    * q_dedup_semantic's flat corpus^1.5 assignment (VERDICT r7 #4):
-    * identical training, then assignClustersHier's coarse→fine argmax
-    * (⌈√k⌉ supers from one exact Lloyd step over the centroids
-    * themselves, then argmax only over the chosen super's member
-    * centroids — ~2√k dots per vector instead of k). The oracle replays
-    * training AND both hierarchy stages bit-for-bit, so the registered
-    * gate certifies the full coarse→fine contract, not just the pair
-    * tail. A DELIBERATELY coarser contract than the flat id: a vector
-    * may pick a super whose best member is globally second-best, so the
-    * pair set may differ from q_dedup_semantic's — both ids stay
-    * registered because at 100 TB the flat assignment term (corpus·√corpus
-    * dots) is the measured next bottleneck and this is its designed
-    * replacement (DESIGN.md §4). */
-  val dedupSemanticHier = Q("q_dedup_semantic_hier",
-    "two-level trained-cluster cosine near-dup (hierarchical SemDeDup)")(
-    vecsSql + semTrainSqlCtes + ", " +
-      // supers: ns = ceil(sqrt(k)); seeds = the ns lowest-cid trained
+  /** The two-level (coarse→fine) assignment as oracle CTEs, shared by
+    * q_dedup_semantic_hier and q_ann_knn_hier. Expects in scope: `kk(k)`
+    * (centroid count), `c2(cid, i, m)` (dense-cid exploded centroids —
+    * trained OR seed), and vecsSql's `v`/`n`. Emits `assign(vid, cluster)`.
+    * Mirrors assignClustersHier step for step: ns = ⌈√k⌉ supers from one
+    * exact Lloyd step over the centroids, centroid membership under the
+    * FINAL supers, per-vector super argmax, then argmax over the chosen
+    * super's member centroids only. */
+  private val hierAssignSqlCtes: String =
+      // supers: ns = ceil(sqrt(k)); seeds = the ns lowest-cid
       // centroids; ONE exact Lloyd step over the centroids themselves
       "sk AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS ns FROM kk), " +
       "c2n AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
@@ -872,7 +864,25 @@ object VectorQueries {
       "FROM vsup p JOIN member mm ON mm.sid = p.sid JOIN c2 c ON c.cid = mm.mcid " +
       "JOIN v ON v.vec_id = p.vid AND v.i = c.i JOIN n ON n.vec_id = p.vid " +
       "JOIN c2n cn ON cn.cid = c.cid GROUP BY p.vid, c.cid, n.nrm, cn.cnrm) d) " +
-      "WHERE rn = 1), " +
+      "WHERE rn = 1), "
+
+  /** Hierarchical (two-level) SemDeDup — the corpus^1.25 rung below
+    * q_dedup_semantic's flat corpus^1.5 assignment (VERDICT r7 #4):
+    * identical training, then assignClustersHier's coarse→fine argmax
+    * (⌈√k⌉ supers from one exact Lloyd step over the centroids
+    * themselves, then argmax only over the chosen super's member
+    * centroids — ~2√k dots per vector instead of k). The oracle replays
+    * training AND both hierarchy stages bit-for-bit, so the registered
+    * gate certifies the full coarse→fine contract, not just the pair
+    * tail. A DELIBERATELY coarser contract than the flat id: a vector
+    * may pick a super whose best member is globally second-best, so the
+    * pair set may differ from q_dedup_semantic's — both ids stay
+    * registered because at 100 TB the flat assignment term (corpus·√corpus
+    * dots) is the measured next bottleneck and this is its designed
+    * replacement (DESIGN.md §4). */
+  val dedupSemanticHier = Q("q_dedup_semantic_hier",
+    "two-level trained-cluster cosine near-dup (hierarchical SemDeDup)")(
+    vecsSql + semTrainSqlCtes + ", " + hierAssignSqlCtes +
       // within-cluster near-dup pairs (same tail as q_dedup_semantic)
       "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
       "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster, " +
@@ -1024,7 +1034,60 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** kNN graph with HIERARCHICAL assignment (r8) — the scale-correct form
+    * of q_ann_knn_join. The flat variant measured 12.3× CPU at 10× rows
+    * (DESIGN.md §4c): its seed-centroid count grows with the corpus
+    * (bounded ~50-vector clusters keep the candidate term linear), so
+    * flat assignment is corpus·k = corpus²/50 dots. Here the SAME seed
+    * centroids (dense-renumbered cid = vec_id/50) are assigned through
+    * the two-level coarse→fine argmax — corpus·2√k ≈ corpus^1.25 dots —
+    * while the within-cluster candidate term stays corpus-linear. The
+    * oracle replays the super-layer Lloyd step and both argmax stages via
+    * the same CTE chain as q_dedup_semantic_hier, so the certified
+    * contract covers the whole hierarchy, not just the neighbor window.
+    * (At extreme k the stage-2 broadcast of the sid→member-centroid table
+    * in assignClustersHier flips to a shuffle join on sid — mechanical.) */
+  val annKnnHier = Q("q_ann_knn_hier", "hier-assigned within-cluster kNN graph (top-3)")(
+    vecsSql +
+      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierAssignSqlCtes +
+      "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
+      "dots AS (SELECT a.vec_id AS q, b.vec_id AS c, a.cluster AS cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM pa a JOIN pa b ON a.i = b.i AND a.cluster = b.cluster AND a.vec_id <> b.vec_id " +
+      "GROUP BY 1, 2, 3), " +
+      "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM dots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(expr("vec_id div 50").cast("long").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("ecent"))
+        .withColumn("ncent", expr(normExpr("ecent")))
+        .materialized() // seeds feed the super Lloyd step AND stage 2
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClustersHier(all, cents, k)
+      val withVec = all.join(assign, "vid").materialized()
+      val a = withVec.select(col("vid").as("q"), col("cluster"),
+        col("ev").as("eq"), col("nv").as("nq"))
+      val b = withVec.select(col("vid").as("c"), col("cluster"),
+        col("ev").as("ec"), col("nv").as("nc"))
+      val pcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+        .filter(col("q") =!= col("c"))
+        .select(col("q"), col("c"), col("cluster"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin)
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier)
 }

