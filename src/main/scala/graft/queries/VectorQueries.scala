@@ -1087,7 +1087,70 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** Mutual-kNN edge pruning (r8): keep only RECIPROCAL neighbor pairs
+    * (a ∈ top-3(b) AND b ∈ top-3(a)) — the standard symmetrization step
+    * between kNN-graph construction and graph clustering (one-directional
+    * edges are where hubs and boundary noise live). One self-join of the
+    * kNN graph on the reversed edge key; cosine is symmetric under the
+    * decimal-exact dot (identical addend multiset both directions), so
+    * either side's score publishes. Output keyed a < b, one row per
+    * undirected edge. */
+  val annKnnMutual = Q("q_ann_knn_mutual", "mutual-kNN reciprocal edge pruning")(
+    "SELECT g.q AS a, g.c AS b, g.cosine FROM (" +
+      // the registered kNN graph, inlined as a derived table
+      annKnnJoin.oracle.get +
+      ") g JOIN (" + annKnnJoin.oracle.get + ") r " +
+      "ON r.q = g.c AND r.c = g.q WHERE g.q < g.c") {
+    (s, d) =>
+      val g = annKnnJoin.fn(s, d)
+        .select("q", "c", "cosine")
+        .materialized() // both sides of the reciprocity join
+      g.as("g").join(g.as("r"),
+          col("r.q") === col("g.c") && col("r.c") === col("g.q"))
+        .filter(col("g.q") < col("g.c"))
+        .select(col("g.q").as("a"), col("g.c").as("b"), col("g.cosine"))
+  }
+
+  /** Embedding-space outlier pruning (r8): each vector's decimal-exact
+    * cosine to its ASSIGNED centroid, flagged when below τ = 0.09
+    * (calibrated ≈ the 5th percentile of this fixture's best-centroid
+    * cosine; a production pipeline derives τ from the same column with
+    * the exact-quantile machinery). Low affinity to every centroid =
+    * far from all density mass — the embedding-side "garbled document"
+    * filter that complements the text-side quality scores. Cost: the
+    * assignment the ANN/dedup family already pays, plus ONE dot per
+    * vector (join to the broadcast centroid row) — map-only after
+    * assignment. */
+  val embOutlier = Q("q_emb_outlier", "centroid-affinity embedding outlier flags")(
+    vecsSql +
+      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
+      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
+      "assign AS (SELECT vid, cid AS cluster, cosine AS cent_cos FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      "WHERE rn = 1) " +
+      "SELECT vid, cluster, cent_cos, cent_cos < 0.09 AS is_outlier FROM assign") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      // the fold assignment decides the cluster; the winner's exact
+      // cosine is then recomputed ONCE per vector against the broadcast
+      // centroid row — same decimal dot, so it equals the oracle's
+      // argmax-winning value bit-for-bit
+      assignClusters(all, cents)
+        .join(all, "vid")
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("vid"), col("cluster"),
+          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cent_cos"))
+        .withColumn("is_outlier", col("cent_cos") < 0.09)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier)
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier)
 }

@@ -206,6 +206,37 @@ class PipelineSpec extends SparkSpec {
     hier.unpersist()
   }
 
+  test("knn_mutual: exactly the reciprocal subset of the kNN graph, one row per edge") {
+    val g = VectorQueries.annKnnJoin.fn(spark, sf).select("q", "c").cache()
+    val m = VectorQueries.annKnnMutual.fn(spark, sf).cache()
+    assert(m.filter(col("a") >= col("b")).count() == 0)
+    assert(m.count() == m.select("a", "b").distinct().count())
+    // every mutual edge is present in BOTH directions in the graph
+    val fwdMissing = m.select(col("a").as("q"), col("b").as("c")).except(g).count()
+    val revMissing = m.select(col("b").as("q"), col("a").as("c")).except(g).count()
+    assert(fwdMissing == 0 && revMissing == 0)
+    // and every reciprocal graph pair is in the mutual set
+    val recip = g.as("x").join(g.as("y"),
+        col("y.q") === col("x.c") && col("y.c") === col("x.q"))
+      .filter(col("x.q") < col("x.c"))
+      .select(col("x.q").as("a"), col("x.c").as("b"))
+    assert(recip.except(m.select("a", "b")).count() == 0)
+    g.unpersist(); m.unpersist()
+  }
+
+  test("emb_outlier: one flag row per vector; outliers are a small low-affinity tail") {
+    val df = VectorQueries.embOutlier.fn(spark, sf).cache()
+    val nVecs = graft.util.Tables.embeddings(spark, sf).count()
+    assert(df.count() == nVecs)
+    val nOut = df.filter(col("is_outlier")).count()
+    assert(nOut > 0 && nOut < nVecs / 5)
+    // flagged vectors sit strictly below every unflagged affinity
+    val maxOut = df.filter(col("is_outlier")).agg(max("cent_cos")).first().getDouble(0)
+    val minIn = df.filter(!col("is_outlier")).agg(min("cent_cos")).first().getDouble(0)
+    assert(maxOut < 0.09 && minIn >= 0.09)
+    df.unpersist()
+  }
+
   test("heldout_lp: only val-split docs scored; unseen bigrams exercise the smoothing branch") {
     val df = graft.queries.CorpusStatsQueries.textHeldoutLogprob.fn(spark, sf).cache()
     val bucket = graft.ops.TextOps.hash32(
