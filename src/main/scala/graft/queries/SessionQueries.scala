@@ -169,8 +169,41 @@ object SessionQueries {
     * The monitoring op a pipeline runs over its own telemetry. Shape:
     * one (type, day) hash aggregate, a 5-row per-type stats frame
     * broadcast back — nothing corpus-sized crosses the network twice.
-    * sd is NULL when a type has < 2 days of history → z/flag NULL, the
-    * honest cold-start answer (identical CASE semantics in the oracle). */
+    * z/flag are NULL when a type has no usable baseline — < 2 days of
+    * history (sd NULL) OR a perfectly constant history (sd = 0) —
+    * identical CASE semantics in the oracle; engines disagree on double
+    * x/0, so the sd > 0 guard is part of the contract. */
+  /** Per-(type, day) event counts — the anomaly unit, shared by the batch
+    * query and the streaming monitor (Streams.anomalyMonitor) so both
+    * score the same integers. */
+  private[graft] def dailyCounts(ev: org.apache.spark.sql.DataFrame) =
+    ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact per-type history moments over dailyCounts output — THE trained
+    * reference-stats artifact; the streaming monitor broadcasts this
+    * frame and must use the identical recipe or stream and batch flags
+    * diverge. */
+  private[graft] def anomalyStats(dc: org.apache.spark.sql.DataFrame) =
+    dc.groupBy("event_type")
+      .agg(Exact.exactAvg(col("n").cast("double")).as("mean_n"),
+        Exact.exactStddevSamp(col("n").cast("double")).as("sd_n"))
+
+  /** z-score + flag a counts frame against a stats frame — the scoring
+    * tail shared verbatim by batch and stream. */
+  private[graft] def anomalyScore(dc: org.apache.spark.sql.DataFrame,
+      st: org.apache.spark.sql.DataFrame) = {
+    // z is DEFINED only for sd > 0: a <2-day history gives sd NULL, a
+    // CONSTANT history gives sd = 0 — both are "no usable baseline", and
+    // engines disagree on double x/0 (Spark NULL, IEEE engines ±inf), so
+    // the guard is part of the cross-engine contract, not cosmetics
+    // (found by the streaming twin's flat-rate fixture)
+    val z = when(col("sd_n") > 0, (col("n") - col("mean_n")) / col("sd_n"))
+    dc.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        z.as("z"), (abs(z) >= 2.0).as("is_anomaly"))
+  }
+
   val eventAnomaly = Q("q_event_anomaly", "daily event-rate z-score anomalies")(
     "WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n " +
       "FROM events GROUP BY 1, 2), " +
@@ -178,20 +211,12 @@ object SessionQueries {
       Exact.Sql.avg("CAST(n AS DOUBLE)") + " AS mean_n, " +
       Exact.Sql.stddevSamp("CAST(n AS DOUBLE)") + " AS sd_n FROM dc GROUP BY 1) " +
       "SELECT dc.event_type, dc.day, dc.n, " +
-      "(dc.n - st.mean_n) / st.sd_n AS z, " +
-      "abs((dc.n - st.mean_n) / st.sd_n) >= 2.0 AS is_anomaly " +
+      "CASE WHEN st.sd_n > 0 THEN (dc.n - st.mean_n) / st.sd_n END AS z, " +
+      "abs(CASE WHEN st.sd_n > 0 THEN (dc.n - st.mean_n) / st.sd_n END) >= 2.0 AS is_anomaly " +
       "FROM dc JOIN st ON st.event_type = dc.event_type") {
     (s, d) =>
-      val dc = events(s, d)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val st = dc.groupBy("event_type")
-        .agg(Exact.exactAvg(col("n").cast("double")).as("mean_n"),
-          Exact.exactStddevSamp(col("n").cast("double")).as("sd_n"))
-      val z = (col("n") - col("mean_n")) / col("sd_n")
-      dc.join(broadcast(st), "event_type")
-        .select(col("event_type"), col("day"), col("n"),
-          z.as("z"), (abs(z) >= 2.0).as("is_anomaly"))
+      val dc = dailyCounts(events(s, d))
+      anomalyScore(dc, anomalyStats(dc))
   }
 
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,

@@ -293,6 +293,38 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming event-rate anomaly MONITOR — the continuous twin of the
+    * batch q_event_anomaly: each drained micro-batch (a) lands its
+    * PARTIAL per-(type, day) counts in a batch-id-keyed partition
+    * (overwrite ⇒ a retried batch rewrites the same directory — the
+    * idempotent foreachBatch recipe), then (b) folds the staged partials
+    * into total counts and publishes z-flags against the TRAINED
+    * reference stats frame (`stats` — produce it with the batch recipe,
+    * SessionQueries.anomalyStats, over the historical lake; sharing that
+    * recipe is what makes stream and batch flags bit-identical). The
+    * per-batch recompute reads partial COUNT rows, bounded by
+    * types × days × batches — never raw event volume — so the monitor
+    * stays cheap at any event rate; compacting closed days is the next
+    * knob if the day horizon grows unbounded. */
+  def anomalyMonitor(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, stagedDir: String, flagsDir: String,
+      stats: DataFrame): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.queries.SessionQueries.dailyCounts(batch)
+          .write.mode("overwrite").parquet(s"$stagedDir/batch=$batchId")
+        val totals = spark.read.parquet(stagedDir)
+          .groupBy("event_type", "day").agg(sum("n").as("n"))
+        graft.queries.SessionQueries.anomalyScore(totals, stats)
+          .write.mode("overwrite").parquet(flagsDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming curation ingest — the continuous form of the batch
     * quality + privacy pass: documents that clear the Gopher filter
     * (TextOps.gopher, the SAME expression q_text_gopher evaluates) are

@@ -328,6 +328,58 @@ class LakeStreamSpec extends SparkSpec {
     assert(got == Set((d1, 2L, 2L, 2L, 1L), (d2, 1L, 1L, 0L, 0L)))
   }
 
+  test("Streams.anomalyMonitor publishes the batch q_event_anomaly flags across drains") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp()
+    val staged = tmp() + "/staged"; val flags = tmp() + "/flags"
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    // 7 quiet days + one 10x spike day for clicks; views flat. n matters:
+    // a single outlier among n samples caps at z = (n-1)/sqrt(n) (it
+    // inflates the sd it is scored against), so 5 days can never flag
+    // (max 1.79) — 8 days bounds at 2.47 and the spike lands ~2.46
+    def dayEvents(day: Int, clicks: Int) =
+      (1 to clicks).map(i => (i.toLong, f"2024-03-0$day%d 10:${i % 60}%02d:00", "click")) ++
+        Seq((99L, f"2024-03-0$day%d 11:00:00", "view"))
+    val batch1 = (1 to 5).flatMap(dayEvents(_, 2))
+    val batch2 = dayEvents(6, 2) ++ dayEvents(7, 2) ++ dayEvents(8, 20) // late spike
+    // reference stats trained on the FULL horizon (what a production
+    // monitor trains on history; here = batch parity by construction)
+    val allEv = ev(batch1 ++ batch2)
+    val stats = graft.queries.SessionQueries.anomalyStats(
+      graft.queries.SessionQueries.dailyCounts(allEv))
+    def drain(): Unit = {
+      val q = Streams.anomalyMonitor(spark, src, schema, ckpt, staged, flags, stats)
+      q.awaitTermination()
+    }
+    ev(batch1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val afterFirst = spark.read.parquet(flags)
+    assert(afterFirst.select("day").distinct().count() == 5) // spike not yet seen
+    ev(batch2).coalesce(1).write.mode("append").parquet(src)
+    drain() // restart: only the new file drains, staged partials accumulate
+    // z/is_anomaly are Option: the flat-rate "view" type has sd = 0 and
+    // scores NULL by contract (no usable baseline)
+    val got = spark.read.parquet(flags)
+      .select("event_type", "day", "n", "z", "is_anomaly")
+      .as[(String, java.sql.Timestamp, Long, Option[Double], Option[Boolean])]
+      .collect().toSet
+    // batch twin over the same events, scored against the same stats
+    val batchFlags = graft.queries.SessionQueries.anomalyScore(
+        graft.queries.SessionQueries.dailyCounts(allEv), stats)
+      .as[(String, java.sql.Timestamp, Long, Option[Double], Option[Boolean])]
+      .collect().toSet
+    assert(got == batchFlags, s"stream flags $got != batch flags $batchFlags")
+    // every view row is null-scored; the spike day is the only click anomaly
+    assert(got.filter(_._1 == "view").forall(r => r._4.isEmpty && r._5.isEmpty))
+    val clickAnoms = got.filter(r => r._1 == "click" && r._5.contains(true))
+    assert(clickAnoms.map(_._2) ==
+      Set(java.sql.Timestamp.valueOf("2024-03-08 00:00:00")))
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
