@@ -213,6 +213,58 @@ object PipelineQueries {
           (col("n").cast("double") / col("n_lang")).as("rate"))
   }
 
+  /** Daily resample + forward fill (r8): the pandas
+    * `resample('D').ffill()` idiom — one row per asset per CALENDAR day
+    * between the asset's first and last observation, carrying the latest
+    * observed price forward across gap days. Steps: last observation per
+    * (asset, day) (row_number desc over the unique ordinal — the same
+    * determinism contract as the window family), per-asset calendar spine
+    * via sequence/generate_series (identical inclusive endpoints on both
+    * engines), left join, then `last(price) ignore nulls` over the
+    * day-ordered per-asset window.
+    *
+    * Scale: the spine is keys × horizon rows (data-independent, no
+    * explosion from row counts); every window keys on the asset — one
+    * Exchange feeds dedup, spine join and fill; nothing sorts across
+    * assets. Asset subset (< 20) keeps the gate output bounded; the plan
+    * is subset-free. */
+  val resampleFfill = Q("q_resample_ffill", "daily spine + forward-fill resampling")(
+    "WITH obs AS (SELECT l_partkey, date_trunc('day', l_shipdate) AS day, " +
+      "l_extendedprice AS px, (l_orderkey * 8 + l_linenumber) AS ord " +
+      "FROM lineitem WHERE l_partkey < 20), " +
+      "lastobs AS (SELECT l_partkey, day, px FROM (SELECT obs.*, " +
+      "row_number() OVER (PARTITION BY l_partkey, day ORDER BY ord DESC) AS rn FROM obs) " +
+      "WHERE rn = 1), " +
+      "bounds AS (SELECT l_partkey, min(day) AS lo, max(day) AS hi FROM lastobs GROUP BY 1), " +
+      "spine AS (SELECT l_partkey, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day " +
+      "FROM bounds), " +
+      "j AS (SELECT s.l_partkey, s.day, l.px FROM spine s " +
+      "LEFT JOIN lastobs l ON l.l_partkey = s.l_partkey AND l.day = s.day) " +
+      "SELECT l_partkey, day, " +
+      "last_value(px IGNORE NULLS) OVER (PARTITION BY l_partkey ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price, " +
+      "px IS NOT NULL AS is_observed FROM j") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = col("l_orderkey") * 8 + col("l_linenumber")
+      val obs = lineitem(s, d).filter(col("l_partkey") < 20)
+        .select(col("l_partkey"), date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_extendedprice").as("px"), ord.as("ord"))
+      val wLast = Window.partitionBy("l_partkey", "day").orderBy(col("ord").desc)
+      val lastobs = obs.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1).select("l_partkey", "day", "px")
+      val spine = lastobs.groupBy("l_partkey")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("l_partkey"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val wFill = Window.partitionBy("l_partkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(lastobs, Seq("l_partkey", "day"), "left")
+        .select(col("l_partkey"), col("day"),
+          last(col("px"), ignoreNulls = true).over(wFill).as("price"),
+          col("px").isNotNull.as("is_observed"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
-    mixTemperature, langidConfusion)
+    mixTemperature, langidConfusion, resampleFfill)
 }

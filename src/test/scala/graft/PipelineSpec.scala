@@ -259,6 +259,26 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("resample_ffill: gapless daily spine, observed days exact, gaps carry last value") {
+    val df = PipelineQueries.resampleFfill.fn(spark, sf).cache()
+    // spine is gapless: per asset, rows == days between min and max inclusive
+    val spineOk = df.groupBy("l_partkey")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max("day"), min("day")) + 1).as("span"))
+      .filter(col("rows") =!= col("span")).count()
+    assert(spineOk == 0)
+    // first row per asset is observed (fill has a seed), price never null
+    assert(df.filter(col("price").isNull).count() == 0)
+    // on gap days the price equals the previous day's price
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey").orderBy("day")
+    val gaps = df.withColumn("prev", lag("price", 1).over(w))
+      .filter(!col("is_observed"))
+    assert(gaps.filter(col("price") =!= col("prev")).count() == 0)
+    assert(gaps.count() > 0) // fixture actually has gaps — the fill is exercised
+    df.unpersist()
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
