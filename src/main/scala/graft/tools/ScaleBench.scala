@@ -7,7 +7,7 @@ import graft.SparkEntry
   * process CPU) as ONE committed command, so scale claims in DESIGN.md §4
   * re-measure mechanically as operators evolve instead of by hand.
   *
-  * `runMain graft.tools.ScaleBench <srcDir> <scaledDir> [ids...]`
+  * `runMain graft.tools.ScaleBench <srcDir> <scaledDir> [ids... | all]`
   *
   * - Generates `<scaledDir>` with tools.ScaleUp (×10, decorrelated
   *   replicas) iff it does not already hold a lineitem.parquet.
@@ -34,7 +34,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
-    val ids = if (args.length > 2) args.drop(2).toSeq else DefaultIds
+    // `all` = the whole registry (sorted) — the full-suite scaling audit
+    val ids =
+      if (args.length > 2 && args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
+      else DefaultIds
     val reps = 3
 
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
