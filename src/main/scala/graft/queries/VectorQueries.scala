@@ -1094,7 +1094,10 @@ object VectorQueries {
     * kNN graph on the reversed edge key; cosine is symmetric under the
     * decimal-exact dot (identical addend multiset both directions), so
     * either side's score publishes. Output keyed a < b, one row per
-    * undirected edge. */
+    * undirected edge. Scale: cost is the graph build's (the join itself
+    * is edges-sized); past the flat-assignment crossover the inlined
+    * graph swaps to q_ann_knn_hier's — one derived-table substitution in
+    * the oracle, one call swap here (DESIGN.md §4c). */
   val annKnnMutual = Q("q_ann_knn_mutual", "mutual-kNN reciprocal edge pruning")(
     "SELECT g.q AS a, g.c AS b, g.cosine FROM (" +
       // the registered kNN graph, inlined as a derived table
@@ -1120,7 +1123,10 @@ object VectorQueries {
     * filter that complements the text-side quality scores. Cost: the
     * assignment the ANN/dedup family already pays, plus ONE dot per
     * vector (join to the broadcast centroid row) — map-only after
-    * assignment. */
+    * assignment. Scale: inherits the flat corpus²/50 assignment term
+    * (measured 17.6× CPU at 10×, DESIGN.md §4c); past the crossover the
+    * assignClusters call swaps to assignClustersHier — the same drop-in
+    * q_ann_knn_hier certifies. */
   val embOutlier = Q("q_emb_outlier", "centroid-affinity embedding outlier flags")(
     vecsSql +
       ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +

@@ -279,6 +279,28 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("heldout_lp and mix_temperature scores are bit-identical at 1 vs 32 shuffle partitions") {
+    // end-to-end check that the portable-grid sums keep the published
+    // transcendental scores independent of physical parallelism — the
+    // machinery invariance (ExactSpec) proven through two whole queries
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def run() = (
+      graft.queries.CorpusStatsQueries.textHeldoutLogprob.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      PipelineQueries.mixTemperature.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet)
+    try {
+      spark.conf.set(key, "1")
+      val (h1, m1) = run()
+      spark.conf.set(key, "32")
+      val (h32, m32) = run()
+      assert(h1 == h32) // Set equality on raw doubles = bit equality
+      assert(m1 == m32)
+    } finally spark.conf.set(key, before)
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
