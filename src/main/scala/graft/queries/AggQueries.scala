@@ -273,7 +273,23 @@ object AggQueries {
         .select("source", "lang", "gid", "n_docs", "sum_chars")
   }
 
+  /** Full grouping lattice (r8): CUBE over (source, lang) — the rollup's
+    * hierarchy PLUS the lang-only marginal (gid = 2), i.e. all four
+    * grouping sets in the same single Expand + one hash aggregate. The
+    * mixture dashboards read exactly this lattice: per-cell, per-source,
+    * per-language, and grand totals from one scan. */
+  val aggCube = Q("q_agg_cube", "CUBE(source, lang) full grouping lattice")(
+    "SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY CUBE(source, lang)") {
+    (s, d) =>
+      documents(s, d).cube("source", "lang")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select("source", "lang", "gid", "n_docs", "sum_chars")
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
-    aggRollup)
+    aggRollup, aggCube)
 }

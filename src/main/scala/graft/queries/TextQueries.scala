@@ -504,7 +504,45 @@ object TextQueries {
           (col("max_jaccard_est").isNull || col("max_jaccard_est") < 0.5).as("keep"))
   }
 
+  /** Cross-media duplicate-FRAME detection (r8): content-hash each
+    * sampled frame's byte window (the decode stub's frame unit: 100
+    * payload bytes at the frame offset; a real codec emits pixel/PCM
+    * buffers through the same column) and group identical frames across
+    * ALL media — the video-dedup primitive (repeated intros, test
+    * patterns, still segments collapse to one stored frame + references).
+    * Trailing sub-window offsets are excluded: an empty byte slice is a
+    * stub artifact, not a frame. One hash groupBy — corpus-frame-linear,
+    * the same scale shape as q_dedup_exact. Byte/char slicing parity with
+    * the oracle holds because the fixture is ASCII (checked: 0 multibyte
+    * docs); a binary lake hashes the payload bytes directly. */
+  val mmFrameDedup = Q("q_mm_frame_dedup", "cross-media duplicate frame groups")(
+    "WITH f AS (SELECT doc_id AS media_id, " +
+      "unnest(range(0, (octet_length(encode(text)) // 100) + 1, 2)) AS frame_idx, " +
+      "text, octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT media_id, md5(substr(text, CAST(frame_idx * 100 + 1 AS BIGINT), 100)) AS fhash " +
+      "FROM f WHERE frame_idx * 100 < nb) " +
+      "SELECT fhash, count(*) AS n_frames, " +
+      "CAST(count(DISTINCT media_id) AS BIGINT) AS n_media, " +
+      "min(media_id) AS keeper_media FROM h GROUP BY 1 HAVING count(*) > 1") {
+    (s, d) =>
+      val media = Multimodal.mediaTable(s, d).filter(col("payload").isNotNull).toDF()
+      val frames = Multimodal.sampleFrames(
+        Multimodal.extractFeatures(Multimodal.mediaTable(s, d)
+          .filter(col("payload").isNotNull)), stride = 2)
+        .select(col("media_id"), col("frame_idx"))
+      frames.join(media.select(col("media_id"), col("payload")), "media_id")
+        .filter(col("frame_idx") * 100 < octet_length(col("payload")))
+        .select(col("media_id"),
+          md5(col("payload").substr((col("frame_idx") * 100 + 1).cast("int"), lit(100)))
+            .as("fhash"))
+        .groupBy("fhash")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct("media_id").as("n_media"),
+          min("media_id").as("keeper_media"))
+        .filter(col("n_frames") > 1)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
-    textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta)
+    textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup)
 }

@@ -301,6 +301,42 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set(key, before)
   }
 
+  test("cube: all four grouping sets present and each marginal sums to the corpus") {
+    val df = graft.queries.AggQueries.aggCube.fn(spark, sf).cache()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(df.select("gid").distinct().collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L, 2L, 3L))
+    for (g <- Seq(0L, 1L, 2L)) // cells, per-source, per-lang each partition the corpus
+      assert(df.filter(col("gid") === g).agg(sum("n_docs")).first().getLong(0) == nDocs)
+    val grand = df.filter(col("gid") === 3)
+    assert(grand.count() == 1 && grand.first().getAs[Long]("n_docs") == nDocs)
+    df.unpersist()
+  }
+
+  test("mm_frame_dedup: groups are real multi-frame collisions with the min-id keeper") {
+    val df = graft.queries.TextQueries.mmFrameDedup.fn(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_frames") < 2).count() == 0)
+    assert(df.filter(col("n_media") > col("n_frames")).count() == 0)
+    assert(df.filter(col("keeper_media") < 0).count() == 0)
+    // dup-group arithmetic: sum over groups of (n_frames - 1) frames are
+    // droppable; recompute the total from raw frame hashes
+    val media = graft.ops.Multimodal.mediaTable(spark, sf)
+      .filter(col("payload").isNotNull).toDF()
+    val frames = graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.mediaTable(spark, sf)
+          .filter(col("payload").isNotNull)), stride = 2)
+      .select(col("media_id"), col("frame_idx"))
+      .join(media.select(col("media_id"), col("payload")), "media_id")
+      .filter(col("frame_idx") * 100 < octet_length(col("payload")))
+      .select(md5(col("payload").substr((col("frame_idx") * 100 + 1).cast("int"), lit(100)))
+        .as("fhash"))
+    val total = frames.count(); val distinct = frames.distinct().count()
+    val droppable = df.agg(sum(col("n_frames") - 1)).first().getLong(0)
+    assert(droppable == total - distinct)
+    df.unpersist()
+  }
+
   test("win_pct_rank: values in [0,1]; each month's max cume_dist is 1") {
     val df = WindowQueries.winPctRank.fn(spark, sf).cache()
     assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1
