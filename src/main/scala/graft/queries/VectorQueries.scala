@@ -1156,7 +1156,81 @@ object VectorQueries {
         .withColumn("is_outlier", col("cent_cos") < 0.09)
   }
 
+  /** Product-quantization ANN (r8): the memory-COMPRESSION index family
+    * (Jégou et al., IVF-PQ) — the 64-dim vector splits into 8 subspaces
+    * of 8 dims; each subspace has a 16-codeword codebook (deterministic
+    * seed codewords: the sub-slices of vec_id < 16 — a trained codebook
+    * drops into the identical plan, as with IVF); a vector is stored as
+    * 8 code nibbles (64 floats → 8×4 bits, 64× compression at scale).
+    * Search is standard ADC: per query, one 8×16 lookup table of exact
+    * subspace squared distances, then each candidate's distance ESTIMATE
+    * is the sum of its 8 codes' table entries — no candidate vector is
+    * ever read, which is the whole point at 100 TB (the corpus resides
+    * as codes; only codebooks and LUTs ride the broadcast).
+    *
+    * Exactness contract: every subspace dot/norm is the decimal-exact
+    * dot; dist² combines them in one written IEEE order; the 8-term ADC
+    * sum rides the order-free binary grid (portableSum) and the
+    * published estimate is pinned — so encoding (argmin, code-ASC ties)
+    * and ranking replay bit-for-bit in the oracle, certifying codebook
+    * assignment + encoding + ADC search end-to-end. */
+  val annPq = Q("q_ann_pq", "product-quantization ADC top-3 (8×16 codebook)")(
+    vecsSql +
+      ", vq AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS s, i, e FROM v), " +
+      "ssv AS (SELECT vec_id, s, CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE) AS ss " +
+      "FROM vq GROUP BY 1, 2), " +
+      "cb AS (SELECT vec_id AS code, s, i, e FROM vq WHERE vec_id < 16), " +
+      "ssc AS (SELECT code, s, CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE) AS ss " +
+      "FROM cb GROUP BY 1, 2), " +
+      "cr AS (SELECT a.vec_id, b.code, a.s, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS cx " +
+      "FROM vq a JOIN cb b ON b.i = a.i GROUP BY 1, 2, 3), " +
+      "d2 AS (SELECT cr.vec_id, cr.code, cr.s, sv.ss - 2 * cr.cx + sc.ss AS dist2 " +
+      "FROM cr JOIN ssv sv ON sv.vec_id = cr.vec_id AND sv.s = cr.s " +
+      "JOIN ssc sc ON sc.code = cr.code AND sc.s = cr.s), " +
+      "enc AS (SELECT vec_id, s, code FROM (SELECT d2.*, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn FROM d2) " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT vec_id AS q, s, code, dist2 FROM d2 WHERE vec_id < 5), " +
+      "adc AS (SELECT l.q, e.vec_id AS c, " +
+      graft.util.Exact.Sql.pinScore(graft.util.Exact.Sql.portableSum("l.dist2")) +
+      " AS adc FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code " +
+      "WHERE e.vec_id <> l.q GROUP BY 1, 2) " +
+      "SELECT q, c, adc, rn FROM (SELECT adc.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY adc, c) AS rn FROM adc) WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      def subFrame(df: DataFrame, idAs: String, subAs: String) = df
+        .select(col("vec_id").as(idAs),
+          explode(array((0 until 8).map(lit): _*)).as("s"), col("embedding"))
+        .withColumn(subAs,
+          expr("transform(slice(embedding, s * 8 + 1, 8), x -> CAST(x AS DOUBLE))"))
+        .drop("embedding")
+      val subs = subFrame(base, "vid", "sub")
+        .withColumn("ssv", expr(dotExpr("sub", "sub")))
+      val cb = subFrame(base.filter(col("vec_id") < 16), "code", "cw")
+        .withColumn("ssc", expr(dotExpr("cw", "cw")))
+      // corpus × (16 codewords / subspace): broadcast the 128-row codebook
+      val d2 = subs.join(broadcast(cb), "s")
+        .withColumn("dist2",
+          col("ssv") - lit(2) * expr(dotExpr("sub", "cw")) + col("ssc"))
+        .select("vid", "s", "code", "dist2")
+        .materialized() // feeds encoding AND the query LUTs
+      val wEnc = Window.partitionBy("vid", "s").orderBy(col("dist2"), col("code"))
+      val enc = d2.withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+        .select("vid", "s", "code")
+      val lut = d2.filter(col("vid") < 5)
+        .select(col("vid").as("q"), col("s"), col("code"), col("dist2"))
+      val adc = enc.join(broadcast(lut), Seq("s", "code"))
+        .filter(col("vid") =!= col("q"))
+        .groupBy(col("q"), col("vid").as("c"))
+        .agg(graft.util.Exact.pinScore(
+          graft.util.Exact.portableSum(col("dist2"))).as("adc"))
+      val w = Window.partitionBy("q").orderBy(col("adc"), col("c"))
+      adc.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier)
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq)
 }

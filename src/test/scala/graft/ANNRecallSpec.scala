@@ -37,8 +37,13 @@ class ANNRecallSpec extends SparkSpec {
     assert(lsh == 12, s"lsh=$lsh") // recall 0.40 (planes=2; 6 planes pinned 0.00)
     assert(prb == 7, s"prb=$prb")  // recall 0.23
     assert(stk == 14, s"stk=$stk")  // recall 0.47: 4 tables x 16 fine buckets
+    // PQ ranks by an L2 ADC estimate against a COSINE ground truth on
+    // unnormalized vectors — a conservative recall measure by
+    // construction (its 5 queries see 15 truth pairs, not 30)
+    val pq = hits(VectorQueries.annPq.fn(spark, sf))
+    assert(pq == 3, s"pq=$pq") // recall 0.20 of the q<5 truth slice
     // no registered ANN variant may default to a zero-recall knob point
-    assert(ivf > 0 && ivft > 0 && ivfp > 0 && lsh > 0 && prb > 0 && stk > 0)
+    assert(ivf > 0 && ivft > 0 && ivfp > 0 && lsh > 0 && prb > 0 && stk > 0 && pq > 0)
     // the nprobe law: probing 2 clusters can only add candidates
     assert(ivfp >= ivf, "2-probe IVF must dominate single-probe")
   }
