@@ -289,7 +289,53 @@ object AggQueries {
         .select("source", "lang", "gid", "n_docs", "sum_chars")
   }
 
+  /** KMV sketch size. 64 gives expected relative error ≈ 1/√(k−2) ≈ 13% —
+    * the sketch-vs-exactness trade a COUNT(DISTINCT) at 100 TB buys. */
+  private val KmvK = 64
+
+  /** KMV (k-minimum-values) distinct-count sketch (r9): the ONE-PASS,
+    * MERGEABLE alternative to exact COUNT(DISTINCT) — hash every key with
+    * the portable md5-derived 32-bit hash, keep the k smallest distinct
+    * hash values, estimate D ≈ (k−1)/u_k with u_k the kth smallest hash
+    * normalized to [0,1) (Bar-Yossef et al. 2002; the estimator DuckDB/
+    * Spark approx sketches descend from, here with a deterministic hash
+    * so both engines build the SAME sketch bit-for-bit).
+    *
+    * Scale story — why a sketch at all when q_sort_distinct is exact:
+    * exact distinct shuffles every distinct key; the KMV plan is a
+    * map-side distinct + per-partition top-k folded by TakeOrdered — the
+    * driver receives k longs per partition, nothing corpus-sized crosses
+    * the network, and two sketches union by keeping the k smallest of
+    * their merged values (the property that lets 1000 executors — or 30
+    * daily increments — combine in O(k)). Estimate = one integer-derived
+    * division (IEEE-exact); exact count published alongside so the
+    * error is visible in the result itself. */
+  val aggDistinctKmv = Q("q_agg_distinct_kmv", "KMV k-minimum-values distinct-count sketch")(
+    "WITH dh AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h " +
+      "FROM lineitem), " +
+      s"topk AS (SELECT h FROM dh ORDER BY h LIMIT $KmvK), " +
+      "sk AS (SELECT CAST(count(*) AS BIGINT) AS k_filled, max(h) AS kth_hash FROM topk), " +
+      "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM dh) " +
+      s"SELECT sk.k_filled, sk.kth_hash, ex.exact_distinct, " +
+      s"CASE WHEN sk.k_filled < $KmvK THEN CAST(sk.k_filled AS DOUBLE) " +
+      s"ELSE ($KmvK - 1) * 4294967296.0 / sk.kth_hash END AS est_distinct " +
+      "FROM sk, ex") {
+    (s, d) =>
+      val dh = lineitem(s, d)
+        .select(graft.ops.TextOps.hash32(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      // per-partition top-k + driver merge of k longs: TakeOrderedAndProject
+      val sk = dh.orderBy("h").limit(KmvK)
+        .agg(count(lit(1)).cast("long").as("k_filled"), max("h").as("kth_hash"))
+      val ex = dh.agg(count(lit(1)).cast("long").as("exact_distinct"))
+      sk.crossJoin(ex)
+        .select(col("k_filled"), col("kth_hash"), col("exact_distinct"),
+          when(col("k_filled") < KmvK, col("k_filled").cast("double"))
+            .otherwise(lit(KmvK - 1) * 4294967296.0 / col("kth_hash"))
+            .as("est_distinct"))
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
-    aggRollup, aggCube)
+    aggRollup, aggCube, aggDistinctKmv)
 }

@@ -534,7 +534,89 @@ object CorpusStatsQueries {
             .as("heldout_lp"))
   }
 
+  /** df cap for the sparse-similarity join: only shingles this rare
+    * generate candidate pairs (the same bound q_dedup_winnow uses). */
+  private val CosDfCap = 8
+
+  /** Published-pair threshold on the rare-shingle cosine — the fixture
+    * is sharply bimodal (near-dup pairs ≥ 0.5, background ≤ 0.05), so
+    * 0.3 sits in the empty valley. */
+  private val CosTau = 0.3
+
+  /** Sparse TF-IDF cosine similarity join (r9): pairwise document cosine
+    * over the RARE-3-SHINGLE TF-IDF subspace — weight w(d,g) = tf·idf
+    * for 3-gram shingles with df ≤ 8, dot products accumulated through
+    * an inverted-index equi-join on the shingle key, norms over the same
+    * subspace, pairs published at cosine ≥ τ. This is the sparse
+    * (lexical) sibling of q_dedup_embed_cosine: near-dup/related-document
+    * discovery with no embedding model in the loop. Shingles, not
+    * unigrams, carry the signal: this fixture's 31-word vocabulary has
+    * NO rare unigram (min df = 25), while word order gives 16k+ distinct
+    * shingles — exactly why MinHash/contamination also key on shingles.
+    *
+    * Scale: THE textbook all-pairs-similarity layout (Bayardo et al.
+    * 2007 pruned to rare features): candidate pairs are bounded by
+    * Σ_g df_g² ≤ cap·Σ_g df_g = cap·|postings| — LINEAR in corpus size,
+    * never corpus² (high-df shingles are boilerplate: no discriminative
+    * signal, all the quadratic blow-up — the cap is both the quality and
+    * the scale decision; df is one vocabulary-sized aggregate computed
+    * first). The join keys on the shingle — the posting-list shuffle an
+    * inverted index pays anywhere. Sums of transcendental-derived
+    * products ride the 2⁻³⁰ portable grid (order-free, engine-free);
+    * sqrt/divide are correctly-rounded IEEE singletons, so the τ CUT
+    * itself — not just the published score — is bit-identical on both
+    * engines. */
+  val textTfidfCosine = Q("q_text_tfidf_cosine", "sparse TF-IDF rare-shingle cosine pairs")(
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
+      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "sh AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS g " +
+      "FROM tok WHERE i + 2 <= len(sp)), " +
+      "tf AS (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
+      s"df AS (SELECT g, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= $CosDfCap), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "dfx AS (SELECT g, (CAST(n.n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0) AS _lnx " +
+      "FROM df CROSS JOIN n), " +
+      Portable.plnSqlCtes("dfx", "idf") + ", " +
+      "rw AS (SELECT t.doc_id, t.g, CAST(t.tf AS DOUBLE) * (i._pln + 1.0) AS w " +
+      "FROM tf t JOIN idf i ON i.g = t.g), " +
+      "nrm AS (SELECT doc_id, sqrt(" + graft.util.Exact.Sql.portableSum("w * w") +
+      ") AS nrm FROM rw GROUP BY 1), " +
+      "dots AS (SELECT a.doc_id AS a, b.doc_id AS b, " +
+      graft.util.Exact.Sql.portableSum("a.w * b.w") + " AS dot " +
+      "FROM rw a JOIN rw b ON b.g = a.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT d.a, d.b, " +
+      graft.util.Exact.Sql.pinScore("d.dot / (na.nrm * nb.nrm)") + " AS cosine " +
+      "FROM dots d JOIN nrm na ON na.doc_id = d.a JOIN nrm nb ON nb.doc_id = d.b " +
+      s"WHERE d.dot / (na.nrm * nb.nrm) >= $CosTau") {
+    (s, d) =>
+      val tf = TextOps.shingles3(documents(s, d))
+        .groupBy(col("doc_id"), col("shingle").as("g"))
+        .agg(count(lit(1)).as("tf"))
+        .materialized(eager = false)
+      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= CosDfCap)
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val idf = Portable.pln(df.crossJoin(broadcast(n)),
+          (col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)), "idf0")
+        .select(col("g"), (col("idf0") + lit(1.0)).as("idf"))
+      val rw = tf.join(idf, "g")
+        .select(col("doc_id"), col("g"),
+          (col("tf").cast("double") * col("idf")).as("w"))
+        .materialized(eager = false) // feeds norms AND both join sides
+      val nrm = rw.groupBy("doc_id")
+        .agg(sqrt(graft.util.Exact.portableSum(col("w") * col("w"))).as("nrm"))
+      val dots = rw.as("a").join(rw.as("b"),
+          col("b.g") === col("a.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(graft.util.Exact.portableSum(col("a.w") * col("b.w")).as("dot"))
+      val cos = col("dot") / (col("na.nrm") * col("nb.nrm"))
+      dots.join(nrm.as("na"), col("na.doc_id") === col("a"))
+        .join(nrm.as("nb"), col("nb.doc_id") === col("b"))
+        .filter(cos >= CosTau)
+        .select(col("a"), col("b"), graft.util.Exact.pinScore(cos).as("cosine"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
-    textPplBucket, textHeldoutLogprob)
+    textPplBucket, textHeldoutLogprob, textTfidfCosine)
 }

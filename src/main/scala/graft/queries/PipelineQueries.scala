@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.ops.TextOps
+import graft.util.{Exact, Portable}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -265,6 +266,92 @@ object PipelineQueries {
           col("px").isNotNull.as("is_observed"))
   }
 
+  /** Spread a 16-bit value's bits into the even positions of a 32-bit
+    * word (Morton/Z-order interleave half) — the classic magic-number
+    * cascade, integer-exact on any engine. */
+  private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s0 = c.bitwiseAND(lit(65535L))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The identical cascade as a DuckDB SQL expression over column `c`. */
+  private def spreadBitsSql(c: String): String = {
+    val s0 = s"(($c) & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  /** Z-order (Morton) curve clustering key (r9): interleave the bits of
+    * two join/filter dimensions (part, supplier) into one 32-bit sort
+    * key, plus the 256-cell layout assignment its top 8 bits induce —
+    * the multi-dimensional data-layout primitive behind Delta/Iceberg
+    * Z-ORDER compaction. Sorting 100 TB by zval before writing gives
+    * parquet row-group min/max locality in BOTH dimensions at once, so a
+    * conjunctive predicate on (partkey range, suppkey range) prunes to
+    * O(perimeter) cells instead of scanning one full dimension — the
+    * measured cell-touch bound is pinned in ZOrderSpec, the plan story in
+    * DESIGN.md. Map-only integer bit arithmetic (magic-number spread),
+    * identical on any two's-complement engine; the curve math is the
+    * oracle-certified part, the write path reuses the lake sink. */
+  val zorderCurve = Q("q_zorder_curve", "Z-order curve clustering key + cell assignment")(
+    "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      s"(${spreadBitsSql("l_partkey")} | (${spreadBitsSql("l_suppkey")} << 1)) AS zval " +
+      "FROM lineitem) " +
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval, " +
+      "(zval >> 24) AS zcell FROM z") {
+    (s, d) =>
+      val zval = spreadBits(col("l_partkey"))
+        .bitwiseOR(shiftleft(spreadBits(col("l_suppkey")), 1))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), zval.as("zval"))
+        .withColumn("zcell", shiftright(col("zval"), 24))
+  }
+
+  /** Weighted-sample size: the fixture keeps ~24% of sf0.01's docs —
+    * large enough that inclusion exercises real weight competition. */
+  private val WSampK = 120
+
+  /** Deterministic weighted sampling without replacement (r9): Efraimidis–
+    * Spirakis A-ES — each doc draws u from a portable hash (so the "draw"
+    * is a pure function of the doc id, reproducible on any engine/rerun/
+    * repartition, the same contract as q_sample_stratified) and ranks by
+    * ln(u)/w with w = n_chars; the top-k ranks ARE a weighted sample
+    * without replacement (Efraimidis & Spirakis 2006). The
+    * importance-sampling primitive of corpus curation — sample documents
+    * proportionally to length/quality without a corpus sort.
+    *
+    * Scale: rank is map-only (portable pln — IEEE-exact ops, identical
+    * bits both engines, so SELECTION agrees, not just scores); top-k is
+    * TakeOrdered (per-partition heads merged on the driver, k rows per
+    * partition — never a global sort). Docs with w = 0 are excluded by
+    * contract (engines disagree on double x/0). Published key rides the
+    * 2⁻³⁰ pin grid like every transcendental score. */
+  val sampleWeighted = Q("q_sample_weighted", "deterministic A-ES weighted sample (top-k by ln(u)/w)")(
+    "WITH t AS (SELECT doc_id, n_chars, " +
+      "((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) " +
+      "/ 4294967296.0) AS _lnx FROM documents WHERE n_chars > 0), " +
+      Portable.plnSqlCtes("t", "lg") + ", " +
+      "r AS (SELECT doc_id, n_chars, _pln / n_chars AS rkey FROM lg) " +
+      "SELECT doc_id, n_chars, " + Exact.Sql.pinScore("rkey") + " AS wkey " +
+      s"FROM r ORDER BY rkey DESC, doc_id LIMIT $WSampK") {
+    (s, d) =>
+      val u = (TextOps.hash32(concat(lit("wsamp:"), col("doc_id").cast("string"))) + 0.5) /
+        4294967296.0
+      val t = documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"))
+      Portable.pln(t.withColumn("u", u), col("u"), "lnu")
+        .withColumn("rkey", col("lnu") / col("n_chars"))
+        .orderBy(col("rkey").desc, col("doc_id"))
+        .limit(WSampK)
+        .select(col("doc_id"), col("n_chars"), Exact.pinScore(col("rkey")).as("wkey"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
-    mixTemperature, langidConfusion, resampleFfill)
+    mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted)
 }

@@ -219,6 +219,84 @@ object SessionQueries {
       anomalyScore(dc, anomalyStats(dc))
   }
 
+  /** SCD type-2 dimension build (r9): treat each user's event stream as a
+    * change log of a single attribute (event_type = the user's "current
+    * state") and emit the slowly-changing-dimension history — one row per
+    * state RUN with [valid_from, valid_to) validity and an is_current
+    * flag on the open row. This is the lakehouse dimension-table pattern
+    * (reference analogue: the daily snapshot tables in
+    * market_data_snapshots — see historical_data_etl.py:120-140 — which
+    * keep only the latest row; SCD2 is the history-preserving upgrade).
+    *
+    * Shape: one per-user ordered window feeds BOTH the change-detection
+    * lag and the run numbering (same partition+order ⇒ one Exchange + one
+    * Sort), then a second window (lead) over the change rows — which are
+    * strictly fewer — closes each validity interval. No self-join, no
+    * driver state; at 100 TB this is change-log-sized work shuffled once
+    * on the natural key. Timestamps compare in integer microseconds
+    * (engines agree on int64; see q_event_attribution). */
+  val scd2 = Q("q_scd2", "SCD type-2 validity intervals from a change log")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL " +
+      "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+      "r AS (SELECT user_id, event_id, event_type, ts_us FROM c WHERE chg = 1) " +
+      "SELECT user_id, event_type, " +
+      "CAST(row_number() OVER w AS BIGINT) AS version, " +
+      "ts_us AS valid_from_us, lead(ts_us) OVER w AS valid_to_us, " +
+      "lead(ts_us) OVER w IS NULL AS is_current FROM r " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)") {
+    (s, d) =>
+      val wAll = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(wAll))
+        // run starts: first event, or state differs from the previous one
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          row_number().over(wRun).cast("long").as("version"),
+          col("ts_us").as("valid_from_us"),
+          lead("ts_us", 1).over(wRun).as("valid_to_us"),
+          lead("ts_us", 1).over(wRun).isNull.as("is_current"))
+  }
+
+  /** First-order Markov transition matrix (r9): per user, each ordered
+    * (state → next-state) step counted corpus-wide, with the row-
+    * normalized transition probability — the sequence-model summary of an
+    * event stream (what follows a view? how absorbing is purchase?).
+    *
+    * Shape: one per-user ordered lead (single Exchange on user_id), one
+    * (from,to) hash aggregate with map-side partials, and one per-from
+    * total joined back — a states²-sized frame (≤ 25 rows here), safely
+    * broadcast. Probability is ONE integer division per output row
+    * (IEEE-exact both engines, house fraction recipe). */
+  val eventTransition = Q("q_event_transition", "Markov event-type transition matrix")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "p AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type FROM e), " +
+      "tc AS (SELECT from_type, to_type, count(*) AS n FROM p " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tc GROUP BY 1) " +
+      "SELECT tc.from_type, tc.to_type, tc.n, " +
+      "CAST(tc.n AS DOUBLE) / tot.n_from AS p " +
+      "FROM tc JOIN tot ON tot.from_type = tc.from_type") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tc = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+      tc.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
-    eventAnomaly)
+    eventAnomaly, scd2, eventTransition)
 }

@@ -1230,7 +1230,72 @@ object VectorQueries {
       adc.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** PageRank damping + iteration count — fixed small constants so the
+    * oracle replays the exact same unrolled computation. */
+  private val PrDamping = 0.85
+  private val PrIters = 3
+
+  /** PageRank over the mutual-kNN graph (r9): the graph-centrality rung
+    * of the embedding-curation ladder (build kNN graph → symmetrize →
+    * rank). High-PageRank documents sit in dense, well-connected regions
+    * of embedding space — the "representativeness" prior used for
+    * coreset selection; low ranks complement q_emb_outlier's
+    * centroid-affinity flags. Fixed 3 damped iterations from the uniform
+    * start, unrolled — not run to convergence — so the computation is a
+    * finite, replayable arithmetic circuit, not a tolerance check.
+    *
+    * Scale: each iteration is one equi-join of the edge list against the
+    * current rank frame plus a dst-keyed aggregate — Pregel's layout,
+    * edges-sized shuffles, no driver state (N rides a broadcast 1-row
+    * frame; contributions sum on the order-free 2⁻³⁰ portable grid; the
+    * per-edge r/deg and the final affine step are correctly-rounded IEEE
+    * singletons in one written order). The mutual graph bounds degree at
+    * k, so contribution fan-out is ≤ k per vertex — no hub explosion.
+    * Iterating to convergence swaps the fixed loop for the same body
+    * under a delta check; the per-round plan is unchanged. */
+  val graphPagerank = Q("q_graph_pagerank", "3-iteration PageRank over the mutual-kNN graph")({
+    val grid = "1073741824.0"
+    def psum(c: String) =
+      s"(CAST(SUM(CAST(floor(($c) * $grid) AS BIGINT)) AS DOUBLE) / $grid)"
+    val iters = (1 to PrIters).map { i =>
+      s"r$i AS (SELECT e.dst AS v, 0.15 / nn.n + $PrDamping * " +
+        psum(s"r.r / dg.deg") + " AS r " +
+        s"FROM ed e JOIN r${i - 1} r ON r.v = e.src " +
+        "JOIN deg dg ON dg.src = e.src CROSS JOIN nn GROUP BY e.dst, nn.n)"
+    }.mkString(", ")
+    "WITH m AS (" + annKnnMutual.oracle.get + "), " +
+      "ed AS (SELECT a AS src, b AS dst FROM m UNION ALL SELECT b, a FROM m), " +
+      "deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1), " +
+      "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
+      "r0 AS (SELECT src AS v, 1.0 / nn.n AS r FROM deg CROSS JOIN nn), " +
+      iters + " " +
+      s"SELECT r.v AS vec_id, dg.deg, (floor(r.r * $grid) / $grid) AS pagerank " +
+      s"FROM r$PrIters r JOIN deg dg ON dg.src = r.v"
+  }) {
+    (s, d) =>
+      val m = annKnnMutual.fn(s, d).select("a", "b").materialized()
+      val ed = m.select(col("a").as("src"), col("b").as("dst"))
+        .union(m.select(col("b").as("src"), col("a").as("dst")))
+        .materialized() // the loop's constant: edges never recompute
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg")).materialized()
+      val nn = deg.agg(count(lit(1)).cast("double").as("n"))
+      var r: DataFrame = deg.crossJoin(broadcast(nn))
+        .select(col("src").as("v"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to PrIters) {
+        r = ed.as("e").join(r.as("r"), col("r.v") === col("e.src"))
+          .join(deg.as("dg"), col("dg.src") === col("e.src"))
+          .crossJoin(broadcast(nn))
+          .groupBy(col("e.dst").as("v"), col("n"))
+          .agg(graft.util.Exact.portableSum(col("r.r") / col("dg.deg")).as("s"))
+          .select(col("v"), (lit(0.15) / col("n") + lit(PrDamping) * col("s")).as("r"))
+      }
+      r.join(deg, col("src") === col("v"))
+        .select(col("v").as("vec_id"), col("deg"),
+          graft.util.Exact.pinScore(col("r")).as("pagerank"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq)
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq,
+    graphPagerank)
 }

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AggQueries, CorpusStatsQueries, PipelineQueries, SessionQueries, VectorQueries}
+
+/** Hand-computed semantics for the round-9 operators: SCD2 dimension
+  * build, Markov transitions, KMV distinct sketch, Z-order curve,
+  * weighted sampling, sparse TF-IDF cosine, and kNN-graph PageRank.
+  * Fixtures are written as parquet table dirs so each test drives the
+  * REGISTERED query end-to-end through the real loaders.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_r9_$tag").toFile.getAbsolutePath
+
+  // ---- events fixture: user 1 runs A,A,B,A at hours 1..4 ----------------
+
+  private lazy val eventsDir: String = {
+    val dir = tmpDir("ev")
+    val h = 3600L * 1000000L
+    Seq(
+      (1L, 1L * h, 10L, "A", 1.0, "{}"),
+      (2L, 2L * h, 10L, "A", 1.0, "{}"),
+      (3L, 3L * h, 10L, "B", 1.0, "{}"),
+      (4L, 4L * h, 10L, "A", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_scd2: runs collapse, intervals tile, versions sequence, one open row") {
+    val h = 3600L * 1000000L
+    val rows = SessionQueries.scd2.fn(spark, eventsDir)
+      .orderBy("version")
+      .select("user_id", "event_type", "version", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(rows.toSeq === Seq(
+      (10L, "A", 1L, 1L * h, 3L * h, false), // A,A collapse to one run
+      (10L, "B", 2L, 3L * h, 4L * h, false),
+      (10L, "A", 3L, 4L * h, -1L, true)))    // reopened state = NEW version
+  }
+
+  test("q_event_transition: counts and row-normalized probabilities") {
+    val rows = SessionQueries.eventTransition.fn(spark, eventsDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // pairs: (A,A) (A,B) (B,A)
+    assert(rows === Set(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 1L, 1.0)))
+  }
+
+  // ---- KMV sketch vs exact on the real table ----------------------------
+
+  test("q_agg_distinct_kmv: sketch fills, exact count matches, estimate in band") {
+    val r = AggQueries.aggDistinctKmv.fn(spark, sf).collect().head
+    val (kFilled, exact, est) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+    val trueDistinct = graft.util.Tables.lineitem(spark, sf)
+      .select(countDistinct("l_partkey")).as[Long].collect().head
+    assert(exact === trueDistinct) // no 32-bit hash collisions at this scale
+    assert(kFilled === 64L)
+    // k=64 gives ~13% expected relative error; 2.5 sigma band
+    assert(math.abs(est - exact) / exact < 0.33, s"est=$est exact=$exact")
+  }
+
+  // ---- Z-order curve: independent Morton reimplementation ---------------
+
+  private def morton(a: Long, b: Long): Long = {
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  test("q_zorder_curve: zval is the Morton interleave, zcell its top byte") {
+    val rows = PipelineQueries.zorderCurve.fn(spark, sf)
+      .select("l_partkey", "l_suppkey", "zval", "zcell").limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, s, z, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z === morton(p, s), s"p=$p s=$s")
+      assert(c === (z >> 24))
+    }
+  }
+
+  test("zorder locality: one cell bounds BOTH dimensions' high nibbles") {
+    val cells = PipelineQueries.zorderCurve.fn(spark, sf)
+      .groupBy("zcell")
+      .agg(countDistinct(shiftright(col("l_partkey").bitwiseAND(65535), 12)).as("dp"),
+        countDistinct(shiftright(col("l_suppkey").bitwiseAND(65535), 12)).as("ds"))
+      .collect()
+    cells.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 1L,
+        s"cell ${r.get(0)} spans >1 high-nibble in a dimension")
+    }
+  }
+
+  // ---- Weighted sample: TakeOrdered selection == full-sort selection ----
+
+  test("q_sample_weighted: top-k selection equals the exhaustively sorted rank") {
+    val d01 = "/root/testdata/sf0.01" // enough docs for real weight competition
+    val got = PipelineQueries.sampleWeighted.fn(spark, d01)
+      .select("doc_id").as[Long].collect().toSet
+    // independent full ranking: same portable recipe, driver-side sort
+    val u = (graft.ops.TextOps.hash32(concat(lit("wsamp:"), col("doc_id").cast("string"))) + 0.5) /
+      4294967296.0
+    val base = graft.util.Tables.documents(spark, d01).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).withColumn("u", u)
+    val full = graft.util.Portable.pln(base, col("u"), "lnu")
+      .select(col("doc_id"), (col("lnu") / col("n_chars")).as("rkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = full.sortBy { case (id, k) => (-k, id) }.take(120).map(_._1).toSet
+    assert(got === want)
+    assert(got.size === 120)
+  }
+
+  // ---- sparse TF-IDF cosine on a crafted corpus -------------------------
+
+  test("q_text_tfidf_cosine: identical docs pair at ~1.0, disjoint docs never pair") {
+    val dir = tmpDir("docs")
+    Seq(
+      (1L, "a b c d e f", "en", "s1", 11L),
+      (2L, "a b c d e f", "en", "s1", 11L), // exact copy of doc 1
+      (3L, "p q r s t u", "en", "s1", 11L)) // shingle-disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusStatsQueries.textTfidfCosine.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 1)
+    val (a, b, cos) = rows.head
+    assert((a, b) === (1L, 2L))
+    assert(cos >= 0.999 && cos <= 1.0) // identical vectors; pin may floor 1ulp
+  }
+
+  // ---- PageRank on a 4-vector complete mutual graph ---------------------
+
+  test("q_graph_pagerank: K4 symmetry gives uniform rank 1/4, mass conserved") {
+    val dir = tmpDir("emb")
+    // 4 distinct vectors near a shared direction: one centroid (vec 0),
+    // one cluster, top-3 = all others => complete mutual graph
+    val vecs = (0 until 4).map { i =>
+      val e = Array.fill(8)(1.0f)
+      e(i) = 2.0f
+      (i.toLong, e.toSeq, i)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = VectorQueries.graphPagerank.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 4)
+    assert(rows.forall(_._2 == 3L), "complete graph: degree 3 everywhere")
+    val ranks = rows.map(_._3)
+    // symmetry: every node runs the identical arithmetic => bit-equal
+    assert(ranks.toSet.size === 1)
+    assert(math.abs(ranks.head - 0.25) < 1e-6)
+    assert(math.abs(ranks.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
+  test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
+    val rows = VectorQueries.graphPagerank.fn(spark, sf)
+      .select("pagerank").as[Double].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toDouble
+    assert(rows.forall(_ >= 0.15 / n - 1e-9), "teleport floor")
+    // mutual graph: in==out degree, so the damped walk conserves mass to
+    // grid-flooring error (|V| + |E| floors per iteration)
+    assert(math.abs(rows.sum - 1.0) < 1e-4, s"sum=${rows.sum}")
+  }
+}
