@@ -352,6 +352,109 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"), Exact.pinScore(col("rkey")).as("wkey"))
   }
 
+  /** Snapshot cutoffs: "old" = state as of mid-1995; "new" = activity in
+    * the following half-year window. Chosen so every change class is
+    * populated on the fixture (216 inserts / 194 deletes at sf0.01). */
+  private val DiffOldEnd = "1995-07-01"
+  private val DiffNewEnd = "1996-01-01"
+
+  /** Snapshot diff / CDC classification (r9): compare two point-in-time
+    * states of a keyed entity set (per-part latest price: "old" = last
+    * observation at-or-before the old cutoff, "new" = last observation
+    * inside the following window) and classify every key as
+    * insert / delete / update / same — the change-data-capture primitive
+    * behind incremental lake maintenance (MERGE INTO planning, SCD
+    * loading, sync auditing). The windowed "new" side models product
+    * retirement: a key with no activity in the window is a delete.
+    *
+    * Shape: each snapshot is one per-key ordered top-1 window (shuffle on
+    * the key, the same Exchange feeds both since partitioning matches),
+    * then ONE full-outer equi-join on the key classifies everything —
+    * snapshot-sized, not history-sized, work after the first aggregate.
+    * At 100 TB the snapshots are the stored table and the diff is the
+    * join alone. Prices compare as exact doubles (parquet-stored values
+    * round-trip bit-identically; no arithmetic happens on them). */
+  val snapshotDiff = Q("q_snapshot_diff", "snapshot diff: insert/delete/update/same per key")(
+    "WITH base AS (SELECT l_partkey, l_shipdate, l_extendedprice AS px, " +
+      "(l_orderkey * 8 + l_linenumber) AS ord FROM lineitem), " +
+      s"o AS (SELECT l_partkey, px FROM (SELECT base.*, row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY l_shipdate DESC, ord DESC) AS rn " +
+      s"FROM base WHERE l_shipdate <= '$DiffOldEnd') WHERE rn = 1), " +
+      s"n AS (SELECT l_partkey, px FROM (SELECT base.*, row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY l_shipdate DESC, ord DESC) AS rn " +
+      s"FROM base WHERE l_shipdate > '$DiffOldEnd' AND l_shipdate <= '$DiffNewEnd') WHERE rn = 1) " +
+      "SELECT COALESCE(o.l_partkey, n.l_partkey) AS l_partkey, " +
+      "o.px AS old_price, n.px AS new_price, " +
+      "CASE WHEN o.l_partkey IS NULL THEN 'insert' " +
+      "WHEN n.l_partkey IS NULL THEN 'delete' " +
+      "WHEN o.px <> n.px THEN 'update' ELSE 'same' END AS change_type " +
+      "FROM o FULL OUTER JOIN n ON n.l_partkey = o.l_partkey") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice").as("px"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("ord"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate").desc, col("ord").desc)
+      def snap(f: org.apache.spark.sql.Column) =
+        base.filter(f).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("l_partkey", "px")
+      val o = snap(col("l_shipdate") <= lit(DiffOldEnd).cast("timestamp"))
+      val n = snap(col("l_shipdate") > lit(DiffOldEnd).cast("timestamp") &&
+        col("l_shipdate") <= lit(DiffNewEnd).cast("timestamp"))
+      o.as("o").join(n.as("n"), col("n.l_partkey") === col("o.l_partkey"), "full_outer")
+        .select(
+          coalesce(col("o.l_partkey"), col("n.l_partkey")).as("l_partkey"),
+          col("o.px").as("old_price"), col("n.px").as("new_price"),
+          when(col("o.l_partkey").isNull, "insert")
+            .when(col("n.l_partkey").isNull, "delete")
+            .when(col("o.px") =!= col("n.px"), "update")
+            .otherwise("same").as("change_type"))
+  }
+
+  /** Column profiling (r9): per-column completeness/cardinality/domain
+    * statistics over the measure columns — the data-quality summary a
+    * pipeline publishes with every batch (the reference's quality gate
+    * hand-checks exactly these: nulls, ranges, uniqueness —
+    * test_data_integrity.py's row-count/NaN/range assertions, as ONE
+    * queryable artifact).
+    *
+    * Shape: melt the columns to (colname, value) rows with
+    * Dataset.unpivot — ONE scan, rows ×3 but narrow — then a per-
+    * (colname, value) two-phase distinct + per-colname aggregate. This
+    * deliberately avoids multi-column `COUNT(DISTINCT a), (DISTINCT b)…`
+    * in one aggregate, which Catalyst plans via Expand (scan-width ×
+    * column-count blow-up at the shuffle); the melted layout shuffles
+    * each value ONCE keyed by its own column name — the profiling shape
+    * that holds at arbitrary column counts. Moments are decimal-exact
+    * (near-integer domains); min/max/counts are exact everywhere. */
+  val profileColumns = Q("q_profile_columns", "per-column null/distinct/range/mean profile")(
+    "WITH m AS (" +
+      Seq("l_quantity", "l_discount", "l_tax").map(c =>
+        s"SELECT '$c' AS colname, $c AS v FROM lineitem").mkString(" UNION ALL ") +
+      "), dv AS (SELECT colname, v, count(*) AS nv FROM m GROUP BY 1, 2) " +
+      "SELECT colname, CAST(sum(nv) AS BIGINT) AS n_rows, " +
+      "CAST(sum(CASE WHEN v IS NULL THEN nv ELSE 0 END) AS BIGINT) AS n_null, " +
+      "CAST(count(v) AS BIGINT) AS n_distinct, " +
+      "min(v) AS min_v, max(v) AS max_v, " +
+      "CAST(SUM(CAST(v * nv AS DECIMAL(38,8))) AS DOUBLE) / " +
+      "sum(CASE WHEN v IS NOT NULL THEN nv END) AS mean_v " +
+      "FROM dv GROUP BY 1") {
+    (s, d) =>
+      val m = lineitem(s, d)
+        .unpivot(Array.empty, Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "colname", "v")
+      val dv = m.groupBy("colname", "v").agg(count(lit(1)).as("nv"))
+      dv.groupBy("colname").agg(
+        sum("nv").cast("long").as("n_rows"),
+        sum(when(col("v").isNull, col("nv")).otherwise(0L)).cast("long").as("n_null"),
+        count("v").cast("long").as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        (sum((col("v") * col("nv")).cast("decimal(38,8)")).cast("double") /
+          sum(when(col("v").isNotNull, col("nv")))).as("mean_v"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
-    mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted)
+    mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
+    snapshotDiff, profileColumns)
 }

@@ -345,4 +345,45 @@ object Streams {
       .format("parquet")
       .option("path", outDir)
       .start()
+
+  /** STREAM-STREAM attribution join (r9) — the continuous twin of
+    * q_event_attribution's lookback: purchases joined to the SAME user's
+    * in-window clicks as both arrive, the one Structured-Streaming
+    * operator shape the twins above don't cover (two watermarked streams,
+    * an equi-key plus an event-time range condition). Spark bounds the
+    * click-side state buffer from the range bound + watermark — clicks
+    * older than lookback + watermark below the purchase watermark are
+    * evicted, so state is (active users × in-window clicks), never
+    * history — exactly the state story a 100 TB/day clickstream needs.
+    *
+    * Emits EVERY in-window (purchase, click) pair; last-touch selection
+    * is a per-purchase max over the sink (batch-queryable at read time),
+    * because a stream-stream join cannot know a click is the LAST one
+    * until the lookback closes — fold-at-read keeps the stream
+    * incremental and exactly-once. LakeStreamSpec pins sink-folded
+    * last-touch == q_event_attribution's attributed rows on the same
+    * lake. Same-instant edge: the range here is time-only (≤), while the
+    * batch twin's window is ROW-preceding under (ts, event_id) order — a
+    * click at the purchase's exact instant attributes in batch only when
+    * its event_id is lower. Identical instants are sub-microsecond rare
+    * in a real stream; callers needing the batch rule bit-for-bit fold
+    * with the same (ts, event_id) tie-break at read time. */
+  def attributionJoin(spark: SparkSession, sourceDir: String, schema: StructType,
+      watermark: String = "1 hour", lookback: String = "7 days"): DataFrame = {
+    def src() = spark.readStream.schema(schema).parquet(sourceDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"interval $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
 }

@@ -380,6 +380,58 @@ class LakeStreamSpec extends SparkSpec {
       Set(java.sql.Timestamp.valueOf("2024-03-08 00:00:00")))
   }
 
+  test("Streams.attributionJoin: stream-stream pairs fold to the batch last-touch across drains") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.attributionJoin(spark, src, schema)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: clicks only — they enter join state and must survive restart
+    ev(Seq(
+      (1L, 10L, "2024-05-01 10:00:00", "click"),
+      (2L, 10L, "2024-05-01 10:05:00", "click"),
+      (5L, 30L, "2024-05-01 09:00:00", "click")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // run 2: purchases — u10 in-window (both clicks), u20 clickless,
+    // u30's click sits outside the 7-day lookback
+    ev(Seq(
+      (3L, 10L, "2024-05-01 10:10:00", "purchase"),
+      (4L, 20L, "2024-05-01 09:00:00", "purchase"),
+      (6L, 30L, "2024-05-10 09:00:00", "purchase")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val pairs = spark.read.parquet(out)
+      .select("purchase_id", "click_ts").as[(Long, java.sql.Timestamp)].collect()
+    // every in-window pair, nothing else: u10's purchase saw BOTH clicks
+    assert(pairs.map(_._1).toSet == Set(3L))
+    assert(pairs.length == 2)
+    // fold-at-read last-touch == the batch operator's attributed rows
+    val folded = pairs.groupBy(_._1)
+      .map { case (p, cs) => p -> cs.map(_._2.getTime * 1000L).max }
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    val batch = graft.queries.SessionQueries.eventAttribution.fn(spark, evDir)
+      .select("event_id", "attr_click_us")
+      .as[(Long, Option[Long])].collect()
+    assert(batch.map(_._1).toSet == Set(3L, 4L, 6L), "batch keeps unattributed purchases")
+    val batchAttributed = batch.collect { case (id, Some(us)) => id -> us }.toMap
+    assert(folded == batchAttributed,
+      s"stream last-touch $folded != batch $batchAttributed")
+  }
+
   test("Streams.streamingEma carries per-asset state across micro-batch runs") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()

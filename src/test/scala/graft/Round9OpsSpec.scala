@@ -167,6 +167,63 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(ranks.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  // ---- snapshot diff + column profile on a crafted lineitem -------------
+
+  private lazy val lineitemDir: String = {
+    val dir = tmpDir("li")
+    // (orderkey, partkey, linenumber, qty, price, discount, tax, shipdate)
+    Seq(
+      // part 1: old last=10.0 (latest of two old obs), new last=11.0 -> update
+      (1L, 1L, 1, 5.0, 9.0, 0.05, Some(0.02), "1995-01-10"),
+      (2L, 1L, 1, 5.0, 10.0, 0.05, Some(0.02), "1995-06-10"),
+      (3L, 1L, 1, 5.0, 11.0, 0.00, Some(0.02), "1995-08-10"),
+      // part 2: same price both sides -> same
+      (4L, 2L, 1, 2.0, 20.0, 0.05, Some(0.04), "1995-02-01"),
+      (5L, 2L, 1, 2.0, 20.0, 0.10, None, "1995-09-01"),
+      // part 3: old only -> delete
+      (6L, 3L, 1, 1.0, 30.0, 0.00, Some(0.08), "1995-03-01"),
+      // part 4: new-window only -> insert
+      (7L, 4L, 1, 3.0, 40.0, 0.10, Some(0.08), "1995-10-01"))
+      .map { case (ok, pk, ln, q, px, disc, tax, dt) =>
+        (ok, pk, 1L, ln, q, px, disc, tax, "N", "O",
+          java.sql.Timestamp.valueOf(dt + " 00:00:00"))
+      }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_snapshot_diff: latest-obs snapshots classify insert/delete/update/same") {
+    val rows = PipelineQueries.snapshotDiff.fn(spark, lineitemDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getString(3))).toSet
+    assert(rows === Set(
+      (1L, 10.0, 11.0, "update"), // old side picked the LATEST old obs
+      (2L, 20.0, 20.0, "same"),
+      (3L, 30.0, -1.0, "delete"),
+      (4L, -1.0, 40.0, "insert")))
+  }
+
+  test("q_profile_columns: nulls, distincts, ranges, and exact means per column") {
+    val rows = PipelineQueries.profileColumns.fn(spark, lineitemDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // qty: 5,5,5,2,2,1,3 -> distinct {1,2,3,5}, mean 23/7
+    assert(rows("l_quantity") === ((7L, 0L, 4L, 1.0, 5.0, 23.0 / 7)))
+    // discount: .05,.05,0,.05,.10,0,.10 -> distinct {0,.05,.10}
+    val d = rows("l_discount")
+    assert((d._1, d._2, d._3, d._4, d._5) === ((7L, 0L, 3L, 0.0, 0.10)))
+    assert(math.abs(d._6 - 0.35 / 7) < 1e-12)
+    // tax has ONE null: profiled, not dropped
+    val t = rows("l_tax")
+    assert((t._1, t._2, t._3, t._4, t._5) === ((7L, 1L, 3L, 0.02, 0.08)))
+    assert(math.abs(t._6 - 0.26 / 6) < 1e-12) // mean over the 6 non-nulls
+  }
+
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
       .select("pagerank").as[Double].collect()
