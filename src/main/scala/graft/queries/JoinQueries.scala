@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.util.Exact
+import graft.util.Materialize.Ops
 import graft.util.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -155,6 +156,75 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_orders"), Exact.exactSum(col("o_totalprice")).as("cum_spend"))
   }
 
+  /** Bloom bits / hash count: 16384 bits ≈ 2 KB broadcast; 3 portable
+    * md5-salted hashes. At the fixture's ~42% fill that is a measured
+    * ~7% false-positive rate — the numbers the query itself publishes. */
+  private val BloomM = 16384
+  private val BloomK = 3
+
+  /** Bloom-filter join pre-filtering (r9): the RUNTIME-FILTER pattern —
+    * before the fact table (lineitem) shuffles for its join against a
+    * filtered dimension (urgent orders), distill the dim's key set into a
+    * tiny Bloom bitmap, broadcast it, and drop non-matching fact rows
+    * MAP-SIDE; the exact join afterwards removes the false positives.
+    * This is what Spark's own `spark.sql.optimizer.runtime.bloomFilter`
+    * injects — expressed here as an explicit, portable-hash operator so
+    * the mechanism itself is oracle-certified, and as the published
+    * numbers a capacity planner needs: fact rows, bloom survivors, true
+    * matches, and the realized false-positive rate.
+    *
+    * Scale: the bit-position table is ≤ m rows (2 KB of longs) built
+    * with one dim-side aggregate — broadcast to every task, so the fact
+    * side is filtered BEFORE the join shuffle: at 100 TB the shuffle
+    * carries match_rate + ε of the table instead of all of it (ε = the
+    * published fp rate; tune m/k against dim cardinality). The three
+    * membership probes are broadcast semi-joins — map-only, no exchange
+    * on the fact side until the survivors. Portable md5 hashing makes
+    * the SAME rows survive on any engine — the bloom is replayable, not
+    * just the final join. */
+  val joinBloomPrefilter = Q("q_join_bloom_prefilter", "bloom-filter join pre-filter stats")({
+    def posSql(i: Int, key: String) =
+      s"(('0x' || substr(md5('b$i:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $BloomM)"
+    "WITH dim AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+      "bits AS (SELECT DISTINCT pos FROM (" +
+      (0 until BloomK).map(i => s"SELECT ${posSql(i, "o_orderkey")} AS pos FROM dim")
+        .mkString(" UNION ALL ") + ")), " +
+      "f AS (SELECT l_orderkey, " +
+      (0 until BloomK).map(i => s"${posSql(i, "l_orderkey")} AS p$i").mkString(", ") +
+      " FROM lineitem), " +
+      "fb AS (SELECT l_orderkey FROM f WHERE " +
+      (0 until BloomK).map(i => s"p$i IN (SELECT pos FROM bits)").mkString(" AND ") + "), " +
+      "stats AS (SELECT (SELECT count(*) FROM lineitem) AS n_fact, " +
+      "(SELECT count(*) FROM fb) AS n_bloom_pass, " +
+      "(SELECT count(*) FROM lineitem l JOIN dim d ON d.o_orderkey = l.l_orderkey) AS n_match) " +
+      "SELECT CAST(n_fact AS BIGINT) AS n_fact, CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass, " +
+      "CAST(n_match AS BIGINT) AS n_match, " +
+      "CAST(n_bloom_pass - n_match AS DOUBLE) / (n_fact - n_match) AS fp_rate " +
+      "FROM stats"
+  }) {
+    (s, d) =>
+      def pos(i: Int, key: org.apache.spark.sql.Column) =
+        graft.ops.TextOps.hash32(concat(lit(s"b$i:"), key.cast("string"))) % BloomM
+      val dim = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey").distinct().materialized()
+      val bits = broadcast(
+        (0 until BloomK).map(i => dim.select(pos(i, col("o_orderkey")).as("pos")))
+          .reduce(_ union _).distinct())
+      val fact = lineitem(s, d).select(col("l_orderkey"))
+      // three map-side broadcast semi-joins = the bloom membership probe
+      val pass = (0 until BloomK).foldLeft(fact) { (df, i) =>
+        df.join(bits, pos(i, col("l_orderkey")) === col("pos"), "left_semi")
+      }
+      val nFact = fact.agg(count(lit(1)).cast("long").as("n_fact"))
+      val nPass = pass.agg(count(lit(1)).cast("long").as("n_bloom_pass"))
+      val nMatch = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_match"))
+      nFact.crossJoin(nPass).crossJoin(nMatch)
+        .select(col("n_fact"), col("n_bloom_pass"), col("n_match"),
+          ((col("n_bloom_pass") - col("n_match")).cast("double") /
+            (col("n_fact") - col("n_match"))).as("fp_rate"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
-    joinSemi, joinAnti, joinAsofUniverse)
+    joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter)
 }

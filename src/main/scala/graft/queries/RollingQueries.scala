@@ -104,5 +104,40 @@ object RollingQueries {
         when(full, (upper - lower) / sma).as("bb_width"))
   }
 
-  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands)
+  /** Rolling-median window length. */
+  private val MedN = 21
+
+  /** Rolling 21-row median price (r9): the robust-statistics sibling of
+    * the rolling mean/z-score family — pandas `rolling(21).median()`, the
+    * outlier-resistant smoother a market pipeline uses where a spike
+    * would poison the SMA. Median = ORDER STATISTIC, no arithmetic on the
+    * values at all, so cross-engine exactness is free: both engines sort
+    * the same 21 doubles and pick element ⌈n/2⌉ (lower median,
+    * percentile_disc semantics — DuckDB's windowed quantile_disc(0.5)).
+    *
+    * Shape: the one shuffle on the asset key that every rolling query
+    * shares; per row the frame is collected and sorted — O(w log w) per
+    * row with w = 21 pinned (a constant, not data-sized: state per task
+    * is bounded by window × row width). At very large w the plan swaps to
+    * the two-phase value-histogram rank (ops.Quantiles' layout) — for the
+    * 21-row financial window the in-frame sort is both faster and
+    * simpler. min_periods = window nulls the warm-up rows like every
+    * rolling query here. */
+  val winRollMedian = Q("q_win_roll_median", "rolling 21-row median price")(
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, l_extendedprice, " +
+      s"(CASE WHEN COUNT(l_extendedprice) OVER w >= $MedN THEN " +
+      s"quantile_disc(l_extendedprice, 0.5) OVER w END) AS median_$MedN " +
+      s"FROM lineitem WINDOW w AS ${frameSql(MedN)}") {
+    (s, d) =>
+      val w = frame(MedN)
+      val n = count(col("l_extendedprice")).over(w)
+      // lower median: element ⌈n/2⌉ of the sorted frame (1-based)
+      val med = element_at(array_sort(collect_list(col("l_extendedprice")).over(w)),
+        ((n + 1) / 2).cast("int"))
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+          col("l_extendedprice"),
+          when(n >= MedN, med).as(s"median_$MedN"))
+  }
+
+  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian)
 }

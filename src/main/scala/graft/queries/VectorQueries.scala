@@ -1294,8 +1294,80 @@ object VectorQueries {
           graft.util.Exact.pinScore(col("r")).as("pagerank"))
   }
 
+  /** Coreset size: 1 seed + 3 farthest-first picks. */
+  private val KcK = 4
+
+  /** Greedy k-center coreset selection (r9): farthest-first traversal
+    * (Gonzalez 1985) in cosine distance — seed with the minimum vec_id,
+    * then repeatedly pick the vector FARTHEST from every chosen center.
+    * The classic 2-approximation to the k-center cover, and the
+    * diversity-maximizing counterpoint to PageRank's density prior: a
+    * coreset built this way spans the embedding space's extremes, which
+    * is exactly what seed-set selection / active labeling wants. Each
+    * pick publishes its covering radius — the max-min distance at that
+    * step, the quantity whose decay says when the coreset is "enough".
+    *
+    * Scale: iteration i is ONE map over the corpus (least(md, d(v, cᵢ)) —
+    * the running min-distance column) plus ONE TakeOrdered(1) argmax; no
+    * pairwise structure ever materializes, so k centers cost k corpus
+    * passes — k·corpus dots, embarrassingly parallel, the textbook
+    * distributed Gonzalez layout. The min-distance state is one double
+    * per vector, carried as a column (localCheckpointed per step, so the
+    * plan stays flat). The oracle replays seed, every distance map, and
+    * every argmax as chained CTEs; distances are decimal-exact dots with
+    * IEEE-singleton tails, so pick IDENTITY (not just scores) matches
+    * bit-for-bit. */
+  val coresetKcenter = Q("q_coreset_kcenter", "greedy k-center coreset (farthest-first)")({
+    def dCte(i: Int, pickSel: String) =
+      s"d$i AS (SELECT a.vec_id, CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+        s"FROM v a JOIN v b ON b.i = a.i AND b.vec_id = ($pickSel) GROUP BY 1), " +
+        s"x$i AS (SELECT d$i.vec_id, 1.0 - d$i.dot / (na.nrm * nb.nrm) AS d " +
+        s"FROM d$i JOIN n na ON na.vec_id = d$i.vec_id " +
+        s"JOIN n nb ON nb.vec_id = ($pickSel))"
+    val steps = (1 until KcK).map { i =>
+      val prev = s"m${i - 1}"
+      s"p$i AS (SELECT vec_id AS cid, md AS radius FROM $prev ORDER BY md DESC, vec_id LIMIT 1), " +
+        dCte(i, s"SELECT cid FROM p$i") + ", " +
+        s"m$i AS (SELECT m.vec_id, least(m.md, x.d) AS md FROM $prev m " +
+        s"JOIN x$i x ON x.vec_id = m.vec_id)"
+    }.mkString(", ")
+    val finalRows = (1 until KcK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS pick_order, cid AS vec_id, " +
+        graft.util.Exact.Sql.pinScore("radius") + s" AS radius FROM p$i").mkString(" UNION ALL ")
+    vecsSql +
+      ", c0 AS (SELECT min(vec_id) AS cid FROM n), " +
+      dCte(0, "SELECT cid FROM c0") + ", " +
+      "m0 AS (SELECT vec_id, d AS md FROM x0), " +
+      steps + " " +
+      "SELECT CAST(0 AS BIGINT) AS pick_order, (SELECT cid FROM c0) AS vec_id, " +
+      "CAST(NULL AS DOUBLE) AS radius UNION ALL " + finalRows
+  }) {
+    (s, d) =>
+      val base = embeddings(s, d).select(col("vec_id"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+        .materialized()
+      def asCenter(df: DataFrame) = broadcast(
+        df.select(col("vec_id").as("cid"), col("ev").as("ec"), col("nv").as("nc")))
+      def dist = lit(1.0) - expr(dotExpr("ev", "ec")) / (col("nv") * col("nc"))
+      val c0 = asCenter(base.orderBy("vec_id").limit(1)).materialized()
+      var md = base.crossJoin(c0).select(col("vec_id"), col("ev"), col("nv"),
+        dist.as("md")).materialized()
+      var centers = c0.select(lit(0L).as("pick_order"), col("cid").as("vec_id"),
+        lit(null).cast("double").as("radius"))
+      for (i <- 1 until KcK) {
+        val next = md.orderBy(col("md").desc, col("vec_id")).limit(1).materialized()
+        centers = centers.union(next.select(lit(i.toLong).as("pick_order"),
+          col("vec_id"), col("md").as("radius")))
+        md = md.as("m").crossJoin(asCenter(next))
+          .select(col("m.vec_id"), col("m.ev"), col("m.nv"),
+            least(col("m.md"), dist).as("md")).materialized()
+      }
+      centers.select(col("pick_order"), col("vec_id"),
+        graft.util.Exact.pinScore(col("radius")).as("radius"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq,
-    graphPagerank)
+    graphPagerank, coresetKcenter)
 }

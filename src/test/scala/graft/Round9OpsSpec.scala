@@ -224,6 +224,79 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(t._6 - 0.26 / 6) < 1e-12) // mean over the 6 non-nulls
   }
 
+  // ---- rolling median on a ramp -----------------------------------------
+
+  test("q_win_roll_median: warm-up nulls, then the middle of each 21-row frame") {
+    val dir = tmpDir("med")
+    import spark.implicits._
+    (1 to 25).map { i =>
+      (i.toLong, 1L, 1L, 1, 1.0, i.toDouble, 0.0, Some(0.0), "N", "O",
+        java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.RollingQueries.winRollMedian.fn(spark, dir)
+      .orderBy("ord").select("l_extendedprice", "median_21")
+      .collect().map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // price ramp 1..25: rows 1..20 below min_periods; row i >= 21 has
+    // frame {i-20..i} whose (lower) median is i-10
+    rows.foreach { case (px, med) =>
+      if (px < 21) assert(med.isEmpty, s"px=$px")
+      else assert(med.contains(px - 10), s"px=$px med=$med")
+    }
+  }
+
+  // ---- k-center coreset: hand-computed farthest-first on 2D angles ------
+
+  test("q_coreset_kcenter: picks the farthest vector each round, radii decay") {
+    val dir = tmpDir("kc")
+    import spark.implicits._
+    def vec(x: Double, y: Double) = (Array(x, y) ++ Array.fill(6)(0.0)).map(_.toFloat).toSeq
+    // v0 seed; v1 orthogonal (d=1); v2 at 45deg (d~0.293); v3 nearly
+    // colinear with v0 (d~0.005)
+    Seq((0L, vec(1, 0), 0), (1L, vec(0, 1), 0), (2L, vec(1, 1), 0), (3L, vec(1, 0.1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.VectorQueries.coresetKcenter.fn(spark, dir)
+      .orderBy("pick_order")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(rows.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L)) // farthest-first order
+    assert(rows(0)._3 === -1.0)
+    assert(math.abs(rows(1)._3 - 1.0) < 1e-9)                       // orthogonal
+    assert(math.abs(rows(2)._3 - (1 - math.sqrt(0.5))) < 1e-6)      // 45 degrees
+    assert(math.abs(rows(3)._3 - (1 - 1.0 / math.sqrt(1.01))) < 1e-4) // near-colinear: min dist is to v0
+    // the k-center law: covering radius never increases
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q_coreset_kcenter on real embeddings: distinct picks, decaying radii") {
+    val rows = graft.queries.VectorQueries.coresetKcenter.fn(spark, sf)
+      .orderBy("pick_order").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(rows.length === 4)
+    assert(rows.map(_._1).distinct.length === 4)
+    val radii = rows.drop(1).map(_._2)
+    assert(radii.forall(_ > 0))
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  // ---- bloom prefilter invariants ---------------------------------------
+
+  test("q_join_bloom_prefilter: no false negatives, published rate consistent") {
+    val r = graft.queries.JoinQueries.joinBloomPrefilter.fn(spark, sf).collect().head
+    val (nFact, nPass, nMatch, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nFact === graft.util.Tables.lineitem(spark, sf).count())
+    assert(nPass >= nMatch, "bloom filters never drop a true match")
+    assert(nPass <= nFact)
+    assert(fp === (nPass - nMatch).toDouble / (nFact - nMatch))
+    assert(fp >= 0.0 && fp < 0.5, s"fp=$fp — m/k mistuned for dim cardinality")
+  }
+
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
       .select("pagerank").as[Double].collect()
