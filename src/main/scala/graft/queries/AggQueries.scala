@@ -289,6 +289,27 @@ object AggQueries {
         .select("source", "lang", "gid", "n_docs", "sum_chars")
   }
 
+  /** Explicit GROUPING SETS (r9): the marginals-ONLY lattice —
+    * per-source and per-language subtotals with NO finest-grain cells
+    * and NO grand total, the two sets rollup/cube cannot select
+    * individually. Completes the §2.4 grouping-lattice API surface
+    * (groupBy / rollup / cube / groupingSets) with the same one-Expand,
+    * one-hash-aggregate plan: Expand emits exactly |sets| copies of each
+    * row, so the explicit form is CHEAPER than cube whenever only some
+    * marginals are consumed — the common dashboard case. */
+  val aggGroupingSets = Q("q_agg_grouping_sets", "GROUPING SETS ((source),(lang)) marginals")(
+    "SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY GROUPING SETS ((source), (lang))") {
+    (s, d) =>
+      documents(s, d)
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang"))),
+          col("source"), col("lang"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select("source", "lang", "gid", "n_docs", "sum_chars")
+  }
+
   /** KMV sketch size. 64 gives expected relative error ≈ 1/√(k−2) ≈ 13% —
     * the sketch-vs-exactness trade a COUNT(DISTINCT) at 100 TB buys. */
   private val KmvK = 64
@@ -337,5 +358,5 @@ object AggQueries {
 
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
-    aggRollup, aggCube, aggDistinctKmv)
+    aggRollup, aggCube, aggGroupingSets, aggDistinctKmv)
 }

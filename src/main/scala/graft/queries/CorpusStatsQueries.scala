@@ -616,7 +616,62 @@ object CorpusStatsQueries {
         .select(col("a"), col("b"), graft.util.Exact.pinScore(cos).as("cosine"))
   }
 
+  /** Zipf fit size: top-20 ranks — TakeOrdered over the vocabulary, so
+    * the fit set never scales with the corpus. */
+  private val ZipfN = 20
+
+  /** Zipf rank-frequency slope (r9): OLS slope of ln(freq) on ln(rank)
+    * over the top-20 corpus words — natural language sits near −1;
+    * boilerplate-flooded or synthetic corpora flatten or steepen it, so
+    * the slope is a one-number corpus-health signal tracked per crawl
+    * batch (the corpus-level companion of q_text_entropy's per-doc
+    * score).
+    *
+    * Scale: word counts are the hash aggregate every corpus-stats op
+    * pays; the fit set is TakeOrdered(top-20) — vocabulary-sized work,
+    * constant-sized regression. Both lns are portable (pln); the four
+    * regression sums ride the 2⁻³⁰ grid (order-free over 20 addends);
+    * slope = one fixed-order IEEE expression over those sums, pinned on
+    * publish. */
+  val textZipf = Q("q_text_zipf", "Zipf rank-frequency OLS slope over top-20 words")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "wc AS (SELECT word, count(*) AS c FROM tokw GROUP BY 1), " +
+      s"top AS (SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS r " +
+      s"FROM wc ORDER BY c DESC, word LIMIT $ZipfN), " +
+      "t1 AS (SELECT word, r, c, CAST(c AS DOUBLE) AS _lnx FROM top), " +
+      Portable.plnSqlCtes("t1", "lf") + ", " +
+      "t2 AS (SELECT word, r, _pln AS y, CAST(r AS DOUBLE) AS _lnx FROM lf), " +
+      Portable.plnSqlCtes("t2", "lr") + ", " +
+      "pts AS (SELECT _pln AS x, y FROM lr), " +
+      "sums AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      graft.util.Exact.Sql.portableSum("x") + " AS sx, " +
+      graft.util.Exact.Sql.portableSum("y") + " AS sy, " +
+      graft.util.Exact.Sql.portableSum("x * y") + " AS sxy, " +
+      graft.util.Exact.Sql.portableSum("x * x") + " AS sxx FROM pts) " +
+      "SELECT CAST(n AS BIGINT) AS n_terms, " +
+      graft.util.Exact.Sql.pinScore("(n * sxy - sx * sy) / (n * sxx - sx * sx)") +
+      " AS slope FROM sums") {
+    (s, d) =>
+      val wc = TextOps.explodeTokens(documents(s, d))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val top = wc.orderBy(col("c").desc, col("word")).limit(ZipfN)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      val withY = Portable.pln(top, col("c").cast("double"), "y")
+      val withX = Portable.pln(withY, col("r").cast("double"), "x")
+      val sums = withX.agg(
+        count(lit(1)).cast("double").as("n"),
+        graft.util.Exact.portableSum(col("x")).as("sx"),
+        graft.util.Exact.portableSum(col("y")).as("sy"),
+        graft.util.Exact.portableSum(col("x") * col("y")).as("sxy"),
+        graft.util.Exact.portableSum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n").cast("long").as("n_terms"),
+        graft.util.Exact.pinScore(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
-    textPplBucket, textHeldoutLogprob, textTfidfCosine)
+    textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf)
 }

@@ -297,6 +297,43 @@ object SessionQueries {
           (col("n").cast("double") / col("n_from")).as("p"))
   }
 
+  /** Top onboarding paths (r9): each user's FIRST THREE event types in
+    * arrival order, concatenated into a path string and counted — the
+    * path-analysis staple ("what do users actually do first?") that
+    * complements q_event_transition's one-step matrix with short ordered
+    * sequences. Users with fewer than 3 events keep their shorter path
+    * (concat_ws skips the missing slots on both engines).
+    *
+    * Shape: one per-user ordered window (rn ≤ 3 — the frame never holds
+    * more than the prefix), a 3-slot conditional pivot per user, then a
+    * path hash aggregate. Everything shuffles once on user_id; the path
+    * domain is ≤ |types|³, so the final count is a bounded-key
+    * aggregate. */
+  val eventPath = Q("q_event_path", "top first-3-event paths per user")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "p AS (SELECT user_id, event_type, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM e), " +
+      "s AS (SELECT user_id, max(CASE WHEN rn = 1 THEN event_type END) AS e1, " +
+      "max(CASE WHEN rn = 2 THEN event_type END) AS e2, " +
+      "max(CASE WHEN rn = 3 THEN event_type END) AS e3 " +
+      "FROM p WHERE rn <= 3 GROUP BY 1) " +
+      "SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n_users " +
+      "FROM s GROUP BY 1") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
-    eventAnomaly, scd2, eventTransition)
+    eventAnomaly, scd2, eventTransition, eventPath)
 }

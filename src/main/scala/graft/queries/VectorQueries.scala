@@ -1366,8 +1366,46 @@ object VectorQueries {
         graft.util.Exact.pinScore(col("radius")).as("radius"))
   }
 
+  /** kNN majority-vote label classification (r9): predict every vector's
+    * label from its kNN-graph neighbors (majority vote, ties to the
+    * smallest label) and publish prediction vs own label — the
+    * label-spreading / weak-supervision primitive (impute labels for
+    * unlabeled data, audit labeled data for mislabels: `correct = false`
+    * rows on LABELED data are exactly the label-noise candidates a
+    * curation pass reviews). Evaluated self-inclusive-free: a vector
+    * never votes for itself (the graph has no self-edges).
+    *
+    * Scale: the graph build dominates (see q_ann_knn_join; the hier swap
+    * applies upstream); voting is one edges-sized join to the label
+    * column + a (q, label) hash aggregate + a per-q top-1 window over
+    * ≤ k rows — all keyed on q after one shuffle. */
+  val annKnnClassify = Q("q_ann_knn_classify", "kNN-graph majority-vote label prediction")(
+    "WITH g AS (" + annKnnJoin.oracle.get + "), " +
+      "lv AS (SELECT vec_id, label FROM embeddings), " +
+      "votes AS (SELECT g.q, l.label, count(*) AS votes FROM g " +
+      "JOIN lv l ON l.vec_id = g.c GROUP BY 1, 2), " +
+      "rk AS (SELECT q, label, votes, row_number() OVER " +
+      "(PARTITION BY q ORDER BY votes DESC, label) AS rn FROM votes) " +
+      "SELECT r.q AS vec_id, lo.label AS own_label, r.label AS pred_label, " +
+      "r.votes, (r.label = lo.label) AS correct " +
+      "FROM rk r JOIN lv lo ON lo.vec_id = r.q WHERE r.rn = 1") {
+    (s, d) =>
+      val g = annKnnJoin.fn(s, d).select(col("q"), col("c")).materialized()
+      val lv = embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = g.join(lv, col("vec_id") === col("c"))
+        .groupBy("q", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q").orderBy(col("votes").desc, col("label"))
+      val own = embeddings(s, d)
+        .select(col("vec_id").as("ovid"), col("label").as("own_label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(own, col("ovid") === col("q"))
+        .select(col("q").as("vec_id"), col("own_label"),
+          col("label").as("pred_label"), col("votes"),
+          (col("label") === col("own_label")).as("correct"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq,
-    graphPagerank, coresetKcenter)
+    graphPagerank, coresetKcenter, annKnnClassify)
 }

@@ -297,6 +297,68 @@ class Round9OpsSpec extends SparkSpec {
     assert(fp >= 0.0 && fp < 0.5, s"fp=$fp — m/k mistuned for dim cardinality")
   }
 
+  // ---- batch 4: grouping sets, knn classify, zipf, event paths ----------
+
+  test("q_agg_grouping_sets: marginals only — no finest cells, no grand total") {
+    val rows = graft.queries.AggQueries.aggGroupingSets.fn(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every row is EXACTLY one of the two marginals
+    rows.foreach { case (src, lang, gid, _) =>
+      assert(src.isDefined ^ lang.isDefined, s"src=$src lang=$lang")
+      assert(gid === (if (src.isDefined) 1L else 2L)) // gid bit = grouped-out column
+    }
+    // each marginal's doc counts reconcile with plain groupBy
+    val docs = graft.util.Tables.documents(spark, sf)
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_._1.isDefined).foreach { case (src, _, _, n) =>
+      assert(n === bySrc(src.get))
+    }
+  }
+
+  test("q_ann_knn_classify: majority vote predicts, the odd label out is flagged") {
+    val dir = tmpDir("knncls")
+    import spark.implicits._
+    // complete graph (one cluster, k=3 covers all others); labels 7,7,7,9:
+    // v0-v2 predict 7 correctly; v3 is outvoted 3:0 -> the mislabel flag
+    val vecs = (0 until 4).map { i =>
+      val e = Array.fill(8)(1.0f); e(i) = 2.0f
+      (i.toLong, e.toSeq, if (i == 3) 9 else 7)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.VectorQueries.annKnnClassify.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.size === 4)
+    assert(rows(0L) === ((7, 7, 2L, true)))  // nbrs {7,7,9}: 2 votes for 7
+    assert(rows(1L) === ((7, 7, 2L, true)))
+    assert(rows(2L) === ((7, 7, 2L, true)))
+    assert(rows(3L) === ((9, 7, 3L, false))) // unanimously outvoted = mislabel candidate
+  }
+
+  test("q_text_zipf: a perfect 1/rank corpus fits slope -1; n_terms honest") {
+    val dir = tmpDir("zipf")
+    import spark.implicits._
+    // freq = 1200/rank exactly for 4 words -> ln-ln points are colinear
+    val text = (Seq.fill(1200)("aa") ++ Seq.fill(600)("bb") ++
+      Seq.fill(400)("cc") ++ Seq.fill(300)("dd")).mkString(" ")
+    Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.CorpusStatsQueries.textZipf.fn(spark, dir).collect().head
+    assert(r.getLong(0) === 4L) // fitted points, not the configured cap
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6)
+  }
+
+  test("q_event_path: ordered first-3 prefix, counted per user") {
+    val rows = graft.queries.SessionQueries.eventPath.fn(spark, eventsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("A>A>B", 1L))) // user 10's prefix of A,A,B,A
+  }
+
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
       .select("pagerank").as[Double].collect()
