@@ -171,4 +171,35 @@ object Quantiles {
     withCum.groupBy(group)
       .agg(max("_n").as("n"), aggs: _*)
   }
+
+  /** Exact INTERPOLATED per-group quantiles (percentile_cont semantics:
+    * h = (n−1)·p zero-based, value = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋)) via
+    * the same value-histogram layout as [[groupQuantilesDisc]] — the two
+    * bracketing order statistics come from the prefix-summed histogram
+    * (bucket-sized window work, no per-group data sort), and the
+    * interpolation is one fixed-order IEEE expression, so a DuckDB
+    * `quantile_cont`-equivalent CTE reproduces it bit-for-bit. */
+  def groupQuantilesCont(df: DataFrame, group: String, value: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val hist = df.groupBy(group, value).agg(count(lit(1)).as("_cnt"))
+    val withCum = hist
+      .withColumn("_cum", sum("_cnt").over(Window.partitionBy(group).orderBy(value)))
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy(group)))
+    val aggs = ps.flatMap { case (p, name) =>
+      val h = (col("_n") - 1) * p
+      val lo = floor(h) + 1 // 1-based rank of v_floor(h)
+      Seq(
+        min(when(col("_cum") >= lo, col(value))).as(s"_lo_$name"),
+        min(when(col("_cum") >= least(lo + 1, col("_n")), col(value))).as(s"_hi_$name"))
+    }
+    val allAggs = max("_n").as("n") +: aggs
+    val sel = withCum.groupBy(group).agg(allAggs.head, allAggs.tail: _*)
+    val outs = ps.map { case (p, name) =>
+      val h = (col("n") - 1) * p
+      val frac = h - floor(h)
+      (col(s"_lo_$name").cast("double") +
+        frac * (col(s"_hi_$name") - col(s"_lo_$name"))).as(name)
+    }
+    sel.select(col(group) +: col("n") +: outs: _*)
+  }
 }

@@ -356,7 +356,76 @@ object AggQueries {
             .as("est_distinct"))
   }
 
+  /** Histogram bin width for l_extendedprice (fixture range ~900–105k →
+    * ~21 occupied bins). */
+  private val HistW = 5000.0
+
+  /** Fixed-width numeric histogram (r9): bin counts + corpus share for
+    * the price column — the distribution companion of
+    * q_profile_columns' scalar summary (the "shape" a data-quality
+    * dashboard actually plots). Bin = ⌊v / w⌋: one map-only integer-
+    * izing projection, one bins-sized hash aggregate, one broadcast
+    * total — at 100 TB the histogram IS the standard first-pass profile
+    * because its output is bins-sized, not data-sized. Bin assignment is
+    * a single IEEE divide + floor (identical both engines); share is one
+    * division per output row. */
+  val aggHistogram = Q("q_agg_histogram", "fixed-width price histogram with shares")(
+    s"WITH b AS (SELECT CAST(floor(l_extendedprice / $HistW) AS BIGINT) AS bin, " +
+      "count(*) AS n FROM lineitem GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b) " +
+      s"SELECT b.bin, b.bin * $HistW AS bin_lo, b.n, " +
+      "CAST(b.n AS DOUBLE) / t.total AS share FROM b, t") {
+    (s, d) =>
+      val b = lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / HistW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val t = b.agg(sum("n").cast("long").as("total"))
+      b.crossJoin(broadcast(t))
+        .select(col("bin"), (col("bin") * HistW).as("bin_lo"), col("n"),
+          (col("n").cast("double") / col("total")).as("share"))
+  }
+
+  /** Exact Pearson correlation per group (r9): quantity↔price correlation
+    * per returnflag — the factor-analysis primitive (the reference's HML/
+    * momentum features are correlation-style cross-sectional statistics).
+    * Five decimal-exact sums (x, y, xy, x², y² — the addends are
+    * near-integer-domain products that fit the scale-4/8 decimal grids
+    * exactly) reduce each group to one row; r = (nΣxy − ΣxΣy) /
+    * (√(nΣxx − Σx²)·√(nΣyy − Σy²)) is then a fixed-order IEEE expression
+    * over those sums. Guarded NULL when either variance term is 0 — the
+    * same no-usable-baseline contract as q_event_anomaly. At 100 TB this
+    * is one hash aggregate with map-side partials; nothing else. */
+  val aggCorr = Q("q_agg_corr", "exact per-group Pearson correlation")({
+    def dsum(c: String, scale: Int) =
+      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$scale))) AS DOUBLE)"
+    "WITH s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
+      dsum("l_quantity", 8) + " AS sx, " + dsum("l_extendedprice", 8) + " AS sy, " +
+      dsum("l_quantity * l_extendedprice", 4) + " AS sxy, " +
+      dsum("l_quantity * l_quantity", 4) + " AS sxx, " +
+      dsum("l_extendedprice * l_extendedprice", 4) + " AS syy " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+      "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
+      "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) " +
+      "END AS corr FROM s"
+  }) {
+    (s, d) =>
+      def dsum(c: Column, scale: Int) =
+        sum(c.cast(s"decimal(38,$scale)")).cast("double")
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val st = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x, 8).as("sx"), dsum(y, 8).as("sy"),
+        dsum(x * y, 4).as("sxy"), dsum(x * x, 4).as("sxx"), dsum(y * y, 4).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      st.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        when(vx > 0 && vy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
-    aggRollup, aggCube, aggGroupingSets, aggDistinctKmv)
+    aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr)
 }

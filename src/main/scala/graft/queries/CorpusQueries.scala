@@ -111,6 +111,37 @@ object CorpusQueries {
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
   }
 
+  /** Interpolated per-group quantiles (r9): percentile_cont semantics —
+    * h = (n−1)·p zero-based, linear interpolation between the bracketing
+    * order statistics — the pandas `quantile()` default q_quantile_group's
+    * discrete form deliberately avoids. Same two-phase histogram layout
+    * (ops.Quantiles.groupQuantilesCont): no per-group data sort at any
+    * scale; the interpolation weight (n−1)·p − ⌊(n−1)·p⌋ and the affine
+    * blend are fixed-order IEEE singletons, bit-identical on both
+    * engines even when h is not binary-exact (e.g. p = 0.9). */
+  val quantileCont = Q("q_quantile_cont", "interpolated per-source length quantiles")({
+    // CAST($p AS DOUBLE): a bare 0.9 literal is DECIMAL in DuckDB but
+    // DOUBLE in Spark — (n-1)*0.9 then differs at the ulp (exact 18.0 vs
+    // 18.000000000000004), silently moving the interpolation weight
+    def sel(p: Double, name: String) =
+      s"min(CASE WHEN cum >= floor((n - 1) * CAST($p AS DOUBLE)) + 1 THEN v END) AS _lo_$name, " +
+        s"min(CASE WHEN cum >= least(floor((n - 1) * CAST($p AS DOUBLE)) + 2, n) THEN v END) AS _hi_$name"
+    def out(p: Double, name: String) =
+      s"CAST(_lo_$name AS DOUBLE) + ((n - 1) * CAST($p AS DOUBLE) - " +
+        s"floor((n - 1) * CAST($p AS DOUBLE))) * (_hi_$name - _lo_$name) AS $name"
+    "WITH h AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2), " +
+      "cumt AS (SELECT source, v, c, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum, " +
+      "sum(c) OVER (PARTITION BY source) AS n FROM h), " +
+      "sel AS (SELECT source, CAST(max(n) AS BIGINT) AS n, " +
+      sel(0.5, "p50c") + ", " + sel(0.9, "p90c") + " FROM cumt GROUP BY 1) " +
+      "SELECT source, n, " + out(0.5, "p50c") + ", " + out(0.9, "p90c") + " FROM sel"
+  }) {
+    (s, d) =>
+      graft.ops.Quantiles.groupQuantilesCont(
+        documents(s, d).select("source", "n_chars"), "source", "n_chars",
+        Seq(0.5 -> "p50c", 0.9 -> "p90c"))
+  }
+
   /** SimHash near-dup pairs: band-pair-blocked candidates, then exact
     * hamming distance on collision survivors only.
     *
@@ -279,6 +310,6 @@ object CorpusQueries {
         (col("doc_id") === col("cluster")).as("is_keeper"))
 
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
-    quantileGroup, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget,
+    quantileGroup, quantileCont, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget,
     tokensBudgetScore)
 }

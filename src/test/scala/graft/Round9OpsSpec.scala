@@ -359,6 +359,62 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("A>A>B", 1L))) // user 10's prefix of A,A,B,A
   }
 
+  // ---- batch 5: interpolated quantiles, histogram, correlation ----------
+
+  private def liRow(ok: Long, pk: Long, qty: Double, px: Double, flag: String) =
+    (ok, pk, 1L, 1, qty, px, 0.0, Some(0.0), flag, "O",
+      java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+
+  private def writeLineitem(dir: String,
+      rows: Seq[(Long, Long, Long, Int, Double, Double, Double, Option[Double],
+        String, String, java.sql.Timestamp)]): Unit = {
+    import spark.implicits._
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("q_quantile_cont: percentile_cont interpolation between order statistics") {
+    val dir = tmpDir("qc")
+    import spark.implicits._
+    Seq((1L, 10L, "en", "s", 10L), (2L, 20L, "en", "s", 20L),
+      (3L, 30L, "en", "s", 30L), (4L, 40L, "en", "s", 40L))
+      .map { case (id, _, lang, src, nc) => (id, "x", lang, src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.CorpusQueries.quantileCont.fn(spark, dir).collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 25.0) // h=1.5: midpoint of 20,30
+    // h = 3*0.9: expected computed with the SAME IEEE ops as the query
+    val h = 3L * 0.9
+    assert(r.getDouble(3) === 30.0 + (h - math.floor(h)) * (40L - 30L))
+  }
+
+  test("q_agg_histogram: bin assignment, counts, and shares") {
+    val dir = tmpDir("hist")
+    writeLineitem(dir, Seq(
+      liRow(1, 1, 1, 100.0, "N"), liRow(2, 1, 1, 5100.0, "N"),
+      liRow(3, 1, 1, 5200.0, "N"), liRow(4, 1, 1, 10100.0, "N")))
+    val rows = graft.queries.AggQueries.aggHistogram.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set((0L, 0.0, 1L, 0.25), (1L, 5000.0, 2L, 0.5), (2L, 10000.0, 1L, 0.25)))
+  }
+
+  test("q_agg_corr: perfectly linear group at 1, constant group null-guarded") {
+    val dir = tmpDir("corr")
+    writeLineitem(dir, Seq(
+      liRow(1, 1, 1, 1000.0, "A"), liRow(2, 1, 2, 2000.0, "A"),
+      liRow(3, 1, 3, 3000.0, "A"), liRow(4, 1, 4, 4000.0, "A"),
+      liRow(5, 1, 5, 1000.0, "B"), liRow(6, 1, 5, 9000.0, "B"))) // constant qty
+    val rows = graft.queries.AggQueries.aggCorr.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(rows("A")._1 === 4L)
+    assert(math.abs(rows("A")._2.get - 1.0) < 1e-12) // y = 1000x exactly
+    assert(rows("B")._2.isEmpty, "zero-variance side must NULL, not divide by 0")
+  }
+
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
       .select("pagerank").as[Double].collect()
