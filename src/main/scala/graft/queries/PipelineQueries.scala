@@ -454,7 +454,35 @@ object PipelineQueries {
           sum(when(col("v").isNotNull, col("nv")))).as("mean_v"))
   }
 
+  /** OHLC bar resampling (r9): downsample each asset's tick stream to
+    * daily open/high/low/close/volume bars — THE market-data resampling
+    * primitive (pandas `resample('D').ohlc()`; the reference's
+    * canonical-merge tables are consumed at exactly this granularity).
+    * Open/close are `min_by`/`max_by` on the deterministic line ordinal
+    * (no sort anywhere — Spark evaluates arg-extrema inside the hash
+    * aggregate); high/low are plain extrema; volume is the decimal-exact
+    * sum. ONE hash aggregate with map-side partials on (asset, day) —
+    * the 100 TB shape is the aggregate itself, no window, no shuffle
+    * beyond the group key. */
+  val resampleOhlc = Q("q_resample_ohlc", "daily OHLC bar resampling per asset")(
+    "SELECT l_partkey, date_trunc('day', l_shipdate) AS day, " +
+      "arg_min(l_extendedprice, (l_orderkey * 8 + l_linenumber)) AS open, " +
+      "max(l_extendedprice) AS high, min(l_extendedprice) AS low, " +
+      "arg_max(l_extendedprice, (l_orderkey * 8 + l_linenumber)) AS close, " +
+      Exact.Sql.sum("l_quantity") + " AS volume " +
+      "FROM lineitem GROUP BY 1, 2") {
+    (s, d) =>
+      val ord = col("l_orderkey") * 8 + col("l_linenumber")
+      lineitem(s, d)
+        .groupBy(col("l_partkey"), date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(min_by(col("l_extendedprice"), ord).as("open"),
+          max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max_by(col("l_extendedprice"), ord).as("close"),
+          Exact.exactSum(col("l_quantity")).as("volume"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
-    snapshotDiff, profileColumns)
+    snapshotDiff, profileColumns, resampleOhlc)
 }

@@ -139,5 +139,44 @@ object RollingQueries {
           when(n >= MedN, med).as(s"median_$MedN"))
   }
 
-  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian)
+  /** Rolling 30-row price↔quantity Pearson correlation (r9): the rolling
+    * sibling of q_agg_corr — the windowed co-movement signal (rolling
+    * beta/hedge-ratio family). Six windowed moments from ONE frame
+    * (decimal-exact sums; the cross term rides the same scale-4 grid as
+    * the squares), then r as a fixed-order IEEE expression with the
+    * min_periods null and zero-variance guards every rolling query here
+    * carries. One shuffle on the asset key. */
+  val winRollCorr = Q("q_win_roll_corr", "rolling 30-row price-quantity correlation")({
+    val w = "w30"
+    def s38(c: String, sc: Int) =
+      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$sc))) OVER $w AS DOUBLE)"
+    val n = s"CAST(COUNT(l_extendedprice) OVER $w AS DOUBLE)"
+    val sx = s38("l_quantity", 8); val sy = s38("l_extendedprice", 8)
+    val sxy = s38("l_quantity * l_extendedprice", 4)
+    val sxx = s38("l_quantity * l_quantity", 4)
+    val syy = s38("l_extendedprice * l_extendedprice", 4)
+    val vx = s"($n * $sxx - $sx * $sx)"; val vy = s"($n * $syy - $sy * $sy)"
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, " +
+      s"(CASE WHEN $n >= 30 AND $vx > 0 AND $vy > 0 THEN " +
+      s"($n * $sxy - $sx * $sy) / (sqrt($vx) * sqrt($vy)) END) AS roll_corr " +
+      s"FROM lineitem WINDOW w30 AS ${frameSql(30)}"
+  }) {
+    (s, d) =>
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+        .rowsBetween(-29, 0)
+      def s38(c: Column, sc: Int) =
+        sum(c.cast(s"decimal(38,$sc)")).over(w).cast("double")
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+        ord.as("ord"), x, y)
+      val n = count(y).over(w).cast("double")
+      val sx = s38(x, 8); val sy = s38(y, 8)
+      val sxy = s38(x * y, 4); val sxx = s38(x * x, 4); val syy = s38(y * y, 4)
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      base.select(col("l_partkey"), col("l_shipdate"), col("ord"),
+        when(n >= 30 && vx > 0 && vy > 0,
+          (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))).as("roll_corr"))
+  }
+
+  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr)
 }

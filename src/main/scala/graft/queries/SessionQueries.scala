@@ -334,6 +334,39 @@ object SessionQueries {
         .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM user segmentation (r9): recency (days since last event, against
+    * the corpus's own horizon), frequency (event count), monetary
+    * (decimal-exact value sum), plus the monetary QUINTILE through the
+    * same two-phase exact-ntile plan q_win_ntile certifies (no global
+    * sort of users — the histogram/boundary-bucket layout holds at any
+    * user count). The classic marketing-segmentation frame, one grouped
+    * aggregate + the bounded ntile machinery; the corpus horizon rides a
+    * broadcast 1-row frame. */
+  val eventRfm = Q("q_event_rfm", "RFM user segmentation with exact monetary quintile")(
+    "WITH u AS (SELECT user_id, count(*) AS frequency, " +
+      "max(date_trunc('day', ts)) AS last_day, " +
+      Exact.Sql.sum("value") + " AS monetary FROM events GROUP BY 1), " +
+      "hz AS (SELECT max(last_day) AS horizon FROM u) " +
+      "SELECT u.user_id, " +
+      "CAST(date_diff('day', u.last_day, hz.horizon) AS BIGINT) AS recency_days, " +
+      "u.frequency, u.monetary, " +
+      "CAST(ntile(5) OVER (ORDER BY u.monetary, u.user_id) AS BIGINT) AS m_quintile " +
+      "FROM u, hz") {
+    (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("frequency"),
+          max(date_trunc("day", col("ts"))).as("last_day"),
+          Exact.exactSum(col("value")).as("monetary"))
+      val hz = u.agg(max("last_day").as("horizon"))
+      val scored = graft.ops.Quantiles.exactNtile(
+        u.withColumn("_g", lit(1)), part = "_g", value = "monetary",
+        ord = col("user_id"), tiles = 5, outCol = "m_quintile")
+      scored.crossJoin(broadcast(hz))
+        .select(col("user_id"),
+          datediff(col("horizon"), col("last_day")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"), col("m_quintile"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
-    eventAnomaly, scd2, eventTransition, eventPath)
+    eventAnomaly, scd2, eventTransition, eventPath, eventRfm)
 }

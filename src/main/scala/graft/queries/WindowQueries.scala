@@ -150,6 +150,30 @@ object WindowQueries {
         percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cume_d"))
   }
 
+  /** Maximum drawdown per asset (r9): running peak via an expanding-frame
+    * max, drawdown = px/peak − 1 per row, per-asset minimum published —
+    * the risk metric every market pipeline reports. No float sums at all:
+    * max/min are exact order statistics and the drawdown is ONE
+    * correctly-rounded division per row, so cross-engine exactness needs
+    * no decimal detour. One shuffle on the asset key feeds the expanding
+    * window AND the final aggregate. */
+  val winDrawdown = Q("q_win_drawdown", "per-asset maximum drawdown from running peak")(
+    "WITH r AS (SELECT l_partkey, l_extendedprice AS px, " +
+      "max(l_extendedprice) OVER (PARTITION BY l_partkey " +
+      s"ORDER BY l_shipdate, $ordSql ROWS UNBOUNDED PRECEDING) AS runmax FROM lineitem) " +
+      "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs, max(runmax) AS peak, " +
+      "min(px / runmax - 1.0) AS max_drawdown FROM r GROUP BY 1") {
+    (s, d) =>
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice").as("px"),
+          max("l_extendedprice").over(w).as("runmax"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("n_obs"), max("runmax").as("peak"),
+          min(col("px") / col("runmax") - 1.0).as("max_drawdown"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
-    monthTrunc, winNtile, winPctRank)
+    monthTrunc, winNtile, winPctRank, winDrawdown)
 }

@@ -415,6 +415,84 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows("B")._2.isEmpty, "zero-variance side must NULL, not divide by 0")
   }
 
+  // ---- batch 6: OHLC bars, drawdown, RFM, rolling correlation -----------
+
+  test("q_resample_ohlc: first/last by ordinal, extrema, exact volume") {
+    val dir = tmpDir("ohlc")
+    import spark.implicits._
+    // one part, two days; day-1 arrival order (by ord) is 10, 30, 20
+    Seq(
+      (1L, 1L, 1L, 1, 2.0, 10.0, 0.0, Some(0.0), "N", "O", "1995-03-01"),
+      (2L, 1L, 1L, 1, 3.0, 30.0, 0.0, Some(0.0), "N", "O", "1995-03-01"),
+      (3L, 1L, 1L, 1, 5.0, 20.0, 0.0, Some(0.0), "N", "O", "1995-03-01"),
+      (4L, 1L, 1L, 1, 7.0, 40.0, 0.0, Some(0.0), "N", "O", "1995-03-02"))
+      .map { case (ok, pk, sk, ln, q, px, disc, tax, rf, ls, dt) =>
+        (ok, pk, sk, ln, q, px, disc, tax, rf, ls,
+          java.sql.Timestamp.valueOf(dt + " 00:00:00"))
+      }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.PipelineQueries.resampleOhlc.fn(spark, dir)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(rows.length === 2)
+    assert(rows(0) === ((10.0, 30.0, 10.0, 20.0, 10.0))) // o/h/l/c/vol day 1
+    assert(rows(1) === ((40.0, 40.0, 40.0, 40.0, 7.0)))  // singleton bar
+  }
+
+  test("q_win_drawdown: running-peak drawdown, hand-computed") {
+    val dir = tmpDir("dd")
+    writeLineitem(dir, Seq(
+      liRow(1, 1, 1, 10.0, "N"), liRow(2, 1, 1, 20.0, "N"),
+      liRow(3, 1, 1, 15.0, "N"), liRow(4, 1, 1, 5.0, "N")))
+    val r = graft.queries.WindowQueries.winDrawdown.fn(spark, dir).collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 20.0)          // peak
+    assert(r.getDouble(3) === 5.0 / 20.0 - 1.0) // -0.75 at the trough
+  }
+
+  test("q_event_rfm: recency against corpus horizon, exact monetary, quintile") {
+    val rows = graft.queries.SessionQueries.eventRfm.fn(spark, eventsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // single user, 4 events of value 1.0, last event = the horizon itself
+    assert(rows.toSeq === Seq((10L, 0L, 4L, 4.0, 1L)))
+  }
+
+  test("q_win_roll_corr: defined windows bounded by |1|, warm-up nulled") {
+    val rows = graft.queries.RollingQueries.winRollCorr.fn(spark, "/root/testdata/sf0.01")
+      .select("roll_corr").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val defined = rows.flatten
+    assert(defined.nonEmpty, "some 30-row windows must fill at sf0.01")
+    assert(defined.forall(v => math.abs(v) <= 1.0 + 1e-12))
+    assert(rows.count(_.isEmpty) > 0, "warm-up rows below min_periods stay null")
+  }
+
+  test("pagerank and tfidf-cosine scores are bit-identical at 1 vs 32 shuffle partitions") {
+    // round-9's heaviest float paths through the same end-to-end
+    // parallelism-invariance contract PipelineSpec pins for r8's: grid
+    // sums make the published doubles independent of partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def run() = (
+      VectorQueries.graphPagerank.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      CorpusStatsQueries.textTfidfCosine.fn(spark, "/root/testdata/sf0.01").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    try {
+      spark.conf.set(key, "1")
+      val (p1, c1) = run()
+      spark.conf.set(key, "32")
+      val (p32, c32) = run()
+      assert(p1 == p32) // Set equality on raw doubles = bit equality
+      assert(c1 == c32)
+    } finally spark.conf.set(key, before)
+  }
+
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
       .select("pagerank").as[Double].collect()
