@@ -141,11 +141,17 @@ object RollingQueries {
 
   /** Rolling 30-row price↔quantity Pearson correlation (r9): the rolling
     * sibling of q_agg_corr — the windowed co-movement signal (rolling
-    * beta/hedge-ratio family). Six windowed moments from ONE frame
-    * (decimal-exact sums; the cross term rides the same scale-4 grid as
-    * the squares), then r as a fixed-order IEEE expression with the
-    * min_periods null and zero-variance guards every rolling query here
-    * carries. One shuffle on the asset key. */
+    * beta/hedge-ratio family). Six frame moments, then r as a fixed-order
+    * IEEE expression with the min_periods null and zero-variance guards
+    * every rolling query here carries. One shuffle on the asset key.
+    *
+    * The moments ride the prefix-difference machinery
+    * (Exact.withRollingMoments/-Cross — long-backed cumulative decimals,
+    * O(rows) not O(rows × frame)): the naive six DECIMAL(38) sliding
+    * frames measured 21.5 s CPU at sf0.1 / 218 s at sf1 (Spark recomputes
+    * sliding decimal frames from scratch per row, BigDecimal-backed);
+    * the prefix form is bit-identical to the oracle's frame sums by the
+    * exactness argument documented at withRollingMoments. */
   val winRollCorr = Q("q_win_roll_corr", "rolling 30-row price-quantity correlation")({
     val w = "w30"
     def s38(c: String, sc: Int) =
@@ -163,19 +169,20 @@ object RollingQueries {
   }) {
     (s, d) =>
       val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
-        .rowsBetween(-29, 0)
-      def s38(c: Column, sc: Int) =
-        sum(c.cast(s"decimal(38,$sc)")).over(w).cast("double")
       val x = col("l_quantity"); val y = col("l_extendedprice")
       val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
         ord.as("ord"), x, y)
-      val n = count(y).over(w).cast("double")
-      val sx = s38(x, 8); val sy = s38(y, 8)
-      val sxy = s38(x * y, 4); val sxx = s38(x * x, 4); val syy = s38(y * y, 4)
-      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
-      base.select(col("l_partkey"), col("l_shipdate"), col("ord"),
+      val withM = Exact.withRollingCross(
+        Exact.withRollingMoments(
+          Exact.withRollingMoments(base, x, w, 30, "cx"), y, w, 30, "cy"),
+        x, y, w, 30, "c")
+      val n = col("cy_n")
+      val vx = n * col("cx_q") - col("cx_s") * col("cx_s")
+      val vy = n * col("cy_q") - col("cy_s") * col("cy_s")
+      withM.select(col("l_partkey"), col("l_shipdate"), col("ord"),
         when(n >= 30 && vx > 0 && vy > 0,
-          (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))).as("roll_corr"))
+          (n * col("c_xy") - col("cx_s") * col("cy_s")) /
+            (sqrt(vx) * sqrt(vy))).as("roll_corr"))
   }
 
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr)

@@ -137,6 +137,20 @@ object Exact {
       .drop(cs, cq, cn)
   }
 
+  /** Rolling CROSS moment Σxy over the trailing n-row frame, via the same
+    * prefix-difference trick (and the same precision-18 long-backed
+    * cumulative + overflow-to-null precondition) as [[withRollingMoments]].
+    * Adds column `{tag}_xy` (double). */
+  def withRollingCross(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
+      w: WindowSpec, n: Int, tag: String): org.apache.spark.sql.DataFrame = {
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = s"__cc_$tag"
+    df.withColumn(cc, sum((x * y).cast(DCumSq)).over(wCum).cast(DCumSq))
+      .withColumn(s"${tag}_xy",
+        (col(cc) - coalesce(lag(col(cc), n).over(w), lit(0).cast(DCumSq))).cast("double"))
+      .drop(cc)
+  }
+
   /** Binary-grid quantization and summation for TRANSCENDENTAL-derived
     * scores — the engine-portable alternative to the decimal detour.
     *
