@@ -97,8 +97,24 @@ object Corpus {
     * throw-on-no-convergence contract below. */
   def clusterLabels(docs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val pairs = TextOps.minhashPairs(docs)
+    componentLabels(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")),
+        maxRounds)
+      .select(col("node").as("doc_id"), col("cluster"))
+  }
+
+  /** Generic star-contraction connected components over an arbitrary
+    * undirected edge list (columns `src`, `dst`, any orientation, self
+    * loops ignored): (node, cluster) for every node that appears in at
+    * least one edge; cluster = min node id of the component. The
+    * algorithm, convergence gate, and round bound are [[clusterLabels]]'s
+    * (which delegates here); DBSCAN's core-graph clustering reuses this
+    * directly. */
+  def componentLabels(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
     // star edges oriented larger → smaller (src > dst always)
-    var e = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct().materialized()
     def chk(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum("src"), sum("dst")).head()
@@ -137,14 +153,14 @@ object Corpus {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"clusterLabels did not converge in $maxRounds rounds — the star " +
+        s"componentLabels did not converge in $maxRounds rounds — the star " +
           "contraction should need O(log n); raise maxRounds (labels would " +
           "be wrong)")
     // fixpoint is a star forest: every non-root node appears exactly once
     // as src pointing at its component min; roots label themselves
-    e.select(col("src").as("doc_id"), col("dst").as("cluster"))
+    e.select(col("src").as("node"), col("dst").as("cluster"))
       .union(e.select(col("dst")).distinct()
-        .select(col("dst").as("doc_id"), col("dst").as("cluster")))
+        .select(col("dst").as("node"), col("dst").as("cluster")))
   }
 
   /** Near-duplicate keeper filter: keep every unclustered document plus

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.util.Exact
+import graft.util.Materialize.Ops
 import graft.util.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -345,6 +346,7 @@ object AggQueries {
       val dh = lineitem(s, d)
         .select(graft.ops.TextOps.hash32(col("l_partkey").cast("string")).as("h"))
         .distinct()
+        .materialized() // feeds BOTH the sketch top-k and the exact count
       // per-partition top-k + driver merge of k longs: TakeOrderedAndProject
       val sk = dh.orderBy("h").limit(KmvK)
         .agg(count(lit(1)).cast("long").as("k_filled"), max("h").as("kth_hash"))
@@ -379,6 +381,7 @@ object AggQueries {
       val b = lineitem(s, d)
         .groupBy(floor(col("l_extendedprice") / HistW).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"))
+        .materialized() // bins-sized; feeds the total AND the output rows
       val t = b.agg(sum("n").cast("long").as("total"))
       b.crossJoin(broadcast(t))
         .select(col("bin"), (col("bin") * HistW).as("bin_lo"), col("n"),
@@ -396,8 +399,7 @@ object AggQueries {
     * same no-usable-baseline contract as q_event_anomaly. At 100 TB this
     * is one hash aggregate with map-side partials; nothing else. */
   val aggCorr = Q("q_agg_corr", "exact per-group Pearson correlation")({
-    def dsum(c: String, scale: Int) =
-      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$scale))) AS DOUBLE)"
+    def dsum(c: String, scale: Int) = graft.util.Exact.Sql.sum(c, scale)
     "WITH s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
       dsum("l_quantity", 8) + " AS sx, " + dsum("l_extendedprice", 8) + " AS sy, " +
       dsum("l_quantity * l_extendedprice", 4) + " AS sxy, " +
@@ -410,8 +412,7 @@ object AggQueries {
       "END AS corr FROM s"
   }) {
     (s, d) =>
-      def dsum(c: Column, scale: Int) =
-        sum(c.cast(s"decimal(38,$scale)")).cast("double")
+      def dsum(c: Column, scale: Int) = graft.util.Exact.exactSum(c, scale)
       val x = col("l_quantity"); val y = col("l_extendedprice")
       val st = lineitem(s, d).groupBy("l_returnflag").agg(
         count(lit(1)).cast("double").as("n"),

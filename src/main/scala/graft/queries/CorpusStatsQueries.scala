@@ -567,11 +567,8 @@ object CorpusStatsQueries {
     * itself — not just the published score — is bit-identical on both
     * engines. */
   val textTfidfCosine = Q("q_text_tfidf_cosine", "sparse TF-IDF rare-shingle cosine pairs")(
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents), " +
-      "tok AS (SELECT doc_id, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
-      "sh AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS g " +
-      "FROM tok WHERE i + 2 <= len(sp)), " +
-      "tf AS (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
+    "WITH " + TextQueries.shinglesBody + ", " +
+      "tf AS (SELECT doc_id, shingle AS g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
       s"df AS (SELECT g, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= $CosDfCap), " +
       "n AS (SELECT count(*) AS n FROM documents), " +
       "dfx AS (SELECT g, (CAST(n.n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0) AS _lnx " +

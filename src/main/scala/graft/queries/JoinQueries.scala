@@ -199,7 +199,8 @@ object JoinQueries {
       "(SELECT count(*) FROM lineitem l JOIN dim d ON d.o_orderkey = l.l_orderkey) AS n_match) " +
       "SELECT CAST(n_fact AS BIGINT) AS n_fact, CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass, " +
       "CAST(n_match AS BIGINT) AS n_match, " +
-      "CAST(n_bloom_pass - n_match AS DOUBLE) / (n_fact - n_match) AS fp_rate " +
+      "CASE WHEN n_fact > n_match THEN " +
+      "CAST(n_bloom_pass - n_match AS DOUBLE) / (n_fact - n_match) END AS fp_rate " +
       "FROM stats"
   }) {
     (s, d) =>
@@ -219,10 +220,14 @@ object JoinQueries {
       val nPass = pass.agg(count(lit(1)).cast("long").as("n_bloom_pass"))
       val nMatch = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .agg(count(lit(1)).cast("long").as("n_match"))
+      // NULL when every fact row matches the dim (no non-member left to
+      // false-positive on) — same no-usable-denominator contract as
+      // q_agg_corr; a raw divide would publish NaN/engine-dependent junk.
       nFact.crossJoin(nPass).crossJoin(nMatch)
         .select(col("n_fact"), col("n_bloom_pass"), col("n_match"),
-          ((col("n_bloom_pass") - col("n_match")).cast("double") /
-            (col("n_fact") - col("n_match"))).as("fp_rate"))
+          when(col("n_fact") > col("n_match"),
+            (col("n_bloom_pass") - col("n_match")).cast("double") /
+              (col("n_fact") - col("n_match"))).as("fp_rate"))
   }
 
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,

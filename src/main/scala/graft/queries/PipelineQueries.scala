@@ -266,28 +266,40 @@ object PipelineQueries {
           col("px").isNotNull.as("is_observed"))
   }
 
-  /** Spread a 16-bit value's bits into the even positions of a 32-bit
+  /** Key-domain bound for the Z-order interleave: 31 bits per key. Two
+    * 31-bit spreads interleave into bits 0..61 of a signed 64-bit long,
+    * so zval stays POSITIVE and curve order == numeric sort order (a
+    * 32-bit-per-key spread would push the second key's top bit into the
+    * sign bit and silently break the sort). Keys beyond 2^31−1 must fail
+    * loudly, not alias: masking them would interleave unrelated key
+    * ranges into the same zval and void the min/max-pruning story. */
+  private val ZKeyBits = 31
+  private val ZKeyMax = (1L << ZKeyBits) - 1
+
+  /** Spread a 31-bit value's bits into the even positions of a 62-bit
     * word (Morton/Z-order interleave half) — the classic magic-number
-    * cascade, integer-exact on any engine. */
+    * cascade widened to 64-bit lanes, integer-exact on any engine. */
   private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s0 = c.bitwiseAND(lit(65535L))
-    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
-    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
-    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    val s0 = c.cast("long").bitwiseAND(lit(ZKeyMax))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    s4.bitwiseOR(shiftleft(s4, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
   /** The identical cascade as a DuckDB SQL expression over column `c`. */
   private def spreadBitsSql(c: String): String = {
-    val s0 = s"(($c) & 65535)"
-    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
-    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
-    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
-    s"(($s3 | ($s3 << 1)) & 1431655765)"
+    val s0 = s"(CAST($c AS BIGINT) & $ZKeyMax)"
+    val s1 = s"(($s0 | ($s0 << 16)) & ${0x0000FFFF0000FFFFL})"
+    val s2 = s"(($s1 | ($s1 << 8)) & ${0x00FF00FF00FF00FFL})"
+    val s3 = s"(($s2 | ($s2 << 4)) & ${0x0F0F0F0F0F0F0F0FL})"
+    val s4 = s"(($s3 | ($s3 << 2)) & ${0x3333333333333333L})"
+    s"(($s4 | ($s4 << 1)) & ${0x5555555555555555L})"
   }
 
   /** Z-order (Morton) curve clustering key (r9): interleave the bits of
-    * two join/filter dimensions (part, supplier) into one 32-bit sort
+    * two join/filter dimensions (part, supplier) into one 62-bit sort
     * key, plus the 256-cell layout assignment its top 8 bits induce —
     * the multi-dimensional data-layout primitive behind Delta/Iceberg
     * Z-ORDER compaction. Sorting 100 TB by zval before writing gives
@@ -297,20 +309,34 @@ object PipelineQueries {
     * measured cell-touch bound is pinned in ZOrderSpec, the plan story in
     * DESIGN.md. Map-only integer bit arithmetic (magic-number spread),
     * identical on any two's-complement engine; the curve math is the
-    * oracle-certified part, the write path reuses the lake sink. */
+    * oracle-certified part, the write path reuses the lake sink.
+    * Keys are guarded to the 31-bit domain (assert_true, map-side):
+    * an out-of-range key THROWS instead of silently aliasing with
+    * key & mask — at 100 TB (l_partkey ~ 2e10 > 2^31) the operator
+    * demands a pre-scaled key, never a wrong curve. */
   val zorderCurve = Q("q_zorder_curve", "Z-order curve clustering key + cell assignment")(
     "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
       s"(${spreadBitsSql("l_partkey")} | (${spreadBitsSql("l_suppkey")} << 1)) AS zval " +
       "FROM lineitem) " +
       "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval, " +
-      "(zval >> 24) AS zcell FROM z") {
+      "(zval >> 54) AS zcell FROM z") {
     (s, d) =>
-      val zval = spreadBits(col("l_partkey"))
-        .bitwiseOR(shiftleft(spreadBits(col("l_suppkey")), 1))
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), zval.as("zval"))
-        .withColumn("zcell", shiftright(col("zval"), 24))
+          col("l_suppkey"),
+          zvalExpr(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .withColumn("zcell", shiftright(col("zval"), 54))
+  }
+
+  /** The guarded interleave q_zorder_curve publishes (exposed for specs):
+    * Morton zval when both keys are in [0, 2^31−1], a thrown error (not
+    * an aliased curve) otherwise. */
+  private[graft] def zvalExpr(p: org.apache.spark.sql.Column,
+      sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val zval = spreadBits(p).bitwiseOR(shiftleft(spreadBits(sk), 1))
+    val inDomain = p.between(0, ZKeyMax) && sk.between(0, ZKeyMax)
+    when(assert_true(inDomain,
+      lit(s"z-order key outside [0, $ZKeyMax]")).isNull, zval)
   }
 
   /** Weighted-sample size: the fixture keeps ~24% of sf0.01's docs —

@@ -154,8 +154,7 @@ object RollingQueries {
     * exactness argument documented at withRollingMoments. */
   val winRollCorr = Q("q_win_roll_corr", "rolling 30-row price-quantity correlation")({
     val w = "w30"
-    def s38(c: String, sc: Int) =
-      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$sc))) OVER $w AS DOUBLE)"
+    def s38(c: String, sc: Int) = Exact.Sql.winSum(c, w, sc)
     val n = s"CAST(COUNT(l_extendedprice) OVER $w AS DOUBLE)"
     val sx = s38("l_quantity", 8); val sy = s38("l_extendedprice", 8)
     val sxy = s38("l_quantity * l_extendedprice", 4)

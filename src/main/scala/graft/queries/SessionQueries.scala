@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.util.Exact
+import graft.util.Materialize.Ops
 import graft.util.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -247,19 +248,18 @@ object SessionQueries {
       "lead(ts_us) OVER w IS NULL AS is_current FROM r " +
       "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)") {
     (s, d) =>
-      val wAll = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        .withColumn("prev", lag("event_type", 1).over(wAll))
+        .withColumn("prev", lag("event_type", 1).over(w))
         // run starts: first event, or state differs from the previous one
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
         .select(col("user_id"), col("event_type"),
-          row_number().over(wRun).cast("long").as("version"),
+          row_number().over(w).cast("long").as("version"),
           col("ts_us").as("valid_from_us"),
-          lead("ts_us", 1).over(wRun).as("valid_to_us"),
-          lead("ts_us", 1).over(wRun).isNull.as("is_current"))
+          lead("ts_us", 1).over(w).as("valid_to_us"),
+          lead("ts_us", 1).over(w).isNull.as("is_current"))
   }
 
   /** First-order Markov transition matrix (r9): per user, each ordered
@@ -357,6 +357,7 @@ object SessionQueries {
         .agg(count(lit(1)).as("frequency"),
           max(date_trunc("day", col("ts"))).as("last_day"),
           Exact.exactSum(col("value")).as("monetary"))
+        .materialized() // exactNtile reads its input 3x, hz a 4th time
       val hz = u.agg(max("last_day").as("horizon"))
       val scored = graft.ops.Quantiles.exactNtile(
         u.withColumn("_g", lit(1)), part = "_g", value = "monetary",

@@ -51,6 +51,21 @@ object VectorQueries {
       "n AS (SELECT vec_id, sqrt(CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
       "FROM v GROUP BY 1) "
 
+  /** Shared oracle CTE chain: the seed-centroid (vec_id % 50 == 0) cosine
+    * assignment — cdots → ccos → assign, with the fold's exact tie-break
+    * (cosine DESC, cid). Written once; the IVF / multi-probe / kNN-graph /
+    * DBSCAN oracles all splice this same text so the assignment SQL can
+    * never drift between them. */
+  private val seedAssignCtes =
+    ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
+      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
+      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
+      "WHERE rn = 1), "
+
   /** Embedding near-dup detection: cosine over label-blocked pairs
     * (blocking bounds the pair count; the full-corpus path is the LSH
     * variant). */
@@ -154,14 +169,7 @@ object VectorQueries {
     * k-means drops into the same plan). */
   val annIvf = Q("q_ann_ivf", "IVF single-probe cosine top-3")(
     vecsSql +
-      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
-      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
-      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
-      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
-      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
-      "WHERE rn = 1), " +
+      seedAssignCtes +
       "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid WHERE qa.vid < 10), " +
       "pdots AS (SELECT p.q, p.c, p.cluster, " +
@@ -287,14 +295,7 @@ object VectorQueries {
     * can never duplicate a candidate pair. */
   val annIvfProbe = Q("q_ann_ivf_probe", "IVF 2-probe cosine top-3")(
     vecsSql +
-      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
-      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
-      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
-      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
-      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
-      "WHERE rn = 1), " +
+      seedAssignCtes +
       "qprobe AS (SELECT vid AS q, cid AS cluster FROM (SELECT ccos.*, " +
       "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn " +
       "FROM ccos WHERE vid < 10) WHERE rn <= 2), " +
@@ -995,14 +996,7 @@ object VectorQueries {
     * trained knobs compose exactly as in the q_ann_ivf* family). */
   val annKnnJoin = Q("q_ann_knn_join", "within-cluster kNN graph (top-3, all vectors)")(
     vecsSql +
-      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
-      "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
-      "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
-      "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
-      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn FROM ccos) " +
-      "WHERE rn = 1), " +
+      seedAssignCtes +
       "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
       "pdots AS (SELECT p.q, p.c, p.cluster, " +
@@ -1233,6 +1227,10 @@ object VectorQueries {
   /** PageRank damping + iteration count — fixed small constants so the
     * oracle replays the exact same unrolled computation. */
   private val PrDamping = 0.85
+  /** Teleport mass = 1 − damping, DERIVED so tuning PrDamping can never
+    * leave a stale teleport constant (rank mass must sum to 1). Both the
+    * Spark side and the oracle interpolate this same double. */
+  private val PrTeleport = 1.0 - PrDamping
   private val PrIters = 3
 
   /** PageRank over the mutual-kNN graph (r9): the graph-centrality rung
@@ -1258,7 +1256,7 @@ object VectorQueries {
     def psum(c: String) =
       s"(CAST(SUM(CAST(floor(($c) * $grid) AS BIGINT)) AS DOUBLE) / $grid)"
     val iters = (1 to PrIters).map { i =>
-      s"r$i AS (SELECT e.dst AS v, 0.15 / nn.n + $PrDamping * " +
+      s"r$i AS (SELECT e.dst AS v, $PrTeleport / nn.n + $PrDamping * " +
         psum(s"r.r / dg.deg") + " AS r " +
         s"FROM ed e JOIN r${i - 1} r ON r.v = e.src " +
         "JOIN deg dg ON dg.src = e.src CROSS JOIN nn GROUP BY e.dst, nn.n)"
@@ -1287,7 +1285,7 @@ object VectorQueries {
           .crossJoin(broadcast(nn))
           .groupBy(col("e.dst").as("v"), col("n"))
           .agg(graft.util.Exact.portableSum(col("r.r") / col("dg.deg")).as("s"))
-          .select(col("v"), (lit(0.15) / col("n") + lit(PrDamping) * col("s")).as("r"))
+          .select(col("v"), (lit(PrTeleport) / col("n") + lit(PrDamping) * col("s")).as("r"))
       }
       r.join(deg, col("src") === col("v"))
         .select(col("v").as("vec_id"), col("deg"),

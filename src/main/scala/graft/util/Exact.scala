@@ -37,6 +37,12 @@ object Exact {
   /** Exact sum of a double column, returned as double. */
   def exactSum(c: Column): Column = sum(c.cast(D)).cast("double")
 
+  /** Exact sum on an explicit decimal scale — 8 for value-domain terms,
+    * 4 for squared/product terms (the DSq rationale above). One shared
+    * recipe so a precision fix lands everywhere at once. */
+  def exactSum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
   /** Exact mean: exact sum / count, one correctly-rounded division. */
   def exactAvg(c: Column): Column = exactSum(c) / count(c)
 
@@ -74,6 +80,8 @@ object Exact {
     * evaluates frames incrementally; DuckDB uses segment trees — only the
     * decimal detour makes them agree). */
   def winSum(c: Column, w: WindowSpec): Column = sum(c.cast(D)).over(w).cast("double")
+  def winSum(c: Column, w: WindowSpec, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).over(w).cast("double")
   def winAvg(c: Column, w: WindowSpec): Column = winSum(c, w) / count(c).over(w)
   def winStddevSamp(c: Column, w: WindowSpec): Column = {
     val n  = count(c).over(w).cast("double")
@@ -214,8 +222,9 @@ object Exact {
   object Sql {
     /** Windowed fragments; `w` is a named-window reference (DuckDB
       * `WINDOW w AS (...)`). */
-    def winSum(c: String, w: String): String =
-      s"CAST(SUM(CAST(($c) AS DECIMAL(38,8))) OVER $w AS DOUBLE)"
+    def winSum(c: String, w: String): String = winSum(c, w, 8)
+    def winSum(c: String, w: String, scale: Int): String =
+      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$scale))) OVER $w AS DOUBLE)"
     def winAvg(c: String, w: String): String =
       s"(${winSum(c, w)} / COUNT($c) OVER $w)"
     private def winMom(c: String, w: String) =
@@ -229,7 +238,9 @@ object Exact {
       val (n, s, sq) = winMom(c, w)
       s"(CASE WHEN $n > 0 THEN sqrt(greatest(0.0, ($sq - $s*$s/$n) / $n)) END)"
     }
-    def sum(c: String): String = s"CAST(SUM(CAST(($c) AS DECIMAL(38,8))) AS DOUBLE)"
+    def sum(c: String): String = sum(c, 8)
+    def sum(c: String, scale: Int): String =
+      s"CAST(SUM(CAST(($c) AS DECIMAL(38,$scale))) AS DOUBLE)"
     def avg(c: String): String = s"(${sum(c)} / COUNT($c))"
     private def mom(c: String) =
       (s"COUNT($c)", sum(c), s"CAST(SUM(CAST((($c)*($c)) AS DECIMAL(38,4))) AS DOUBLE)")

@@ -73,11 +73,12 @@ class Round9OpsSpec extends SparkSpec {
 
   private def morton(a: Long, b: Long): Long = {
     def spread(x0: Long): Long = {
-      var x = x0 & 0xFFFFL
-      x = (x | (x << 8)) & 0x00FF00FFL
-      x = (x | (x << 4)) & 0x0F0F0F0FL
-      x = (x | (x << 2)) & 0x33333333L
-      (x | (x << 1)) & 0x55555555L
+      var x = x0 & 0x7FFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
     }
     spread(a) | (spread(b) << 1)
   }
@@ -89,20 +90,63 @@ class Round9OpsSpec extends SparkSpec {
     rows.foreach { r =>
       val (p, s, z, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       assert(z === morton(p, s), s"p=$p s=$s")
-      assert(c === (z >> 24))
+      assert(c === (z >> 54))
     }
   }
 
-  test("zorder locality: one cell bounds BOTH dimensions' high nibbles") {
+  test("zorder curve: no aliasing across the full 31-bit key domain") {
+    // distinct (p, s) pairs spanning the whole domain — including values
+    // far beyond a 16-bit mask — must map to distinct zvals through the
+    // QUERY'S OWN expression, every zval must be non-negative (sign bit
+    // untouched, so curve order == long sort order), and the interleave
+    // must invert cleanly against the independent JVM reimplementation.
+    def unspread(z0: Long): Long = {
+      var z = z0 & 0x5555555555555555L
+      z = (z | (z >> 1)) & 0x3333333333333333L
+      z = (z | (z >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      z = (z | (z >> 4)) & 0x00FF00FF00FF00FFL
+      z = (z | (z >> 8)) & 0x0000FFFF0000FFFFL
+      (z | (z >> 16)) & 0x7FFFFFFFL
+    }
+    val keys = Seq(0L, 1L, 65534L, 65535L, 65536L, 65537L, 1000000L,
+      2147483646L, 2147483647L)
+    val pairs = for (p <- keys; s <- keys) yield (p, s)
+    val got = pairs.toDF("p", "s")
+      .select(col("p"), col("s"),
+        PipelineQueries.zvalExpr(col("p"), col("s")).as("z"))
+      .collect()
+    val zs = got.map { r =>
+      val (p, s, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z >= 0L, s"sign bit set for p=$p s=$s")
+      assert(z === morton(p, s), s"p=$p s=$s")
+      assert(unspread(z) === p && unspread(z >> 1) === s, s"p=$p s=$s")
+      z
+    }
+    assert(zs.distinct.length === keys.size * keys.size)
+  }
+
+  test("zorder locality: one cell bounds BOTH dimensions' high bits") {
+    // cell = top 8 interleaved bits = top 4 bits of each 31-bit key: all
+    // members of one cell share both keys' high nibbles by construction.
     val cells = PipelineQueries.zorderCurve.fn(spark, sf)
       .groupBy("zcell")
-      .agg(countDistinct(shiftright(col("l_partkey").bitwiseAND(65535), 12)).as("dp"),
-        countDistinct(shiftright(col("l_suppkey").bitwiseAND(65535), 12)).as("ds"))
+      .agg(countDistinct(shiftright(col("l_partkey"), 27)).as("dp"),
+        countDistinct(shiftright(col("l_suppkey"), 27)).as("ds"))
       .collect()
+    assert(cells.nonEmpty)
     cells.foreach { r =>
       assert(r.getLong(1) === 1L && r.getLong(2) === 1L,
         s"cell ${r.get(0)} spans >1 high-nibble in a dimension")
     }
+  }
+
+  test("zorder guard: a key beyond the 31-bit domain fails loudly") {
+    val ex = intercept[Exception] {
+      Seq((1L << 31, 5L)).toDF("p", "s")
+        .select(PipelineQueries.zvalExpr(col("p"), col("s")).as("z"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   // ---- Weighted sample: TakeOrdered selection == full-sort selection ----
