@@ -31,6 +31,15 @@ object TextOps {
     * batch-built corpora diverge. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  /** Count-min sketch bucket of `word` in hash row `i` (width `w`) —
+    * THE sketch cell identity, shared by the batch sketch
+    * (q_text_heavy_hitters) and the streaming maintenance
+    * (Streams.cmSketchIngest) for the same parity reason as contentHash:
+    * counters built by either path must be cell-wise identical, or a
+    * sketch folded from both answers nothing. */
+  def cmBucket(i: Int, word: Column, w: Int): Column =
+    hash32(concat(lit(s"cm$i:"), word)) % w
+
   /** Canonical text normalization for dedup robust to re-encodings:
     * lowercase, strip non-alphanumerics, collapse space runs, trim. THE
     * normalized-dedup identity is contentHash(normalizeText(text)) —

@@ -426,7 +426,125 @@ object AggQueries {
             (sqrt(vx) * sqrt(vy))).as("corr"))
   }
 
+  /** Histogram quantile sketch (r9): approximate p50/p95 of the price
+    * from the SAME fixed-width histogram q_agg_histogram publishes —
+    * the mergeable quantile summary completing the sketch family (KMV =
+    * cardinality, count-min = frequency, binned histogram = quantiles).
+    * Estimate = bin lower edge + linear interpolation by rank within the
+    * bin; the error is bounded by the BIN WIDTH by construction, and the
+    * exact two-phase order statistic is published alongside so the
+    * realized error is visible in the result (the q_agg_distinct_kmv
+    * contract). At 100 TB the histogram is the practical quantile plan:
+    * bins-sized additive state merges across 1000 executors or 30 daily
+    * increments, answers ANY quantile after the fact, and never
+    * re-scans — the exact path re-aggregates per quantile request.
+    * Interpolation is a fixed-order IEEE expression over integer-derived
+    * doubles; the exact side is order statistics — both bit-identical
+    * across engines. */
+  val aggQuantileSketch = Q("q_agg_quantile_sketch", "binned-histogram quantile estimates vs exact")({
+    def pick(p: Double, tag: String) =
+      s"e$tag AS (SELECT bin, c, cum, n FROM ct " +
+        s"WHERE cum >= ceil(CAST($p AS DOUBLE) * n) ORDER BY bin LIMIT 1), " +
+        s"x$tag AS (SELECT min(v) AS v FROM cv " +
+        s"WHERE cum >= ceil(CAST($p AS DOUBLE) * n))"
+    def est(p: Double, tag: String) =
+      s"(e$tag.bin * CAST($HistW AS DOUBLE) + (CAST(ceil(CAST($p AS DOUBLE) * e$tag.n) AS DOUBLE) " +
+        s"- (e$tag.cum - e$tag.c)) / e$tag.c * CAST($HistW AS DOUBLE))"
+    s"WITH h AS (SELECT CAST(floor(l_extendedprice / $HistW) AS BIGINT) AS bin, " +
+      "count(*) AS c FROM lineitem GROUP BY 1), " +
+      "ct AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum, " +
+      "sum(c) OVER () AS n FROM h), " +
+      "hv AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1), " +
+      "cv AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, " +
+      "sum(c) OVER () AS n FROM hv), " +
+      pick(0.5, "50") + ", " + pick(0.95, "95") + " " +
+      "SELECT CAST(e50.n AS BIGINT) AS n, " +
+      est(0.5, "50") + " AS p50_est, x50.v AS p50_exact, " +
+      s"abs(${est(0.5, "50")} - x50.v) AS p50_err, " +
+      est(0.95, "95") + " AS p95_est, x95.v AS p95_exact, " +
+      s"abs(${est(0.95, "95")} - x95.v) AS p95_err, " +
+      s"CAST($HistW AS DOUBLE) AS err_bound " +
+      "FROM e50, x50, e95, x95"
+  }) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val one = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val ct = lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / HistW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(one))
+        .withColumn("n", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .materialized() // two quantile picks read the same prefix frame
+      val onev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cv = lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(onev))
+        .withColumn("n", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .materialized()
+      def pick(p: Double) = ct
+        .filter(col("cum") >= ceil(lit(p) * col("n")))
+        .orderBy("bin").limit(1)
+      def exact(p: Double) = cv
+        .filter(col("cum") >= ceil(lit(p) * col("n")))
+        .agg(min("v").as("v"))
+      def est(p: Double) =
+        col("bin") * HistW +
+          (ceil(lit(p) * col("n")).cast("double") - (col("cum") - col("c"))) /
+            col("c") * HistW
+      val e50 = pick(0.5).select(col("n"), est(0.5).as("p50_est"))
+      val e95 = pick(0.95).select(est(0.95).as("p95_est"))
+      val x50 = exact(0.5).select(col("v").as("p50_exact"))
+      val x95 = exact(0.95).select(col("v").as("p95_exact"))
+      e50.crossJoin(x50).crossJoin(e95).crossJoin(x95)
+        .select(col("n").cast("long").as("n"),
+          col("p50_est"), col("p50_exact"),
+          abs(col("p50_est") - col("p50_exact")).as("p50_err"),
+          col("p95_est"), col("p95_exact"),
+          abs(col("p95_est") - col("p95_exact")).as("p95_err"),
+          lit(HistW).as("err_bound"))
+  }
+
+  /** Per-group winsorization (r9): clip l_extendedprice to its group's
+    * exact [p05, p95] order statistics — the robust-scaling
+    * preprocessing step (outlier capping before z-scores/regressions;
+    * pandas `clip(lower=q05, upper=q95)`), published per row with the
+    * clip flags so the treatment is auditable. Boundaries come from the
+    * same two-phase value-histogram layout q_quantile_group certifies
+    * (ops.Quantiles.groupQuantilesDisc — no per-group data sort at any
+    * scale); clipping is least/greatest over order statistics, so
+    * cross-engine exactness is free (no arithmetic on the values at
+    * all). The bounds frame is groups-sized → broadcast; the clip pass
+    * is map-only over the fact table. */
+  val aggWinsorize = Q("q_agg_winsorize", "per-group p05/p95 winsorized prices")(
+    "WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c " +
+      "FROM lineitem GROUP BY 1, 2), " +
+      "ct AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum, " +
+      "sum(c) OVER (PARTITION BY g) AS n FROM h), " +
+      "b AS (SELECT g, min(CASE WHEN cum >= ceil(CAST(0.05 AS DOUBLE) * n) THEN v END) AS p05, " +
+      "min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n) THEN v END) AS p95 " +
+      "FROM ct GROUP BY 1) " +
+      "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice, " +
+      "least(greatest(l.l_extendedprice, b.p05), b.p95) AS price_w, " +
+      "l.l_extendedprice < b.p05 AS clipped_lo, " +
+      "l.l_extendedprice > b.p95 AS clipped_hi " +
+      "FROM lineitem l JOIN b ON b.g = l.l_returnflag") {
+    (s, d) =>
+      val bounds = graft.ops.Quantiles.groupQuantilesDisc(
+        lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", Seq(0.05 -> "p05", 0.95 -> "p95"))
+        .select(col("l_returnflag"), col("p05"), col("p95"))
+      lineitem(s, d).join(broadcast(bounds), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")).as("price_w"),
+          (col("l_extendedprice") < col("p05")).as("clipped_lo"),
+          (col("l_extendedprice") > col("p95")).as("clipped_hi"))
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
-    aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr)
+    aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
+    aggWinsorize, aggQuantileSketch)
 }

@@ -5,6 +5,7 @@ import graft.ops.TextOps
 import graft.util.Materialize.Ops
 import graft.util.Portable
 import graft.util.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -668,7 +669,59 @@ object CorpusStatsQueries {
             (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }
 
+  /** Count-min sketch geometry: 4 hash rows × 256 buckets — 1 KB of
+    * counters; expected overestimate per probe ≈ corpus_tokens / 256,
+    * min over 4 independent rows. */
+  private[graft] val CmD = 4
+  private[graft] val CmW = 256
+  private val HhK = 10
+
+  /** Count-min heavy hitters (r9): frequency estimates for the exact
+    * top-10 corpus words from a 4×256 count-min sketch — the MERGEABLE
+    * frequency summary that answers point queries in O(1) with bounded
+    * overestimate (Cormode & Muthukrishnan 2005), published next to the
+    * exact counts so the sketch error is visible in the result itself
+    * (the q_agg_distinct_kmv contract, for frequencies instead of
+    * cardinality). Hashes are the portable md5-derived 32-bit family
+    * (salt 'cm{i}:'), so both engines build the SAME sketch bit-for-bit.
+    *
+    * Scale story: the counter update is ADDITIVE, so the sketch built
+    * from the vocabulary-sized word-count aggregate equals the sketch
+    * built from the raw token stream — one d×w-sized frame (1024 rows)
+    * regardless of corpus size, mergeable across 1000 executors or 30
+    * daily increments by cell-wise addition. The exact top-10 rides
+    * TakeOrdered; estimates are a 40-row × broadcast(1024-row) join +
+    * min-aggregate. All-integer arithmetic end to end. */
+  val textHeavyHitters = Q("q_text_heavy_hitters", "count-min sketch heavy-hitter estimates")({
+    def bSql(i: String, w: String) =
+      s"('0x' || substr(md5('cm' || CAST($i AS VARCHAR) || ':' || $w), 1, 8))::BIGINT % $CmW"
+    "WITH " + TextQueries.tokwBody + ", " +
+      "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tokw GROUP BY 1), " +
+      s"cm AS (SELECT i, ${bSql("i", "word")} AS b, CAST(sum(n) AS BIGINT) AS cnt " +
+      s"FROM wc, (SELECT unnest(range(0, $CmD)) AS i) ii GROUP BY 1, 2), " +
+      s"top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT $HhK), " +
+      s"est AS (SELECT t.word, t.n, min(c.cnt) AS n_est FROM top t " +
+      s"JOIN cm c ON c.b = ${bSql("c.i", "t.word")} GROUP BY 1, 2) " +
+      "SELECT word, n, n_est, n_est - n AS overcount FROM est"
+  }) {
+    (s, d) =>
+      def bucket(i: Int, w: Column) = TextOps.cmBucket(i, w, CmW)
+      def withBuckets(df: DataFrame) = df
+        .select(col("word"), col("n"), explode(array((0 until CmD).map(i =>
+          struct(lit(i).as("i"), bucket(i, col("word")).as("b"))): _*)).as("ib"))
+        .select(col("word"), col("n"), col("ib.i").as("i"), col("ib.b").as("b"))
+      val wc = TextOps.explodeTokens(documents(s, d))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .materialized() // feeds the sketch cells AND the exact top-k
+      val cm = withBuckets(wc).groupBy("i", "b").agg(sum("n").as("cnt"))
+      val top = wc.orderBy(col("n").desc, col("word")).limit(HhK)
+      withBuckets(top).join(broadcast(cm), Seq("i", "b"))
+        .groupBy("word", "n").agg(min("cnt").as("n_est"))
+        .select(col("word"), col("n"), col("n_est"),
+          (col("n_est") - col("n")).as("overcount"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
-    textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf)
+    textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters)
 }

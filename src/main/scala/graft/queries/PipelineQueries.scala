@@ -4,6 +4,7 @@ import graft.Q
 import graft.ops.TextOps
 import graft.util.{Exact, Portable}
 import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-pipeline dataset-management operators (SURVEY.md §2.12,
@@ -184,6 +185,21 @@ object PipelineQueries {
           graft.util.Exact.pinScore(tempShare / natShare).as("boost"))
   }
 
+  /** Shared per-doc 'en' classifier score: the ('the','a') stopword
+    * ratio — one IEEE division over two integers, bit-identical on both
+    * engines, so it can serve as a GROUP/ORDER key downstream. The
+    * confusion matrix thresholds it; the AUC ranks by it. */
+  private val enScoreCte =
+    "sc AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*) AS score FROM tokw GROUP BY doc_id)"
+
+  private def enScore(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val hit = when(col("word").isin("the", "a"), 1).otherwise(0)
+    TextOps.explodeTokens(documents(s, d)).groupBy("doc_id")
+      .agg((sum(hit).cast("double") / count(lit(1))).as("score"))
+  }
+
   /** Classifier-evaluation operator: confusion matrix of the registered
     * language-ID heuristic's prediction against the labeled lang column —
     * count + row-normalized rate per (lang, pred_lang) cell. The matrix
@@ -192,26 +208,124 @@ object PipelineQueries {
     * grouped aggregates on bounded keys (|langs| × |preds| cells). */
   val langidConfusion = Q("q_text_langid_confusion", "language-ID confusion matrix")(
     "WITH " + TextQueries.tokwBody +
-      ", p AS (SELECT doc_id, CASE WHEN " +
-      "CAST(sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.02 " +
-      "THEN 'en' ELSE 'und' END AS pred_lang FROM tokw GROUP BY doc_id), " +
+      ", " + enScoreCte + ", " +
+      "p AS (SELECT doc_id, CASE WHEN score >= 0.02 " +
+      "THEN 'en' ELSE 'und' END AS pred_lang FROM sc), " +
       "cells AS (SELECT d.lang, p.pred_lang, count(*) AS n FROM p " +
       "JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2), " +
       "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1) " +
       "SELECT c.lang, c.pred_lang, c.n, CAST(c.n AS DOUBLE) / t.n_lang AS rate " +
       "FROM cells c JOIN tot t ON t.lang = c.lang") {
     (s, d) =>
-      val hit = when(col("word").isin("the", "a"), 1).otherwise(0)
-      val pred = TextOps.explodeTokens(documents(s, d)).groupBy("doc_id")
-        .agg((sum(hit).cast("double") / count(lit(1))).as("ratio"))
-        .select(col("doc_id"),
-          when(col("ratio") >= 0.02, "en").otherwise("und").as("pred_lang"))
+      val pred = enScore(s, d).select(col("doc_id"),
+        when(col("score") >= 0.02, "en").otherwise("und").as("pred_lang"))
       val cells = pred.join(documents(s, d).select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
       cells.join(broadcast(tot), "lang")
         .select(col("lang"), col("pred_lang"), col("n"),
           (col("n").cast("double") / col("n_lang")).as("rate"))
+  }
+
+  /** Exact ROC AUC (r9): the threshold-free companion of the confusion
+    * matrix — how well does the 'en' stopword-ratio SCORE rank true-'en'
+    * documents above the rest, over every threshold at once? Computed as
+    * the tie-aware rank-sum (Mann–Whitney) statistic: for each DISTINCT
+    * score, count positives/negatives, prefix-sum the negatives below,
+    * and AUC = [Σ np·(2·cumneg + nn)] / (2·n_pos·n_neg) — ties contribute
+    * the standard ½. INTEGER arithmetic until one final IEEE division, so
+    * cross-engine exactness needs no score-grid machinery; NULL when a
+    * class is empty (no ranking to measure — the q_agg_corr contract).
+    *
+    * Scale: one corpus-sized hash aggregate per doc (the score), one
+    * distinct-score hash aggregate, ONE ordered prefix pass over the
+    * distinct-score histogram — the q_quantile_cont layout, bounded by
+    * score resolution, not corpus size (a ratio of small integers here;
+    * for continuous scores the same bit-prefix two-phase plan as
+    * ops.Quantiles.exactNtile slots in). num2 is exact in int64 up to
+    * ~3e9 docs per class; beyond that swap the sum to DECIMAL(38,0) —
+    * both engines fail loudly (overflow) rather than drift. */
+  val evalAuc = Q("q_eval_auc", "exact tie-aware ROC AUC of the en-score ranking")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      "g AS (SELECT score, CAST(sum(y) AS BIGINT) AS np, " +
+      "CAST(count(*) - sum(y) AS BIGINT) AS nn FROM lab GROUP BY 1), " +
+      "c AS (SELECT score, np, nn, CAST(COALESCE(sum(nn) OVER " +
+      "(ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS cumneg FROM g), " +
+      "st AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, " +
+      "CAST(sum(nn) AS BIGINT) AS n_neg, " +
+      "CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS num2 FROM c) " +
+      "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      "CAST(num2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg) END AS auc " +
+      "FROM st") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val g = lab.groupBy("score")
+        .agg(sum("y").cast("long").as("np"),
+          (count(lit(1)) - sum("y")).cast("long").as("nn"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)).cast("long"))
+      val st = c.agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).cast("long").as("num2"))
+      st.select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Calibration bin width: 0.02 over the [0,1] score domain (50 bins).
+    * Equal-WIDTH, not equal-frequency: the bin key is then one IEEE
+    * multiply + floor — corpus-independent, so bins from any two shards
+    * merge by addition (the sketch property the reliability diagram
+    * needs at scale). */
+  private val CalInvW = 50
+
+  /** Calibration / reliability curve (r9): does the 'en' score MEAN what
+    * it says — per score bin, the mean predicted score vs the observed
+    * positive rate, plus their gap (the per-bin summand of Expected
+    * Calibration Error). The third leg of the classifier-evaluation
+    * family: confusion matrix (one threshold), AUC (ranking over all
+    * thresholds), calibration (probability faithfulness).
+    *
+    * Scale: one bins-sized hash aggregate over the per-doc score frame —
+    * the aggregate is ADDITIVE (count, positive count, grid-quantized
+    * score sum), so per-shard bins merge by cell-wise addition like the
+    * count-min counters. The score sum rides the 2⁻³⁰ portable grid
+    * (order-free across any partitioning); mean and rate are one IEEE
+    * division each; the gap is one subtraction + abs on values both
+    * engines already agree on bit-for-bit. */
+  val evalCalibration = Q("q_eval_calibration", "reliability bins: mean score vs positive rate")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      s"bins AS (SELECT CAST(floor(score * $CalInvW) AS BIGINT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+      Exact.Sql.portableSum("score") + " AS ssum FROM lab GROUP BY 1) " +
+      s"SELECT bin, bin / CAST($CalInvW AS DOUBLE) AS bin_lo, n, n_pos, " +
+      "ssum / n AS mean_score, CAST(n_pos AS DOUBLE) / n AS pos_rate, " +
+      "abs(ssum / n - CAST(n_pos AS DOUBLE) / n) AS gap FROM bins") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val bins = lab
+        .groupBy(floor(col("score") * CalInvW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"),
+          Exact.portableSum(col("score")).as("ssum"))
+      val mean = col("ssum") / col("n")
+      val rate = col("n_pos").cast("double") / col("n")
+      bins.select(col("bin"), (col("bin") / lit(CalInvW.toDouble)).as("bin_lo"),
+        col("n"), col("n_pos"), mean.as("mean_score"), rate.as("pos_rate"),
+        abs(mean - rate).as("gap"))
   }
 
   /** Daily resample + forward fill (r8): the pandas
@@ -510,5 +624,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
-    snapshotDiff, profileColumns, resampleOhlc)
+    snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration)
 }

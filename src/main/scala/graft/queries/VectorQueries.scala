@@ -1402,8 +1402,107 @@ object VectorQueries {
           (col("label") === col("own_label")).as("correct"))
   }
 
+  /** DBSCAN ε-neighborhood similarity floor (cosine ≥ τ ⟺ cosine
+    * distance ≤ 1 − τ) and core degree bar (≥ 3 neighbors = minPts 4
+    * counting the point itself). At this fixture: 47 cores, a real
+    * border/noise split — the parameters sit on the knee of the measured
+    * degree curve. */
+  private val DbTau = 0.3
+  private val DbMinNbrs = 3
+
+  /** Blocked DBSCAN over embeddings (r9): density-based clustering in
+    * cosine distance — core points (≥ minPts neighbors within ε) form
+    * clusters as connected components of the core-core ε-graph; border
+    * points attach to their minimum adjacent core cluster; the rest is
+    * noise. The density-CLUSTERING rung of the curation ladder: unlike
+    * SemDeDup's k-means blocks (every vector assigned somewhere), DBSCAN
+    * finds arbitrary-shape dense regions AND an explicit noise set — the
+    * "burn the junk, keep the modes" curation decision.
+    *
+    * Scale: the ε-graph rides the SAME candidate layout as
+    * q_dedup_semantic / q_ann_knn_join — within-IVF-cluster salted
+    * self-join (Σ|cluster|² pairs, never corpus²), double-dot pre-screen
+    * with the provable 1e-6 margin, decimal-exact cosine deciding
+    * membership (blocked-exact contract: exactness within blocks, recall
+    * bounded by blocking, same knobs as the IVF family). Degrees are one
+    * hash aggregate over edges; components run the star-contraction CC
+    * (ops.Corpus.componentLabels — O(log n) rounds, checkpoint-bounded);
+    * border assignment is one edge-keyed join + min-aggregate. Everything
+    * is edges-sized or corpus-sized; no driver state. The oracle replays
+    * assignment, the ε-graph, degrees, and the closure (recursive CTE),
+    * so role AND cluster identity are certified bit-for-bit. */
+  val clusterDbscan = Q("q_cluster_dbscan", "blocked DBSCAN over the cosine eps-graph")(
+    "WITH RECURSIVE " + vecsSql.stripPrefix("WITH ") + seedAssignCtes +
+      "prs AS (SELECT qa.vid AS a, ca.vid AS b FROM assign qa " +
+      "JOIN assign ca ON ca.cluster = qa.cluster AND qa.vid < ca.vid), " +
+      "pd AS (SELECT p.a, p.b, CAST(SUM(CAST(x.e * y.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM prs p JOIN v x ON x.vec_id = p.a JOIN v y ON y.vec_id = p.b AND y.i = x.i " +
+      "GROUP BY 1, 2), " +
+      s"ed0 AS (SELECT d.a, d.b FROM pd d JOIN n na ON na.vec_id = d.a " +
+      s"JOIN n nb ON nb.vec_id = d.b WHERE d.dot / (na.nrm * nb.nrm) >= $DbTau), " +
+      "ed AS (SELECT a AS s, b AS t FROM ed0 UNION ALL SELECT b, a FROM ed0), " +
+      s"core AS (SELECT s AS vid FROM ed GROUP BY 1 HAVING count(*) >= $DbMinNbrs), " +
+      "ce AS (SELECT e.s, e.t FROM ed e JOIN core c1 ON c1.vid = e.s " +
+      "JOIN core c2 ON c2.vid = e.t), " +
+      "reach AS (SELECT s, t FROM ce UNION " +
+      "SELECT r.s, e.t FROM reach r JOIN ce e ON e.s = r.t WHERE e.t <> r.s), " +
+      "comp AS (SELECT s AS vid, LEAST(s, min(t)) AS cluster FROM reach GROUP BY s), " +
+      "corec AS (SELECT c.vid, COALESCE(mp.cluster, c.vid) AS cluster FROM core c " +
+      "LEFT JOIN comp mp ON mp.vid = c.vid), " +
+      "bord AS (SELECT e.s AS vid, min(cc.cluster) AS cluster FROM ed e " +
+      "JOIN corec cc ON cc.vid = e.t LEFT JOIN core k ON k.vid = e.s " +
+      "WHERE k.vid IS NULL GROUP BY 1) " +
+      "SELECT em.vec_id AS vid, CASE WHEN cr.vid IS NOT NULL THEN 'core' " +
+      "WHEN bd.vid IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
+      "COALESCE(cr.cluster, bd.cluster) AS cluster FROM embeddings em " +
+      "LEFT JOIN corec cr ON cr.vid = em.vec_id " +
+      "LEFT JOIN bord bd ON bd.vid = em.vec_id") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ecent"),
+          expr(normExpr("embedding")).as("ncent"))
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val withVec = all.join(assignClusters(all, cents), "vid").materialized()
+      val a = withVec.select(col("vid").as("va"), col("cluster"),
+        col("ev").as("ea"), col("nv").as("na"))
+      val b = withVec.select(col("vid").as("vb"), col("cluster"),
+        col("ev").as("eb"), col("nv").as("nb"))
+      val half = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("va"), 8)
+        .filter(col("va") < col("vb"))
+        .filter(expr("double_dot(ea, eb)") / (col("na") * col("nb"))
+          >= lit(DbTau) - lit(1e-6) / (col("na") * col("nb")))
+        .filter(expr(dotExpr("ea", "eb")) / (col("na") * col("nb")) >= DbTau)
+        .select(col("va"), col("vb"))
+        .materialized() // feeds degrees, the core subgraph, and borders
+      val edges = half.union(half.select(col("vb").as("va"), col("va").as("vb")))
+      val deg = edges.groupBy("va").agg(count(lit(1)).as("deg"))
+      val cores = deg.filter(col("deg") >= DbMinNbrs).select(col("va").as("vid"))
+        .materialized() // read by the subgraph semi-joins AND the anti-join
+      val coreEdges = half
+        .join(cores.select(col("vid").as("va")), Seq("va"), "left_semi")
+        .join(cores.select(col("vid").as("vb")), Seq("vb"), "left_semi")
+      val comp = graft.ops.Corpus.componentLabels(
+        coreEdges.select(col("va").as("src"), col("vb").as("dst")))
+      // singleton cores (no core neighbor) label themselves
+      val coreLab = cores
+        .join(comp.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("cluster"), col("vid")).as("cluster"))
+        .materialized() // feeds border assignment AND the output union
+      val bord = edges
+        .join(coreLab.select(col("vid").as("vb"), col("cluster")), "vb")
+        .join(cores.select(col("vid").as("va")), Seq("va"), "left_anti")
+        .groupBy(col("va").as("vid")).agg(min("cluster").as("cluster"))
+      val labeled = coreLab.select(col("vid"), lit("core").as("role"), col("cluster"))
+        .union(bord.select(col("vid"), lit("border").as("role"), col("cluster")))
+      base.select(col("vec_id").as("vid")).join(labeled, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("role"), lit("noise")).as("role"),
+          col("cluster"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq,
-    graphPagerank, coresetKcenter, annKnnClassify)
+    graphPagerank, coresetKcenter, annKnnClassify, clusterDbscan)
 }

@@ -346,6 +346,59 @@ object Streams {
       .option("path", outDir)
       .start()
 
+  /** Streaming count-min sketch maintenance (r9) — the continuous twin
+    * of q_text_heavy_hitters' counter build: each drained micro-batch's
+    * word counts fold into the persistent (i, b) counter store through
+    * the SAME cell identity (TextOps.cmBucket), exploiting the sketch's
+    * defining property: cell-wise ADDITION merges any two sketches, so
+    * streaming state is d×w cells worth of deltas regardless of stream
+    * length — no per-word state, no watermark, no ordering sensitivity.
+    *
+    * Exactly-once without idempotent writes: addition replayed is
+    * addition doubled, so each batch appends its cells AS A DELTA tagged
+    * with the micro-batch id, and a replayed batch (checkpoint recovery
+    * re-delivers the last one) is skipped when its id is already in the
+    * store — the batch-id column IS the ledger. The queryable sketch is
+    * [[cmSketch]]: one bins-sized fold over the deltas (compactable by
+    * rewriting the store with the folded cells under one id; the fold is
+    * associative so compaction commutes with ingest). */
+  def cmSketchIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, sketchDir: String,
+      d: Int = graft.queries.CorpusStatsQueries.CmD,
+      w: Int = graft.queries.CorpusStatsQueries.CmW): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark0 = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(sketchDir + "/_SUCCESS")
+        val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
+        val replayed = fs.exists(marker) &&
+          spark0.read.parquet(sketchDir)
+            .filter(col("batch_id") === batchId).limit(1).count() > 0
+        if (!replayed) {
+          val wc = graft.ops.TextOps.explodeTokens(batch.toDF())
+            .groupBy("word").agg(count(lit(1)).as("n"))
+          wc.select(explode(array((0 until d).map(i => struct(lit(i).as("i"),
+                graft.ops.TextOps.cmBucket(i, col("word"), w).as("b"))): _*)).as("ib"),
+              col("n"))
+            .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+            .agg(sum("n").as("cnt"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sketchDir)
+        }
+      }
+      .start()
+
+  /** The queryable sketch: fold the per-batch deltas to one counter per
+    * cell. Point estimate for a word = min over its d cells (absent cell
+    * = 0) — the q_text_heavy_hitters estimator over stream-built state. */
+  def cmSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .groupBy("i", "b").agg(sum("cnt").as("cnt"))
+
   /** STREAM-STREAM attribution join (r9) — the continuous twin of
     * q_event_attribution's lookback: purchases joined to the SAME user's
     * in-window clicks as both arrive, the one Structured-Streaming
