@@ -1150,6 +1150,48 @@ object VectorQueries {
         .withColumn("is_outlier", col("cent_cos") < 0.09)
   }
 
+  /** Outlier flags through the HIERARCHICAL assignment (late r9) — the
+    * scale-correct form of q_emb_outlier, closing the worst row of the
+    * round-9 ×10 audit (flat assignment measured 30.7× CPU at 10×: its
+    * corpus-growing k makes assignment corpus²/50 dots; the two-level
+    * coarse→fine argmax is corpus^1.25). Affinity here is to the
+    * hier-ASSIGNED centroid — restricted to the chosen super's members,
+    * so cent_cos ≤ the flat variant's per vector (both decimal-exact:
+    * the flat value is the max over a superset) and the flagged set can
+    * only GROW — the conservative direction for a garbage filter. The
+    * oracle replays the super Lloyd step, both argmax stages, and the
+    * published cosine, end-to-end. */
+  val embOutlierHier = Q("q_emb_outlier_hier", "hier-assigned centroid-affinity outlier flags")(
+    vecsSql +
+      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierAssignSqlCtes +
+      "cd AS (SELECT a.vid, a.cluster, " +
+      "CAST(SUM(CAST(x.e * c.m AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM assign a JOIN v x ON x.vec_id = a.vid " +
+      "JOIN c2 c ON c.cid = a.cluster AND c.i = x.i GROUP BY 1, 2) " +
+      "SELECT cd.vid, cd.cluster, cd.dot / (n.nrm * cn.cnrm) AS cent_cos, " +
+      "cd.dot / (n.nrm * cn.cnrm) < 0.09 AS is_outlier " +
+      "FROM cd JOIN n ON n.vec_id = cd.vid JOIN c2n cn ON cn.cid = cd.cluster") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(expr("vec_id div 50").cast("long").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("ecent"))
+        .withColumn("ncent", expr(normExpr("ecent")))
+        .materialized() // seeds feed the super Lloyd step AND the dot join
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      assignClustersHier(all, cents, k)
+        .join(all, "vid")
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("vid"), col("cluster"),
+          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cent_cos"))
+        .withColumn("is_outlier", col("cent_cos") < 0.09)
+  }
+
   /** Product-quantization ANN (r8): the memory-COMPRESSION index family
     * (Jégou et al., IVF-PQ) — the 64-dim vector splits into 8 subspaces
     * of 8 dims; each subspace has a 16-codeword codebook (deterministic
@@ -1503,6 +1545,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier, annPq,
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier,
+    embOutlierHier, annPq,
     graphPagerank, coresetKcenter, annKnnClassify, clusterDbscan)
 }

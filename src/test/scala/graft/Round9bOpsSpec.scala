@@ -173,6 +173,23 @@ class Round9bOpsSpec extends SparkSpec {
     assert(r.getDouble(6) === math.abs(r.getDouble(4) - r.getDouble(5)))
   }
 
+  // ---- Hier outlier flags: dominance over the flat assignment -----------
+
+  test("q_emb_outlier_hier: cent_cos never exceeds flat, flags only grow") {
+    val flat = VectorQueries.embOutlier.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val hier = VectorQueries.embOutlierHier.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(hier.keySet === flat.keySet)
+    hier.foreach { case (vid, (hCos, hOut)) =>
+      val (fCos, fOut) = flat(vid)
+      // flat picks the argmax over ALL centroids; hier over the chosen
+      // super's members — a subset — so hier can never score higher
+      assert(hCos <= fCos, s"vid $vid: hier $hCos > flat $fCos")
+      if (fOut) assert(hOut, s"vid $vid: flat-flagged but hier-clean")
+    }
+  }
+
   // ---- componentLabels: generic CC on a known graph ---------------------
 
   test("componentLabels labels components by min node, any edge orientation") {
