@@ -1092,21 +1092,37 @@ object VectorQueries {
     * is edges-sized); past the flat-assignment crossover the inlined
     * graph swaps to q_ann_knn_hier's — one derived-table substitution in
     * the oracle, one call swap here (DESIGN.md §4c). */
-  val annKnnMutual = Q("q_ann_knn_mutual", "mutual-kNN reciprocal edge pruning")(
+  /** Reciprocity body shared by the flat and hier mutual variants — the
+    * kNN graph is a parameter (inlined as a derived table oracle-side,
+    * one call Spark-side), so "swap the upstream" is REGISTERED, not a
+    * comment. */
+  private def mutualSql(graph: Q): String =
     "SELECT g.q AS a, g.c AS b, g.cosine FROM (" +
-      // the registered kNN graph, inlined as a derived table
-      annKnnJoin.oracle.get +
-      ") g JOIN (" + annKnnJoin.oracle.get + ") r " +
-      "ON r.q = g.c AND r.c = g.q WHERE g.q < g.c") {
-    (s, d) =>
-      val g = annKnnJoin.fn(s, d)
-        .select("q", "c", "cosine")
-        .materialized() // both sides of the reciprocity join
-      g.as("g").join(g.as("r"),
-          col("r.q") === col("g.c") && col("r.c") === col("g.q"))
-        .filter(col("g.q") < col("g.c"))
-        .select(col("g.q").as("a"), col("g.c").as("b"), col("g.cosine"))
+      graph.oracle.get +
+      ") g JOIN (" + graph.oracle.get + ") r " +
+      "ON r.q = g.c AND r.c = g.q WHERE g.q < g.c"
+
+  private def mutualFn(graph: Q)(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val g = graph.fn(s, d)
+      .select("q", "c", "cosine")
+      .materialized() // both sides of the reciprocity join
+    g.as("g").join(g.as("r"),
+        col("r.q") === col("g.c") && col("r.c") === col("g.q"))
+      .filter(col("g.q") < col("g.c"))
+      .select(col("g.q").as("a"), col("g.c").as("b"), col("g.cosine"))
   }
+
+  val annKnnMutual = Q("q_ann_knn_mutual", "mutual-kNN reciprocal edge pruning")(
+    mutualSql(annKnnJoin))(mutualFn(annKnnJoin))
+
+  /** The same pruning over the corpus^1.25 hier-assigned graph (late r9)
+    * — the registered swap the flat variant's scale note promises; with
+    * it, every member of the ×10 audit's flat-assignment class has a
+    * certified hier form. */
+  val annKnnMutualHier = Q("q_ann_knn_mutual_hier",
+    "mutual pruning over the hier-assigned kNN graph")(
+    mutualSql(annKnnHier))(mutualFn(annKnnHier))
 
   /** Embedding-space outlier pruning (r8): each vector's decimal-exact
     * cosine to its ASSIGNED centroid, flagged when below τ = 0.09
@@ -1293,7 +1309,9 @@ object VectorQueries {
     * k, so contribution fan-out is ≤ k per vertex — no hub explosion.
     * Iterating to convergence swaps the fixed loop for the same body
     * under a delta check; the per-round plan is unchanged. */
-  val graphPagerank = Q("q_graph_pagerank", "3-iteration PageRank over the mutual-kNN graph")({
+  /** PageRank body shared by the flat and hier variants — the mutual
+    * graph is a parameter, like [[mutualSql]]/[[mutualFn]]. */
+  private def pagerankSql(mutual: Q): String = {
     val grid = "1073741824.0"
     def psum(c: String) =
       s"(CAST(SUM(CAST(floor(($c) * $grid) AS BIGINT)) AS DOUBLE) / $grid)"
@@ -1303,7 +1321,7 @@ object VectorQueries {
         s"FROM ed e JOIN r${i - 1} r ON r.v = e.src " +
         "JOIN deg dg ON dg.src = e.src CROSS JOIN nn GROUP BY e.dst, nn.n)"
     }.mkString(", ")
-    "WITH m AS (" + annKnnMutual.oracle.get + "), " +
+    "WITH m AS (" + mutual.oracle.get + "), " +
       "ed AS (SELECT a AS src, b AS dst FROM m UNION ALL SELECT b, a FROM m), " +
       "deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1), " +
       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
@@ -1311,9 +1329,11 @@ object VectorQueries {
       iters + " " +
       s"SELECT r.v AS vec_id, dg.deg, (floor(r.r * $grid) / $grid) AS pagerank " +
       s"FROM r$PrIters r JOIN deg dg ON dg.src = r.v"
-  }) {
-    (s, d) =>
-      val m = annKnnMutual.fn(s, d).select("a", "b").materialized()
+  }
+
+  private def pagerankFn(mutual: Q)(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+      val m = mutual.fn(s, d).select("a", "b").materialized()
       val ed = m.select(col("a").as("src"), col("b").as("dst"))
         .union(m.select(col("b").as("src"), col("a").as("dst")))
         .materialized() // the loop's constant: edges never recompute
@@ -1333,6 +1353,16 @@ object VectorQueries {
         .select(col("v").as("vec_id"), col("deg"),
           graft.util.Exact.pinScore(col("r")).as("pagerank"))
   }
+
+  val graphPagerank = Q("q_graph_pagerank", "3-iteration PageRank over the mutual-kNN graph")(
+    pagerankSql(annKnnMutual))(pagerankFn(annKnnMutual))
+
+  /** PageRank over the hier-assigned mutual graph (late r9) — the whole
+    * flat-assignment chain (assign → kNN → mutual → rank) now has a
+    * registered corpus^1.25 form end to end. */
+  val graphPagerankHier = Q("q_graph_pagerank_hier",
+    "PageRank over the hier-assigned mutual-kNN graph")(
+    pagerankSql(annKnnMutualHier))(pagerankFn(annKnnMutualHier))
 
   /** Coreset size: 1 seed + 3 farthest-first picks. */
   private val KcK = 4
@@ -1419,8 +1449,10 @@ object VectorQueries {
     * applies upstream); voting is one edges-sized join to the label
     * column + a (q, label) hash aggregate + a per-q top-1 window over
     * ≤ k rows — all keyed on q after one shuffle. */
-  val annKnnClassify = Q("q_ann_knn_classify", "kNN-graph majority-vote label prediction")(
-    "WITH g AS (" + annKnnJoin.oracle.get + "), " +
+  /** Majority-vote body shared by the flat and hier classify variants —
+    * the kNN graph is a parameter, like [[mutualSql]]/[[mutualFn]]. */
+  private def classifySql(graph: Q): String =
+    "WITH g AS (" + graph.oracle.get + "), " +
       "lv AS (SELECT vec_id, label FROM embeddings), " +
       "votes AS (SELECT g.q, l.label, count(*) AS votes FROM g " +
       "JOIN lv l ON l.vec_id = g.c GROUP BY 1, 2), " +
@@ -1428,9 +1460,11 @@ object VectorQueries {
       "(PARTITION BY q ORDER BY votes DESC, label) AS rn FROM votes) " +
       "SELECT r.q AS vec_id, lo.label AS own_label, r.label AS pred_label, " +
       "r.votes, (r.label = lo.label) AS correct " +
-      "FROM rk r JOIN lv lo ON lo.vec_id = r.q WHERE r.rn = 1") {
-    (s, d) =>
-      val g = annKnnJoin.fn(s, d).select(col("q"), col("c")).materialized()
+      "FROM rk r JOIN lv lo ON lo.vec_id = r.q WHERE r.rn = 1"
+
+  private def classifyFn(graph: Q)(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+      val g = graph.fn(s, d).select(col("q"), col("c")).materialized()
       val lv = embeddings(s, d).select(col("vec_id"), col("label"))
       val votes = g.join(lv, col("vec_id") === col("c"))
         .groupBy("q", "label").agg(count(lit(1)).as("votes"))
@@ -1443,6 +1477,15 @@ object VectorQueries {
           col("label").as("pred_label"), col("votes"),
           (col("label") === col("own_label")).as("correct"))
   }
+
+  val annKnnClassify = Q("q_ann_knn_classify", "kNN-graph majority-vote label prediction")(
+    classifySql(annKnnJoin))(classifyFn(annKnnJoin))
+
+  /** Voting over the hier-assigned graph (late r9) — see
+    * [[annKnnMutualHier]]; same registered-swap rationale. */
+  val annKnnClassifyHier = Q("q_ann_knn_classify_hier",
+    "majority-vote prediction over the hier-assigned kNN graph")(
+    classifySql(annKnnHier))(classifyFn(annKnnHier))
 
   /** DBSCAN ε-neighborhood similarity floor (cosine ≥ τ ⟺ cosine
     * distance ≤ 1 − τ) and core degree bar (≥ 3 neighbors = minPts 4
@@ -1545,7 +1588,8 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, embOutlier,
-    embOutlierHier, annPq,
-    graphPagerank, coresetKcenter, annKnnClassify, clusterDbscan)
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, annKnnMutualHier,
+    embOutlier, embOutlierHier, annPq,
+    graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
+    annKnnClassifyHier, clusterDbscan)
 }

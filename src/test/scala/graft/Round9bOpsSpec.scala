@@ -190,6 +190,40 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Hier graph family: reciprocity, mass, vote invariants ------------
+
+  test("q_ann_knn_mutual_hier edges are reciprocal in the hier graph, keyed a < b") {
+    val g = VectorQueries.annKnnHier.fn(spark, sf)
+      .select("q", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = VectorQueries.annKnnMutualHier.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.nonEmpty)
+    m.foreach { case (a, b) =>
+      assert(a < b)
+      assert(g.contains((a, b)) && g.contains((b, a)), s"($a,$b) not reciprocal")
+    }
+  }
+
+  test("q_graph_pagerank_hier: positive ranks, mass conserved") {
+    val rows = VectorQueries.graphPagerankHier.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, deg, pr) => assert(deg >= 1 && pr > 0.0) }
+    // teleport = 1 - damping exactly, so rank mass sums to the node count's
+    // worth of 1/n shares: 1 (up to the 2^-30 publish grid per row)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < rows.length * 1e-9 + 1e-6)
+  }
+
+  test("q_ann_knn_classify_hier: one prediction per vector, votes in [1,3]") {
+    val rows = VectorQueries.annKnnClassifyHier.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.length === graft.util.Tables.embeddings(spark, sf).count().toInt)
+    rows.foreach { r =>
+      val v = r.getLong(3)
+      assert(v >= 1L && v <= 3L, s"votes $v")
+    }
+  }
+
   // ---- componentLabels: generic CC on a known graph ---------------------
 
   test("componentLabels labels components by min node, any edge orientation") {
