@@ -293,13 +293,11 @@ object VectorQueries {
     * rows — negligible); the corpus side stays one equi-join on the
     * cluster key, and a vector belongs to exactly one cluster so probing
     * can never duplicate a candidate pair. */
-  val annIvfProbe = Q("q_ann_ivf_probe", "IVF 2-probe cosine top-3")(
-    vecsSql +
-      seedAssignCtes +
-      "qprobe AS (SELECT vid AS q, cid AS cluster FROM (SELECT ccos.*, " +
-      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn " +
-      "FROM ccos WHERE vid < 10) WHERE rn <= 2), " +
-      "pairs AS (SELECT qp.q, ca.vid AS c, ca.cluster FROM qprobe qp " +
+  /** Rerank tail shared by the flat and hier multi-probe oracles: exact
+    * cosine over the probed candidate pairs, top-3 per query. Expects
+    * CTEs `qprobe(q, cluster)` and `assign(vid, cluster)` in scope. */
+  private val probeRerankSql =
+    "pairs AS (SELECT qp.q, ca.vid AS c, ca.cluster FROM qprobe qp " +
       "JOIN assign ca ON ca.cluster = qp.cluster AND ca.vid <> qp.q), " +
       "pdots AS (SELECT p.q, p.c, p.cluster, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
@@ -309,7 +307,15 @@ object VectorQueries {
       "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
       "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
-      "WHERE rn <= 3") {
+      "WHERE rn <= 3"
+
+  val annIvfProbe = Q("q_ann_ivf_probe", "IVF 2-probe cosine top-3")(
+    vecsSql +
+      seedAssignCtes +
+      "qprobe AS (SELECT vid AS q, cid AS cluster FROM (SELECT ccos.*, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn " +
+      "FROM ccos WHERE vid < 10) WHERE rn <= 2), " +
+      probeRerankSql) {
     (s, d) =>
       val base = embeddings(s, d)
       val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
@@ -682,7 +688,11 @@ object VectorQueries {
     * 10×+ assignment-cost cut at large k; swap it into q_dedup_semantic
     * (with the oracle extended the same way) when corpus^1.5 assignment
     * becomes the measured bottleneck. */
-  private[graft] def assignClustersHier(all: DataFrame, cents: DataFrame,
+  /** The ranked stage-2 frame behind the hierarchical assignment: every
+    * (vector, member-centroid-of-its-chosen-super) exact cosine, ranked
+    * per vector — rn = 1 is the assignment; rn ≤ nprobe is the
+    * multi-probe cluster set (q_ann_ivf_probe_hier). */
+  private[graft] def hierStage2(all: DataFrame, cents: DataFrame,
       k: Long): DataFrame = {
     // k is passed by the caller (it chose it) rather than counted here: a
     // count() on the un-materialized fitExact lineage would re-run the
@@ -704,10 +714,14 @@ object VectorQueries {
       .select(col("vid"), col("cid"),
         (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cosine"))
     val w = Window.partitionBy("vid").orderBy(col("cosine").desc, col("cid"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    pairs.withColumn("rn", row_number().over(w))
+  }
+
+  private[graft] def assignClustersHier(all: DataFrame, cents: DataFrame,
+      k: Long): DataFrame =
+    hierStage2(all, cents, k).filter(col("rn") === 1)
       .select(col("vid"), col("cid").as("cluster"))
       .materialized()
-  }
 
   /** SemDeDup iteration count, the k rule, and the training-sample cap.
     *
@@ -858,14 +872,14 @@ object VectorQueries {
       "JOIN sn1 sn ON sn.sid = s.sid GROUP BY v.vec_id, s.sid, n.nrm, sn.snrm) d) " +
       "WHERE rn = 1), " +
       // stage 2: argmax only over the chosen super's member centroids
-      "assign AS (SELECT vid, cid AS cluster FROM (SELECT d.vid, d.cid, " +
+      "s2 AS (SELECT d.vid, d.cid, " +
       "row_number() OVER (PARTITION BY d.vid ORDER BY d.cos DESC, d.cid) AS rn " +
       "FROM (SELECT p.vid, c.cid, " +
       "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
       "FROM vsup p JOIN member mm ON mm.sid = p.sid JOIN c2 c ON c.cid = mm.mcid " +
       "JOIN v ON v.vec_id = p.vid AND v.i = c.i JOIN n ON n.vec_id = p.vid " +
-      "JOIN c2n cn ON cn.cid = c.cid GROUP BY p.vid, c.cid, n.nrm, cn.cnrm) d) " +
-      "WHERE rn = 1), "
+      "JOIN c2n cn ON cn.cid = c.cid GROUP BY p.vid, c.cid, n.nrm, cn.cnrm) d), " +
+      "assign AS (SELECT vid, cid AS cluster FROM s2 WHERE rn = 1), "
 
   /** Hierarchical (two-level) SemDeDup — the corpus^1.25 rung below
     * q_dedup_semantic's flat corpus^1.5 assignment (VERDICT r7 #4):
@@ -1092,6 +1106,51 @@ object VectorQueries {
     * is edges-sized); past the flat-assignment crossover the inlined
     * graph swaps to q_ann_knn_hier's — one derived-table substitution in
     * the oracle, one call swap here (DESIGN.md §4c). */
+  /** Multi-probe IVF through the HIERARCHY (late r9) — the last member
+    * of the ×10 audit's flat-assignment class to gain a registered
+    * corpus^1.25 form. The flat 2-probe ranks a query's clusters over
+    * ALL k centroids (the corpus-growing term); here the probe set is
+    * rn ≤ 2 of the SAME stage-2 ranked frame whose rn = 1 is the hier
+    * assignment — so queries pay the coarse→fine cost (2√k dots), not k,
+    * and probing stays within the chosen super's members (the recall
+    * trade every hier variant makes, documented at dedupSemanticHier).
+    * Corpus side and probe side read ONE materialized stage-2 frame; the
+    * rerank is the shared probe tail. Oracle replays the super Lloyd
+    * step, both stages, the rn ≤ 2 probe cut, and the rerank. */
+  val annIvfProbeHier = Q("q_ann_ivf_probe_hier", "hier-assigned 2-probe IVF cosine top-3")(
+    vecsSql +
+      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierAssignSqlCtes +
+      "qprobe AS (SELECT vid AS q, cid AS cluster FROM s2 WHERE vid < 10 AND rn <= 2), " +
+      probeRerankSql) {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(expr("vec_id div 50").cast("long").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("ecent"))
+        .withColumn("ncent", expr(normExpr("ecent")))
+        .materialized() // seeds feed the super Lloyd step AND stage 2
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val s2 = hierStage2(all, cents, k)
+        .materialized() // rn=1 is the corpus assignment, rn<=2 the probes
+      val assign = s2.filter(col("rn") === 1)
+        .select(col("vid").as("c"), col("cid").as("cluster"))
+      val qprobe = s2.filter(col("vid") < 10 && col("rn") <= 2)
+        .select(col("vid").as("q"), col("cid").as("cluster"))
+      val pairs = qprobe.join(assign, "cluster").filter(col("c") =!= col("q"))
+      val qv = all.select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
+      val cv = all.select(col("vid").as("c"), col("ev").as("ec"), col("nv").as("nc"))
+      val pcos = pairs.join(qv, "q").join(cv, "c")
+        .select(col("q"), col("c"), col("cluster"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
   /** Reciprocity body shared by the flat and hier mutual variants — the
     * kNN graph is a parameter (inlined as a derived table oracle-side,
     * one call Spark-side), so "swap the upstream" is REGISTERED, not a
@@ -1588,7 +1647,8 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annKnnMutual, annKnnMutualHier,
+    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
+    annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan)

@@ -42,6 +42,10 @@ class ANNRecallSpec extends SparkSpec {
     // construction (its 5 queries see 15 truth pairs, not 30)
     val pq = hits(VectorQueries.annPq.fn(spark, sf))
     assert(pq == 3, s"pq=$pq") // recall 0.20 of the q<5 truth slice
+    // the hier 2-probe trades probe breadth (chosen super's members only)
+    // for the corpus^1.25 assignment cost; it must still retrieve
+    val ivfph = hits(VectorQueries.annIvfProbeHier.fn(spark, sf))
+    assert(ivfph > 0, s"ivfph=$ivfph")
     // no registered ANN variant may default to a zero-recall knob point
     assert(ivf > 0 && ivft > 0 && ivfp > 0 && lsh > 0 && prb > 0 && stk > 0 && pq > 0)
     // the nprobe law: probing 2 clusters can only add candidates
