@@ -445,7 +445,7 @@ object AggQueries {
     def pick(p: Double, tag: String) =
       s"e$tag AS (SELECT bin, c, cum, n FROM ct " +
         s"WHERE cum >= ceil(CAST($p AS DOUBLE) * n) ORDER BY bin LIMIT 1), " +
-        s"x$tag AS (SELECT min(v) AS v FROM cv " +
+        s"x$tag AS (SELECT min(v) AS v FROM cvg " +
         s"WHERE cum >= ceil(CAST($p AS DOUBLE) * n))"
     def est(p: Double, tag: String) =
       s"(e$tag.bin * CAST($HistW AS DOUBLE) + (CAST(ceil(CAST($p AS DOUBLE) * e$tag.n) AS DOUBLE) " +
@@ -454,9 +454,13 @@ object AggQueries {
       "count(*) AS c FROM lineitem GROUP BY 1), " +
       "ct AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum, " +
       "sum(c) OVER () AS n FROM h), " +
-      "hv AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1), " +
-      "cv AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, " +
-      "sum(c) OVER () AS n FROM hv), " +
+      // the exact side is BIN-PARTITIONED: per-bin value prefixes plus
+      // the bins-sized offsets from ct — global cum without a global sort
+      s"hv AS (SELECT CAST(floor(l_extendedprice / $HistW) AS BIGINT) AS bin, " +
+      "l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1, 2), " +
+      "cvb AS (SELECT bin, v, c, sum(c) OVER (PARTITION BY bin ORDER BY v) AS cumb FROM hv), " +
+      "cvg AS (SELECT cb.v, (ct2.cum - ct2.c) + cb.cumb AS cum, ct2.n " +
+      "FROM cvb cb JOIN ct ct2 ON ct2.bin = cb.bin), " +
       pick(0.5, "50") + ", " + pick(0.95, "95") + " " +
       "SELECT CAST(e50.n AS BIGINT) AS n, " +
       est(0.5, "50") + " AS p50_est, x50.v AS p50_exact, " +
@@ -475,18 +479,25 @@ object AggQueries {
         .withColumn("cum", sum("c").over(one))
         .withColumn("n", sum("c").over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .materialized() // two quantile picks read the same prefix frame
-      val onev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-      val cv = lineitem(s, d)
-        .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(onev))
-        .withColumn("n", sum("c").over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .materialized()
+        .materialized() // quantile picks AND the exact side's offsets
+      // exact side: per-BIN prefix (partitioned window, parallel and
+      // bounded by bin occupancy) + broadcast bins-sized offsets = the
+      // global cumulative rank with no data-sized single-partition pass
+      val onevb = Window.partitionBy("bin").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cvg = lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / HistW).cast("long").as("bin"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cumb", sum("c").over(onevb))
+        .join(broadcast(ct.select(col("bin"),
+          (col("cum") - col("c")).as("below"), col("n"))), "bin")
+        .select(col("v"), (col("below") + col("cumb")).as("cum"), col("n"))
+        .materialized() // both exact picks read the same ranked frame
       def pick(p: Double) = ct
         .filter(col("cum") >= ceil(lit(p) * col("n")))
         .orderBy("bin").limit(1)
-      def exact(p: Double) = cv
+      def exact(p: Double) = cvg
         .filter(col("cum") >= ceil(lit(p) * col("n")))
         .agg(min("v").as("v"))
       def est(p: Double) =

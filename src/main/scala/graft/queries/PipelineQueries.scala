@@ -243,8 +243,11 @@ object PipelineQueries {
     * score resolution, not corpus size (a ratio of small integers here;
     * for continuous scores the same bit-prefix two-phase plan as
     * ops.Quantiles.exactNtile slots in). num2 is exact in int64 up to
-    * ~3e9 docs per class; beyond that swap the sum to DECIMAL(38,0) —
-    * both engines fail loudly (overflow) rather than drift. */
+    * ~2e9 docs per class; beyond that swap the sum to DECIMAL(38,0).
+    * Out of that domain both engines fail LOUDLY: DuckDB by its own
+    * BIGINT-overflow error, Spark by an explicit assert_true class-count
+    * guard — the session runs ANSI off, so without the guard Spark's
+    * long sum would WRAP silently while the oracle threw. */
   val evalAuc = Q("q_eval_auc", "exact tie-aware ROC AUC of the en-score ranking")(
     "WITH " + TextQueries.tokwBody +
       ", " + enScoreCte + ", " +
@@ -274,8 +277,12 @@ object PipelineQueries {
       val st = c.agg(sum("np").cast("long").as("n_pos"),
         sum("nn").cast("long").as("n_neg"),
         sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).cast("long").as("num2"))
+      val inDomain = col("n_pos") < 2000000000L && col("n_neg") < 2000000000L
       st.select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
+        when(assert_true(inDomain,
+            lit("q_eval_auc: class count beyond the int64-exact pair domain " +
+              "(swap num2 to DECIMAL(38,0))")).isNull &&
+            col("n_pos") > 0 && col("n_neg") > 0,
           col("num2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
@@ -429,8 +436,14 @@ object PipelineQueries {
     * key & mask — at 100 TB (l_partkey ~ 2e10 > 2^31) the operator
     * demands a pre-scaled key, never a wrong curve. */
   val zorderCurve = Q("q_zorder_curve", "Z-order curve clustering key + cell assignment")(
+    // the oracle guards the domain exactly like the Spark side: an
+    // out-of-range key THROWS (lazy error() in the CASE) — both engine
+    // definitions refuse to alias rather than publish a wrong curve
     "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
-      s"(${spreadBitsSql("l_partkey")} | (${spreadBitsSql("l_suppkey")} << 1)) AS zval " +
+      s"(CASE WHEN l_partkey BETWEEN 0 AND $ZKeyMax " +
+      s"AND l_suppkey BETWEEN 0 AND $ZKeyMax " +
+      s"THEN (${spreadBitsSql("l_partkey")} | (${spreadBitsSql("l_suppkey")} << 1)) " +
+      s"ELSE error('z-order key outside [0, $ZKeyMax]') END) AS zval " +
       "FROM lineitem) " +
       "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval, " +
       "(zval >> 54) AS zcell FROM z") {

@@ -1042,6 +1042,23 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
 
+  /** The hier family's shared prologue — the dense-renumbered seed
+    * centroids (cid = vec_id/50) in both engines. ONE definition so the
+    * hierarchy's inputs (seed stride, renumbering, the double cast, the
+    * norm) can never fork between the operators that certify it
+    * (annKnnHier, annIvfProbeHier, embOutlierHier). */
+  private val hierPrologueSql =
+    ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), "
+
+  private def hierSeedCents(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") % 50 === 0)
+      .select(expr("vec_id div 50").cast("long").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("ecent"))
+      .withColumn("ncent", expr(normExpr("ecent")))
+      .materialized() // seeds feed the super Lloyd step AND stage 2
+
   /** kNN graph with HIERARCHICAL assignment (r8) — the scale-correct form
     * of q_ann_knn_join. The flat variant measured 12.3× CPU at 10× rows
     * (DESIGN.md §4c): its seed-centroid count grows with the corpus
@@ -1057,9 +1074,7 @@ object VectorQueries {
     * in assignClustersHier flips to a shuffle join on sid — mechanical.) */
   val annKnnHier = Q("q_ann_knn_hier", "hier-assigned within-cluster kNN graph (top-3)")(
     vecsSql +
-      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
-      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
-      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierPrologueSql +
       hierAssignSqlCtes +
       "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
       "dots AS (SELECT a.vec_id AS q, b.vec_id AS c, a.cluster AS cluster, " +
@@ -1073,11 +1088,7 @@ object VectorQueries {
       "WHERE rn <= 3") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(expr("vec_id div 50").cast("long").as("cid"),
-          transform(col("embedding"), _.cast("double")).as("ecent"))
-        .withColumn("ncent", expr(normExpr("ecent")))
-        .materialized() // seeds feed the super Lloyd step AND stage 2
+      val cents = hierSeedCents(base)
       val k = cents.count()
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
@@ -1119,19 +1130,13 @@ object VectorQueries {
     * step, both stages, the rn ≤ 2 probe cut, and the rerank. */
   val annIvfProbeHier = Q("q_ann_ivf_probe_hier", "hier-assigned 2-probe IVF cosine top-3")(
     vecsSql +
-      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
-      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
-      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierPrologueSql +
       hierAssignSqlCtes +
       "qprobe AS (SELECT vid AS q, cid AS cluster FROM s2 WHERE vid < 10 AND rn <= 2), " +
       probeRerankSql) {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(expr("vec_id div 50").cast("long").as("cid"),
-          transform(col("embedding"), _.cast("double")).as("ecent"))
-        .withColumn("ncent", expr(normExpr("ecent")))
-        .materialized() // seeds feed the super Lloyd step AND stage 2
+      val cents = hierSeedCents(base)
       val k = cents.count()
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
@@ -1238,9 +1243,7 @@ object VectorQueries {
     * published cosine, end-to-end. */
   val embOutlierHier = Q("q_emb_outlier_hier", "hier-assigned centroid-affinity outlier flags")(
     vecsSql +
-      ", kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings WHERE vec_id % 50 = 0), " +
-      "c2 AS (SELECT vec_id // 50 AS cid, unnest(range(1, len(embedding)+1)) AS i, " +
-      "CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 50 = 0), " +
+      hierPrologueSql +
       hierAssignSqlCtes +
       "cd AS (SELECT a.vid, a.cluster, " +
       "CAST(SUM(CAST(x.e * c.m AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
@@ -1251,11 +1254,7 @@ object VectorQueries {
       "FROM cd JOIN n ON n.vec_id = cd.vid JOIN c2n cn ON cn.cid = cd.cluster") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(expr("vec_id div 50").cast("long").as("cid"),
-          transform(col("embedding"), _.cast("double")).as("ecent"))
-        .withColumn("ncent", expr(normExpr("ecent")))
-        .materialized() // seeds feed the super Lloyd step AND the dot join
+      val cents = hierSeedCents(base)
       val k = cents.count()
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))

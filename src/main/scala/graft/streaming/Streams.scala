@@ -355,12 +355,19 @@ object Streams {
     * length — no per-word state, no watermark, no ordering sensitivity.
     *
     * Exactly-once without idempotent writes: addition replayed is
-    * addition doubled, so each batch appends its cells AS A DELTA tagged
-    * with the micro-batch id, and a replayed batch (checkpoint recovery
-    * re-delivers the last one) is skipped when its id is already in the
-    * store — the batch-id column IS the ledger. The queryable sketch is
-    * [[cmSketch]]: one bins-sized fold over the deltas (compactable by
-    * rewriting the store with the folded cells under one id; the fold is
+    * addition doubled, so deltas are keyed by SOURCE FILE (one d×w cell
+    * block per input file) and a file already in the store contributes
+    * nothing on re-delivery. The file, not the micro-batch id, is the
+    * ledger because the file set is deterministic across CHECKPOINT LOSS
+    * while batch numbering is not: a fresh checkpoint re-delivers old
+    * and new files together as batch 0, and the file ledger skips
+    * exactly the already-merged files while still folding the new ones
+    * (LakeStreamSpec pins this). Residual window: a crash inside one
+    * append's parquet commit can expose a partial delta — the commit
+    * protocol's atomicity is the remaining guarantee, and a production
+    * deployment puts the delta table behind a transactional format.
+    * The queryable sketch is [[cmSketch]]: one cells-sized fold over the
+    * deltas (compactable by rewriting the store folded; the fold is
     * associative so compaction commutes with ingest). */
   def cmSketchIngest(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpoint: String, sketchDir: String,
@@ -371,24 +378,27 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
+          _: Long) =>
         val spark0 = batch.sparkSession
+        val withFile = batch.toDF().withColumn("src_file", input_file_name())
         val marker = new org.apache.hadoop.fs.Path(sketchDir + "/_SUCCESS")
         val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
-        val replayed = fs.exists(marker) &&
-          spark0.read.parquet(sketchDir)
-            .filter(col("batch_id") === batchId).limit(1).count() > 0
-        if (!replayed) {
-          val wc = graft.ops.TextOps.explodeTokens(batch.toDF())
-            .groupBy("word").agg(count(lit(1)).as("n"))
-          wc.select(explode(array((0 until d).map(i => struct(lit(i).as("i"),
+        val fresh =
+          if (fs.exists(marker)) {
+            val seen = spark0.read.parquet(sketchDir)
+              .select("src_file").distinct()
+            withFile.join(seen, Seq("src_file"), "left_anti")
+          } else withFile
+        val wc = fresh
+          .select(col("src_file"), explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
+          .groupBy("src_file", "word").agg(count(lit(1)).as("n"))
+        wc.select(col("src_file"), explode(array((0 until d).map(i =>
+              struct(lit(i).as("i"),
                 graft.ops.TextOps.cmBucket(i, col("word"), w).as("b"))): _*)).as("ib"),
-              col("n"))
-            .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
-            .agg(sum("n").as("cnt"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sketchDir)
-        }
+            col("n"))
+          .groupBy(col("src_file"), col("ib.i").as("i"), col("ib.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .write.mode("append").parquet(sketchDir)
       }
       .start()
 

@@ -138,26 +138,31 @@ class LakeStreamSpec extends SparkSpec {
     val schema = docs(Nil).schema
     val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
     val b2 = Seq((3L, "alpha delta"))
+    val b3 = Seq((4L, "gamma gamma epsilon"))
+    def cells(rows: Seq[(Long, String)]) =
+      graft.ops.TextOps.explodeTokens(docs(rows))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+          graft.ops.TextOps.cmBucket(i, col("word"), 256).as("b"))): _*)).as("ib"),
+          col("n"))
+        .groupBy(col("ib.i").as("i"), col("ib.b").as("b")).agg(sum("n").as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def folded() = Streams.cmSketch(spark, sk).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     docs(b1).coalesce(1).write.mode("append").parquet(src)
     Streams.cmSketchIngest(spark, src, schema, ckpt, sk).awaitTermination()
     docs(b2).coalesce(1).write.mode("append").parquet(src)
     Streams.cmSketchIngest(spark, src, schema, ckpt, sk).awaitTermination()
     // the stream-folded cells equal the batch-built cells over ALL docs,
     // through the same cmBucket identity (cell-wise merge property)
-    val expected = graft.ops.TextOps.explodeTokens(docs(b1 ++ b2))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(explode(array((0 until 4).map(i => struct(lit(i).as("i"),
-        graft.ops.TextOps.cmBucket(i, col("word"), 256).as("b"))): _*)).as("ib"),
-        col("n"))
-      .groupBy(col("ib.i").as("i"), col("ib.b").as("b")).agg(sum("n").as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    def folded = Streams.cmSketch(spark, sk).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    assert(folded === expected)
-    // checkpoint loss: a fresh checkpoint re-delivers everything as batch
-    // 0, whose id is already in the ledger — the counters must not double
+    assert(folded() === cells(b1 ++ b2))
+    // checkpoint LOSS with new data: a fresh checkpoint re-delivers old
+    // and new files together as batch 0 — the file ledger must skip the
+    // merged files (no double counting) while folding the new one
+    docs(b3).coalesce(1).write.mode("append").parquet(src)
     Streams.cmSketchIngest(spark, src, schema, tmp(), sk).awaitTermination()
-    assert(folded === expected, "replayed ids re-merge nothing")
+    assert(folded() === cells(b1 ++ b2 ++ b3),
+      "old files skip, the new file merges")
   }
 
   test("Streams.corpusIngest(normalized) dedups re-encoded variants like the batch op") {
