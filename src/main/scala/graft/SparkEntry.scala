@@ -17,7 +17,7 @@ object SparkEntry {
       WindowQueries.all ++ RollingQueries.all ++ RecursiveQueries.all ++ SortSetQueries.all ++
       ScalarQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       CorpusQueries.all ++ SessionQueries.all ++ CorpusStatsQueries.all ++ CurationQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ PrepQueries.all
     val dup = qs.groupBy(_.id).collect { case (id, g) if g.size > 1 => id }
     require(dup.isEmpty, s"duplicate query ids: ${dup.mkString(",")}")
     qs

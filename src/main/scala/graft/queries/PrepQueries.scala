@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.Q
+import graft.util.Exact
+import graft.util.Materialize.Ops
+import graft.util.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-BATCH preparation operators (SURVEY.md §2.12 north-star,
+  * round 9): the steps between a curated corpus and a training run —
+  * overlapping token-window chunking, concat-and-chunk sequence packing,
+  * int8 embedding quantization, and the top principal component of the
+  * embedding table via distributed power iteration.
+  *
+  * Scale notes, op by op:
+  *   - q_text_chunk is map-only (split → bounded explode → slice): no
+  *     shuffle at any corpus size; output rows ≈ tokens/stride.
+  *   - q_pack_sequences needs a GLOBAL (per-language) running token
+  *     offset — an inherently sequential prefix. The plan is the classic
+  *     two-phase parallel prefix: per-BIN subtotals (bin = doc_id div 64,
+  *     monotone in the pack order) prefix-summed on a bins-sized frame,
+  *     broadcast back, then a per-bin window supplies the within-bin
+  *     residual — no data-sized single-partition sort anywhere (the same
+  *     layout as q_agg_quantile_sketch's exact side).
+  *   - q_emb_quantize_int8 is two d-sized aggregates around one map-only
+  *     quantization pass (the per-dim stats broadcast back).
+  *   - q_emb_pca_power iterates t ∈ 1..3: one MAP-ONLY fused dot
+  *     (centered array × broadcast component, decimal_dot — no exploded
+  *     corpus×d join rides any shuffle) + one d-keyed hash aggregate;
+  *     every inter-iteration artifact is d-sized. The centered corpus is
+  *     materialized once and reused by all three iterations.
+  */
+object PrepQueries {
+
+  /** Chunk/pack geometry: token windows of ChunkC with stride ChunkS
+    * (ChunkC − ChunkS overlap); packed training sequences of PackL
+    * whitespace tokens; PackBin docs per prefix bin. Pinned here so the
+    * Spark and oracle texts can never disagree on the geometry. */
+  private val ChunkC = 12
+  private val ChunkS = 8
+  private val PackL  = 256
+  private val PackBin = 64
+
+  /** Overlapping token-window chunking — the "context window" splitter of
+    * a pretraining/RAG pipeline: every document becomes
+    * ceil(max(n−C,0)/S)+1 windows of C tokens at stride S (the final
+    * window may be short, never empty). Map-only; the chunk count and all
+    * offsets are integer arithmetic on the token count, so the explode is
+    * bounded and exact in both engines (token counts sit far below 2⁵³,
+    * where the floor-of-double-division form is exact). */
+  val textChunk = Q("q_text_chunk", s"token-window chunking (C=$ChunkC, stride=$ChunkS)")(
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents), " +
+      "tn AS (SELECT doc_id, sp, CAST(len(sp) AS BIGINT) AS n FROM t), " +
+      "ch AS (SELECT doc_id, sp, n, unnest(range(0, " +
+      s"CAST(1 + floor((greatest(n - $ChunkC, 0) + ${ChunkS - 1}) / $ChunkS.0) AS BIGINT))) AS chunk_id FROM tn) " +
+      "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+      s"CAST(chunk_id * $ChunkS + 1 AS BIGINT) AS tok_start, " +
+      s"CAST(len(list_slice(sp, chunk_id*$ChunkS+1, least(chunk_id*$ChunkS+$ChunkC, n))) AS BIGINT) AS n_tok, " +
+      s"array_to_string(list_slice(sp, chunk_id*$ChunkS+1, least(chunk_id*$ChunkS+$ChunkC, n)), ' ') AS chunk_text " +
+      "FROM ch") {
+    (s, d) =>
+      val t = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("sp"))
+        .withColumn("n", size(col("sp")).cast("long"))
+      val nch = (lit(1L) + floor((greatest(col("n") - ChunkC, lit(0L)) + lit(ChunkS - 1).cast("long"))
+        / lit(ChunkS.toDouble))).cast("long")
+      val start = (col("chunk_id") * ChunkS + 1)
+      t.select(col("doc_id"), col("sp"),
+        explode(sequence(lit(0L), nch - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), start.as("tok_start"),
+          size(slice(col("sp"), start.cast("int"), lit(ChunkC))).cast("long").as("n_tok"),
+          array_join(slice(col("sp"), start.cast("int"), lit(ChunkC)), " ").as("chunk_text"))
+  }
+
+  /** Concat-and-chunk sequence packing: per language, documents are laid
+    * end-to-end in doc_id order and cut into PackL-token training
+    * sequences; each doc gets its global token offset, its starting pack,
+    * and how many pack boundaries it spans. All integer arithmetic (the
+    * `div` form never leaves int64), so the published packing is exact.
+    *
+    * The oracle computes the offset as one per-language window cumsum;
+    * the Spark plan is the distributed two-phase prefix (bin subtotals +
+    * within-bin window) — bit-identical because integer addition is
+    * associative, and no per-language data-sized sequential pass exists
+    * at any scale. (The bins-sized prefix itself is one window over
+    * corpus/64 rows per language; at 10¹¹-doc scale the same two-phase
+    * trick recurses onto the bin frame — mechanical, not needed here.) */
+  val packSequences = Q("q_pack_sequences", s"concat-and-chunk packing into $PackL-token sequences")(
+    "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens FROM documents), " +
+      "c AS (SELECT *, CAST(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS UNBOUNDED PRECEDING) - ws_tokens AS BIGINT) AS start_off FROM t) " +
+      s"SELECT doc_id, lang, ws_tokens, start_off, start_off // $PackL AS pack_id, " +
+      s"((start_off + ws_tokens - 1) // $PackL) - (start_off // $PackL) + 1 AS pack_span FROM c") {
+    (s, d) =>
+      val tok = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        expr(s"doc_id div $PackBin").as("bin"))
+      val wB = Window.partitionBy("lang").orderBy("bin")
+      val binOff = tok.groupBy("lang", "bin").agg(sum("ws_tokens").as("bs"))
+        .withColumn("bin_before", sum("bs").over(wB) - col("bs"))
+        .select("lang", "bin", "bin_before")
+      val wIn = Window.partitionBy("lang", "bin").orderBy("doc_id")
+      tok.join(broadcast(binOff), Seq("lang", "bin"))
+        .withColumn("start_off",
+          col("bin_before") + sum("ws_tokens").over(wIn) - col("ws_tokens"))
+        .select(col("doc_id"), col("lang"), col("ws_tokens"), col("start_off"),
+          expr(s"start_off div $PackL").as("pack_id"),
+          (expr(s"(start_off + ws_tokens - 1) div $PackL")
+            - expr(s"start_off div $PackL") + 1).as("pack_span"))
+  }
+
+  /** The oracle's exploded-embedding prologue (local twin of
+    * VectorQueries' vecsSql, without the norm CTE). */
+  private val embExplodeSql =
+    "WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, " +
+      "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), "
+
+  /** Spark twin: (i, e) rows, i 1-based long like the oracle's range. */
+  private def embExplode(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(transform(col("embedding"), _.cast("double"))))
+      .toDF("vec_id", "p", "e")
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("e"))
+
+  /** Per-dimension affine int8 scalar quantization — the embedding
+    * compression step of a 100 TB vector store (4× over float32 before
+    * PQ): code = clamp(round((e−mn)/sc)), sc = (mx−mn)/255. Published
+    * per-dim: the range, code extremes, saturation count, and max/mean
+    * absolute reconstruction error. Every float op is a fixed sequence of
+    * correctly-rounded IEEE primitives on both engines (floor(x+0.5)
+    * instead of round() — round's half-rule is engine-defined, floor's
+    * isn't); max() is order-free and the mean rides the decimal-exact
+    * sum, so the 64-row result is bit-stable. Constant dims (mx = mn)
+    * pin code 0 rather than divide by zero. */
+  val embQuantizeInt8 = Q("q_emb_quantize_int8", "per-dim int8 affine quantization + recon error")(
+    embExplodeSql +
+      "st AS (SELECT i, min(e) AS mn, max(e) AS mx, count(*) AS n FROM v GROUP BY 1), " +
+      "q AS (SELECT v.i, v.e, st.mn, st.mx, (st.mx - st.mn) / 255.0 AS sc, " +
+      "CASE WHEN st.mx > st.mn THEN least(CAST(floor((v.e - st.mn) / ((st.mx - st.mn) / 255.0) + 0.5) AS BIGINT), 255) " +
+      "ELSE 0 END AS code FROM v JOIN st ON st.i = v.i), " +
+      "r AS (SELECT i, code, abs(e - (mn + code * sc)) AS err FROM q) " +
+      "SELECT i, min(code) AS min_code, max(code) AS max_code, " +
+      "CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, " +
+      "max(err) AS max_abs_err, " +
+      "CAST(SUM(CAST(err AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean_abs_err " +
+      "FROM r GROUP BY 1") {
+    (s, d) =>
+      val v = embExplode(embeddings(s, d))
+      val st = v.groupBy("i").agg(min("e").as("mn"), max("e").as("mx"))
+      val q = v.join(broadcast(st), Seq("i"))
+        .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+        .withColumn("code", when(col("mx") > col("mn"),
+          least(floor((col("e") - col("mn")) / col("sc") + lit(0.5)), lit(255L)))
+          .otherwise(lit(0L)))
+        .withColumn("err", abs(col("e") - (col("mn") + col("code") * col("sc"))))
+      q.groupBy("i").agg(
+        min("code").as("min_code"), max("code").as("max_code"),
+        sum(when(col("code") === 255, 1L).otherwise(0L)).as("n_hi"),
+        max("err").as("max_abs_err"),
+        (Exact.exactSum(col("err")) / count(lit(1))).as("mean_abs_err"))
+  }
+
+  private val PcaIters = 3
+
+  /** One oracle power-iteration block: dot per vector against the
+    * previous component, per-dim re-projection, norm, normalize — every
+    * float sum through the decimal-exact detour (products at scale 8,
+    * squares at scale 4 per the Exact.DSq rationale). */
+  private def pcaIterCte(t: Int): String = {
+    val prev = if (t == 1) "v0" else s"vv${t - 1}"
+    s"d$t AS (SELECT x.vec_id, CAST(SUM(CAST(x.c * $prev.vv AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      s"FROM x JOIN $prev ON $prev.i = x.i GROUP BY 1), " +
+      s"s$t AS (SELECT x.i, CAST(SUM(CAST(x.c * d$t.dot AS DECIMAL(38,8))) AS DOUBLE) AS sv " +
+      s"FROM x JOIN d$t ON d$t.vec_id = x.vec_id GROUP BY 1), " +
+      s"n$t AS (SELECT sqrt(CAST(SUM(CAST(sv*sv AS DECIMAL(38,4))) AS DOUBLE)) AS nrm FROM s$t), " +
+      s"vv$t AS (SELECT i, sv / n$t.nrm AS vv FROM s$t, n$t), "
+  }
+
+  /** Top principal component of the (centered) embedding table by
+    * $PcaIters power iterations from the deterministic all-0.125 start —
+    * distributed PCA without ever materializing the d×d covariance: each
+    * iteration computes C·v as Σ_rows (x−μ)·((x−μ)·v).
+    *
+    * Spark plan: the per-row dot is decimal_dot over the PACKED centered
+    * array against the broadcast component (map-only — the corpus never
+    * rides a shuffle for the dot); the per-dim re-projection is one
+    * posexplode → d-keyed hash aggregate; norm and normalize are d-sized.
+    * The oracle replays the identical arithmetic as chained CTE blocks
+    * (the Lloyd-replay discipline of q_dedup_semantic): decimal-exact
+    * sums make every iteration's component bit-identical across engines,
+    * and sqrt/divide are single correctly-rounded IEEE ops. Sign is
+    * pinned by the all-positive start. */
+  val embPcaPower = Q("q_emb_pca_power", s"top principal component via $PcaIters power iterations")(
+    embExplodeSql +
+      "mu AS (SELECT i, CAST(SUM(CAST(e AS DECIMAL(38,8))) AS DOUBLE)/count(*) AS mu FROM v GROUP BY 1), " +
+      "x AS (SELECT v.vec_id, v.i, v.e - mu.mu AS c FROM v JOIN mu ON mu.i = v.i), " +
+      "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS vv FROM mu), " +
+      (1 to PcaIters).map(pcaIterCte).mkString +
+      "muf AS (SELECT i, mu FROM mu) " +
+      s"SELECT muf.i, muf.mu, vv$PcaIters.vv AS loading " +
+      s"FROM muf JOIN vv$PcaIters ON vv$PcaIters.i = muf.i") {
+    (s, d) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      def ddot(a: Column, b: Column) = GraftColumnBridge.column(graft.functions.DecimalDot(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+      val base = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("ev"))
+      val mu = embExplode(embeddings(s, d)).groupBy("i")
+        .agg((Exact.exactSum(col("e")) / count(lit(1))).as("mu")).materialized()
+      // d-sized frames travel as ONE packed array row (the fold-assignment
+      // broadcast shape): array_sort on struct(i, ·) orders by i
+      val muPack = mu.select(struct(col("i"), col("mu")).as("m"))
+        .agg(array_sort(collect_list(col("m"))).as("ms"))
+        .select(transform(col("ms"), _.getField("mu")).as("mu_arr"))
+      val packed = base.crossJoin(broadcast(muPack))
+        .select(col("vec_id"), zip_with(col("ev"), col("mu_arr"), (x, m) => x - m).as("c_arr"))
+        .materialized() // all iterations re-read the centered corpus
+      def packV(vf: DataFrame): DataFrame =
+        vf.select(struct(col("i"), col("vv")).as("x"))
+          .agg(array_sort(collect_list(col("x"))).as("xs"))
+          .select(transform(col("xs"), _.getField("vv")).as("v_arr"))
+      def step(vPack: DataFrame): DataFrame = {
+        val withDot = packed.crossJoin(broadcast(vPack))
+          .select(col("c_arr"), ddot(col("c_arr"), col("v_arr")).as("dot"))
+        val sF = withDot.select(col("dot"), posexplode(col("c_arr")))
+          .toDF("dot", "p", "c")
+          .groupBy((col("p") + 1).cast("long").as("i"))
+          .agg(Exact.exactSum(col("c") * col("dot")).as("sv"))
+        val nrm = sF.agg(sqrt(Exact.exactSum(col("sv") * col("sv"), 4)).as("nrm"))
+        sF.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("sv") / col("nrm")).as("vv")).materialized()
+      }
+      val v0 = muPack.select(transform(col("mu_arr"), _ => lit(0.125)).as("v_arr"))
+      val vT = (1 to PcaIters).foldLeft((v0, Option.empty[DataFrame])) {
+        case ((vPack, _), _) =>
+          val vNext = step(vPack)
+          (packV(vNext), Some(vNext))
+      }._2.get
+      mu.join(vT, "i").select(col("i"), col("mu"), col("vv").as("loading"))
+  }
+
+  val all: Seq[Q] = Seq(textChunk, packSequences, embQuantizeInt8, embPcaPower)
+}
