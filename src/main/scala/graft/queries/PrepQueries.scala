@@ -88,29 +88,75 @@ object PrepQueries {
     * at any scale. (The bins-sized prefix itself is one window over
     * corpus/64 rows per language; at 10¹¹-doc scale the same two-phase
     * trick recurses onto the bin frame — mechanical, not needed here.) */
-  val packSequences = Q("q_pack_sequences", s"concat-and-chunk packing into $PackL-token sequences")(
+  /** ONE oracle definition of the per-doc token offset (shared by
+    * q_pack_sequences and q_pack_efficiency so the packing geometry can
+    * never fork between the assignment and its utilization audit). */
+  private val packCteSql =
     "WITH t AS (SELECT doc_id, lang, " +
       "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens FROM documents), " +
       "c AS (SELECT *, CAST(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-      "ROWS UNBOUNDED PRECEDING) - ws_tokens AS BIGINT) AS start_off FROM t) " +
+      "ROWS UNBOUNDED PRECEDING) - ws_tokens AS BIGINT) AS start_off FROM t) "
+
+  /** Spark twin: (doc_id, lang, ws_tokens, start_off) via the two-phase
+    * distributed prefix (bin subtotals + within-bin window). */
+  private def packFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+      expr(s"doc_id div $PackBin").as("bin"))
+    val wB = Window.partitionBy("lang").orderBy("bin")
+    val binOff = tok.groupBy("lang", "bin").agg(sum("ws_tokens").as("bs"))
+      .withColumn("bin_before", sum("bs").over(wB) - col("bs"))
+      .select("lang", "bin", "bin_before")
+    val wIn = Window.partitionBy("lang", "bin").orderBy("doc_id")
+    tok.join(broadcast(binOff), Seq("lang", "bin"))
+      .withColumn("start_off",
+        col("bin_before") + sum("ws_tokens").over(wIn) - col("ws_tokens"))
+      .select("doc_id", "lang", "ws_tokens", "start_off")
+  }
+
+  val packSequences = Q("q_pack_sequences", s"concat-and-chunk packing into $PackL-token sequences")(
+    packCteSql +
       s"SELECT doc_id, lang, ws_tokens, start_off, start_off // $PackL AS pack_id, " +
       s"((start_off + ws_tokens - 1) // $PackL) - (start_off // $PackL) + 1 AS pack_span FROM c") {
     (s, d) =>
-      val tok = documents(s, d).select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-        expr(s"doc_id div $PackBin").as("bin"))
-      val wB = Window.partitionBy("lang").orderBy("bin")
-      val binOff = tok.groupBy("lang", "bin").agg(sum("ws_tokens").as("bs"))
-        .withColumn("bin_before", sum("bs").over(wB) - col("bs"))
-        .select("lang", "bin", "bin_before")
-      val wIn = Window.partitionBy("lang", "bin").orderBy("doc_id")
-      tok.join(broadcast(binOff), Seq("lang", "bin"))
-        .withColumn("start_off",
-          col("bin_before") + sum("ws_tokens").over(wIn) - col("ws_tokens"))
+      packFrame(s, d)
         .select(col("doc_id"), col("lang"), col("ws_tokens"), col("start_off"),
           expr(s"start_off div $PackL").as("pack_id"),
           (expr(s"(start_off + ws_tokens - 1) div $PackL")
             - expr(s"start_off div $PackL") + 1).as("pack_span"))
+  }
+
+  /** Per-pack utilization audit of the packing above: each doc is
+    * exploded over the packs its token span touches (bounded by its own
+    * span count — linear total, since spans sum to tokens/PackL + docs),
+    * then one (lang, pack) aggregate counts docs, starting docs, and
+    * filled tokens. fill_frac = filled/PackL is a dyadic division (PackL
+    * a power of two), so the published double is exact — every pack but
+    * each language's last should show 1.0. */
+  val packEfficiency = Q("q_pack_efficiency", "per-pack fill/utilization of the sequence packing")(
+    packCteSql +
+      s", e AS (SELECT doc_id, lang, ws_tokens, start_off, start_off // $PackL AS p0, " +
+      s"(start_off + ws_tokens - 1) // $PackL AS p1 FROM c), " +
+      "x AS (SELECT doc_id, lang, ws_tokens, start_off, unnest(range(p0, p1 + 1)) AS pack_id FROM e), " +
+      "f AS (SELECT lang, pack_id, count(*) AS n_docs, " +
+      s"CAST(sum(CASE WHEN start_off >= pack_id * $PackL THEN 1 ELSE 0 END) AS BIGINT) AS n_starting, " +
+      s"CAST(sum(least(start_off + ws_tokens, (pack_id + 1) * $PackL) - " +
+      s"greatest(start_off, pack_id * $PackL)) AS BIGINT) AS filled FROM x GROUP BY 1, 2) " +
+      s"SELECT lang, pack_id, n_docs, n_starting, filled, " +
+      s"CAST(filled AS DOUBLE) / $PackL.0 AS fill_frac FROM f") {
+    (s, d) =>
+      val e = packFrame(s, d)
+        .withColumn("p0", expr(s"start_off div $PackL"))
+        .withColumn("p1", expr(s"(start_off + ws_tokens - 1) div $PackL"))
+      e.select(col("lang"), col("ws_tokens"), col("start_off"),
+        explode(sequence(col("p0"), col("p1"))).as("pack_id"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("start_off") >= col("pack_id") * PackL, 1L).otherwise(0L)).as("n_starting"),
+          sum(least(col("start_off") + col("ws_tokens"), (col("pack_id") + 1) * PackL)
+            - greatest(col("start_off"), col("pack_id") * PackL)).as("filled"))
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("n_starting"), col("filled"),
+          (col("filled").cast("double") / lit(PackL.toDouble)).as("fill_frac"))
   }
 
   /** The oracle's exploded-embedding prologue (local twin of
@@ -242,5 +288,5 @@ object PrepQueries {
       mu.join(vT, "i").select(col("i"), col("mu"), col("vv").as("loading"))
   }
 
-  val all: Seq[Q] = Seq(textChunk, packSequences, embQuantizeInt8, embPcaPower)
+  val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8, embPcaPower)
 }

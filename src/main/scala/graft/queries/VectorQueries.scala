@@ -123,61 +123,75 @@ object VectorQueries {
       "SELECT q, c, cosine, rn FROM (SELECT cosd.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
       "WHERE rn <= 5") {
-    (s, d) =>
-      val base = embeddings(s, d)
-      val qs = base.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
-        col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
-      val cs = base.select(col("vec_id").as("c"),
-        col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
-      // Two-phase exact top-k: a cheap double-fold cosine ranks the full
-      // queries×corpus pair set; the decimal-exact cosine — which alone
-      // decides the output — runs only on candidates within a margin of
-      // the 5th-best fast value. Correctness: the DECIMAL(18,8) addend
-      // quantization bounds |fast_dot − exact_dot| ≤ 64·5e-9 ≈ 3.2e-7, so
-      // the per-PAIR cosine error is e(pair) = 3.2e-7/(nq·nc) — norm-
-      // dependent, which is why the margin is computed per row (a fixed
-      // margin would silently break for small-norm vectors). Since
-      // fast_y > fast_x + e_x + e_y ⟹ exact_y > exact_x, every exact-top-5
-      // member has fast ≥ kth_fast − e(row) − e(kth); eps uses 1e-6 (3× the
-      // bound) for headroom. Survivors provably contain the exact top-5,
-      // so the exact-ordered window emits identical rows. The ranked pair
-      // set is persisted WITHOUT the embedding arrays (at corpus scale the
-      // arrays dwarf the scores); survivors re-join the vectors by key.
-      val fastCos = "double_dot(eq, ec)"
-      val fast = cs.join(broadcast(qs), col("c") =!= col("q"))
-        .select(col("q"), col("c"),
-          (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),
-          (lit(1e-6) / (col("nq") * col("nc"))).as("eps"))
-      val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
-      val ranked = fast.withColumn("frn", row_number().over(wF)).materialized()
-      val kth = ranked.filter(col("frn") === 5)
-        .select(col("q"), col("fcos").as("kthf"), col("eps").as("ekth"))
-      val surv = ranked.join(broadcast(kth), Seq("q"), "left")
-        .filter(col("kthf").isNull
-          || col("fcos") >= col("kthf") - col("eps") - col("ekth"))
-        .select("q", "c")
-      val cosd = cs.join(broadcast(surv), "c").join(broadcast(qs), "q")
-        .select(col("q"), col("c"),
-          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
-      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+    (s, d) => exactCosTopK(embeddings(s, d), 5)
+  }
+
+  /** Exact brute-force cosine top-k for queries vec_id < 10 — the ground
+    * truth every ANN variant is measured against (RecallProbe, and the
+    * registered q_ann_cosine_topk / q_eval_ndcg). Returns
+    * (q, c, cosine, rn ≤ k).
+    *
+    * Two-phase exact top-k: a cheap double-fold cosine ranks the full
+    * queries×corpus pair set; the decimal-exact cosine — which alone
+    * decides the output — runs only on candidates within a margin of
+    * the kth-best fast value. Correctness: the DECIMAL(18,8) addend
+    * quantization bounds |fast_dot − exact_dot| ≤ 64·5e-9 ≈ 3.2e-7, so
+    * the per-PAIR cosine error is e(pair) = 3.2e-7/(nq·nc) — norm-
+    * dependent, which is why the margin is computed per row (a fixed
+    * margin would silently break for small-norm vectors). Since
+    * fast_y > fast_x + e_x + e_y ⟹ exact_y > exact_x, every exact-top-k
+    * member has fast ≥ kth_fast − e(row) − e(kth); eps uses 1e-6 (3× the
+    * bound) for headroom. Survivors provably contain the exact top-k,
+    * so the exact-ordered window emits identical rows. The ranked pair
+    * set is persisted WITHOUT the embedding arrays (at corpus scale the
+    * arrays dwarf the scores); survivors re-join the vectors by key. */
+  private[queries] def exactCosTopK(base: DataFrame, k: Int): DataFrame = {
+    val qs = base.filter(col("vec_id") < 10).select(col("vec_id").as("q"),
+      col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
+    val cs = base.select(col("vec_id").as("c"),
+      col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
+    val fastCos = "double_dot(eq, ec)"
+    val fast = cs.join(broadcast(qs), col("c") =!= col("q"))
+      .select(col("q"), col("c"),
+        (expr(fastCos) / (col("nq") * col("nc"))).as("fcos"),
+        (lit(1e-6) / (col("nq") * col("nc"))).as("eps"))
+    val wF = Window.partitionBy("q").orderBy(col("fcos").desc, col("c"))
+    val ranked = fast.withColumn("frn", row_number().over(wF)).materialized()
+    val kth = ranked.filter(col("frn") === k)
+      .select(col("q"), col("fcos").as("kthf"), col("eps").as("ekth"))
+    val surv = ranked.join(broadcast(kth), Seq("q"), "left")
+      .filter(col("kthf").isNull
+        || col("fcos") >= col("kthf") - col("eps") - col("ekth"))
+      .select("q", "c")
+    val cosd = cs.join(broadcast(surv), "c").join(broadcast(qs), "q")
+      .select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+    cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
   /** IVF-style ANN: deterministic seed centroids (vec_id % 50 == 0),
     * assign every vector to its argmax-cosine centroid, then search only
     * the query's cluster — the corpus-pruning scale path (a trained
     * k-means drops into the same plan). */
-  val annIvf = Q("q_ann_ivf", "IVF single-probe cosine top-3")(
-    vecsSql +
-      seedAssignCtes +
-      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+  /** The seed-IVF search CTE chain (same-cluster pairs for queries
+    * vec_id < 10 → decimal-exact dots → cosines) — ONE definition spliced
+    * by q_ann_ivf and the nDCG evaluation so the evaluated search can
+    * never drift from the registered one. */
+  private val ivfPairsCtes =
+    "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid WHERE qa.vid < 10), " +
       "pdots AS (SELECT p.q, p.c, p.cluster, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
       "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
       "GROUP BY 1, 2, 3), " +
       "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
-      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) "
+
+  val annIvf = Q("q_ann_ivf", "IVF single-probe cosine top-3")(
+    vecsSql +
+      seedAssignCtes +
+      ivfPairsCtes +
       "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
       "WHERE rn <= 3") {
@@ -1644,11 +1658,67 @@ object VectorQueries {
           col("cluster"))
   }
 
+  /** nDCG@3 of the registered seed-IVF search against the exact cosine
+    * top-3 — the ranking-quality eval beside the recall@3 probes
+    * (RecallProbe measures recall; this certifies POSITION quality, and
+    * unlike the probe it is oracle-gated). rel ∈ {0,1} by membership in
+    * the exact top-3; DCG = Σ rel·disc(rn) with disc = 1/log2(rn+1)
+    * PINNED to the 2⁻³⁰ grid (log2 is engine-computed — the pin absorbs
+    * sub-grid libm drift, the r8 transcendental-score contract), summed
+    * on the same grid (portableSum — exact, order-free); IDCG is the
+    * three pinned discounts added in fixed order; the published ndcg is
+    * pinned again after the one division. Scale: the candidate side IS
+    * q_ann_ivf's plan; ground truth is the two-phase exact top-k
+    * (per-partition prune, no queries×corpus window). */
+  val evalNdcg = Q("q_eval_ndcg", "nDCG@3 of IVF search vs exact cosine top-3")({
+    val disc = (r: String) => graft.util.Exact.Sql.pinScore(s"1.0 / log2($r + 1.0)")
+    val idcg = s"(${disc("1")} + ${disc("2")} + ${disc("3")})"
+    vecsSql +
+      seedAssignCtes +
+      ivfPairsCtes +
+      ", ann AS (SELECT q, c, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3), " +
+      "gtd AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id " +
+      "GROUP BY 1, 2), " +
+      "gtc AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS gcos FROM gtd d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "gt AS (SELECT q, c FROM (SELECT gtc.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY gcos DESC, c) AS grn FROM gtc) " +
+      "WHERE grn <= 3), " +
+      "relj AS (SELECT ann.q, ann.rn, CASE WHEN gt.c IS NOT NULL THEN 1 ELSE 0 END AS rel, " +
+      disc("ann.rn") + " AS disc FROM ann LEFT JOIN gt ON gt.q = ann.q AND gt.c = ann.c), " +
+      "agg AS (SELECT q, CAST(sum(rel) AS BIGINT) AS n_hits, " +
+      graft.util.Exact.Sql.portableSum("rel * disc") + " AS dcg FROM relj GROUP BY 1) " +
+      "SELECT q, n_hits, " + graft.util.Exact.Sql.pinScore(s"dcg / $idcg") + " AS ndcg FROM agg"
+  }) {
+    (s, d) =>
+      import graft.util.Exact
+      val base = embeddings(s, d)
+      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val ann = ivfTopK(base, cents).select("q", "c", "rn")
+      val gt = exactCosTopK(base, 3).select(col("q"), col("c"), lit(1L).as("hit"))
+      def discC(r: org.apache.spark.sql.Column) =
+        Exact.pinScore(lit(1.0) / log2(r + lit(1.0)))
+      val idcg = discC(lit(1.0)) + discC(lit(2.0)) + discC(lit(3.0))
+      ann.join(gt, Seq("q", "c"), "left")
+        .withColumn("rel", coalesce(col("hit"), lit(0L)))
+        .withColumn("disc", discC(col("rn").cast("double")))
+        .groupBy("q")
+        .agg(sum("rel").as("n_hits"),
+          Exact.portableSum(col("rel") * col("disc")).as("dcg"))
+        .select(col("q"), col("n_hits"),
+          Exact.pinScore(col("dcg") / idcg).as("ndcg"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
     annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
-    annKnnClassifyHier, clusterDbscan)
+    annKnnClassifyHier, clusterDbscan, evalNdcg)
 }

@@ -69,6 +69,27 @@ class PrepQueriesSpec extends SparkSpec {
     assert(got(20L) === ((300L, 0L, 0L, 2L)))     // own stream, crosses 256
   }
 
+  // ---- q_pack_efficiency: every pack full except each language's last ---
+
+  test("q_pack_efficiency: interior packs fill to 1.0; tail pack carries the residue") {
+    val dir = tmpDir("packeff")
+    def words(n: Int): String = (1 to n).map(_ => "w").mkString(" ")
+    // en stream totals 600 tokens -> packs 0,1 full (256 each), pack 2 = 88
+    writeDocs(dir, Seq(
+      (10L, words(100), "en"), (11L, words(200), "en"), (12L, words(300), "en")))
+    val got = PrepQueries.packEfficiency.fn(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // pack 0: docs 10 (100), 11 (partial) start/overlap; doc 11 starts at 100
+    assert(got(0L) === ((2L, 2L, 256L, 1.0)))
+    // pack 1: doc 11 continues, doc 12 starts at 300
+    assert(got(1L) === ((2L, 1L, 256L, 1.0)))
+    // pack 2: doc 12's tail -> 600 - 512 = 88 tokens
+    assert(got(2L) === ((1L, 0L, 88L, 88.0 / 256.0)))
+    // conservation: filled sums to the stream's token total
+    assert(got.values.map(_._3).sum === 600L)
+  }
+
   // ---- q_emb_quantize_int8: round-trip bounds and degenerate dims -------
 
   test("q_emb_quantize_int8: error bounded by half a step; constant dim pins code 0") {

@@ -55,6 +55,30 @@ class Round9bOpsSpec extends SparkSpec {
 
   // ---- AUC: exact equality with the brute-force pair statistic ----------
 
+  test("q_eval_ndcg equals the formula recomputed from IVF and exact top-3 at sf0.001") {
+    val ann = VectorQueries.annIvf.fn(spark, sf).select("q", "c", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gt = VectorQueries.annCosineTopk.fn(spark, sf).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pin(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
+    def disc(r: Long) = pin(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcg = disc(1) + disc(2) + disc(3)
+    val expected = ann.groupBy(_._1).map { case (q, rows) =>
+      val dcg = rows.map { case (_, c, rn) =>
+        math.floor((if (gt((q, c))) disc(rn) else 0.0) * 1073741824.0)
+      }.sum / 1073741824.0
+      q -> (rows.count { case (_, c, _) => gt((q, c)) }.toLong, pin(dcg / idcg))
+    }
+    val got = VectorQueries.evalNdcg.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (q, e) => assert(got(q) === e, s"q=$q") }
+    // a query whose IVF set IS the exact set must score exactly 1.0
+    assert(expected.values.exists { case (hits, nd) => hits == 3L && nd == 1.0 },
+      "fixture should contain at least one perfect query")
+    assert(got.values.forall { case (_, nd) => nd >= 0.0 && nd <= 1.0 })
+  }
+
   test("q_eval_auc equals the brute-force tie-aware pair count at sf0.001") {
     val scored = graft.util.Tables.documents(spark, sf)
       .select(col("doc_id"), (col("lang") === "en").as("y"))
