@@ -372,4 +372,27 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
       .drop("_before", "_nrb", "_wsc", "_bkt")
   }
+
+  /** Exclusive per-language running token offset in doc_id order — the
+    * concat-and-chunk packing prefix, as a DISTRIBUTED two-phase parallel
+    * prefix sum: per-bin subtotals (bin = doc_id div `bin`, monotone in
+    * the pack order) prefix-summed on a bins-sized frame, broadcast back,
+    * then a per-bin window supplies the within-bin residual. No
+    * data-sized single-partition pass at any scale (at 10¹¹ docs the
+    * bins frame recurses onto the same trick). Input needs (doc_id,
+    * lang, ws_tokens); output adds start_off. Integer arithmetic only,
+    * so the result is bit-identical to the naive per-language window
+    * cumsum under any partitioning (integer addition is associative). */
+  def packOffsets(tok: DataFrame, bin: Int = 64): DataFrame = {
+    val binned = tok.withColumn("_bin", expr(s"doc_id div $bin"))
+    val wB = Window.partitionBy("lang").orderBy("_bin")
+    val binOff = binned.groupBy("lang", "_bin").agg(sum("ws_tokens").as("_bs"))
+      .withColumn("_bin_before", sum("_bs").over(wB) - col("_bs"))
+      .select("lang", "_bin", "_bin_before")
+    val wIn = Window.partitionBy("lang", "_bin").orderBy("doc_id")
+    binned.join(broadcast(binOff), Seq("lang", "_bin"))
+      .withColumn("start_off",
+        col("_bin_before") + sum("ws_tokens").over(wIn) - col("ws_tokens"))
+      .drop("_bin", "_bin_before")
+  }
 }

@@ -98,21 +98,14 @@ object PrepQueries {
       "ROWS UNBOUNDED PRECEDING) - ws_tokens AS BIGINT) AS start_off FROM t) "
 
   /** Spark twin: (doc_id, lang, ws_tokens, start_off) via the two-phase
-    * distributed prefix (bin subtotals + within-bin window). */
-  private def packFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d).select(col("doc_id"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-      expr(s"doc_id div $PackBin").as("bin"))
-    val wB = Window.partitionBy("lang").orderBy("bin")
-    val binOff = tok.groupBy("lang", "bin").agg(sum("ws_tokens").as("bs"))
-      .withColumn("bin_before", sum("bs").over(wB) - col("bs"))
-      .select("lang", "bin", "bin_before")
-    val wIn = Window.partitionBy("lang", "bin").orderBy("doc_id")
-    tok.join(broadcast(binOff), Seq("lang", "bin"))
-      .withColumn("start_off",
-        col("bin_before") + sum("ws_tokens").over(wIn) - col("ws_tokens"))
+    * distributed prefix (ops.Corpus.packOffsets — shared with the
+    * streaming packer, Streams.packIngest). */
+  private def packFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.ops.Corpus.packOffsets(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens")),
+      PackBin)
       .select("doc_id", "lang", "ws_tokens", "start_off")
-  }
 
   val packSequences = Q("q_pack_sequences", s"concat-and-chunk packing into $PackL-token sequences")(
     packCteSql +

@@ -409,6 +409,65 @@ object Streams {
     spark.read.parquet(sketchDir)
       .groupBy("i", "b").agg(sum("cnt").as("cnt"))
 
+  /** Streaming sequence packing — the continuous twin of
+    * q_pack_sequences: each drained micro-batch's docs are appended to
+    * the per-language concat-and-chunk stream CONTINUING the global
+    * token offset where the store left it (base = per-language
+    * max(start_off + ws_tokens) of what's already packed — a
+    * languages-sized aggregate, broadcast back). Inside a batch, offsets
+    * come from the SAME two-phase distributed prefix as the batch
+    * operator (ops.Corpus.packOffsets), in doc_id order — so when
+    * arrival order respects doc_id order, the streamed packing is
+    * row-identical to the batch packing of the union (LakeStreamSpec
+    * pins this); under out-of-order arrival the packing is still
+    * gap-free and contiguous, just in arrival order, which IS the
+    * contract of an append-only training stream (a sequence once cut is
+    * immutable — packing can't retroactively reorder).
+    *
+    * Idempotency is the file ledger (the cmSketchIngest rationale):
+    * deltas carry their source file, and a re-delivered file — including
+    * the full re-delivery after CHECKPOINT LOSS — contributes nothing,
+    * while genuinely new files keep extending the offsets. */
+  def packIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, packDir: String, packL: Int = 256): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withColumn("src_file", input_file_name())
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark0 = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(packDir + "/_SUCCESS")
+        val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
+        val store = if (fs.exists(marker)) Some(spark0.read.parquet(packDir)) else None
+        val fresh = store match {
+          case Some(st) =>
+            batch.toDF().join(st.select("src_file").distinct(),
+              Seq("src_file"), "left_anti")
+          case None => batch.toDF()
+        }
+        val tok = fresh.select(col("doc_id"), col("lang"), col("src_file"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
+        val local = graft.ops.Corpus.packOffsets(tok)
+          .withColumnRenamed("start_off", "local_off")
+        val withBase = store match {
+          case Some(st) =>
+            val base = st.groupBy("lang")
+              .agg(max(col("start_off") + col("ws_tokens")).as("base_off"))
+            local.join(broadcast(base), Seq("lang"), "left")
+              .withColumn("start_off", coalesce(col("base_off"), lit(0L)) + col("local_off"))
+          case None => local.withColumn("start_off", col("local_off"))
+        }
+        withBase.select(col("doc_id"), col("lang"), col("ws_tokens"), col("start_off"),
+          expr(s"start_off div $packL").as("pack_id"),
+          (expr(s"(start_off + ws_tokens - 1) div $packL")
+            - expr(s"start_off div $packL") + 1).as("pack_span"),
+          col("src_file"))
+          .write.mode("append").parquet(packDir)
+      }
+      .start()
+
   /** STREAM-STREAM attribution join (r9) — the continuous twin of
     * q_event_attribution's lookback: purchases joined to the SAME user's
     * in-window clicks as both arrive, the one Structured-Streaming

@@ -131,6 +131,43 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.select("text").distinct().count() == 3)
   }
 
+  test("Streams.packIngest continues per-language offsets across batches and checkpoint loss") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val pk = tmp() + "/packed"
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("srcT"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val b1 = Seq((1L, words(100), "en"), (2L, words(200), "en"), (3L, words(50), "de"))
+    val b2 = Seq((4L, words(300), "en"))
+    val b3 = Seq((5L, words(10), "de"))
+    val schema = docs(Nil).schema
+    def store() = spark.read.parquet(pk)
+      .select("doc_id", "lang", "ws_tokens", "start_off", "pack_id", "pack_span")
+      .collect().map(_.toSeq).toSet
+    // batch twin over the same docs: q_pack_sequences on a documents dir
+    def batchTwin(rows: Seq[(Long, String, String)]) = {
+      val d = tmp()
+      docs(rows).coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      graft.queries.PrepQueries.packSequences.fn(spark, d).collect().map(_.toSeq).toSet
+    }
+    docs(b1).coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, ckpt, pk).awaitTermination()
+    assert(store() === batchTwin(b1))
+    // second batch: en continues at 300, de untouched
+    docs(b2).coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, ckpt, pk).awaitTermination()
+    assert(store() === batchTwin(b1 ++ b2))
+    // checkpoint LOSS with new data: a fresh checkpoint re-delivers all
+    // files as batch 0 — the file ledger must skip the packed ones while
+    // the de stream continues at offset 50 for the new file
+    docs(b3).coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, tmp(), pk).awaitTermination()
+    assert(store() === batchTwin(b1 ++ b2 ++ b3),
+      "old files skip; the new file extends its language's stream")
+  }
+
   test("Streams.cmSketchIngest folds stream deltas to the batch-built sketch") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val sk = tmp() + "/sketch"
