@@ -218,6 +218,63 @@ object PrepQueries {
       s"vv$t AS (SELECT i, sv / n$t.nrm AS vv FROM s$t, n$t), "
   }
 
+  /** The full oracle training prologue — explode, mean, centered frame,
+    * deterministic start, all PcaIters iteration blocks. ONE text spliced
+    * by q_emb_pca_power and q_emb_pca_project so the trained component
+    * can never fork between them. */
+  private val pcaCtesSql =
+    embExplodeSql +
+      "mu AS (SELECT i, CAST(SUM(CAST(e AS DECIMAL(38,8))) AS DOUBLE)/count(*) AS mu FROM v GROUP BY 1), " +
+      "x AS (SELECT v.vec_id, v.i, v.e - mu.mu AS c FROM v JOIN mu ON mu.i = v.i), " +
+      "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS vv FROM mu), " +
+      (1 to PcaIters).map(pcaIterCte).mkString
+
+  /** Spark twin of the training prologue: returns (mu rows (i, mu),
+    * materialized centered corpus (vec_id, c_arr), final component rows
+    * (i, vv)). Shared by both registered PCA queries. */
+  private def pcaParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def ddot(a: Column, b: Column) = GraftColumnBridge.column(graft.functions.DecimalDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    val base = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("ev"))
+    val mu = embExplode(embeddings(s, d)).groupBy("i")
+      .agg((Exact.exactSum(col("e")) / count(lit(1))).as("mu")).materialized()
+    // d-sized frames travel as ONE packed array row (the fold-assignment
+    // broadcast shape): array_sort on struct(i, ·) orders by i
+    val muPack = mu.select(struct(col("i"), col("mu")).as("m"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(transform(col("ms"), _.getField("mu")).as("mu_arr"))
+    val packed = base.crossJoin(broadcast(muPack))
+      .select(col("vec_id"), zip_with(col("ev"), col("mu_arr"), (x, m) => x - m).as("c_arr"))
+      .materialized() // all iterations re-read the centered corpus
+    def step(vPack: DataFrame): DataFrame = {
+      val withDot = packed.crossJoin(broadcast(vPack))
+        .select(col("c_arr"), ddot(col("c_arr"), col("v_arr")).as("dot"))
+      val sF = withDot.select(col("dot"), posexplode(col("c_arr")))
+        .toDF("dot", "p", "c")
+        .groupBy((col("p") + 1).cast("long").as("i"))
+        .agg(Exact.exactSum(col("c") * col("dot")).as("sv"))
+      val nrm = sF.agg(sqrt(Exact.exactSum(col("sv") * col("sv"), 4)).as("nrm"))
+      sF.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("sv") / col("nrm")).as("vv")).materialized()
+    }
+    val v0 = muPack.select(transform(col("mu_arr"), _ => lit(0.125)).as("v_arr"))
+    val vT = (1 to PcaIters).foldLeft((v0, Option.empty[DataFrame])) {
+      case ((vPack, _), _) =>
+        val vNext = step(vPack)
+        (packVArr(vNext), Some(vNext))
+    }._2.get
+    (mu, packed, vT)
+  }
+
+  /** Pack (i, vv) rows into one sorted-array row (v_arr) for broadcast. */
+  private def packVArr(vf: DataFrame): DataFrame =
+    vf.select(struct(col("i"), col("vv")).as("x"))
+      .agg(array_sort(collect_list(col("x"))).as("xs"))
+      .select(transform(col("xs"), _.getField("vv")).as("v_arr"))
+
   /** Top principal component of the (centered) embedding table by
     * $PcaIters power iterations from the deterministic all-0.125 start —
     * distributed PCA without ever materializing the d×d covariance: each
@@ -233,53 +290,42 @@ object PrepQueries {
     * and sqrt/divide are single correctly-rounded IEEE ops. Sign is
     * pinned by the all-positive start. */
   val embPcaPower = Q("q_emb_pca_power", s"top principal component via $PcaIters power iterations")(
-    embExplodeSql +
-      "mu AS (SELECT i, CAST(SUM(CAST(e AS DECIMAL(38,8))) AS DOUBLE)/count(*) AS mu FROM v GROUP BY 1), " +
-      "x AS (SELECT v.vec_id, v.i, v.e - mu.mu AS c FROM v JOIN mu ON mu.i = v.i), " +
-      "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS vv FROM mu), " +
-      (1 to PcaIters).map(pcaIterCte).mkString +
+    pcaCtesSql +
       "muf AS (SELECT i, mu FROM mu) " +
       s"SELECT muf.i, muf.mu, vv$PcaIters.vv AS loading " +
       s"FROM muf JOIN vv$PcaIters ON vv$PcaIters.i = muf.i") {
     (s, d) =>
-      import org.apache.spark.sql.GraftColumnBridge
-      def ddot(a: Column, b: Column) = GraftColumnBridge.column(graft.functions.DecimalDot(
-        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
-      val base = embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("ev"))
-      val mu = embExplode(embeddings(s, d)).groupBy("i")
-        .agg((Exact.exactSum(col("e")) / count(lit(1))).as("mu")).materialized()
-      // d-sized frames travel as ONE packed array row (the fold-assignment
-      // broadcast shape): array_sort on struct(i, ·) orders by i
-      val muPack = mu.select(struct(col("i"), col("mu")).as("m"))
-        .agg(array_sort(collect_list(col("m"))).as("ms"))
-        .select(transform(col("ms"), _.getField("mu")).as("mu_arr"))
-      val packed = base.crossJoin(broadcast(muPack))
-        .select(col("vec_id"), zip_with(col("ev"), col("mu_arr"), (x, m) => x - m).as("c_arr"))
-        .materialized() // all iterations re-read the centered corpus
-      def packV(vf: DataFrame): DataFrame =
-        vf.select(struct(col("i"), col("vv")).as("x"))
-          .agg(array_sort(collect_list(col("x"))).as("xs"))
-          .select(transform(col("xs"), _.getField("vv")).as("v_arr"))
-      def step(vPack: DataFrame): DataFrame = {
-        val withDot = packed.crossJoin(broadcast(vPack))
-          .select(col("c_arr"), ddot(col("c_arr"), col("v_arr")).as("dot"))
-        val sF = withDot.select(col("dot"), posexplode(col("c_arr")))
-          .toDF("dot", "p", "c")
-          .groupBy((col("p") + 1).cast("long").as("i"))
-          .agg(Exact.exactSum(col("c") * col("dot")).as("sv"))
-        val nrm = sF.agg(sqrt(Exact.exactSum(col("sv") * col("sv"), 4)).as("nrm"))
-        sF.crossJoin(broadcast(nrm))
-          .select(col("i"), (col("sv") / col("nrm")).as("vv")).materialized()
-      }
-      val v0 = muPack.select(transform(col("mu_arr"), _ => lit(0.125)).as("v_arr"))
-      val vT = (1 to PcaIters).foldLeft((v0, Option.empty[DataFrame])) {
-        case ((vPack, _), _) =>
-          val vNext = step(vPack)
-          (packV(vNext), Some(vNext))
-      }._2.get
+      val (mu, _, vT) = pcaParts(s, d)
       mu.join(vT, "i").select(col("i"), col("mu"), col("vv").as("loading"))
   }
 
-  val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8, embPcaPower)
+  /** Projection onto the trained component: per-vector principal score
+    * (the 1-d embedding of the corpus's dominant direction) and the
+    * squared reconstruction residual ‖x−μ‖² − score² — the "how much of
+    * this vector the component does NOT explain" outlier signal. One
+    * map-only decimal_dot pass per published column over the already-
+    * materialized centered corpus; the oracle replays the identical
+    * training then projects through the same decimal-exact sums. */
+  val embPcaProject = Q("q_emb_pca_project", "principal-component score + reconstruction residual")(
+    pcaCtesSql +
+      s"proj AS (SELECT x.vec_id, CAST(SUM(CAST(x.c * vv$PcaIters.vv AS DECIMAL(38,8))) AS DOUBLE) AS score " +
+      s"FROM x JOIN vv$PcaIters ON vv$PcaIters.i = x.i GROUP BY 1), " +
+      "cn AS (SELECT vec_id, CAST(SUM(CAST(c*c AS DECIMAL(38,8))) AS DOUBLE) AS cn2 FROM x GROUP BY 1) " +
+      "SELECT p.vec_id, p.score, greatest(0.0, cn.cn2 - p.score*p.score) AS resid " +
+      "FROM proj p JOIN cn ON cn.vec_id = p.vec_id") {
+    (s, d) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      def ddot(a: Column, b: Column) = GraftColumnBridge.column(graft.functions.DecimalDot(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+      val (_, packed, vT) = pcaParts(s, d)
+      packed.crossJoin(broadcast(packVArr(vT)))
+        .select(col("vec_id"),
+          ddot(col("c_arr"), col("v_arr")).as("score"),
+          ddot(col("c_arr"), col("c_arr")).as("cn2"))
+        .select(col("vec_id"), col("score"),
+          greatest(lit(0.0), col("cn2") - col("score") * col("score")).as("resid"))
+  }
+
+  val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
+    embPcaPower, embPcaProject)
 }

@@ -131,6 +131,28 @@ class PrepQueriesSpec extends SparkSpec {
     assert(math.abs(got(3L)._2) < 0.05)
   }
 
+  // ---- q_emb_pca_project: Pythagoras on the planted axis ----------------
+
+  test("q_emb_pca_project: planted-axis scores carry the big coordinate, residuals the rest") {
+    val dir = tmpDir("pcaproj")
+    val rows = (0L until 40L).map { id =>
+      val big = if (id % 2 == 0) 5.0f else -5.0f
+      val tiny = (if (id % 3 == 0) 0.1f else -0.1f)
+      (id, Seq(big, tiny, 0.05f * (id % 4)))
+    }
+    writeVecs(dir, rows)
+    val got = PrepQueries.embPcaProject.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.size === 40)
+    got.foreach { case (id, (score, resid)) =>
+      // the component is ±e1, so |score| ≈ |big − mean(big)| = 5
+      assert(math.abs(math.abs(score) - 5.0) < 0.02, s"id=$id score=$score")
+      assert(resid >= 0.0 && resid < 0.1, s"id=$id resid=$resid")
+    }
+    // even/odd rows project to opposite signs
+    assert(got(0L)._1 * got(1L)._1 < 0)
+  }
+
   // ---- partition-order invariance for the float publishers --------------
 
   test("pca and quantize are bit-identical under 1 vs 32 input partitions") {
@@ -146,7 +168,8 @@ class PrepQueriesSpec extends SparkSpec {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .withColumn("label", lit(0))
       .repartition(32).write.mode("overwrite").parquet(s"$dir32/embeddings.parquet")
-    for (q <- Seq(PrepQueries.embPcaPower, PrepQueries.embQuantizeInt8)) {
+    for (q <- Seq(PrepQueries.embPcaPower, PrepQueries.embPcaProject,
+        PrepQueries.embQuantizeInt8)) {
       val a = q.fn(spark, dir1).collect().map(_.toSeq).toSet
       val b = q.fn(spark, dir32).collect().map(_.toSeq).toSet
       assert(a === b, q.id)
