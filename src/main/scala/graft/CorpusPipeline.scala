@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *      document (late, after the gates — no cycles spent redacting
   *      text that filtering was about to drop)
   *   6. Gold: per-language token-budget curation → the training mix
+  *   7. Gold: concat-and-chunk sequence packing — the q_pack_sequences
+  *      layout over the curated mix, so the lake's final artifact is
+  *      directly consumable as fixed-length training sequences
   *
   * Every stage reads the previous stage's LAKE artifact, so a 100 TB run
   * restarts from the last completed layer; the breaker mirrors the
@@ -38,7 +41,7 @@ object CorpusPipeline {
 
   final case class Summary(bronzeRows: Long, afterExact: Long, afterNearDup: Long,
     removedByQuality: Long, removedByContamination: Long, piiDocs: Long,
-    goldRows: Long, goldTokens: Long)
+    goldRows: Long, goldTokens: Long, goldPacks: Long)
 
   private def log(msg: String): Unit =
     println(s"[corpus-pipeline] $msg")
@@ -47,15 +50,15 @@ object CorpusPipeline {
       benchSource: String = "src0", maxDupTokenFrac: Double = 0.7,
       maxTopBigramFrac: Double = 0.18, maxContamFrac: Double = 0.5,
       langBudget: Long = 3000, maxLossPct: Double = 80.0,
-      minEntropy: Option[Double] = Some(0.5)): Summary = {
+      minEntropy: Option[Double] = Some(0.5), packLen: Int = 256): Summary = {
     val lake = new Lake(spark, lakeRoot)
 
-    log("step 1/6: raw corpus -> bronze")
+    log("step 1/7: raw corpus -> bronze")
     lake.write(raw, "bronze", "documents")
     val bronze = lake.read("bronze", "documents")
     val bronzeRows = bronze.count()
 
-    log("step 2/6: line cleanup + exact (normalized) + near-dup dedup -> silver")
+    log("step 2/7: line cleanup + exact (normalized) + near-dup dedup -> silver")
     // read three times (count, cluster input, keeper anti-join): persist
     val exact = Corpus.exactDedup(Corpus.dedupLines(bronze), normalized = true).persist()
     val afterExact = exact.count()
@@ -64,7 +67,7 @@ object CorpusPipeline {
     exact.unpersist()
     val afterNearDup = lake.read("silver", "deduped").count()
 
-    log("step 3/6: repetition + entropy quality gate")
+    log("step 3/7: repetition + entropy quality gate")
     val (quality, removedByQuality) =
       Corpus.qualityFilter(lake.read("silver", "deduped"),
         maxDupTokenFrac, maxTopBigramFrac, minEntropy)
@@ -75,17 +78,17 @@ object CorpusPipeline {
           f"(> $maxLossPct%.1f%%) — aborting before gold is touched")
     lake.write(quality, "silver", "quality")
 
-    log("step 4/6: benchmark contamination gate")
+    log("step 4/7: benchmark contamination gate")
     val (clean, removedByContamination) =
       Corpus.contaminationFilter(lake.read("silver", "quality"),
         benchSource, maxContamFrac)
     lake.write(clean, "silver", "clean")
 
-    log("step 5/6: PII redaction")
+    log("step 5/7: PII redaction")
     val (redacted, piiDocs) = Corpus.redactPii(lake.read("silver", "clean"))
     lake.write(redacted, "silver", "redacted")
 
-    log("step 6/6: per-language token budget -> gold training mix")
+    log("step 6/7: per-language token budget -> gold training mix")
     val gold = Corpus.tokenBudget(lake.read("silver", "redacted"), langBudget)
     lake.write(gold, "gold", "training_mix")
     val goldDf = lake.read("gold", "training_mix")
@@ -95,9 +98,23 @@ object CorpusPipeline {
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
 
+    log("step 7/7: concat-and-chunk packing -> gold training sequences")
+    // the q_pack_sequences layout over the CURATED mix (null-text rows
+    // carry no tokens and are excluded — a pack is a token run)
+    val packed = Corpus.packOffsets(
+      goldDf.filter(col("ws_tokens").isNotNull)
+        .select(col("doc_id"), col("lang"), col("ws_tokens")))
+      .select(col("doc_id"), col("lang"), col("ws_tokens"), col("start_off"),
+        expr(s"start_off div $packLen").as("pack_id"),
+        (expr(s"(start_off + ws_tokens - 1) div $packLen")
+          - expr(s"start_off div $packLen") + 1).as("pack_span"))
+    lake.write(packed, "gold", "packed_sequences")
+    val goldPacks = lake.read("gold", "packed_sequences")
+      .select("lang", "pack_id").distinct().count()
+
     log("corpus pipeline completed successfully")
     Summary(bronzeRows, afterExact, afterNearDup, removedByQuality,
-      removedByContamination, piiDocs, goldRows, goldTokens)
+      removedByContamination, piiDocs, goldRows, goldTokens, goldPacks)
   }
 
   /** `runMain graft.CorpusPipeline <sfDir> <lakeRoot>` against the driver

@@ -307,8 +307,19 @@ class CorpusSessionSpec extends SparkSpec {
     assert(s.goldRows > 0)
     assert(s.goldTokens > 0)
     for (layer <- Seq("bronze/documents", "silver/deduped", "silver/quality",
-        "silver/clean", "silver/redacted", "gold/training_mix"))
+        "silver/clean", "silver/redacted", "gold/training_mix",
+        "gold/packed_sequences"))
       assert(new java.io.File(s"$root/$layer").exists(), layer)
+    // the packed layer covers every gold doc with contiguous offsets:
+    // packs × 256 bounds the token total from above, and each language's
+    // last pack is the only one allowed to be partial
+    assert(s.goldPacks > 0)
+    val packedSeqs = spark.read.parquet(s"$root/gold/packed_sequences")
+    assert(packedSeqs.count() === s.goldRows)
+    val offSums = packedSeqs.groupBy("lang")
+      .agg(max(col("start_off") + col("ws_tokens")).as("end"),
+        sum("ws_tokens").as("tok")).collect()
+    offSums.foreach(r => assert(r.getLong(1) === r.getLong(2), r.getString(0)))
     // the synthetic corpus carries no PII and no newlines: the redaction
     // and line-cleanup stages must be exact identities on it
     assert(s.piiDocs == 0L)
