@@ -1670,9 +1670,16 @@ object VectorQueries {
     * pinned again after the one division. Scale: the candidate side IS
     * q_ann_ivf's plan; ground truth is the two-phase exact top-k
     * (per-partition prune, no queries×corpus window). */
-  val evalNdcg = Q("q_eval_ndcg", "nDCG@3 of IVF search vs exact cosine top-3")({
-    val disc = (r: String) => graft.util.Exact.Sql.pinScore(s"1.0 / log2($r + 1.0)")
-    val idcg = s"(${disc("1")} + ${disc("2")} + ${disc("3")})"
+  /** Pinned log-discount fragment shared by the ranking-eval oracles. */
+  private def ndcgDiscSql(r: String): String =
+    graft.util.Exact.Sql.pinScore(s"1.0 / log2($r + 1.0)")
+
+  /** Oracle CTE chain through per-candidate relevance: the registered
+    * IVF top-3 (`ann`), the exact cosine top-3 ground truth (`gt`), and
+    * their join (`relj`: q, rn, rel, disc). ONE text spliced by
+    * q_eval_ndcg and q_eval_mrr so the graded search and the relevance
+    * rule can never fork between the metrics. */
+  private val annRelCtes =
     vecsSql +
       seedAssignCtes +
       ivfPairsCtes +
@@ -1689,23 +1696,33 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY q ORDER BY gcos DESC, c) AS grn FROM gtc) " +
       "WHERE grn <= 3), " +
       "relj AS (SELECT ann.q, ann.rn, CASE WHEN gt.c IS NOT NULL THEN 1 ELSE 0 END AS rel, " +
-      disc("ann.rn") + " AS disc FROM ann LEFT JOIN gt ON gt.q = ann.q AND gt.c = ann.c), " +
-      "agg AS (SELECT q, CAST(sum(rel) AS BIGINT) AS n_hits, " +
+      ndcgDiscSql("ann.rn") + " AS disc FROM ann LEFT JOIN gt ON gt.q = ann.q AND gt.c = ann.c) "
+
+  /** Spark twin of `relj`: per IVF candidate (q, rn, rel) against the
+    * exact top-3. Shared by the two ranking-eval queries. */
+  private def annRelFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+    val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
+      col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+    val ann = ivfTopK(base, cents).select("q", "c", "rn")
+    val gt = exactCosTopK(base, 3).select(col("q"), col("c"), lit(1L).as("hit"))
+    ann.join(gt, Seq("q", "c"), "left")
+      .withColumn("rel", coalesce(col("hit"), lit(0L)))
+  }
+
+  val evalNdcg = Q("q_eval_ndcg", "nDCG@3 of IVF search vs exact cosine top-3")({
+    val idcg = s"(${ndcgDiscSql("1")} + ${ndcgDiscSql("2")} + ${ndcgDiscSql("3")})"
+    annRelCtes +
+      ", agg AS (SELECT q, CAST(sum(rel) AS BIGINT) AS n_hits, " +
       graft.util.Exact.Sql.portableSum("rel * disc") + " AS dcg FROM relj GROUP BY 1) " +
       "SELECT q, n_hits, " + graft.util.Exact.Sql.pinScore(s"dcg / $idcg") + " AS ndcg FROM agg"
   }) {
     (s, d) =>
       import graft.util.Exact
-      val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
-      val ann = ivfTopK(base, cents).select("q", "c", "rn")
-      val gt = exactCosTopK(base, 3).select(col("q"), col("c"), lit(1L).as("hit"))
       def discC(r: org.apache.spark.sql.Column) =
         Exact.pinScore(lit(1.0) / log2(r + lit(1.0)))
       val idcg = discC(lit(1.0)) + discC(lit(2.0)) + discC(lit(3.0))
-      ann.join(gt, Seq("q", "c"), "left")
-        .withColumn("rel", coalesce(col("hit"), lit(0L)))
+      annRelFrame(s, d)
         .withColumn("disc", discC(col("rn").cast("double")))
         .groupBy("q")
         .agg(sum("rel").as("n_hits"),
@@ -1714,11 +1731,32 @@ object VectorQueries {
           Exact.pinScore(col("dcg") / idcg).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank companion of q_eval_ndcg over the SAME graded
+    * search and relevance chain (annRelCtes / annRelFrame): per query,
+    * the rank of the FIRST exact-top-3 member in the IVF list and its
+    * pinned reciprocal (0.0 when no candidate is relevant — the
+    * convention that makes the corpus mean well-defined). 1/rank is one
+    * correctly-rounded division; the pin keeps the published score on
+    * the engine-drift-proof grid like every other ranking score. */
+  val evalMrr = Q("q_eval_mrr", "reciprocal rank of IVF search's first exact-top-3 hit")(
+    annRelCtes +
+      ", agg AS (SELECT q, min(CASE WHEN rel = 1 THEN rn END) AS first_hit FROM relj GROUP BY 1) " +
+      "SELECT q, first_hit, COALESCE(" +
+      graft.util.Exact.Sql.pinScore("1.0 / first_hit") + ", 0.0) AS rr FROM agg") {
+    (s, d) =>
+      import graft.util.Exact
+      annRelFrame(s, d)
+        .groupBy("q")
+        .agg(min(when(col("rel") === 1L, col("rn"))).as("first_hit"))
+        .select(col("q"), col("first_hit"),
+          coalesce(Exact.pinScore(lit(1.0) / col("first_hit")), lit(0.0)).as("rr"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
     annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
-    annKnnClassifyHier, clusterDbscan, evalNdcg)
+    annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr)
 }

@@ -79,6 +79,24 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, nd) => nd >= 0.0 && nd <= 1.0 })
   }
 
+  test("q_eval_mrr equals the first-hit reciprocal recomputed from the same chain") {
+    val ann = VectorQueries.annIvf.fn(spark, sf).select("q", "c", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gt = VectorQueries.annCosineTopk.fn(spark, sf).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pin(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
+    val expected = ann.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.collect { case (_, c, rn) if gt((q, c)) => rn }
+      q -> (if (hits.isEmpty) (None, 0.0)
+            else (Some(hits.min), pin(1.0 / hits.min)))
+    }
+    val got = VectorQueries.evalMrr.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (q, e) => assert(got(q) === e, s"q=$q") }
+  }
+
   test("q_eval_auc equals the brute-force tie-aware pair count at sf0.001") {
     val scored = graft.util.Tables.documents(spark, sf)
       .select(col("doc_id"), (col("lang") === "en").as("y"))
