@@ -554,8 +554,43 @@ object AggQueries {
           (col("l_extendedprice") > col("p95")).as("clipped_hi"))
   }
 
+  /** Exact skewness and excess kurtosis per event type — the 3rd/4th
+    * distribution-shape profiling moments beside q_agg_mean_std. TWO-PASS
+    * central form on purpose: raw Σx³/Σx⁴ of magnitude-500 values scale
+    * past the 2⁵³ window where DuckDB's int128 decimal→double two-rounds
+    * (the Exact.DSq caveat), while standardized z = (x−μ)/σ is O(1), so
+    * z³/z⁴ sums stay exact at scale 4 up to ~10¹⁵ per group. μ and σ come
+    * from the exact one-pass moments (groups-sized, broadcast back); z is
+    * a fixed chain of correctly-rounded IEEE ops, so both engines feed
+    * identical addends into the identical decimal-exact sums. Scale: one
+    * hash agg + one broadcast-join map pass + one hash agg — no window,
+    * no sort. */
+  val aggSkewKurt = Q("q_agg_skew_kurt", "exact standardized skewness + excess kurtosis per event type")(
+    "WITH st AS (SELECT event_type, COUNT(value) AS n, " +
+      Exact.Sql.avg("value") + " AS mu, " + Exact.Sql.stddevPop("value") + " AS sd " +
+      "FROM events GROUP BY 1), " +
+      "z AS (SELECT e.event_type, (e.value - st.mu) / st.sd AS z FROM events e " +
+      "JOIN st ON st.event_type = e.event_type WHERE st.sd > 0) " +
+      "SELECT st.event_type, st.n, st.mu, st.sd, " +
+      "CAST(SUM(CAST(z.z*z.z*z.z AS DECIMAL(38,4))) AS DOUBLE) / st.n AS skew, " +
+      "CAST(SUM(CAST(z.z*z.z*z.z*z.z AS DECIMAL(38,4))) AS DOUBLE) / st.n - 3.0 AS kurt_ex " +
+      "FROM z JOIN st ON st.event_type = z.event_type GROUP BY 1, 2, 3, 4") {
+    (s, d) =>
+      val st = events(s, d).groupBy("event_type")
+        .agg(count("value").as("n"), Exact.exactAvg(col("value")).as("mu"),
+          Exact.exactStddevPop(col("value")).as("sd"))
+      events(s, d).join(broadcast(st), "event_type")
+        .filter(col("sd") > 0)
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .groupBy("event_type", "n", "mu", "sd")
+        .agg(
+          (Exact.exactSum(col("z") * col("z") * col("z"), 4) / col("n")).as("skew"),
+          (Exact.exactSum(col("z") * col("z") * col("z") * col("z"), 4) / col("n")
+            - lit(3.0)).as("kurt_ex"))
+  }
+
   val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
-    aggWinsorize, aggQuantileSketch)
+    aggWinsorize, aggQuantileSketch, aggSkewKurt)
 }

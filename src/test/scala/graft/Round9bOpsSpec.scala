@@ -97,6 +97,31 @@ class Round9bOpsSpec extends SparkSpec {
     expected.foreach { case (q, e) => assert(got(q) === e, s"q=$q") }
   }
 
+  test("q_agg_skew_kurt: crafted distributions yield known shape moments") {
+    import spark.implicits._
+    val dir = tmpDir("skew")
+    val h = 3600L * 1000000L
+    val rows =
+      Seq(0.0, 2.0, 0.0, 2.0).map(("S", _)) ++   // symmetric: skew 0, kurt −2
+      Seq(0.0, 0.0, 0.0, 1.0).map(("B", _)) ++   // Bernoulli(.25): skew 2q−1/√pq
+      Seq(5.0, 5.0).map(("C", _))                 // constant: sd 0 ⇒ dropped
+    rows.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, (i + 1).toLong * h, 1L, t, v, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AggQueries.aggSkewKurt.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === Set("S", "B"))
+    val (nS, skS, kuS) = got("S")
+    assert(nS === 4L && skS === 0.0 && kuS === -2.0) // z = ±1 exactly
+    val (nB, skB, kuB) = got("B")
+    assert(nB === 4L)
+    assert(math.abs(skB - 0.5 / math.sqrt(0.1875)) < 1e-3)   // 1.1547
+    assert(math.abs(kuB - ((1 - 6 * 0.1875) / 0.1875)) < 1e-3) // −0.6667
+  }
+
   test("q_eval_auc equals the brute-force tie-aware pair count at sf0.001") {
     val scored = graft.util.Tables.documents(spark, sf)
       .select(col("doc_id"), (col("lang") === "en").as("y"))
