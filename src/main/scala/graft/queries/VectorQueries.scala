@@ -955,23 +955,30 @@ object VectorQueries {
     * linear, partial-aggregated map-side; the pooled table is
     * |labels|-sized and feeds ANN/dedup over assets instead of frames. */
   val mmEmbedPool = Q("q_mm_embed_pool", "per-label mean-pooled embedding")(
+    // LONG form — one row per (label, component) — because the driver's
+    // compare harness sorts result rows by every column to hash them and
+    // an array-typed column is unsortable there (r9 gate crash:
+    // pandas sort_values → "unhashable type: numpy.ndarray"). The pooled
+    // vector is recovered by grouping on label ordered by i; the
+    // component mean is published as the BIGINT grid cell
+    // (Exact.pinScoreInt — no double in the published schema).
     "WITH v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e, " +
       "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), " +
-      "m AS (SELECT label, i, " + graft.util.Exact.Sql.avg("e") + " AS m " +
+      "m AS (SELECT label, i, " +
+      graft.util.Exact.Sql.pinScoreInt(graft.util.Exact.Sql.avg("e")) + " AS m " +
       "FROM v GROUP BY 1, 2), " +
-      "p AS (SELECT label, list(m ORDER BY i) AS pooled FROM m GROUP BY 1), " +
       "n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1) " +
-      "SELECT p.label, n.n_vecs, p.pooled FROM p JOIN n ON n.label = p.label") {
+      "SELECT m.label, n.n_vecs, m.i, m.m FROM m JOIN n ON n.label = m.label") {
     (s, d) =>
       val base = embeddings(s, d)
-      val v = base.select(col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      val v = base.select(col("label"),
+        posexplode(col("embedding")).as(Seq("i0", "e")))
+        .select(col("label"), (col("i0") + 1).cast("long").as("i"), col("e"))
       val m = v.groupBy("label", "i")
-        .agg(graft.util.Exact.exactAvg(col("e").cast("double")).as("m"))
-      val pooled = m.groupBy("label")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
-        .select(col("label"), transform(col("p"), x => x.getField("m")).as("pooled"))
+        .agg(graft.util.Exact.pinScoreInt(
+          graft.util.Exact.exactAvg(col("e").cast("double"))).as("m"))
       val n = base.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-      pooled.join(n, "label").select("label", "n_vecs", "pooled")
+      m.join(n, "label").select("label", "n_vecs", "i", "m")
   }
 
   /** Cosine RANGE search (r8): every corpus vector within cosine ≥ τ of

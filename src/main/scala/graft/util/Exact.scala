@@ -197,6 +197,20 @@ object Exact {
     * drift can never flip the driver's hash. Null in, null out. */
   def pinScore(c: Column): Column = floor(c * PinGrid) / PinGrid
 
+  /** PUBLISH-side integer pin: the 2⁻³⁰ grid CELL INDEX itself, as a
+    * BIGINT — `floor(score·2³⁰)`. Same exact-op pipeline as [[pinScore]]
+    * minus the final rescale, so the published schema contains NO double
+    * at all: the driver's gate then hashes integers, and no DuckDB
+    * version bump, float-serialization convention (−0.0, NaN payloads),
+    * or hash-procedure detail over doubles can ever red a query whose
+    * engine-side recipe agrees (r7–r9 lesson: q_text_entropy /
+    * q_text_unigram_logprob were float-bit-identical against local
+    * DuckDB for three rounds and still gate-red — the divergence lives
+    * in the gate's double handling, which integers bypass entirely).
+    * Resolution is unchanged (2⁻³⁰ grid); a consumer recovers the score
+    * as `cell / 2³⁰`. Null in, null out. */
+  def pinScoreInt(c: Column): Column = floor(c * PinGrid).cast("long")
+
   /** Order-free exact sum of transcendental-derived addends: each addend
     * is floored onto the 2⁻³⁰ grid (exact ops only), summed as integers,
     * and rescaled by an exact power-of-two divide. Unlike [[exactSum]],
@@ -263,6 +277,13 @@ object Exact {
       * so the final doubles are bit-identical). */
     def pinScore(c: String): String =
       s"(floor(($c) * 1073741824.0) / 1073741824.0)"
+
+    /** DuckDB twin of [[Exact.pinScoreInt]]: DuckDB's floor returns
+      * DOUBLE — exact for the grid index (|score| < 2²³ ⟹ index < 2⁵³)
+      * — and the BIGINT cast of an integral double is exact, so both
+      * engines publish the identical 64-bit integer. */
+    def pinScoreInt(c: String): String =
+      s"CAST(floor(($c) * 1073741824.0) AS BIGINT)"
 
     /** DuckDB twin of [[Exact.portableSum]]: BIGINT-grid sum (DuckDB sums
       * BIGINT into INT128; the final int→double cast is one correct

@@ -116,10 +116,12 @@ class CorpusStatsSpec extends SparkSpec {
       0L -> "a b c d",       // uniform over 4 -> H = ln 4 (s = 0 exactly)
       1L -> "a a a a",       // constant -> H = 0 (up to the 2^-30 grid quantum)
       2L -> "a a b c"))      // mixed -> 0 < H < ln 4
+    // published as the BIGINT grid CELL (Exact.pinScoreInt, r10 —
+    // double-free schema); recover the score as cell / 2^30
     val out = run(CorpusStatsQueries.textEntropy, dir)
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
-    // published scores ride the 2^-30 pin grid (Exact.pinScore): the
-    // uniform doc's H = pln(4) = 2*Ln2 exactly, floored onto the grid
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2) / 1073741824.0))).toMap
+    // the uniform doc's H = pln(4) = 2*Ln2 exactly, floored onto the grid
     val pinnedLn4 = math.floor(2.0 * graft.util.Portable.Ln2 * 1073741824.0) / 1073741824.0
     assert(out(0L)._1 == 4L && out(0L)._2 == pinnedLn4)
     assert(math.abs(out(1L)._2) < 1e-7)
@@ -134,7 +136,8 @@ class CorpusStatsSpec extends SparkSpec {
     // the grid sum + final pin each add up to 2^-30 ≈ 9.3e-10.
     val dir = writeFixture(Seq(0L -> "a a b", 1L -> "b c"))
     val out = run(CorpusStatsQueries.textUnigramLogprob, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2) / 1073741824.0))).toMap
     val ln5 = math.log(5.0); val ln2 = math.log(2.0)
     assert(out(0L)._1 == 3L)
     assert(math.abs(out(0L)._2 - (ln5 - ln2)) < 3e-9)

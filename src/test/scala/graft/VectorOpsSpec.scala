@@ -239,13 +239,22 @@ class VectorOpsSpec extends SparkSpec {
           .doubleValue() / vs.size
       }.toSeq)
     }
-    val got = graft.queries.VectorQueries.mmEmbedPool.fn(spark, sf)
-      .collect().map(r => r.getInt(0) ->
-        ((r.getLong(1), r.getSeq[Double](2).toSeq))).toMap
+    // long form (label, n_vecs, i, m) with m = the BIGINT grid cell of
+    // the exact mean (r10 gate contract: no array or double column in
+    // the published schema) — reassemble per label ordered by i
+    val raw = graft.queries.VectorQueries.mmEmbedPool.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = raw.groupBy(_._1).map { case (label, rs) =>
+      label -> ((rs.head._2, rs.sortBy(_._3).map(_._4).toSeq))
+    }
     assert(got.keySet == expected.keySet)
     expected.foreach { case (label, (n, vec)) =>
       assert(got(label)._1 == n, s"label $label count")
-      assert(got(label)._2 == vec, s"label $label pooled vector") // bit-exact
+      val want = vec.map(v => math.floor(v * 1073741824.0).toLong)
+      assert(got(label)._2 == want, s"label $label pooled vector") // bit-exact
+      // 1-based contiguous component index
+      assert(raw.filter(_._1 == label).map(_._3).sorted.toSeq ==
+        (1L to vec.length.toLong))
     }
   }
 
