@@ -274,7 +274,14 @@ object CorpusStatsQueries {
       "sum(tf) AS dl FROM ltf GROUP BY 1), " +
       "sx AS (SELECT doc_id, dl, s, CAST(dl AS DOUBLE) AS _lnx FROM s), " +
       Portable.plnSqlCtes("sx", "ldl") + " " +
-      "SELECT doc_id, dl, " +
+      // dl rides CAST(.. AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT,
+      // which pandas maps to float64 — the published dl would be
+      // float-typed on the oracle side vs int64 on the Spark side, a
+      // per-row type divergence the driver's hash sees on every row (the
+      // likeliest remaining term of the r7–r9 gate-red after the score
+      // recipe proved bit-exact). Same pitfall already handled at the
+      // count-min sketch publish (cnt, this file).
+      "SELECT doc_id, CAST(dl AS BIGINT) AS dl, " +
       graft.util.Exact.Sql.pinScoreInt("_pln - (s / CAST(dl AS DOUBLE))") +
       " AS entropy FROM ldl") {
     // published as the BIGINT grid cell (Exact.pinScoreInt rationale):
@@ -360,7 +367,8 @@ object CorpusStatsQueries {
       "sum(t.tf) AS dl FROM tf t JOIN lcf l ON l.word = t.word GROUP BY 1), " +
       "sx AS (SELECT doc_id, dl, s, CAST(n.n AS DOUBLE) AS _lnx FROM s CROSS JOIN n), " +
       Portable.plnSqlCtes("sx", "lnn") + " " +
-      "SELECT doc_id, dl, " +
+      // CAST(dl AS BIGINT): HUGEINT→float64 pandas pitfall, as in entropy
+      "SELECT doc_id, CAST(dl AS BIGINT) AS dl, " +
       graft.util.Exact.Sql.pinScoreInt("_pln - (s / CAST(dl AS DOUBLE))") +
       " AS logprob FROM lnn") {
     (s, d) =>

@@ -51,15 +51,45 @@ object VectorQueries {
       "n AS (SELECT vec_id, sqrt(CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
       "FROM v GROUP BY 1) "
 
-  /** Shared oracle CTE chain: the seed-centroid (vec_id % 50 == 0) cosine
-    * assignment — cdots → ccos → assign, with the fold's exact tie-break
-    * (cosine DESC, cid). Written once; the IVF / multi-probe / kNN-graph /
-    * DBSCAN oracles all splice this same text so the assignment SQL can
-    * never drift between them. */
+  /** Seed stride for the FLAT assignment family (r10, VERDICT r9 #3):
+    * samp = max(50, ⌊n / ⌈√n⌉⌋), so the seed-centroid count
+    * k = n / samp ≈ min(n/50, √n). The old fixed stride 50 made k grow
+    * linearly with the corpus and flat assignment corpus·k = corpus²/50
+    * dots (measured 25× CPU at ×10 on q_ann_knn_join); capping k at
+    * √corpus balances the two cost terms — assignment corpus·√corpus and
+    * within-cluster candidates corpus²/k = corpus^1.5 — the same rule as
+    * q_dedup_semantic's trained k. The 50-floor keeps every current
+    * test SF (≤ 20k vectors) on the exact old seeds; the √ regime is the
+    * ×10-and-beyond path. Integer ops only, identical in both engines
+    * (⌈√n⌉ < 2²⁶ for any n < 2⁵², so the double sqrt/ceil is exact). */
+  private[queries] def seedSamp(n: Long): Long =
+    math.max(50L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** Oracle twin of [[seedSamp]], as a 1-row CTE `kseed(samp)`. */
+  private val kseedSql =
+    "kseed AS (SELECT greatest(50, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) " +
+      "AS samp FROM embeddings)"
+
+  /** The flat seed-centroid table — (cid, ecent, ncent), one definition
+    * for every flat-assignment query so the stride rule cannot fork. */
+  private def seedCents(base: DataFrame): DataFrame = {
+    val samp = seedSamp(base.count())
+    base.filter(col("vec_id") % samp === 0).select(col("vec_id").as("cid"),
+      col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+  }
+
+  /** Shared oracle CTE chain: the seed-centroid (vec_id % samp == 0,
+    * samp from `kseed`) cosine assignment — cdots → ccos → assign, with
+    * the fold's exact tie-break (cosine DESC, cid). Written once; the
+    * IVF / multi-probe / kNN-graph / DBSCAN / ranking-eval oracles all
+    * splice this same text so the assignment SQL can never drift between
+    * them. */
   private val seedAssignCtes =
-    ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+    ", " + kseedSql + ", " +
+      "cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % (SELECT samp FROM kseed)) = 0 " +
+      "GROUP BY 1, 2), " +
       "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
       "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
       "assign AS (SELECT vid, cid AS cluster FROM (SELECT ccos.*, " +
@@ -170,7 +200,8 @@ object VectorQueries {
     cosd.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
-  /** IVF-style ANN: deterministic seed centroids (vec_id % 50 == 0),
+  /** IVF-style ANN: deterministic seed centroids (vec_id % samp == 0,
+    * samp from [[seedSamp]] — k capped at √corpus),
     * assign every vector to its argmax-cosine centroid, then search only
     * the query's cluster — the corpus-pruning scale path (a trained
     * k-means drops into the same plan). */
@@ -197,8 +228,7 @@ object VectorQueries {
       "WHERE rn <= 3") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val cents = seedCents(base)
       ivfTopK(base, cents)
   }
 
@@ -332,8 +362,7 @@ object VectorQueries {
       probeRerankSql) {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val cents = seedCents(base)
       ivfTopK(base, cents, nprobe = 2)
   }
 
@@ -1045,8 +1074,7 @@ object VectorQueries {
       "WHERE rn <= 3") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val cents = seedCents(base)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val assign = assignClusters(all, cents)
@@ -1224,9 +1252,11 @@ object VectorQueries {
     * q_ann_knn_hier certifies. */
   val embOutlier = Q("q_emb_outlier", "centroid-affinity embedding outlier flags")(
     vecsSql +
-      ", cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
+      ", " + kseedSql + ", " +
+      "cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
-      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % 50) = 0 GROUP BY 1, 2), " +
+      "FROM v a JOIN v b ON a.i = b.i AND (b.vec_id % (SELECT samp FROM kseed)) = 0 " +
+      "GROUP BY 1, 2), " +
       "ccos AS (SELECT d.vid, d.cid, d.dot / (na.nrm * nb.nrm) AS cosine FROM cdots d " +
       "JOIN n na ON na.vec_id = d.vid JOIN n nb ON nb.vec_id = d.cid), " +
       "assign AS (SELECT vid, cid AS cluster, cosine AS cent_cos FROM (SELECT ccos.*, " +
@@ -1235,8 +1265,7 @@ object VectorQueries {
       "SELECT vid, cluster, cent_cos, cent_cos < 0.09 AS is_outlier FROM assign") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-        col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+      val cents = seedCents(base)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       // the fold assignment decides the cluster; the winner's exact
@@ -1623,9 +1652,7 @@ object VectorQueries {
       "LEFT JOIN bord bd ON bd.vid = em.vec_id") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ecent"),
-          expr(normExpr("embedding")).as("ncent"))
+      val cents = seedCents(base)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val withVec = all.join(assignClusters(all, cents), "vid").materialized()
@@ -1709,8 +1736,7 @@ object VectorQueries {
     * exact top-3. Shared by the two ranking-eval queries. */
   private def annRelFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d)
-    val cents = base.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("cid"),
-      col("embedding").as("ecent"), expr(normExpr("embedding")).as("ncent"))
+    val cents = seedCents(base)
     val ann = ivfTopK(base, cents).select("q", "c", "rn")
     val gt = exactCosTopK(base, 3).select(col("q"), col("c"), lit(1L).as("hit"))
     ann.join(gt, Seq("q", "c"), "left")

@@ -17,14 +17,35 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+class ArrayColumnError(Exception):
+    """An array-typed published column: the DRIVER's gate sorts result rows
+    by every column to hash them, and pandas sort_values crashes on a
+    list/ndarray column (r9: q_mm_embed_pool shipped green here because we
+    silently JSON-stringified it, then red at the real gate). Publishing an
+    array column is therefore a hard FAIL locally too — reshape to long
+    form (one row per element) or hash/stringify it IN the query."""
+
+
+def lint_schema(name: str, df: pd.DataFrame, side: str):
+    for c in df.columns:
+        if df[c].dtype == object and len(df[c].dropna()) and \
+                isinstance(df[c].dropna().iloc[0], (list, np.ndarray)):
+            raise ArrayColumnError(
+                f"{side} column '{c}' is array-typed - the driver gate cannot sort it")
+        if pd.api.types.is_float_dtype(df[c]):
+            # advisory: doubles hash fine when both engines agree bit-for-bit,
+            # but the r7-r9 entropy saga showed the gate env can diverge on
+            # double handling; pinScoreInt (BIGINT grid cell) is drift-proof
+            print(f"LINT  {name}: {side} column '{c}' is double-typed "
+                  f"(consider Exact.pinScoreInt for transcendental-derived scores)")
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize datetimes to ns, decimals to float-preserving objects
+    # normalize datetimes to ns
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif df[c].dtype == object and len(df) and isinstance(df[c].dropna().iloc[0] if len(df[c].dropna()) else None, (list, np.ndarray)):
-            df[c] = df[c].apply(lambda v: json.dumps(list(v)) if v is not None else None)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -36,6 +57,14 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
         return f"ROWS spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # int-on-one-side / float-on-the-other is a per-row TYPE divergence
+        # the driver's value hash sees on every row even when == passes
+        # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64 vs Spark
+        # int64 — the q_text_entropy dl column). Hard FAIL.
+        if pd.api.types.is_integer_dtype(a[c]) != pd.api.types.is_integer_dtype(b[c]) and \
+           (pd.api.types.is_numeric_dtype(a[c]) and pd.api.types.is_numeric_dtype(b[c])):
+            return (f"DTYPE col {c}: spark={a[c].dtype} oracle={b[c].dtype} "
+                    f"(int/float split - cast the oracle side, e.g. CAST(.. AS BIGINT))")
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             if not eq.all():
@@ -76,6 +105,13 @@ def main():
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        try:
+            lint_schema(name, spark_df, "spark")
+            lint_schema(name, oracle_df, "oracle")
+        except ArrayColumnError as e:
+            print(f"FAIL  {name}: {e}")
             nfail += 1
             continue
         err = cmp(norm(spark_df), norm(oracle_df))
