@@ -70,11 +70,16 @@ object VectorOps {
     val spark = df.sparkSession
     val vecs = df.select(col(idCol).as("__id"),
       transform(col(vecCol), _.cast("double")).as("__v"))
-    // seed: k lowest ids, renumbered 0..k-1
+    // seed: k lowest ids, renumbered 0..k-1. TopK-then-window, never
+    // window-then-filter: `row_number().over(Window.orderBy(..))` on the
+    // full table is a single-partition global sort of the CORPUS just to
+    // take k rows; `.orderBy().limit(k)` is a distributed TakeOrdered(k),
+    // and the renumbering window then runs over k rows only (the same
+    // pattern as queries.VectorQueries.fitExact — VERDICT r9 #6).
     val wSeed = Window.orderBy("__id")
     var centroids = vecs
+      .orderBy("__id").limit(k)
       .withColumn("__rn", row_number().over(wSeed))
-      .filter(col("__rn") <= k)
       .select((col("__rn") - 1).cast("long").as("cluster_id"), col("__v").as("centroid"))
     for (_ <- 1 to iters) {
       // assignment: corpus × broadcast(centroids), argmax cosine

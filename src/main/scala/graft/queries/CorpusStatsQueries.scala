@@ -50,7 +50,7 @@ object CorpusStatsQueries {
       "FROM tf t JOIN idf i ON i.word = t.word), " +
       "rk AS (SELECT doc_id, term, tfidf, " +
       "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
-      "SELECT doc_id, rk, term, " + graft.util.Exact.Sql.pinScore("tfidf") +
+      "SELECT doc_id, rk, term, " + graft.util.Exact.Sql.pinScoreInt("tfidf") +
       " AS tfidf FROM rk WHERE rk <= 3") {
     (s, d) =>
       val tokw = TextOps.explodeTokens(documents(s, d))
@@ -79,7 +79,7 @@ object CorpusStatsQueries {
       sc.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"),
-          graft.util.Exact.pinScore(col("tfidf")).as("tfidf"))
+          graft.util.Exact.pinScoreInt(col("tfidf")).as("tfidf"))
   }
 
   /** BM25 (k1 = 1.2, b = 0.75) of every document against a fixed query
@@ -110,7 +110,7 @@ object CorpusStatsQueries {
       "sum(CASE WHEN word = 'hash' THEN c END) AS ch, " +
       "sum(CASE WHEN word = 'scan' THEN c END) AS cs FROM contrib GROUP BY 1) " +
       "SELECT doc_id, " +
-      graft.util.Exact.Sql.pinScore(
+      graft.util.Exact.Sql.pinScoreInt(
         "(COALESCE(cj, 0.0) + COALESCE(ch, 0.0)) + COALESCE(cs, 0.0)") +
       " AS bm25 FROM piv") {
     (s, d) =>
@@ -145,7 +145,7 @@ object CorpusStatsQueries {
           sum(when(col("word") === "hash", col("c"))).as("ch"),
           sum(when(col("word") === "scan", col("c"))).as("cs"))
         .select(col("doc_id"),
-          graft.util.Exact.pinScore(
+          graft.util.Exact.pinScoreInt(
             coalesce(col("cj"), lit(0.0)) + coalesce(col("ch"), lit(0.0)) +
               coalesce(col("cs"), lit(0.0)))
             .as("bm25"))
@@ -210,7 +210,7 @@ object CorpusStatsQueries {
       "FROM cb b JOIN cu u1 ON u1.word = b.w1 JOIN cu u2 ON u2.word = b.w2 " +
       "CROSS JOIN tot t CROSS JOIN totb tb WHERE b.cab >= 5), " +
       Portable.plnSqlCtes("pmx", "pml") + " " +
-      "SELECT w1, w2, cab, " + graft.util.Exact.Sql.pinScore("_pln") +
+      "SELECT w1, w2, cab, " + graft.util.Exact.Sql.pinScoreInt("_pln") +
       " AS pmi FROM pml") {
     (s, d) =>
       val docs = documents(s, d)
@@ -236,7 +236,7 @@ object CorpusStatsQueries {
           ((col("cab").cast("double") * col("t").cast("double")) * col("t").cast("double")) /
             ((col("tb").cast("double") * col("cw1").cast("double")) * col("cw2").cast("double")), "pmi")
         .select(col("w1"), col("w2"), col("cab"),
-          graft.util.Exact.pinScore(col("pmi")).as("pmi"))
+          graft.util.Exact.pinScoreInt(col("pmi")).as("pmi"))
   }
 
   /** Normalization-robust exact dedup: lowercase, strip non-alphanumerics,
@@ -422,7 +422,7 @@ object CorpusStatsQueries {
       graft.util.Exact.Sql.portableSum("l._pln") + " AS s, count(*) AS n_bigrams " +
       "FROM bg g JOIN bpl l ON l.w1 = g.w1 AND l.w2 = g.w2 GROUP BY 1) " +
       "SELECT doc_id, n_bigrams, " +
-      graft.util.Exact.Sql.pinScore("-(s / CAST(n_bigrams AS DOUBLE))") +
+      graft.util.Exact.Sql.pinScoreInt("-(s / CAST(n_bigrams AS DOUBLE))") +
       " AS logprob2 FROM s") {
     (s, d) =>
       val docs = documents(s, d)
@@ -445,7 +445,7 @@ object CorpusStatsQueries {
         .agg(graft.util.Exact.portableSum(col("lnp")).as("s"),
           count(lit(1)).as("n_bigrams"))
         .select(col("doc_id"), col("n_bigrams"),
-          graft.util.Exact.pinScore(-(col("s") / col("n_bigrams").cast("double")))
+          graft.util.Exact.pinScoreInt(-(col("s") / col("n_bigrams").cast("double")))
             .as("logprob2"))
   }
 
@@ -515,7 +515,7 @@ object CorpusStatsQueries {
       graft.util.Exact.Sql.portableSum("-(pl._pln)") + " AS s, count(*) AS n_bigrams " +
       "FROM vb v JOIN pl ON pl.w1 = v.w1 AND pl.w2 = v.w2 GROUP BY 1) " +
       "SELECT doc_id, n_bigrams, " +
-      graft.util.Exact.Sql.pinScore("s / CAST(n_bigrams AS DOUBLE)") +
+      graft.util.Exact.Sql.pinScoreInt("s / CAST(n_bigrams AS DOUBLE)") +
       " AS heldout_lp FROM sc") {
     (s, d) =>
       val bucket = TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
@@ -548,7 +548,7 @@ object CorpusStatsQueries {
         .agg(graft.util.Exact.portableSum(-col("lnp")).as("s"),
           count(lit(1)).as("n_bigrams"))
         .select(col("doc_id"), col("n_bigrams"),
-          graft.util.Exact.pinScore(col("s") / col("n_bigrams").cast("double"))
+          graft.util.Exact.pinScoreInt(col("s") / col("n_bigrams").cast("double"))
             .as("heldout_lp"))
   }
 
@@ -600,7 +600,7 @@ object CorpusStatsQueries {
       graft.util.Exact.Sql.portableSum("a.w * b.w") + " AS dot " +
       "FROM rw a JOIN rw b ON b.g = a.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
       "SELECT d.a, d.b, " +
-      graft.util.Exact.Sql.pinScore("d.dot / (na.nrm * nb.nrm)") + " AS cosine " +
+      graft.util.Exact.Sql.pinScoreInt("d.dot / (na.nrm * nb.nrm)") + " AS cosine " +
       "FROM dots d JOIN nrm na ON na.doc_id = d.a JOIN nrm nb ON nb.doc_id = d.b " +
       s"WHERE d.dot / (na.nrm * nb.nrm) >= $CosTau") {
     (s, d) =>
@@ -628,7 +628,7 @@ object CorpusStatsQueries {
       dots.join(nrm.as("na"), col("na.doc_id") === col("a"))
         .join(nrm.as("nb"), col("nb.doc_id") === col("b"))
         .filter(cos >= CosTau)
-        .select(col("a"), col("b"), graft.util.Exact.pinScore(cos).as("cosine"))
+        .select(col("a"), col("b"), graft.util.Exact.pinScoreInt(cos).as("cosine"))
   }
 
   /** Zipf fit size: top-20 ranks — TakeOrdered over the vocabulary, so
@@ -664,7 +664,7 @@ object CorpusStatsQueries {
       graft.util.Exact.Sql.portableSum("x * y") + " AS sxy, " +
       graft.util.Exact.Sql.portableSum("x * x") + " AS sxx FROM pts) " +
       "SELECT CAST(n AS BIGINT) AS n_terms, " +
-      graft.util.Exact.Sql.pinScore("(n * sxy - sx * sy) / (n * sxx - sx * sx)") +
+      graft.util.Exact.Sql.pinScoreInt("(n * sxy - sx * sy) / (n * sxx - sx * sx)") +
       " AS slope FROM sums") {
     (s, d) =>
       val wc = TextOps.explodeTokens(documents(s, d))
@@ -681,7 +681,7 @@ object CorpusStatsQueries {
         graft.util.Exact.portableSum(col("x") * col("y")).as("sxy"),
         graft.util.Exact.portableSum(col("x") * col("x")).as("sxx"))
       sums.select(col("n").cast("long").as("n_terms"),
-        graft.util.Exact.pinScore(
+        graft.util.Exact.pinScoreInt(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }

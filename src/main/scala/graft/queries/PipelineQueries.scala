@@ -164,10 +164,13 @@ object PipelineQueries {
       "g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens FROM t GROUP BY 1), " +
       "s AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, " +
       graft.util.Exact.Sql.portableSum("sqrt(src_tokens)") + " AS z FROM g) " +
+      // all three shares publish as BIGINT grid cells (r10 double-free
+      // schema contract — Exact.pinScoreInt rationale)
       "SELECT g.source, g.src_tokens, " +
-      "CAST(g.src_tokens AS DOUBLE) / s.total_tokens AS nat_share, " +
-      graft.util.Exact.Sql.pinScore("sqrt(g.src_tokens) / s.z") + " AS temp_share, " +
-      graft.util.Exact.Sql.pinScore(
+      graft.util.Exact.Sql.pinScoreInt("CAST(g.src_tokens AS DOUBLE) / s.total_tokens") +
+      " AS nat_share, " +
+      graft.util.Exact.Sql.pinScoreInt("sqrt(g.src_tokens) / s.z") + " AS temp_share, " +
+      graft.util.Exact.Sql.pinScoreInt(
         "(sqrt(g.src_tokens) / s.z) / (CAST(g.src_tokens AS DOUBLE) / s.total_tokens)") +
       " AS boost FROM g, s") {
     (s, d) =>
@@ -180,9 +183,10 @@ object PipelineQueries {
       val tempShare = sqrt(col("src_tokens")) / col("z")
       val natShare = col("src_tokens").cast("double") / col("total_tokens")
       g.crossJoin(broadcast(scalars))
-        .select(col("source"), col("src_tokens"), natShare.as("nat_share"),
-          graft.util.Exact.pinScore(tempShare).as("temp_share"),
-          graft.util.Exact.pinScore(tempShare / natShare).as("boost"))
+        .select(col("source"), col("src_tokens"),
+          graft.util.Exact.pinScoreInt(natShare).as("nat_share"),
+          graft.util.Exact.pinScoreInt(tempShare).as("temp_share"),
+          graft.util.Exact.pinScoreInt(tempShare / natShare).as("boost"))
   }
 
   /** Shared per-doc 'en' classifier score: the ('the','a') stopword
@@ -491,7 +495,7 @@ object PipelineQueries {
       "/ 4294967296.0) AS _lnx FROM documents WHERE n_chars > 0), " +
       Portable.plnSqlCtes("t", "lg") + ", " +
       "r AS (SELECT doc_id, n_chars, _pln / n_chars AS rkey FROM lg) " +
-      "SELECT doc_id, n_chars, " + Exact.Sql.pinScore("rkey") + " AS wkey " +
+      "SELECT doc_id, n_chars, " + Exact.Sql.pinScoreInt("rkey") + " AS wkey " +
       s"FROM r ORDER BY rkey DESC, doc_id LIMIT $WSampK") {
     (s, d) =>
       val u = (TextOps.hash32(concat(lit("wsamp:"), col("doc_id").cast("string"))) + 0.5) /
@@ -502,7 +506,7 @@ object PipelineQueries {
         .withColumn("rkey", col("lnu") / col("n_chars"))
         .orderBy(col("rkey").desc, col("doc_id"))
         .limit(WSampK)
-        .select(col("doc_id"), col("n_chars"), Exact.pinScore(col("rkey")).as("wkey"))
+        .select(col("doc_id"), col("n_chars"), Exact.pinScoreInt(col("rkey")).as("wkey"))
   }
 
   /** Snapshot cutoffs: "old" = state as of mid-1995; "new" = activity in

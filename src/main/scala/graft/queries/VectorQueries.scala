@@ -1353,7 +1353,7 @@ object VectorQueries {
       "WHERE rn = 1), " +
       "lut AS (SELECT vec_id AS q, s, code, dist2 FROM d2 WHERE vec_id < 5), " +
       "adc AS (SELECT l.q, e.vec_id AS c, " +
-      graft.util.Exact.Sql.pinScore(graft.util.Exact.Sql.portableSum("l.dist2")) +
+      graft.util.Exact.Sql.pinScoreInt(graft.util.Exact.Sql.portableSum("l.dist2")) +
       " AS adc FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code " +
       "WHERE e.vec_id <> l.q GROUP BY 1, 2) " +
       "SELECT q, c, adc, rn FROM (SELECT adc.*, " +
@@ -1384,7 +1384,7 @@ object VectorQueries {
       val adc = enc.join(broadcast(lut), Seq("s", "code"))
         .filter(col("vid") =!= col("q"))
         .groupBy(col("q"), col("vid").as("c"))
-        .agg(graft.util.Exact.pinScore(
+        .agg(graft.util.Exact.pinScoreInt(
           graft.util.Exact.portableSum(col("dist2"))).as("adc"))
       val w = Window.partitionBy("q").orderBy(col("adc"), col("c"))
       adc.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
@@ -1435,7 +1435,7 @@ object VectorQueries {
       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
       "r0 AS (SELECT src AS v, 1.0 / nn.n AS r FROM deg CROSS JOIN nn), " +
       iters + " " +
-      s"SELECT r.v AS vec_id, dg.deg, (floor(r.r * $grid) / $grid) AS pagerank " +
+      s"SELECT r.v AS vec_id, dg.deg, CAST(floor(r.r * $grid) AS BIGINT) AS pagerank " +
       s"FROM r$PrIters r JOIN deg dg ON dg.src = r.v"
   }
 
@@ -1459,7 +1459,7 @@ object VectorQueries {
       }
       r.join(deg, col("src") === col("v"))
         .select(col("v").as("vec_id"), col("deg"),
-          graft.util.Exact.pinScore(col("r")).as("pagerank"))
+          graft.util.Exact.pinScoreInt(col("r")).as("pagerank"))
   }
 
   val graphPagerank = Q("q_graph_pagerank", "3-iteration PageRank over the mutual-kNN graph")(
@@ -1511,7 +1511,7 @@ object VectorQueries {
     }.mkString(", ")
     val finalRows = (1 until KcK).map(i =>
       s"SELECT CAST($i AS BIGINT) AS pick_order, cid AS vec_id, " +
-        graft.util.Exact.Sql.pinScore("radius") + s" AS radius FROM p$i").mkString(" UNION ALL ")
+        graft.util.Exact.Sql.pinScoreInt("radius") + s" AS radius FROM p$i").mkString(" UNION ALL ")
     vecsSql +
       ", c0 AS (SELECT min(vec_id) AS cid FROM n), " +
       dCte(0, "SELECT cid FROM c0") + ", " +
@@ -1541,7 +1541,7 @@ object VectorQueries {
             least(col("m.md"), dist).as("md")).materialized()
       }
       centers.select(col("pick_order"), col("vec_id"),
-        graft.util.Exact.pinScore(col("radius")).as("radius"))
+        graft.util.Exact.pinScoreInt(col("radius")).as("radius"))
   }
 
   /** kNN majority-vote label classification (r9): predict every vector's
@@ -1743,46 +1743,65 @@ object VectorQueries {
       .withColumn("rel", coalesce(col("hit"), lit(0L)))
   }
 
+  /** The query UNIVERSE the evals aggregate over — a query whose IVF
+    * candidate list is empty (alone in its cluster) must still publish a
+    * row with score 0, or any downstream corpus mean of ndcg/rr biases
+    * upward (ADVICE r9: the old agg-only form silently dropped such
+    * queries, and both engines agreed so the gate couldn't catch it). */
+  private val evalQsSql =
+    "qs AS (SELECT vec_id AS q FROM embeddings WHERE vec_id < 10)"
+
+  private def evalQs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id").as("q"))
+
   val evalNdcg = Q("q_eval_ndcg", "nDCG@3 of IVF search vs exact cosine top-3")({
     val idcg = s"(${ndcgDiscSql("1")} + ${ndcgDiscSql("2")} + ${ndcgDiscSql("3")})"
     annRelCtes +
       ", agg AS (SELECT q, CAST(sum(rel) AS BIGINT) AS n_hits, " +
-      graft.util.Exact.Sql.portableSum("rel * disc") + " AS dcg FROM relj GROUP BY 1) " +
-      "SELECT q, n_hits, " + graft.util.Exact.Sql.pinScore(s"dcg / $idcg") + " AS ndcg FROM agg"
+      graft.util.Exact.Sql.portableSum("rel * disc") + " AS dcg FROM relj GROUP BY 1), " +
+      evalQsSql + " " +
+      "SELECT qs.q, COALESCE(agg.n_hits, 0) AS n_hits, COALESCE(" +
+      graft.util.Exact.Sql.pinScoreInt(s"agg.dcg / $idcg") + ", 0) AS ndcg " +
+      "FROM qs LEFT JOIN agg ON agg.q = qs.q"
   }) {
     (s, d) =>
       import graft.util.Exact
       def discC(r: org.apache.spark.sql.Column) =
         Exact.pinScore(lit(1.0) / log2(r + lit(1.0)))
       val idcg = discC(lit(1.0)) + discC(lit(2.0)) + discC(lit(3.0))
-      annRelFrame(s, d)
+      val agg = annRelFrame(s, d)
         .withColumn("disc", discC(col("rn").cast("double")))
         .groupBy("q")
         .agg(sum("rel").as("n_hits"),
           Exact.portableSum(col("rel") * col("disc")).as("dcg"))
-        .select(col("q"), col("n_hits"),
-          Exact.pinScore(col("dcg") / idcg).as("ndcg"))
+      evalQs(s, d).join(agg, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(Exact.pinScoreInt(col("dcg") / idcg), lit(0L)).as("ndcg"))
   }
 
   /** Mean-reciprocal-rank companion of q_eval_ndcg over the SAME graded
     * search and relevance chain (annRelCtes / annRelFrame): per query,
     * the rank of the FIRST exact-top-3 member in the IVF list and its
-    * pinned reciprocal (0.0 when no candidate is relevant — the
-    * convention that makes the corpus mean well-defined). 1/rank is one
-    * correctly-rounded division; the pin keeps the published score on
-    * the engine-drift-proof grid like every other ranking score. */
+    * pinned reciprocal (grid cell 0 when no candidate is relevant OR the
+    * candidate list is empty — the convention that makes the corpus mean
+    * well-defined; the query universe left-join guarantees the row
+    * exists). 1/rank is one correctly-rounded division; the integer pin
+    * keeps the published score double-free like every ranking score. */
   val evalMrr = Q("q_eval_mrr", "reciprocal rank of IVF search's first exact-top-3 hit")(
     annRelCtes +
-      ", agg AS (SELECT q, min(CASE WHEN rel = 1 THEN rn END) AS first_hit FROM relj GROUP BY 1) " +
-      "SELECT q, first_hit, COALESCE(" +
-      graft.util.Exact.Sql.pinScore("1.0 / first_hit") + ", 0.0) AS rr FROM agg") {
+      ", agg AS (SELECT q, min(CASE WHEN rel = 1 THEN rn END) AS first_hit FROM relj GROUP BY 1), " +
+      evalQsSql + " " +
+      "SELECT qs.q, agg.first_hit, COALESCE(" +
+      graft.util.Exact.Sql.pinScoreInt("1.0 / agg.first_hit") + ", 0) AS rr " +
+      "FROM qs LEFT JOIN agg ON agg.q = qs.q") {
     (s, d) =>
       import graft.util.Exact
-      annRelFrame(s, d)
+      val agg = annRelFrame(s, d)
         .groupBy("q")
         .agg(min(when(col("rel") === 1L, col("rn"))).as("first_hit"))
+      evalQs(s, d).join(agg, Seq("q"), "left")
         .select(col("q"), col("first_hit"),
-          coalesce(Exact.pinScore(lit(1.0) / col("first_hit")), lit(0.0)).as("rr"))
+          coalesce(Exact.pinScoreInt(lit(1.0) / col("first_hit")), lit(0L)).as("rr"))
   }
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,

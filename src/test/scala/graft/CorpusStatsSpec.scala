@@ -30,7 +30,8 @@ class CorpusStatsSpec extends SparkSpec {
       1L -> "all all all blue blue",
       2L -> "all all green green green green"))
     val out = run(CorpusStatsQueries.textTfidf, dir)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3) / 1073741824.0))
     val doc0 = out.filter(_._1 == 0L).sortBy(_._2)
     // doc 0: tf(rare)=3 idf(rare)=ln(4/2)+1, tf(all)=4 idf(all)=ln(4/4)+1=1
     // 3*(ln2+1) = 5.079 > 4*1 = 4 -> rare first despite lower tf
@@ -51,7 +52,7 @@ class CorpusStatsSpec extends SparkSpec {
       1L -> "join pad pad pad pad",
       2L -> "pad pad pad pad pad"))
     val out = run(CorpusStatsQueries.textBm25, dir)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1073741824.0)).toMap
     assert(out.keySet == Set(0L, 1L))
     assert(out(0L) > out(1L) && out(1L) > 0.0)
   }
@@ -100,7 +101,8 @@ class CorpusStatsSpec extends SparkSpec {
     // c(a b) = 12, c(a) = c(b) = 12, c(pad) = 12
     val dir = writeFixture((0L to 5L).map(i => i -> "a b pad a b pad"))
     val out = run(CorpusStatsQueries.bigramPmi, dir)
-      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3) / 1073741824.0))).toMap
     val (cab, pmi) = out(("a", "b"))
     assert(cab == 12L)
     val want = math.log((12.0 * 36.0 * 36.0) / (30.0 * 12.0 * 12.0))
@@ -202,7 +204,8 @@ class CorpusStatsSpec extends SparkSpec {
     // single-token doc 2 has no bigram -> absent by contract.
     val dir = writeFixture(Seq(0L -> "a b a b", 1L -> "b c", 2L -> "x"))
     val out = run(CorpusStatsQueries.textBigramLogprob, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2) / 1073741824.0))).toMap
     val ln3 = math.log(3.0)
     assert(out.keySet == Set(0L, 1L))
     assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - ln3 / 3.0) < 3e-9)

@@ -144,7 +144,9 @@ class PipelineSpec extends SparkSpec {
 
   test("mix_temperature: shares normalize, ordering preserved, boost flattens the mix") {
     val df = PipelineQueries.mixTemperature.fn(spark, sf).cache()
-    val ts = df.agg(sum("temp_share")).first().getDouble(0)
+    // temp_share publishes as the BIGINT grid cell (r10): sum of cells
+    // recovers the share sum at cell/2^30
+    val ts = df.agg(sum("temp_share")).first().getLong(0) / 1073741824.0
     assert(math.abs(ts - 1.0) < 1e-6) // pinned scores: grid-sized slack
     // sqrt is monotone: temp-share order == token order
     val tokOrder = df.orderBy(col("src_tokens"), col("source"))
@@ -154,7 +156,7 @@ class PipelineSpec extends SparkSpec {
     assert(tokOrder == shareOrder)
     // α<1 lifts below-average sources and damps above-average ones
     val bad = df.filter(
-      (col("nat_share") < col("temp_share")) =!= (col("boost") > 1.0)).count()
+      (col("nat_share") < col("temp_share")) =!= (col("boost") > 1073741824L)).count()
     assert(bad == 0)
     df.unpersist()
   }
@@ -287,16 +289,16 @@ class PipelineSpec extends SparkSpec {
     val before = spark.conf.get(key)
     def run() = (
       graft.queries.CorpusStatsQueries.textHeldoutLogprob.fn(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       PipelineQueries.mixTemperature.fn(spark, sf).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-          r.getDouble(4))).toSet)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet)
     try {
       spark.conf.set(key, "1")
       val (h1, m1) = run()
       spark.conf.set(key, "32")
       val (h32, m32) = run()
-      assert(h1 == h32) // Set equality on raw doubles = bit equality
+      assert(h1 == h32) // published grid cells identical at any parallelism
       assert(m1 == m32)
     } finally spark.conf.set(key, before)
   }

@@ -179,7 +179,7 @@ class Round9OpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = CorpusStatsQueries.textTfidfCosine.fn(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1073741824.0))
     assert(rows.length === 1)
     val (a, b, cos) = rows.head
     assert((a, b) === (1L, 2L))
@@ -201,7 +201,7 @@ class Round9OpsSpec extends SparkSpec {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rows = VectorQueries.graphPagerank.fn(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1073741824.0))
     assert(rows.length === 4)
     assert(rows.forall(_._2 == 3L), "complete graph: degree 3 everywhere")
     val ranks = rows.map(_._3)
@@ -306,7 +306,7 @@ class Round9OpsSpec extends SparkSpec {
     val rows = graft.queries.VectorQueries.coresetKcenter.fn(spark, dir)
       .orderBy("pick_order")
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+        if (r.isNullAt(2)) -1.0 else r.getLong(2) / 1073741824.0))
     assert(rows.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L)) // farthest-first order
     assert(rows(0)._3 === -1.0)
     assert(math.abs(rows(1)._3 - 1.0) < 1e-9)                       // orthogonal
@@ -320,7 +320,7 @@ class Round9OpsSpec extends SparkSpec {
   test("q_coreset_kcenter on real embeddings: distinct picks, decaying radii") {
     val rows = graft.queries.VectorQueries.coresetKcenter.fn(spark, sf)
       .orderBy("pick_order").collect()
-      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getLong(2) / 1073741824.0))
     assert(rows.length === 4)
     assert(rows.map(_._1).distinct.length === 4)
     val radii = rows.drop(1).map(_._2)
@@ -394,7 +394,7 @@ class Round9OpsSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = graft.queries.CorpusStatsQueries.textZipf.fn(spark, dir).collect().head
     assert(r.getLong(0) === 4L) // fitted points, not the configured cap
-    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6)
+    assert(math.abs(r.getLong(1) / 1073741824.0 - (-1.0)) < 1e-6)
   }
 
   test("q_event_path: ordered first-3 prefix, counted per user") {
@@ -524,22 +524,22 @@ class Round9OpsSpec extends SparkSpec {
     val before = spark.conf.get(key)
     def run() = (
       VectorQueries.graphPagerank.fn(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       CorpusStatsQueries.textTfidfCosine.fn(spark, "/root/testdata/sf0.01").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     try {
       spark.conf.set(key, "1")
       val (p1, c1) = run()
       spark.conf.set(key, "32")
       val (p32, c32) = run()
-      assert(p1 == p32) // Set equality on raw doubles = bit equality
+      assert(p1 == p32) // published grid cells identical at any parallelism
       assert(c1 == c32)
     } finally spark.conf.set(key, before)
   }
 
   test("q_graph_pagerank invariants on real embeddings: positivity and mass") {
     val rows = VectorQueries.graphPagerank.fn(spark, sf)
-      .select("pagerank").as[Double].collect()
+      .select((col("pagerank") / 1073741824.0).as("pr")).as[Double].collect()
     assert(rows.nonEmpty)
     val n = rows.length.toDouble
     assert(rows.forall(_ >= 0.15 / n - 1e-9), "teleport floor")

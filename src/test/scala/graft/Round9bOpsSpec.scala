@@ -63,14 +63,17 @@ class Round9bOpsSpec extends SparkSpec {
     def pin(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
     def disc(r: Long) = pin(1.0 / (math.log(r + 1.0) / math.log(2.0)))
     val idcg = disc(1) + disc(2) + disc(3)
-    val expected = ann.groupBy(_._1).map { case (q, rows) =>
+    val byQ = ann.groupBy(_._1).map { case (q, rows) =>
       val dcg = rows.map { case (_, c, rn) =>
         math.floor((if (gt((q, c))) disc(rn) else 0.0) * 1073741824.0)
       }.sum / 1073741824.0
       q -> (rows.count { case (_, c, _) => gt((q, c)) }.toLong, pin(dcg / idcg))
     }
+    // the published frame covers the whole query UNIVERSE (vec_id < 10):
+    // a candidate-less query must appear with n_hits = 0, ndcg = 0 (r10)
+    val expected = (0L to 9L).map(q => q -> byQ.getOrElse(q, (0L, 0.0))).toMap
     val got = VectorQueries.evalNdcg.fn(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2) / 1073741824.0)).toMap
     assert(got.keySet === expected.keySet)
     expected.foreach { case (q, e) => assert(got(q) === e, s"q=$q") }
     // a query whose IVF set IS the exact set must score exactly 1.0
@@ -85,14 +88,16 @@ class Round9bOpsSpec extends SparkSpec {
     val gt = VectorQueries.annCosineTopk.fn(spark, sf).collect()
       .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
     def pin(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
-    val expected = ann.groupBy(_._1).map { case (q, rows) =>
+    val byQ = ann.groupBy(_._1).map { case (q, rows) =>
       val hits = rows.collect { case (_, c, rn) if gt((q, c)) => rn }
       q -> (if (hits.isEmpty) (None, 0.0)
             else (Some(hits.min), pin(1.0 / hits.min)))
     }
+    val expected = (0L to 9L).map(q => q -> byQ.getOrElse(q, (None, 0.0))).toMap
     val got = VectorQueries.evalMrr.fn(spark, sf).collect()
       .map(r => r.getLong(0) ->
-        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getDouble(2))).toMap
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getLong(2) / 1073741824.0)).toMap
     assert(got.keySet === expected.keySet)
     expected.foreach { case (q, e) => assert(got(q) === e, s"q=$q") }
   }
@@ -273,7 +278,7 @@ class Round9bOpsSpec extends SparkSpec {
 
   test("q_graph_pagerank_hier: positive ranks, mass conserved") {
     val rows = VectorQueries.graphPagerankHier.fn(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1073741824.0))
     assert(rows.nonEmpty)
     rows.foreach { case (_, deg, pr) => assert(deg >= 1 && pr > 0.0) }
     // teleport = 1 - damping exactly, so rank mass sums to the node count's
