@@ -45,8 +45,19 @@ object TextOps {
     * normalized-dedup identity is contentHash(normalizeText(text)) —
     * shared by q_dedup_normalized, Corpus.exactDedup(normalized = true)
     * and Streams.corpusIngest(normalized = true) for the same
-    * batch/stream-parity reason as contentHash. */
-  def normalizeText(text: Column): Column =
+    * batch/stream-parity reason as contentHash. Runs as the fused
+    * single-pass codegen expression (functions.NormalizeAscii — one
+    * buffer, no regex NFA passes; equality with the regex spelling in
+    * [[normalizeTextRegex]] is pinned by OpsSpec). */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.NormalizeAscii(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** The regex spelling of [[normalizeText]] — the DuckDB oracle's text
+    * and the equality-pin reference; not used in any hot path. */
+  def normalizeTextRegex(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** PII patterns, restricted to syntax Java regex and RE2 interpret

@@ -276,12 +276,21 @@ object PipelineQueries {
       val g = lab.groupBy("score")
         .agg(sum("y").cast("long").as("np"),
           (count(lit(1)) - sum("y")).cast("long").as("nn"))
+      // The unpartitioned window runs over the GROUPED distinct scores,
+      // not the corpus: this score is a bounded-resolution ratio (two
+      // small integers), so |groups| is tiny by construction. The guard
+      // below fails loudly if the operator is ever reused with a
+      // continuous score whose distinct count would silently serialize
+      // the window into one task (ADVICE r9); past that bar, route
+      // cumneg through the bit-prefix two-phase layout in ops.Quantiles.
       val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
       val c = g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)).cast("long"))
       val st = c.agg(sum("np").cast("long").as("n_pos"),
         sum("nn").cast("long").as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).cast("long").as("num2"))
-      val inDomain = col("n_pos") < 2000000000L && col("n_neg") < 2000000000L
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).cast("long").as("num2"),
+        count(lit(1)).as("n_groups"))
+      val inDomain = col("n_pos") < 2000000000L && col("n_neg") < 2000000000L &&
+        col("n_groups") < 5000000L
       st.select(col("n_pos"), col("n_neg"),
         when(assert_true(inDomain,
             lit("q_eval_auc: class count beyond the int64-exact pair domain " +

@@ -362,13 +362,25 @@ object Streams {
     * while batch numbering is not: a fresh checkpoint re-delivers old
     * and new files together as batch 0, and the file ledger skips
     * exactly the already-merged files while still folding the new ones
-    * (LakeStreamSpec pins this). Residual window: a crash inside one
-    * append's parquet commit can expose a partial delta — the commit
-    * protocol's atomicity is the remaining guarantee, and a production
-    * deployment puts the delta table behind a transactional format.
+    * (LakeStreamSpec pins this). Every fresh file ALSO writes one
+    * SENTINEL row (i = −1, b = −1, cnt = 0) in the same append as its
+    * cells, so a file whose text produces zero cells (all-empty docs)
+    * still enters the ledger and is never re-scanned on replay (ADVICE
+    * r9); [[cmSketch]] filters sentinels out. Sentinel and cells land in
+    * ONE append, so the ledger can never claim a file whose cells were
+    * lost. Residual window: a crash inside one append's parquet commit
+    * can expose a partial delta — the commit protocol's atomicity is the
+    * remaining guarantee, and a production deployment puts the delta
+    * table behind a transactional format.
+    *
+    * The per-batch seen-file lookup is a distinct over the delta store,
+    * which grows with ingested files — run [[cmCompact]] on a cadence
+    * (e.g. per N batches, while ingest is quiesced): it folds all cells
+    * to one row per (i, b) and keeps one sentinel per seen file, so the
+    * lookup scans d×w + |files| rows regardless of history. The fold is
+    * associative, so compaction commutes with ingest.
     * The queryable sketch is [[cmSketch]]: one cells-sized fold over the
-    * deltas (compactable by rewriting the store folded; the fold is
-    * associative so compaction commutes with ingest). */
+    * deltas. */
   def cmSketchIngest(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpoint: String, sketchDir: String,
       d: Int = graft.queries.CorpusStatsQueries.CmD,
@@ -392,21 +404,47 @@ object Streams {
         val wc = fresh
           .select(col("src_file"), explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
           .groupBy("src_file", "word").agg(count(lit(1)).as("n"))
-        wc.select(col("src_file"), explode(array((0 until d).map(i =>
+        val cells = wc.select(col("src_file"), explode(array((0 until d).map(i =>
               struct(lit(i).as("i"),
                 graft.ops.TextOps.cmBucket(i, col("word"), w).as("b"))): _*)).as("ib"),
             col("n"))
           .groupBy(col("src_file"), col("ib.i").as("i"), col("ib.b").as("b"))
           .agg(sum("n").as("cnt"))
+        // one ledger sentinel per fresh file, in the SAME append as its
+        // cells — a zero-cell file still enters the ledger (ADVICE r9)
+        val sentinels = fresh.select("src_file").distinct()
+          .select(col("src_file"), lit(-1).as("i"), lit(-1L).as("b"),
+            lit(0L).as("cnt"))
+        cells.unionByName(sentinels)
           .write.mode("append").parquet(sketchDir)
       }
       .start()
+
+  /** Compact the count-min delta store: fold every cell to one row per
+    * (i, b) and keep one sentinel row per seen file — the seen-file
+    * lookup then scans d×w + |files| rows no matter how long the stream
+    * has run. Run while ingest is quiesced (the rewrite is
+    * read-then-overwrite); the fold is associative so the compacted
+    * store answers [[cmSketch]] identically. */
+  def cmCompact(spark: SparkSession, sketchDir: String): Unit = {
+    val st = spark.read.parquet(sketchDir)
+    val folded = st.filter(col("i") >= 0)
+      .groupBy("i", "b").agg(sum("cnt").as("cnt"))
+      .select(lit("_compacted").as("src_file"), col("i"), col("b"), col("cnt"))
+    val ledger = st.select("src_file").distinct()
+      .filter(col("src_file") =!= "_compacted")
+      .select(col("src_file"), lit(-1).as("i"), lit(-1L).as("b"), lit(0L).as("cnt"))
+    // materialize BEFORE the overwrite deletes the files being read
+    val compacted = folded.unionByName(ledger).localCheckpoint()
+    compacted.write.mode("overwrite").parquet(sketchDir)
+  }
 
   /** The queryable sketch: fold the per-batch deltas to one counter per
     * cell. Point estimate for a word = min over its d cells (absent cell
     * = 0) — the q_text_heavy_hitters estimator over stream-built state. */
   def cmSketch(spark: SparkSession, sketchDir: String): DataFrame =
     spark.read.parquet(sketchDir)
+      .filter(col("i") >= 0) // drop the per-file ledger sentinels
       .groupBy("i", "b").agg(sum("cnt").as("cnt"))
 
   /** Streaming sequence packing — the continuous twin of
@@ -427,7 +465,19 @@ object Streams {
     * Idempotency is the file ledger (the cmSketchIngest rationale):
     * deltas carry their source file, and a re-delivered file — including
     * the full re-delivery after CHECKPOINT LOSS — contributes nothing,
-    * while genuinely new files keep extending the offsets. */
+    * while genuinely new files keep extending the offsets. The pack
+    * store itself cannot carry sentinel rows (it IS the training data),
+    * so the ledger for zero-row files lives in the `_ledger` sidecar
+    * under packDir (underscore-hidden from parquet reads of the store);
+    * seen = store files ∪ sidecar, and the sidecar append FOLLOWS the
+    * pack append so a crash between them only costs a harmless re-scan,
+    * never a duplicate pack.
+    *
+    * Null text is excluded BEFORE tokenizing (ADVICE r9): size(split(
+    * trim(null))) is null in Spark, so a null-text doc would otherwise
+    * write a row with null ws_tokens/start_off/pack_id into the packed
+    * store — unlike CorpusPipeline's packing step, which drops it. The
+    * doc's FILE still enters the sidecar ledger. */
   def packIngest(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpoint: String, packDir: String, packL: Int = 256): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
@@ -438,17 +488,27 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val spark0 = batch.sparkSession
+        val conf = spark0.sessionState.newHadoopConf()
         val marker = new org.apache.hadoop.fs.Path(packDir + "/_SUCCESS")
-        val fs = marker.getFileSystem(spark0.sessionState.newHadoopConf())
+        val fs = marker.getFileSystem(conf)
+        val ledgerDir = packDir + "/_ledger"
+        val ledgerMarker = new org.apache.hadoop.fs.Path(ledgerDir + "/_SUCCESS")
         val store = if (fs.exists(marker)) Some(spark0.read.parquet(packDir)) else None
-        val fresh = store match {
-          case Some(st) =>
-            batch.toDF().join(st.select("src_file").distinct(),
-              Seq("src_file"), "left_anti")
+        val seen = (store.map(_.select("src_file").distinct()).toSeq ++
+          (if (fs.exists(ledgerMarker))
+            Seq(spark0.read.parquet(ledgerDir).select("src_file").distinct())
+          else Seq.empty)).reduceOption(_ unionByName _)
+        val fresh = seen match {
+          case Some(sn) =>
+            batch.toDF().join(sn.distinct(), Seq("src_file"), "left_anti")
           case None => batch.toDF()
         }
-        val tok = fresh.select(col("doc_id"), col("lang"), col("src_file"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
+        // the fresh FILE list is ledgered even when every row is dropped
+        // by the null-text filter below (zero-pack files never re-scan)
+        val freshFiles = fresh.select("src_file").distinct().localCheckpoint()
+        val tok = fresh.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), col("src_file"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
         val local = graft.ops.Corpus.packOffsets(tok)
           .withColumnRenamed("start_off", "local_off")
         val withBase = store match {
@@ -465,6 +525,9 @@ object Streams {
             - expr(s"start_off div $packL") + 1).as("pack_span"),
           col("src_file"))
           .write.mode("append").parquet(packDir)
+        // sidecar AFTER the pack append: a crash between the two costs a
+        // re-scan of this batch's files, never a duplicate pack
+        freshFiles.write.mode("append").parquet(ledgerDir)
       }
       .start()
 

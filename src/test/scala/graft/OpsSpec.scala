@@ -236,4 +236,44 @@ class OpsSpec extends SparkSpec {
     assert(rs(1L).payload.isEmpty && rs(1L).width == 16 && rs(1L).height == 16)
     assert(rs(2L).payload.nonEmpty)
   }
+
+  test("NormalizeAscii equals the regex normalization on adversarial unicode and edge shapes") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "   ", "a", " a ", "A  B", "a.b", "a . b", "a  .  b",
+      "Hello, World!  42", "tabs\tand\nnewlines", "...", "  ..a..  ",
+      "İstanbul", "STRASSE ß ẞ", "Σίσυφος ΣΊΣΥΦΟΣ", "KELVIN K SIGN",
+      "Å ANGSTROM Å", "ǅungla ǄUNGLA ǆ", "ﬁ ligature", "ĲSSELMEER ĳs",
+      "étude naïve café", "日本語 text 中文", "emoji 🎉 party 🎊",
+      " nbsp run ", "null byte", "a" * 5000,
+      ("word " * 2000).trim, "MIXED case 123 DIGITS 456")
+    // the randomized tail: seeded, covers surrogate pairs and combining marks
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(80)).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => (' ' + rnd.nextInt(95)).toChar.toString           // ascii
+          case 1 => " "
+          case 2 => (0xc0 + rnd.nextInt(0x250)).toChar.toString       // latin/greek
+          case 3 => new String(Character.toChars(0x10000 + rnd.nextInt(0x800)))
+          case 4 => "́"                                          // combining
+          case _ => ('A' + rnd.nextInt(26)).toChar.toString
+        }
+      }.mkString
+    }
+    val df = (adversarial ++ rand).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.ops.TextOps.normalizeText(col("text")).as("fused"),
+        graft.ops.TextOps.normalizeTextRegex(col("text")).as("regex"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)}: fused='${r.getString(1)}' regex='${r.getString(2)}'")
+    }
+    // null propagates
+    val nr = Seq((0L, null: String)).toDF("id", "text")
+      .select(graft.ops.TextOps.normalizeText(col("text"))).collect().head
+    assert(nr.isNullAt(0))
+  }
 }
