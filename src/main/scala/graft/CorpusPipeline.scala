@@ -39,6 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** Run report. INTERNAL shape, not a versioned API: fields are added
+    * as the chain gains layers (r9 added goldPacks and run()'s packLen
+    * without deprecation); external callers should read named fields,
+    * never pattern-match or construct positionally. */
   final case class Summary(bronzeRows: Long, afterExact: Long, afterNearDup: Long,
     removedByQuality: Long, removedByContamination: Long, piiDocs: Long,
     goldRows: Long, goldTokens: Long, goldPacks: Long)

@@ -451,6 +451,99 @@ class LakeStreamSpec extends SparkSpec {
       Set(java.sql.Timestamp.valueOf("2024-03-08 00:00:00")))
   }
 
+  test("Streams.sessionAgg merges within-gap events across a restart and drops beyond-watermark late data") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.sessionAgg(spark, src, schema, "5 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: an open session — watermark (10:02 − 30m) is far before its
+    // end, nothing emits
+    ev(Seq((1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:02:00", 2.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert(!new java.io.File(out + "/_SUCCESS").exists() ||
+      spark.read.parquet(out).count() == 0)
+    // run 2 (restart from the checkpoint): 10:04 is within the gap AND
+    // above the carried watermark → must MERGE into the restored session
+    // state; 13:00 advances the watermark to 12:30 and closes it
+    ev(Seq((1L, "2024-01-01 10:04:00", 4.0), (1L, "2024-01-01 13:00:00", 8.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // run 3: 10:30 is BEYOND the watermark (12:30) → dropped, per the
+    // session-window contract; 16:00 advances the watermark and closes
+    // the 13:00 session, whose count must NOT include the dropped event
+    ev(Seq((1L, "2024-01-01 10:30:00", 16.0), (1L, "2024-01-01 16:00:00", 32.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(out)
+      .select("session_start", "session_end", "n_events", "total_value")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(_._1.getTime)
+    assert(got.length == 2, s"got ${got.toSeq}")
+    // cross-restart merge: one session of all three run-1/run-2 events
+    assert(got(0) == ((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:09:00"), 3L, 7.0)))
+    // the late 10:30 event appears NOWHERE: not its own session, not
+    // folded into the 13:00 one
+    assert(got(1) == ((java.sql.Timestamp.valueOf("2024-01-01 13:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 13:05:00"), 1L, 8.0)))
+  }
+
+  test("Streams.attributionJoin drops beyond-watermark clicks and pairs in-watermark ones across a restart") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.attributionJoin(spark, src, schema,
+          watermark = "1 hour", lookback = "2 hours")
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1 advances both watermarks to ~19:00 (clicks) / 19:10 (purchases)
+    ev(Seq(
+      (1L, 10L, "2024-05-01 10:00:00", "click"),
+      (2L, 10L, "2024-05-01 20:00:00", "click"),
+      (3L, 10L, "2024-05-01 20:10:00", "purchase")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // run 2 (restart): the global watermark carried in the checkpoint is
+    // min(19:00, 19:10) = 19:00. A click at 17:30 is BELOW it → dropped
+    // on input (stream-stream joins late-filter against the GLOBAL
+    // watermark; the lookback bound only governs state retention of rows
+    // already accepted) even though it satisfies the 19:30 purchase's
+    // range [17:30, 19:30]. A click at 19:15 is above it → pairs.
+    ev(Seq(
+      (4L, 10L, "2024-05-01 17:30:00", "click"),
+      (6L, 10L, "2024-05-01 19:15:00", "click"),
+      (5L, 10L, "2024-05-01 19:30:00", "purchase")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val pairs = spark.read.parquet(out)
+      .select("purchase_id", "click_ts").as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2.toString).toSet }
+    // purchase 3 stays buffered across the restart (a match can still
+    // arrive while the click watermark is below 20:10): run 1 pairs it
+    // with 20:00, run 2's in-watermark 19:15 click joins it RETROACTIVELY
+    assert(pairs(3L) == Set("2024-05-01 20:00:00.0", "2024-05-01 19:15:00.0"))
+    // purchase 5: the in-watermark click only — 17:30 appears nowhere
+    assert(pairs(5L) == Set("2024-05-01 19:15:00.0"), s"pairs=$pairs")
+  }
+
   test("Streams.attributionJoin: stream-stream pairs fold to the batch last-touch across drains") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
