@@ -738,7 +738,122 @@ object CorpusStatsQueries {
           (col("n_est") - col("n")).as("overcount"))
   }
 
+  /** Per-source KL divergence of the source's unigram distribution from
+    * the corpus distribution (r10) — the drift/health signal a
+    * multi-source mix tracks per crawl batch: KL ≈ 0 means the source
+    * speaks the corpus's language, a spiking KL flags a source gone
+    * off-distribution (spam flood, language shift, scraper breakage) —
+    * the per-SOURCE companion of q_text_zipf's one-number corpus slope
+    * and the distribution-shape complement of q_mix_temperature's size
+    * shares. KL(s‖corpus) = Σ_w (cs/ts)·ln((cs·N)/(ts·cw)); every
+    * source's support is a subset of the corpus's, so no term needs
+    * smoothing. Scale: counts are the (source, word) hash aggregate —
+    * vocabulary×sources-bounded, corpus-linear to build; pln runs once
+    * per distinct (source, word); the per-source fold rides the
+    * binary-grid portable sum and publishes as a grid cell. */
+  val textKlSource = Q("q_text_kl_source", "per-source unigram KL divergence from the corpus")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tw AS (SELECT t.word, d.source FROM tokw t JOIN documents d ON d.doc_id = t.doc_id), " +
+      "cs AS (SELECT source, word, count(*) AS cs FROM tw GROUP BY 1, 2), " +
+      "ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM cs GROUP BY 1), " +
+      "cw AS (SELECT word, CAST(sum(cs) AS BIGINT) AS cw FROM cs GROUP BY 1), " +
+      "nn AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw), " +
+      "px AS (SELECT c.source, c.cs, t.ts, " +
+      "(CAST(c.cs AS DOUBLE) * CAST(n.n AS DOUBLE)) / " +
+      "(CAST(t.ts AS DOUBLE) * CAST(w.cw AS DOUBLE)) AS _lnx " +
+      "FROM cs c JOIN ts t ON t.source = c.source JOIN cw w ON w.word = c.word " +
+      "CROSS JOIN nn n), " +
+      Portable.plnSqlCtes("px", "kx") + ", " +
+      "s AS (SELECT source, ts, " +
+      graft.util.Exact.Sql.portableSum(
+        "(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)) * _pln") + " AS kl " +
+      "FROM kx GROUP BY 1, 2) " +
+      "SELECT source, ts AS n_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt("kl") + " AS kl FROM s") {
+    (s, d) =>
+      val tw = TextOps.explodeTokens(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+      // (source, word) counts feed the source totals, the corpus totals
+      // AND the scored join: materialize once
+      val cs = tw.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+        .materialized(eager = false)
+      val ts = cs.groupBy("source").agg(sum("cs").as("ts"))
+      val cw = cs.groupBy("word").agg(sum("cs").as("cw"))
+      val nn = cw.agg(sum("cw").as("n"))
+      val px = cs.join(ts, "source").join(cw, "word").crossJoin(broadcast(nn))
+      Portable.pln(px,
+          (col("cs").cast("double") * col("n").cast("double")) /
+            (col("ts").cast("double") * col("cw").cast("double")), "klt")
+        .groupBy("source", "ts")
+        .agg(graft.util.Exact.portableSum(
+          (col("cs").cast("double") / col("ts").cast("double")) * col("klt")).as("kl"))
+        .select(col("source"), col("ts").as("n_tokens"),
+          graft.util.Exact.pinScoreInt(col("kl")).as("kl"))
+  }
+
+  /** Gini coefficient of the per-source token mass (r10) — the one-number
+    * mix-balance signal (0 = perfectly even sources, →1 = one source is
+    * the corpus) read alongside q_mix_temperature's boosts: temperature
+    * sampling is the LEVER, Gini is the GAUGE tracked per batch. Exact
+    * rank formula G = 2·Σᵢ i·xᵢ / (k·Σx) − (k+1)/k over counts sorted
+    * ascending — all-integer sums to two final IEEE divisions, published
+    * as a grid cell. The rank window is over the SOURCES table (fixed
+    * tiny cardinality, ~20), never the corpus — the single-partition
+    * window is bounded by construction, same argument as q_text_zipf's
+    * top-20 fit. */
+  val aggGiniSource = Q("q_agg_gini_source", "Gini coefficient of per-source token mass")(
+    "WITH t AS (SELECT source, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS x FROM t GROUP BY 1), " +
+      "r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM g), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+      "CAST(sum(i * x) AS BIGINT) AS six FROM r) " +
+      "SELECT k AS n_sources, sx AS total_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(2 * six AS DOUBLE) / CAST(k * sx AS DOUBLE)) - " +
+          "(CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE))") + " AS gini FROM s") {
+    (s, d) =>
+      val g = documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("x"))
+      val r = g.withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
+      r.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum(col("i") * col("x")).as("six"))
+        .select(col("k").as("n_sources"), col("sx").as("total_tokens"),
+          graft.util.Exact.pinScoreInt(
+            ((lit(2L) * col("six")).cast("double") / (col("k") * col("sx")).cast("double")) -
+              ((col("k") + 1).cast("double") / col("k").cast("double"))).as("gini"))
+  }
+
+  /** SoftDeDup-style duplicate down-weighting (r10): every document keeps
+    * its row, weighted 1/n_copies of its normalized-dedup group — the
+    * curation alternative to hard dedup (Semantic Deduplication keeps
+    * information that near-unique docs carry while a verbatim flood
+    * contributes one document's worth of gradient in expectation; the
+    * weight column multiplies into the sampler exactly like
+    * q_mix_temperature's boost). Same group identity as
+    * q_dedup_normalized (contentHash∘normalizeText), so the two publish
+    * consistent decisions; one corpus-linear aggregate + one hash join
+    * back on the group key; the weight leaves as a grid cell. */
+  val dedupWeight = Q("q_dedup_weight", "per-doc duplicate down-weight (1/n_copies)")(
+    "WITH h AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh FROM documents), " +
+      "g AS (SELECT nh, CAST(count(*) AS BIGINT) AS n_copies FROM h GROUP BY 1) " +
+      "SELECT h.doc_id, g.n_copies, " +
+      graft.util.Exact.Sql.pinScoreInt("1.0 / g.n_copies") + " AS weight " +
+      "FROM h JOIN g ON g.nh = h.nh") {
+    (s, d) =>
+      val h = documents(s, d).select(col("doc_id"),
+        TextOps.contentHash(TextOps.normalizeText(col("text"))).as("nh"))
+      val g = h.groupBy("nh").agg(count(lit(1)).as("n_copies"))
+      h.join(g, "nh")
+        .select(col("doc_id"), col("n_copies"),
+          graft.util.Exact.pinScoreInt(lit(1.0) / col("n_copies")).as("weight"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
-    textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters)
+    textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
+    textKlSource, aggGiniSource, dedupWeight)
 }

@@ -1804,11 +1804,69 @@ object VectorQueries {
           coalesce(Exact.pinScoreInt(lit(1.0) / col("first_hit")), lit(0L)).as("rr"))
   }
 
+  /** Recall@3 of the REGISTERED single-probe LSH search (q_ann_lsh,
+    * planes = 2) against the exact cosine top-3 — the recall eval the
+    * IVF family already has (q_eval_ndcg / q_eval_mrr), closing the
+    * index-quality loop for the hyperplane index too: ANNRecallSpec pins
+    * the number at sf0.001; this registers it as a certified, corpus-
+    * tracked metric (recall decays as the corpus outgrows the plane
+    * count — the signal that says "raise planes / stack tables" BEFORE
+    * search quality silently rots). Query universe left-join: a query
+    * alone in its bucket publishes recall 0, not a dropped row. Cost is
+    * the two searches' (both already corpus-bounded); the hit join is
+    * queries×3 rows. */
+  val evalRecallLsh = Q("q_eval_recall_lsh", "recall@3 of the registered LSH vs exact top-3")(
+    "SELECT qs.q, COALESCE(h.n_hits, 0) AS n_hits, " +
+      graft.util.Exact.Sql.pinScoreInt("COALESCE(h.n_hits, 0) / 3.0") + " AS recall " +
+      "FROM (SELECT vec_id AS q FROM embeddings WHERE vec_id < 10) qs " +
+      "LEFT JOIN (SELECT l.q, CAST(count(*) AS BIGINT) AS n_hits FROM (" +
+      annLsh.oracle.get + ") l JOIN (" + annCosineTopk.oracle.get + ") g " +
+      "ON g.q = l.q AND g.c = l.c AND g.rn <= 3 GROUP BY 1) h ON h.q = qs.q") {
+    (s, d) =>
+      val lsh = lshSearch(s, d, planes = 2, multiProbe = false).select("q", "c")
+      val gt = exactCosTopK(embeddings(s, d), 3).select("q", "c")
+      val hits = lsh.join(gt, Seq("q", "c"))
+        .groupBy("q").agg(count(lit(1)).as("n_hits"))
+      evalQs(s, d).join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
+  /** Per-label embedding norm profile (r10): count, mean, min, max of
+    * the decimal-exact L2 norm — the pre-ANN data-quality gate (a label
+    * whose norms collapse toward 0 or spread wildly breaks cosine
+    * geometry and every downstream index; this is the embedding-side
+    * sibling of q_profile_columns). Norms are the decimal-exact dot +
+    * one IEEE sqrt (bit-identical both engines), the mean rides the
+    * binary-grid portable sum, and all three published statistics leave
+    * as grid cells. One corpus scan + one labels-sized aggregate. */
+  val embNormProfile = Q("q_emb_norm_profile", "per-label embedding L2-norm profile")(
+    vecsSql +
+      ", lab AS (SELECT vec_id, label FROM embeddings) " +
+      "SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        graft.util.Exact.Sql.portableSum("n.nrm") + " / count(*)") + " AS mean_nrm, " +
+      graft.util.Exact.Sql.pinScoreInt("min(n.nrm)") + " AS min_nrm, " +
+      graft.util.Exact.Sql.pinScoreInt("max(n.nrm)") + " AS max_nrm " +
+      "FROM n JOIN lab l ON l.vec_id = n.vec_id GROUP BY 1") {
+    (s, d) =>
+      import graft.util.Exact
+      embeddings(s, d)
+        .select(col("label"), expr(normExpr("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          Exact.pinScoreInt(Exact.portableSum(col("nrm")) / count(lit(1))).as("mean_nrm"),
+          Exact.pinScoreInt(min("nrm")).as("min_nrm"),
+          Exact.pinScoreInt(max("nrm")).as("max_nrm"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
     annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
-    annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr)
+    annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr,
+    evalRecallLsh, embNormProfile)
 }
