@@ -368,6 +368,40 @@ object SessionQueries {
           col("frequency"), col("monetary"), col("m_quintile"))
   }
 
+  /** Weekly-cohort LTV triangle (r10): users grouped by the ISO week of
+    * their FIRST event; per (cohort, age-in-weeks) cell, the active
+    * distinct-user count and the decimal-exact purchase revenue — the
+    * lifetime-value curve marketing/product reads next to
+    * q_event_retention's daily triangle (retention says WHO comes back,
+    * LTV says what the returners are WORTH). Week age is day arithmetic
+    * only — floor(datediff/7), IEEE-exact on small integers, identical
+    * on both engines (never engine week-boundary-crossing counters,
+    * whose conventions differ). Cells with activity but no purchase
+    * keep a NULL revenue (visible denominators, the eventAttribution
+    * convention). Shape: one per-user min, one user-keyed join, one
+    * (cohort, age) hash aggregate — the retention plan with an exact
+    * money sum riding along. */
+  val eventCohortLtv = Q("q_event_cohort_ltv", "weekly-cohort LTV triangle (active users + exact revenue)")(
+    "WITH e AS (SELECT user_id, ts, event_type, value FROM events), " +
+      "c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM e GROUP BY 1), " +
+      "j AS (SELECT c.cohort, " +
+      "CAST(floor(date_diff('day', c.cohort, date_trunc('day', e.ts)) / 7.0) AS BIGINT) AS age_w, " +
+      "e.user_id, e.event_type, e.value FROM e JOIN c ON c.user_id = e.user_id) " +
+      "SELECT cohort, age_w, count(DISTINCT user_id) AS n_active, " +
+      Exact.Sql.sum("CASE WHEN event_type = 'purchase' THEN value END") +
+      " AS revenue FROM j GROUP BY 1, 2") {
+    (s, d) =>
+      val e = events(s, d).select("user_id", "ts", "event_type", "value")
+      val c = e.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort"))
+      e.join(c, "user_id")
+        .withColumn("age_w",
+          floor(datediff(date_trunc("day", col("ts")), col("cohort")) / 7.0).cast("long"))
+        .groupBy("cohort", "age_w")
+        .agg(countDistinct("user_id").as("n_active"),
+          Exact.exactSum(when(col("event_type") === "purchase", col("value")))
+            .as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
-    eventAnomaly, scd2, eventTransition, eventPath, eventRfm)
+    eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv)
 }

@@ -1861,6 +1861,63 @@ object VectorQueries {
           Exact.pinScoreInt(max("nrm")).as("max_nrm"))
   }
 
+  /** Per-label embedding centroid DRIFT between the two vec_id-parity
+    * halves of the corpus (r10) — the embedding-space distribution-shift
+    * monitor: the deterministic even/odd split stands in for the two
+    * populations a production pipeline compares (yesterday's crawl vs
+    * today's, train vs holdout — swap the `half` expression for the
+    * batch column and the plan is unchanged). Per (label, half,
+    * component) decimal-exact mean (the mmEmbedPool machinery), then the
+    * cosine between a label's two half-centroids through the portable
+    * grid — drift_cos ≈ 1 means the halves agree; a falling cosine flags
+    * the label whose embedding distribution moved (re-train the IVF
+    * centroids, re-audit dedup). Labels present in only one half drop by
+    * contract (no second centroid to compare). Shuffle is keyed on
+    * (label, half, component) with map-side partials; everything after
+    * is labels×d-sized. */
+  val embCentroidDrift = Q("q_emb_centroid_drift", "per-label half-vs-half centroid drift cosine")(
+    vecsSql +
+      ", m AS (SELECT label, vec_id % 2 AS half, i, " +
+      graft.util.Exact.Sql.avg("e") + " AS m FROM v GROUP BY 1, 2, 3), " +
+      "nh AS (SELECT label, vec_id % 2 AS half, CAST(count(*) AS BIGINT) AS n " +
+      "FROM embeddings GROUP BY 1, 2), " +
+      "p AS (SELECT a.label, " +
+      graft.util.Exact.Sql.portableSum("a.m * b.m") + " AS dot, " +
+      graft.util.Exact.Sql.portableSum("a.m * a.m") + " AS qa, " +
+      graft.util.Exact.Sql.portableSum("b.m * b.m") + " AS qb " +
+      "FROM m a JOIN m b ON b.label = a.label AND b.i = a.i " +
+      "AND a.half = 0 AND b.half = 1 GROUP BY 1) " +
+      "SELECT p.label, na.n AS n_a, nb.n AS n_b, " +
+      graft.util.Exact.Sql.pinScoreInt("p.dot / (sqrt(p.qa) * sqrt(p.qb))") +
+      " AS drift_cos FROM p " +
+      "JOIN nh na ON na.label = p.label AND na.half = 0 " +
+      "JOIN nh nb ON nb.label = p.label AND nb.half = 1") {
+    (s, d) =>
+      import graft.util.Exact
+      val base = embeddings(s, d)
+      val m = base
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("i", "e")))
+        .groupBy("label", "half", "i")
+        .agg(Exact.exactAvg(col("e").cast("double")).as("m"))
+        .materialized(eager = false) // both join sides
+      val p = m.filter(col("half") === 0)
+        .select(col("label"), col("i"), col("m").as("ma"))
+        .join(m.filter(col("half") === 1)
+          .select(col("label"), col("i"), col("m").as("mb")), Seq("label", "i"))
+        .groupBy("label")
+        .agg(Exact.portableSum(col("ma") * col("mb")).as("dot"),
+          Exact.portableSum(col("ma") * col("ma")).as("qa"),
+          Exact.portableSum(col("mb") * col("mb")).as("qb"))
+      val nh = base.groupBy(col("label"), (col("vec_id") % 2).as("half"))
+        .agg(count(lit(1)).as("n"))
+      p.join(nh.filter(col("half") === 0).select(col("label"), col("n").as("n_a")), "label")
+        .join(nh.filter(col("half") === 1).select(col("label"), col("n").as("n_b")), "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          Exact.pinScoreInt(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))))
+            .as("drift_cos"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
@@ -1868,5 +1925,5 @@ object VectorQueries {
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr,
-    evalRecallLsh, embNormProfile)
+    evalRecallLsh, embNormProfile, embCentroidDrift)
 }

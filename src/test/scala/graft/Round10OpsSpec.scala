@@ -112,6 +112,53 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2) == ((1L, 13L * Grid.toLong, 13L * Grid.toLong, 13L * Grid.toLong)))
   }
 
+  test("centroid_drift: orthogonal halves score 0, aligned halves ~1, single-half labels drop") {
+    val dir = tmpDir("drift")
+    def vec(a: Double, b: Double) =
+      (Array(a, b) ++ Array.fill(6)(0.0)).map(_.toFloat).toSeq
+    Seq(
+      (0L, vec(1, 0), 1), (1L, vec(0, 1), 1),   // halves orthogonal -> cos 0
+      (2L, vec(2, 0), 2), (3L, vec(2, 0), 2),   // identical -> cos 1 exactly
+      (4L, vec(1, 0), 3), (6L, vec(0, 1), 3),   // even centroid (.5,.5)
+      (5L, vec(1, 1), 3),                        // odd centroid (1,1) -> cos ~1
+      (8L, vec(1, 0), 4))                        // even-only label: no pair
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorQueries.embCentroidDrift.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1, 2, 3))
+    assert(out(1) == ((1L, 1L, 0L)))                     // cos 0 -> cell 0
+    assert(out(2) == ((1L, 1L, Grid.toLong)))            // cos 1 -> cell 2^30
+    assert(out(3)._1 == 2L && out(3)._2 == 1L)
+    assert(math.abs(out(3)._3 / Grid - 1.0) < 1e-9)      // colinear centroids
+  }
+
+  test("cohort_ltv: crafted two-cohort events yield the exact triangle") {
+    val dir = tmpDir("ltv")
+    val rows = Seq(
+      // u1: cohort week 2024-01-01; purchase age 0, click-only age 1
+      (1L, 1L, "2024-01-02 10:00:00", "purchase", 10.0),
+      (2L, 1L, "2024-01-09 10:00:00", "click", 3.0),
+      // u2: cohort week 2024-01-08; purchases at ages 0 and 1
+      (3L, 2L, "2024-01-10 10:00:00", "purchase", 5.0),
+      (4L, 2L, "2024-01-17 10:00:00", "purchase", 7.0))
+    rows.map { case (e, u, t, ty, v) => (e, t, u, ty, v, "{}") }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.SessionQueries.eventCohortLtv.fn(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val w1 = "2024-01-01 00:00:00.0"; val w2 = "2024-01-08 00:00:00.0"
+    assert(out.keySet == Set((w1, 0L), (w1, 1L), (w2, 0L), (w2, 1L)))
+    assert(out((w1, 0L)) == ((1L, Some(10.0))))
+    assert(out((w1, 1L)) == ((1L, None))) // active but purchase-less: NULL revenue
+    assert(out((w2, 0L)) == ((1L, Some(5.0))))
+    assert(out((w2, 1L)) == ((1L, Some(7.0))))
+  }
+
   test("norm_profile invariants on real embeddings: complete, ordered, positive") {
     val rows = VectorQueries.embNormProfile.fn(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
