@@ -63,12 +63,13 @@ object VectorQueries {
     * ×10-and-beyond path. Integer ops only, identical in both engines
     * (⌈√n⌉ < 2²⁶ for any n < 2⁵², so the double sqrt/ceil is exact). */
   private[queries] def seedSamp(n: Long): Long =
-    math.max(50L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    math.max(50L, n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
 
-  /** Oracle twin of [[seedSamp]], as a 1-row CTE `kseed(samp)`. */
+  /** Oracle twin of [[seedSamp]], as a 1-row CTE `kseed(samp)` (the inner
+    * greatest(1, ·) guards the n = 0 division on both engines). */
   private val kseedSql =
-    "kseed AS (SELECT greatest(50, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) " +
-      "AS samp FROM embeddings)"
+    "kseed AS (SELECT greatest(50, count(*) // " +
+      "greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS samp FROM embeddings)"
 
   /** The flat seed-centroid table — (cid, ecent, ncent), one definition
     * for every flat-assignment query so the stride rule cannot fork. */
