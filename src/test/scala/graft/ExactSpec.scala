@@ -101,6 +101,32 @@ class ExactSpec extends SparkSpec {
     assert(flips < xs.size / 100, s"ulp-nudge flipped $flips of ${xs.size}")
   }
 
+  test("pinScoreInt is the grid CELL of pinScore: integer-typed, stacking-stable, null-safe") {
+    import spark.implicits._
+    val gen = Gen.listOfN(4000, Gen.choose(-500.0, 500.0))
+    val xs = gen.apply(Gen.Parameters.default, Seed(11L)).get
+      .map(x => math.log(math.abs(x) + 1e-3) * 37.0)
+    val rows = xs.map(Tuple1(_)).toDF("v")
+      .select(Exact.pinScoreInt(col("v")).as("c"),
+        Exact.pinScoreInt(Exact.pinScore(col("v"))).as("stacked"),
+        Exact.pinScore(col("v")).as("p"))
+      .collect()
+    rows.zip(xs).foreach { case (r, x) =>
+      val cell = r.getLong(0)
+      // the cell IS floor(x·2^30), and cell/2^30 recovers the pinned double
+      assert(cell == math.floor(x * 1073741824.0).toLong)
+      assert(cell / 1073741824.0 == r.getDouble(2))
+      // stacking on an already-pinned double publishes the SAME cell —
+      // the r10 query pattern (pin internally, int-publish at the edge)
+      assert(r.getLong(1) == cell)
+    }
+    // null in, null out — and the column is LongType (no double in schema)
+    val n = Seq(Tuple1(Option.empty[Double])).toDF("v")
+      .select(Exact.pinScoreInt(col("v")))
+    assert(n.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(n.collect().head.isNullAt(0))
+  }
+
   test("portableSum is partition-order-invariant and decimal-cast-free exact") {
     import spark.implicits._
     // log-derived addends — the domain where the DECIMAL detour drifted
