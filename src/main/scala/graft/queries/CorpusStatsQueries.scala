@@ -852,8 +852,54 @@ object CorpusStatsQueries {
           graft.util.Exact.pinScoreInt(lit(1.0) / col("n_copies")).as("weight"))
   }
 
+  /** Per-source distinct-n n-gram diversity (r10) — the distinct-1/2/3
+    * ratios (Li et al.'s distinct-n, the generation-diversity staple)
+    * read here as a CORPUS-health gauge: a source whose distinct-3 ratio
+    * collapses is emitting templated/looped text (the per-source
+    * companion of q_text_repetition's per-doc signals, and the
+    * n-gram-shape complement of q_text_kl_source's unigram divergence).
+    * One row per (source, n ∈ {1,2,3}): total n-grams, distinct n-grams,
+    * and the pinned ratio.
+    *
+    * Scale: n-gram explode is corpus-linear (≤ 3 rows per token
+    * position); the distinct count is an exact two-phase countDistinct
+    * keyed on (source, n, gram) — keyspace is the distinct-gram
+    * vocabulary, partial-aggregated before its shuffle; the final frame
+    * is |sources|×3 rows. No floats until the one pinned division. */
+  val textDistinctNgrams = Q("q_text_distinct_ngrams", "per-source distinct-1/2/3 n-gram diversity")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "ds AS (SELECT doc_id, source FROM documents), " +
+      "g1 AS (SELECT ds.source, 1 AS n, t.word AS g " +
+      "FROM tokw t JOIN ds ON ds.doc_id = t.doc_id), " +
+      "g2 AS (SELECT ds.source, 2 AS n, sp[i] || ' ' || sp[i+1] AS g " +
+      "FROM tok t JOIN ds ON ds.doc_id = t.doc_id WHERE i + 1 <= len(sp)), " +
+      "g3 AS (SELECT ds.source, 3 AS n, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS g " +
+      "FROM tok t JOIN ds ON ds.doc_id = t.doc_id WHERE i + 2 <= len(sp)), " +
+      "u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3) " +
+      "SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_total, " +
+      "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
+      " AS distinct_ratio FROM u GROUP BY 1, 2") {
+    (s, d) =>
+      val base = documents(s, d)
+        .select(col("source"), TextOps.tokens(col("text")).as("sp"))
+      def grams(n: Int): DataFrame = base.select(col("source"), lit(n.toLong).as("n"),
+        explode(when(size(col("sp")) >= n,
+          transform(sequence(lit(1), size(col("sp")) - (n - 1)),
+            i => concat_ws(" ", slice(col("sp"), i, lit(n)))))
+          .otherwise(typedLit(Array.empty[String]))).as("g"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy("source", "n")
+        .agg(count(lit(1)).as("n_total"), countDistinct("g").as("n_distinct"))
+        .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
+          graft.util.Exact.pinScoreInt(
+            col("n_distinct").cast("double") / col("n_total").cast("double"))
+            .as("distinct_ratio"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
-    textKlSource, aggGiniSource, dedupWeight)
+    textKlSource, aggGiniSource, dedupWeight, textDistinctNgrams)
 }

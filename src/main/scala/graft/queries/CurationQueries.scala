@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.ops.TextOps
 import graft.util.Materialize.Ops
+import graft.util.Portable
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -190,5 +191,73 @@ object CurationQueries {
         .select(col("doc_id"), col("g.*"))
   }
 
-  val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher)
+  /** DSIR-style importance weight (r10) — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every raw document by the mean
+    * per-token log-likelihood ratio between a TARGET unigram LM and the
+    * RAW-corpus unigram LM, so resampling ∝ exp(weight) tilts the mix
+    * toward the target distribution. Target here is the corpus's own
+    * `lang = 'en'` slice (the head distribution a curation pass upsamples
+    * toward); the raw model is the whole corpus. Target probabilities are
+    * add-1 smoothed over the raw vocabulary (p_t = (ct+1)/(Tt+V)) so
+    * every raw word scores finitely; the raw model needs no smoothing
+    * (its support covers every token by construction). High dsir = "this
+    * document reads like the target"; the weight column multiplies into
+    * the sampler exactly like q_mix_temperature's boost and
+    * q_dedup_weight's down-weight.
+    *
+    * Scale: the log-ratio is computed ONCE PER VOCABULARY WORD (pln over
+    * the joined count table — never per token); corpus scalars (Tt, Tr,
+    * V) ride a broadcast 1-row frame; the per-doc fold is the
+    * binary-grid portable sum over the (doc, word) tf table and the
+    * published mean is pinned — the full drift-proof contract of the
+    * perplexity-filter family (q_text_unigram_logprob's plumbing, scoring
+    * a RATIO of two LMs instead of one). */
+  val mixDsirWeight = Q("q_mix_dsir_weight", "DSIR importance weight vs the en-slice target LM")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM tokw GROUP BY 1, 2), " +
+      "cr AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY 1), " +
+      "ct0 AS (SELECT t.word, CAST(sum(t.tf) AS BIGINT) AS ct FROM tf t " +
+      "JOIN documents d ON d.doc_id = t.doc_id AND d.lang = 'en' GROUP BY 1), " +
+      "ctt AS (SELECT c.word, c.cr, coalesce(t.ct, 0) AS ct " +
+      "FROM cr c LEFT JOIN ct0 t USING (word)), " +
+      "sc AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr, " +
+      "CAST(count(*) AS BIGINT) AS v FROM ctt), " +
+      "px AS (SELECT ctt.word, " +
+      "((CAST(ctt.ct AS DOUBLE) + 1.0) * CAST(sc.tr AS DOUBLE)) / " +
+      "((CAST(sc.tt AS DOUBLE) + CAST(sc.v AS DOUBLE)) * CAST(ctt.cr AS DOUBLE)) AS _lnx " +
+      "FROM ctt CROSS JOIN sc), " +
+      Portable.plnSqlCtes("px", "lw") + ", " +
+      "s AS (SELECT t.doc_id, " +
+      graft.util.Exact.Sql.portableSum("CAST(t.tf AS DOUBLE) * l._pln") + " AS s, " +
+      "CAST(sum(t.tf) AS BIGINT) AS dl FROM tf t JOIN lw l ON l.word = t.word GROUP BY 1) " +
+      "SELECT doc_id, dl, " +
+      graft.util.Exact.Sql.pinScoreInt("s / CAST(dl AS DOUBLE)") + " AS dsir FROM s") {
+    (s, d) =>
+      // (doc, word) tf feeds the raw counts, the target counts AND the
+      // final scored fold: materialize once
+      val tf = TextOps.explodeTokens(documents(s, d))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .materialized(eager = false)
+      val cr = tf.groupBy("word").agg(sum("tf").as("cr"))
+      val ct0 = tf
+        .join(documents(s, d).filter(col("lang") === "en").select("doc_id"), "doc_id")
+        .groupBy("word").agg(sum("tf").as("ct"))
+      // vocabulary-sized word table feeds the scalar totals AND the pln
+      val ctt = cr.join(ct0, Seq("word"), "left")
+        .select(col("word"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        .materialized(eager = false)
+      val sc = ctt.agg(sum("ct").as("tt"), sum("cr").as("tr"), count(lit(1)).as("v"))
+      val lw = Portable.pln(ctt.crossJoin(broadcast(sc)),
+          ((col("ct").cast("double") + 1.0) * col("tr").cast("double")) /
+            ((col("tt").cast("double") + col("v").cast("double")) *
+              col("cr").cast("double")), "lr")
+        .select("word", "lr")
+      tf.join(lw, "word").groupBy("doc_id")
+        .agg(graft.util.Exact.portableSum(col("tf").cast("double") * col("lr")).as("s"),
+          sum("tf").as("dl"))
+        .select(col("doc_id"), col("dl"),
+          graft.util.Exact.pinScoreInt(col("s") / col("dl").cast("double")).as("dsir"))
+  }
+
+  val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight)
 }

@@ -402,6 +402,45 @@ object SessionQueries {
             .as("revenue"))
   }
 
+  /** Frequent 3-event sequence n-grams (r10) — sequence-mining lite: every
+    * SLIDING window of three consecutive event types in each user's
+    * time-ordered stream, counted across the corpus with a support floor
+    * (≥ 5 occurrences). This is the whole-stream generalization of
+    * q_event_path (first-3 prefix only) and the 3-step extension of
+    * q_event_transition's one-step matrix — the support-counted patterns
+    * a funnel designer mines BEFORE hand-declaring a funnel. Occurrence
+    * count and distinct-user support publish together (a pattern one bot
+    * loops 1000× vs one 1000 users each hit once are different facts).
+    *
+    * Scale: one user-keyed window shuffle (two leads over the same
+    * frame), then a bounded-key aggregate — the n-gram domain is
+    * ≤ |event types|³, so the final count/countDistinct shuffle is
+    * tiny regardless of corpus; integer-µs ordering ties broken by
+    * event_id exactly as the attribution/path ops do. */
+  val eventSeqNgram = Q("q_event_seq_ngram", "frequent 3-event sequence n-grams (support >= 5)")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "s AS (SELECT user_id, event_type AS e1, " +
+      "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e2, " +
+      "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e3 " +
+      "FROM e) " +
+      "SELECT e1, e2, e3, count(*) AS n_occur, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+      "FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3 HAVING count(*) >= 5") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_occur"), countDistinct("user_id").as("n_users"))
+        .filter(col("n_occur") >= 5)
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
-    eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv)
+    eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
+    eventSeqNgram)
 }

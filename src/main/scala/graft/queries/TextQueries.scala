@@ -542,7 +542,95 @@ object TextQueries {
         .filter(col("n_frames") > 1)
   }
 
+  /** Flesch-style readability estimate (r10) — the classic
+    * surface-statistics quality signal (Flesch 1948; Kincaid's reformulation
+    * drives the same three counts), the READABILITY rung of the quality
+    * ladder next to q_text_quality's shape ratios and q_text_gopher's
+    * pass rules: score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Sentences are [.!?]+ runs (clamped at 1 so
+    * unpunctuated docs stay defined); syllables are the standard
+    * vowel-group heuristic ([aeiouy]+ runs over the lowercased text) — a
+    * deterministic estimator, not a dictionary. Counts publish alongside
+    * the pinned score so a downstream threshold can re-derive any
+    * variant formula (FKGL etc.) without re-reading text.
+    *
+    * Scale: pure map-side projection — two regexp scans + one split per
+    * row, no shuffle, whole row inside one WholeStageCodegen span; the
+    * score is three correctly-rounded IEEE ops in one written order,
+    * published as a grid cell. Regex parity: both classes are the
+    * alternation-free ASCII subset CurationQueries documents. */
+  val textReadability = Q("q_text_readability", "Flesch readability estimate (vowel-group syllables)")(
+    "WITH b AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+      "CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents, " +
+      "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll " +
+      "FROM documents WHERE text IS NOT NULL) " +
+      "SELECT doc_id, n_words, n_sents, n_syll, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
+          "- 84.6 * (CAST(n_syll AS DOUBLE) / CAST(greatest(1, n_words) AS DOUBLE))") +
+      " AS flesch FROM b") {
+    (s, d) =>
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+            .as("n_sents"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          graft.util.Exact.pinScoreInt(
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double")) -
+              lit(84.6) * (col("n_syll").cast("double") /
+                greatest(lit(1L), col("n_words")).cast("double"))).as("flesch"))
+  }
+
+  /** Edit-distance VERIFICATION of the MinHash-LSH candidates (r10) — the
+    * re-rank rung between the signature-only estimate
+    * (q_minhash_jaccard_est) and a keep/drop verdict: per candidate pair,
+    * the character Levenshtein distance on the 120-char text PREFIX and
+    * the normalized similarity 1 − d/max_len. Prefix truncation is the
+    * contract, not a shortcut: it caps the per-pair DP at 120² cells so
+    * verification cost is bounded per candidate regardless of document
+    * length (a full-text edit distance is quadratic in doc length and
+    * belongs offline); near-dup prefixes are where template/mirror
+    * duplicates agree first. Both engines' levenshtein is plain
+    * character edit distance, identical on the ASCII fixture.
+    *
+    * Scale: candidate volume is the banded-LSH Σ bucket² (never corpus²);
+    * the two text-prefix joins are doc_id equi-joins; the DP runs inside
+    * the projection — no extra shuffle beyond the candidate build. */
+  val dedupEditVerify = Q("q_dedup_edit_verify", "Levenshtein verification of LSH candidates (120-char prefix)")(
+    "WITH " + minhashPairsBody + ", " +
+      "tx AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents), " +
+      "lv AS (SELECT p.doc_a, p.doc_b, " +
+      "CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist, " +
+      "CAST(greatest(1, greatest(len(a.t), len(b.t))) AS BIGINT) AS max_len " +
+      "FROM pairs p JOIN tx a ON a.doc_id = p.doc_a JOIN tx b ON b.doc_id = p.doc_b) " +
+      "SELECT doc_a, doc_b, edit_dist, max_len, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE)") +
+      " AS edit_sim FROM lv") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val tx = docs.select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      TextOps.minhashPairs(docs)
+        .join(tx.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+        .join(tx.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          greatest(lit(1L),
+            greatest(length(col("ta")), length(col("tb"))).cast("long")).as("max_len"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
+          graft.util.Exact.pinScoreInt(
+            lit(1.0) - col("edit_dist").cast("double") / col("max_len").cast("double"))
+            .as("edit_sim"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
-    textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup)
+    textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
+    textReadability, dedupEditVerify)
 }
