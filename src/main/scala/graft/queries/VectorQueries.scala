@@ -1919,6 +1919,152 @@ object VectorQueries {
             .as("drift_cos"))
   }
 
+  /** IVF-PQ composition (r10) — the actual FAISS-style layout that scales
+    * vector search to 100 TB: the IVF coarse quantizer prunes the corpus
+    * to the query's cluster (q_ann_ivf's seed assignment, spliced
+    * verbatim) and product quantization compresses each vector's RESIDUAL
+    * against its centroid into 8 code nibbles (q_ann_pq's codebook shape,
+    * trained on residuals — residual encoding is the whole point of the
+    * composition: residual magnitudes are a fraction of vector
+    * magnitudes, so the same 16-codeword budget quantizes far finer).
+    * Search is per-cluster ADC: the query's residual LUT (8×16 exact
+    * subspace distances against the shared codebook) scores every
+    * same-cluster candidate by 8 table lookups — no candidate vector is
+    * ever read.
+    *
+    * Scale: assignment is the map-only broadcast-fold (assignClusters);
+    * residual + encoding is corpus-linear against a broadcast 128-row
+    * codebook; the ADC join is keyed on (cluster, s, code) with
+    * candidates bounded by cluster size — at scale the corpus resides as
+    * 8-byte codes + a cluster id per vector. Exactness contract is
+    * q_ann_pq's: decimal-exact subspace dots, one written IEEE order for
+    * dist², the 8-term ADC sum on the order-free binary grid, published
+    * pinned — assignment, residual, encoding and search all replay
+    * bit-for-bit in the oracle. */
+  val annIvfPq = Q("q_ann_ivf_pq", "IVF-PQ residual ADC top-3 (per-cluster search)")(
+    vecsSql +
+      seedAssignCtes +
+      "res AS (SELECT a.vid, a.cluster, x.i, x.e - c.e AS r FROM assign a " +
+      "JOIN v x ON x.vec_id = a.vid " +
+      "JOIN v c ON c.vec_id = a.cluster AND c.i = x.i), " +
+      "rq AS (SELECT vid, cluster, CAST((i - 1) // 8 AS BIGINT) AS s, i, r FROM res), " +
+      "ssr AS (SELECT vid, s, CAST(SUM(CAST(r*r AS DECIMAL(38,8))) AS DOUBLE) AS ss " +
+      "FROM rq GROUP BY 1, 2), " +
+      "cb AS (SELECT vid AS code, s, i, r FROM rq WHERE vid < 16), " +
+      "ssc AS (SELECT code, s, CAST(SUM(CAST(r*r AS DECIMAL(38,8))) AS DOUBLE) AS ss " +
+      "FROM cb GROUP BY 1, 2), " +
+      "cr AS (SELECT a.vid, a.cluster, b.code, a.s, " +
+      "CAST(SUM(CAST(a.r * b.r AS DECIMAL(38,8))) AS DOUBLE) AS cx " +
+      "FROM rq a JOIN cb b ON b.i = a.i GROUP BY 1, 2, 3, 4), " +
+      "d2 AS (SELECT cr.vid, cr.cluster, cr.code, cr.s, sv.ss - 2 * cr.cx + sc.ss AS dist2 " +
+      "FROM cr JOIN ssr sv ON sv.vid = cr.vid AND sv.s = cr.s " +
+      "JOIN ssc sc ON sc.code = cr.code AND sc.s = cr.s), " +
+      "enc AS (SELECT vid, cluster, s, code FROM (SELECT d2.*, " +
+      "row_number() OVER (PARTITION BY vid, s ORDER BY dist2, code) AS rn FROM d2) " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT vid AS q, cluster AS qcl, s, code, dist2 FROM d2 WHERE vid < 5), " +
+      "adc AS (SELECT l.q, e.vid AS c, e.cluster, " +
+      graft.util.Exact.Sql.pinScoreInt(graft.util.Exact.Sql.portableSum("l.dist2")) +
+      " AS adc FROM enc e JOIN lut l ON l.qcl = e.cluster AND l.s = e.s AND l.code = e.code " +
+      "WHERE e.vid <> l.q GROUP BY 1, 2, 3) " +
+      "SELECT q, c, cluster, adc, rn FROM (SELECT adc.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY adc, c) AS rn FROM adc) WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = seedCents(base)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClusters(all, cents)
+      // residual = vector − its centroid, per component (both cast to
+      // double FIRST, then one correctly-rounded subtraction — the
+      // oracle's a.e − c.e on its pre-cast v rows)
+      val resid = assign.join(all, "vid")
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("vid"), col("cluster"),
+          zip_with(col("ev"), col("ecent"),
+            (x, c) => x.cast("double") - c.cast("double")).as("rv"))
+        .materialized() // feeds the corpus subspaces AND the codebook
+      val subs = resid
+        .select(col("vid"), col("cluster"),
+          explode(array((0 until 8).map(lit): _*)).as("s"), col("rv"))
+        .withColumn("sub", expr("slice(rv, s * 8 + 1, 8)")).drop("rv")
+        .withColumn("ssr", expr(dotExpr("sub", "sub")))
+      val cb = subs.filter(col("vid") < 16)
+        .select(col("vid").as("code"), col("s"),
+          col("sub").as("cw"), col("ssr").as("ssc"))
+      // corpus × (16 codewords / subspace): broadcast the 128-row codebook
+      val d2 = subs.join(broadcast(cb), "s")
+        .withColumn("dist2",
+          col("ssr") - lit(2) * expr(dotExpr("sub", "cw")) + col("ssc"))
+        .select("vid", "cluster", "s", "code", "dist2")
+        .materialized() // feeds encoding AND the query LUTs
+      val wEnc = Window.partitionBy("vid", "s").orderBy(col("dist2"), col("code"))
+      val enc = d2.withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+        .select("vid", "cluster", "s", "code")
+      val lut = d2.filter(col("vid") < 5)
+        .select(col("vid").as("q"), col("cluster").as("qcl"),
+          col("s").as("qs"), col("code").as("qcode"), col("dist2"))
+      val adc = enc.join(broadcast(lut),
+          col("cluster") === col("qcl") && col("s") === col("qs")
+            && col("code") === col("qcode"))
+        .filter(col("vid") =!= col("q"))
+        .groupBy(col("q"), col("vid").as("c"), col("cluster"))
+        .agg(graft.util.Exact.pinScoreInt(
+          graft.util.Exact.portableSum(col("dist2"))).as("adc"))
+      val w = Window.partitionBy("q").orderBy(col("adc"), col("c"))
+      adc.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+        .select("q", "c", "cluster", "adc", "rn")
+  }
+
+  /** kNN-graph HUBNESS profile (r10) — the in-degree histogram of the
+    * registered within-cluster kNN graph (q_ann_knn_join's edges,
+    * recomputed through the same fn so the graded graph can never drift).
+    * Hubness is the high-dimensional pathology (Radovanović et al.): a
+    * few vectors appear in everyone's neighbor list (huge in-degree)
+    * while many appear in none (in-degree 0, the zero bucket published
+    * from corpus − covered), and a skewed profile degrades both kNN
+    * classification and mutual-graph connectivity — this is the
+    * diagnostic read BEFORE trusting q_ann_knn_classify/q_graph_pagerank
+    * downstream. Out-degree is ≤ 3 by construction, so in-degree carries
+    * all the signal.
+    *
+    * Scale: two bounded-key integer aggregates over the edge list (edges
+    * = 3·corpus rows); the zero bucket rides two 1-row broadcast frames.
+    * All-integer output — nothing to pin. */
+  val graphHubness = Q("q_graph_hubness", "kNN-graph in-degree histogram (hubness profile)")(
+    vecsSql +
+      seedAssignCtes +
+      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+      "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
+      "pdots AS (SELECT p.q, p.c, p.cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "pcos AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "knn AS (SELECT q, c FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3), " +
+      "ind AS (SELECT c, CAST(count(*) AS BIGINT) AS in_deg FROM knn GROUP BY 1), " +
+      "hist AS (SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs FROM ind GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), " +
+      "cov AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM ind) " +
+      "SELECT in_deg, n_vecs FROM hist UNION ALL " +
+      "SELECT CAST(0 AS BIGINT) AS in_deg, t.n - cv.nc AS n_vecs " +
+      "FROM tot t CROSS JOIN cov cv WHERE t.n - cv.nc > 0") {
+    (s, d) =>
+      val edges = annKnnJoin.fn(s, d).select("q", "c")
+      val ind = edges.groupBy("c").agg(count(lit(1)).as("in_deg"))
+        .materialized(eager = false) // feeds the histogram AND the coverage count
+      val hist = ind.groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
+      val tot = embeddings(s, d).agg(count(lit(1)).as("n"))
+      val cov = ind.agg(count(lit(1)).as("nc"))
+      val zero = tot.crossJoin(cov)
+        .select(lit(0L).as("in_deg"), (col("n") - col("nc")).as("n_vecs"))
+        .filter(col("n_vecs") > 0)
+      hist.unionByName(zero)
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
@@ -1926,5 +2072,5 @@ object VectorQueries {
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr,
-    evalRecallLsh, embNormProfile, embCentroidDrift)
+    evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness)
 }
