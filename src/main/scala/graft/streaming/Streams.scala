@@ -553,6 +553,74 @@ object Streams {
     * its event_id is lower. Identical instants are sub-microsecond rare
     * in a real stream; callers needing the batch rule bit-for-bit fold
     * with the same (ts, event_id) tie-break at read time. */
+  final case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  final case class SeqCarry(n: Int, t1: Long, i1: Long, s1: String,
+      t2: Long, i2: Long, s2: String)
+  final case class SeqTri(user_id: Long, e1: String, e2: String, e3: String)
+
+  /** Streaming 3-event sequence n-grams — the continuous twin of the
+    * batch q_event_seq_ngram (queries/SessionQueries.scala): per user,
+    * `flatMapGroupsWithState` carries the LAST TWO events (the minimal
+    * trigram context) across micro-batches and emits every sliding
+    * trigram of consecutive event types as it completes — including the
+    * ones that SPAN a batch/restart boundary, which a per-batch window
+    * could never see. Each emitted trigram row appears exactly once: the
+    * carry holds ≤ 2 events, so every 3-window over carry ++ batch
+    * contains at least one new event.
+    *
+    * State is one 2-slot case class per user — bounded by users, never by
+    * event volume. Within a drain, rows fold in (ts_us, event_id) order
+    * (the batch window's exact tie rule); like funnelStages/streamingEma,
+    * batches are assumed to arrive in time order per key (the
+    * AvailableNow snapshot-drop layout provides this) — a late event
+    * arriving after its successors were consumed would splice into the
+    * wrong position, the documented append-only contract. The support
+    * aggregate lives in [[seqNgramRollup]] at read time, because support
+    * counts are corpus-global and only final at read — the same
+    * fold-at-read layout as attributionJoin/funnelDailyRollup. */
+  def seqNgramStages(spark: SparkSession, sourceDir: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqCarry, SeqTri](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val carried: Seq[SeqEvent] = state.getOption.toSeq.flatMap { c =>
+          (if (c.n >= 2) Seq(SeqEvent(uid, c.t1, c.i1, c.s1)) else Nil) ++
+            (if (c.n >= 1) Seq(SeqEvent(uid, c.t2, c.i2, c.s2)) else Nil)
+        }
+        val merged = carried ++ rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        val tris = merged.sliding(3).filter(_.size == 3)
+          .map(w => SeqTri(uid, w(0).event_type, w(1).event_type, w(2).event_type))
+          .toList
+        state.update(merged.takeRight(2) match {
+          case Seq(a, b) => SeqCarry(2, a.ts_us, a.event_id, a.event_type,
+            b.ts_us, b.event_id, b.event_type)
+          case Seq(b) => SeqCarry(1, 0L, 0L, "", b.ts_us, b.event_id, b.event_type)
+          case _ => SeqCarry(0, 0L, 0L, "", 0L, 0L, "")
+        })
+        tris.iterator
+      }.toDF()
+  }
+
+  /** Read-side support rollup over seqNgramStages' append-only sink — the
+    * columns q_event_seq_ngram publishes (n_occur / n_users per trigram,
+    * support floor 5). Every staged row is one trigram OCCURRENCE emitted
+    * exactly once, so a plain count over the sink is the batch count —
+    * no latest-row selection needed (contrast funnelDailyRollup's
+    * write-once staged mins). */
+  def seqNgramRollup(staged: DataFrame): DataFrame =
+    staged.groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("user_id").as("n_users"))
+      .filter(col("n_occur") >= 5)
+
   def attributionJoin(spark: SparkSession, sourceDir: String, schema: StructType,
       watermark: String = "1 hour", lookback: String = "7 days"): DataFrame = {
     def src() = spark.readStream.schema(schema).parquet(sourceDir)

@@ -629,4 +629,69 @@ class LakeStreamSpec extends SparkSpec {
     assert(got((2L, 20L)) == 75.0)
     assert(got((2L, 30L)) == 37.5)
   }
+
+  test("Streams.seqNgramStages emits boundary-spanning trigrams once; rollup equals the batch miner") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.seqNgramStages(spark, src, schema)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val cyc = Seq("A", "B", "C")
+    // run 1: user 1 has only A,B (no trigram yet); user 2 a 4-event path;
+    // user 3 seven A>B>C cycles (support for the >=5 floor)
+    ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:01:00", "B"),
+      (10L, 2L, "2024-01-01 09:00:00", "X"),
+      (11L, 2L, "2024-01-01 09:01:00", "Y"),
+      (12L, 2L, "2024-01-01 09:02:00", "Z"),
+      (13L, 2L, "2024-01-01 09:03:00", "W")) ++
+      (0 until 21).map(i =>
+        (100L + i, 3L, f"2024-01-01 11:$i%02d:00", cyc(i % 3))))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val run1 = spark.read.parquet(out)
+      .as[Streams.SeqTri].collect().toSeq
+    // user 1 has no trigram yet; user 2 has XYZ + YZW; user 3 has 19
+    assert(!run1.exists(_.user_id == 1L))
+    assert(run1.count(_.user_id == 2L) == 2)
+    assert(run1.count(_.user_id == 3L) == 19)
+    // run 2 (restart): user 1's C,D complete A>B>C and B>C>D across the
+    // checkpoint boundary — the trigrams no per-batch window could see
+    ev(Seq(
+      (3L, 1L, "2024-01-01 10:02:00", "C"),
+      (4L, 1L, "2024-01-01 10:03:00", "D")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val staged = spark.read.parquet(out).as[Streams.SeqTri].collect().toSeq
+    val u1 = staged.filter(_.user_id == 1L).map(t => (t.e1, t.e2, t.e3))
+    assert(u1.sorted == Seq(("A", "B", "C"), ("B", "C", "D")))
+    assert(staged.size == run1.size + 2, "run 2 emits exactly the 2 new trigrams")
+
+    // the read-side rollup equals the batch q_event_seq_ngram on the lake
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    val got = Streams.seqNgramRollup(spark.read.parquet(out))
+      .as[(String, String, String, Long, Long)].collect().toSet
+    val batch = graft.queries.SessionQueries.eventSeqNgram.fn(spark, evDir)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got == batch, s"stream rollup $got != batch $batch")
+    // A>B>C appears 7x for user 3 plus once for user 1 across the restart
+    assert(got.contains(("A", "B", "C", 8L, 2L)))
+    assert(got.contains(("B", "C", "A", 6L, 1L)))
+    assert(got.contains(("C", "A", "B", 6L, 1L)))
+    assert(got.size == 3)
+  }
 }
