@@ -852,6 +852,44 @@ object CorpusStatsQueries {
           graft.util.Exact.pinScoreInt(lit(1.0) / col("n_copies")).as("weight"))
   }
 
+  /** Duplicate-cluster SIZE distribution (r10): the histogram a dedup
+    * run is judged by — how many exact-duplicate groups exist at each
+    * multiplicity, how many documents they hold, and what share of the
+    * corpus sits in groups of that size. Shares publish as grid cells
+    * over one exact integer division. Same group identity as
+    * q_dedup_normalized / q_dedup_weight (contentHash∘normalizeText), so
+    * the three read as one consistent dedup report.
+    *
+    * Scale: the group-size agg is the normalized-dedup hash agg
+    * (corpus-linear, map-side partial on the content hash); the
+    * histogram re-agg runs on the GROUPS frame keyed by size — keyspace
+    * bounded by the largest duplicate multiplicity; the scalar total
+    * broadcasts back. No windows, no joins on the corpus. */
+  val dedupClusterSizes = Q("q_dedup_cluster_sizes", "duplicate-group size histogram + corpus share")(
+    "WITH h AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh FROM documents), " +
+      "g AS (SELECT nh, CAST(count(*) AS BIGINT) AS sz FROM h GROUP BY 1), " +
+      "hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_groups FROM g GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents) " +
+      "SELECT hist.sz, hist.n_groups, hist.sz * hist.n_groups AS n_docs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(hist.sz * hist.n_groups AS DOUBLE) / tot.n_docs_total") +
+      " AS doc_share FROM hist, tot") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val g = docs
+        .select(TextOps.contentHash(TextOps.normalizeText(col("text"))).as("nh"))
+        .groupBy("nh").agg(count(lit(1)).as("sz"))
+      val hist = g.groupBy("sz").agg(count(lit(1)).as("n_groups"))
+      val tot = docs.agg(count(lit(1)).as("n_docs_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("sz"), col("n_groups"),
+          (col("sz") * col("n_groups")).as("n_docs"),
+          graft.util.Exact.pinScoreInt(
+            (col("sz") * col("n_groups")).cast("double") / col("n_docs_total"))
+            .as("doc_share"))
+  }
+
   /** Per-source distinct-n n-gram diversity (r10) — the distinct-1/2/3
     * ratios (Li et al.'s distinct-n, the generation-diversity staple)
     * read here as a CORPUS-health gauge: a source whose distinct-3 ratio
@@ -862,10 +900,15 @@ object CorpusStatsQueries {
     * and the pinned ratio.
     *
     * Scale: n-gram explode is corpus-linear (≤ 3 rows per token
-    * position); the distinct count is an exact two-phase countDistinct
-    * keyed on (source, n, gram) — keyspace is the distinct-gram
-    * vocabulary, partial-aggregated before its shuffle; the final frame
-    * is |sources|×3 rows. No floats until the one pinned division. */
+    * position); the distinct count is an EXPLICIT two-level aggregate —
+    * groupBy (source, n, gram) with a map-side partial count (duplicate
+    * grams collapse before the shuffle), then a vocabulary-sized second
+    * aggregate to (source, n). Spelled this way rather than
+    * count+countDistinct in one agg because that form plans an Expand
+    * that duplicates every exploded gram row through the shuffle (one
+    * copy per aggregate path) — measured 21.6× CPU at ×10 vs 6× for the
+    * two-level spelling. Final frame is |sources|×3 rows; no floats
+    * until the one pinned division. */
   val textDistinctNgrams = Q("q_text_distinct_ngrams", "per-source distinct-1/2/3 n-gram diversity")(
     "WITH " + TextQueries.tokwBody + ", " +
       "ds AS (SELECT doc_id, source FROM documents), " +
@@ -890,8 +933,9 @@ object CorpusStatsQueries {
             i => concat_ws(" ", slice(col("sp"), i, lit(n)))))
           .otherwise(typedLit(Array.empty[String]))).as("g"))
       grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy("source", "n", "g").agg(count(lit(1)).as("c"))
         .groupBy("source", "n")
-        .agg(count(lit(1)).as("n_total"), countDistinct("g").as("n_distinct"))
+        .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
         .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
           graft.util.Exact.pinScoreInt(
             col("n_distinct").cast("double") / col("n_total").cast("double"))
@@ -901,5 +945,5 @@ object CorpusStatsQueries {
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
-    textKlSource, aggGiniSource, dedupWeight, textDistinctNgrams)
+    textKlSource, aggGiniSource, dedupWeight, textDistinctNgrams, dedupClusterSizes)
 }

@@ -259,5 +259,63 @@ object CurationQueries {
           graft.util.Exact.pinScoreInt(col("s") / col("dl").cast("double")).as("dsir"))
   }
 
-  val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight)
+  /** Length-curriculum phase assignment (r10): split the corpus into 4
+    * training phases by document length quartile — the short→long
+    * curriculum (warm up on short documents, grow the context) that
+    * sequence-length-warmup schedules implement. The whole computation
+    * is INTEGER-pure: quartile thresholds come from cumulative counts
+    * over the DISTINCT length values (cum·4 ≥ k·N compares, no
+    * division), phase is three integer compares, and the published
+    * per-phase stats are counts/min/max/sums — nothing to pin.
+    *
+    * Scale: per-doc length is map-only; the threshold pass aggregates
+    * to the distinct-length frame first (keyspace = distinct document
+    * lengths, ≪ corpus — the same bounded-window justification as
+    * q_eval_auc's grouped scores), the 3-value threshold row broadcasts
+    * back, and the final agg is 4 rows. The same two-pass shape holds at
+    * any corpus size because the intermediate is value-space-, not
+    * row-space-, sized. */
+  val curriculumPhase = Q("q_curriculum_phase", "length-quartile curriculum phases (4)")(
+    "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " +
+      "g AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1), " +
+      "cg AS (SELECT n_tokens, CAST(sum(c) OVER (ORDER BY n_tokens) AS BIGINT) AS cum FROM g), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t), " +
+      "th AS (SELECT min(CASE WHEN cg.cum * 4 >= n.nd THEN cg.n_tokens END) AS t1, " +
+      "min(CASE WHEN cg.cum * 2 >= n.nd THEN cg.n_tokens END) AS t2, " +
+      "min(CASE WHEN cg.cum * 4 >= 3 * n.nd THEN cg.n_tokens END) AS t3 FROM cg, n), " +
+      "p AS (SELECT t.n_tokens, CAST(1 " +
+      "+ (CASE WHEN t.n_tokens > th.t1 THEN 1 ELSE 0 END) " +
+      "+ (CASE WHEN t.n_tokens > th.t2 THEN 1 ELSE 0 END) " +
+      "+ (CASE WHEN t.n_tokens > th.t3 THEN 1 ELSE 0 END) AS BIGINT) AS phase " +
+      "FROM t, th) " +
+      "SELECT phase, CAST(count(*) AS BIGINT) AS n_docs, min(n_tokens) AS min_tokens, " +
+      "max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+      "FROM p GROUP BY 1") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val g = t.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+      // cumulative over DISTINCT lengths only — bounded keyspace window
+      val cg = g.withColumn("cum",
+        sum("c").over(Window.orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = t.agg(count(lit(1)).as("nd"))
+      val th = cg.crossJoin(broadcast(n)).agg(
+        min(when(col("cum") * 4 >= col("nd"), col("n_tokens"))).as("t1"),
+        min(when(col("cum") * 2 >= col("nd"), col("n_tokens"))).as("t2"),
+        min(when(col("cum") * 4 >= col("nd") * 3, col("n_tokens"))).as("t3"))
+      val p = t.crossJoin(broadcast(th))
+        .select(col("n_tokens"),
+          (lit(1L) + (col("n_tokens") > col("t1")).cast("long")
+            + (col("n_tokens") > col("t2")).cast("long")
+            + (col("n_tokens") > col("t3")).cast("long")).as("phase"))
+      p.groupBy("phase").agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("total_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight,
+    curriculumPhase)
 }

@@ -189,6 +189,57 @@ object PipelineQueries {
           graft.util.Exact.pinScoreInt(tempShare / natShare).as("boost"))
   }
 
+  /** Mixture EPOCH plan (r10): turn q_mix_temperature's shares into the
+    * per-source repeat factors an actual training run schedules. Given a
+    * token budget of 2× the corpus (the multi-epoch regime where mixture
+    * design matters), each source's target is temp_share·budget and its
+    * epoch count is target ÷ available — capped at 4 epochs, the
+    * empirical repeat ceiling beyond which repetition stops buying
+    * anything. The cap decision and the capped value are taken ON THE
+    * 2⁻³⁰ GRID CELLS (integer min / integer compare against 4·2³⁰), so
+    * the published plan is bit-portable end to end: after the single
+    * pinned epochs_raw cell, no float participates in any published
+    * column.
+    *
+    * Scale: one corpus-linear token-count aggregate (shared shape with
+    * q_mix_temperature), a 1-row scalar frame broadcast back, and a
+    * sources-sized publish. The α=½ power is `sqrt` — correctly-rounded
+    * IEEE, no libm — and the raw-epochs expression is a fixed
+    * parenthesization of exactly-rounded ops, identical in both engines. */
+  val mixEpochs = Q("q_mix_epochs", "per-source epoch plan under a 2x token budget (cap 4)")(
+    "WITH t AS (SELECT source, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens FROM t GROUP BY 1), " +
+      "s AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, " +
+      graft.util.Exact.Sql.portableSum("sqrt(src_tokens)") + " AS z FROM g), " +
+      "e AS (SELECT g.source, g.src_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "((sqrt(g.src_tokens) / s.z) * (2.0 * s.total_tokens)) / g.src_tokens") +
+      " AS epochs_raw FROM g, s) " +
+      // 4 epochs on the grid = 4·2³⁰ = 4294967296, spelled as the BIGINT
+      // literal (a 4*1073741824 product would overflow DuckDB's INT32
+      // literal arithmetic)
+      "SELECT source, src_tokens, epochs_raw, " +
+      "least(epochs_raw, 4294967296) AS epochs, " +
+      "CAST(CASE WHEN epochs_raw > 4294967296 THEN 1 ELSE 0 END AS BIGINT) AS capped " +
+      "FROM e") {
+    (s, d) =>
+      val FourEpochs = 4L * 1073741824L
+      val g = documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("src_tokens"))
+      val scalars = g.agg(sum("src_tokens").as("total_tokens"),
+        graft.util.Exact.portableSum(sqrt(col("src_tokens"))).as("z"))
+      val rawEpochs = ((sqrt(col("src_tokens")) / col("z")) *
+        (lit(2.0) * col("total_tokens"))) / col("src_tokens")
+      g.crossJoin(broadcast(scalars))
+        .withColumn("epochs_raw", graft.util.Exact.pinScoreInt(rawEpochs))
+        .select(col("source"), col("src_tokens"), col("epochs_raw"),
+          least(col("epochs_raw"), lit(FourEpochs)).as("epochs"),
+          (col("epochs_raw") > FourEpochs).cast("long").as("capped"))
+  }
+
   /** Shared per-doc 'en' classifier score: the ('the','a') stopword
     * ratio — one IEEE division over two integers, bit-identical on both
     * engines, so it can serve as a GROUP/ORDER key downstream. The
@@ -649,6 +700,6 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
-    mixTemperature, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
+    mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration)
 }

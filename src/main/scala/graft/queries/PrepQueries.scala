@@ -326,6 +326,49 @@ object PrepQueries {
           greatest(lit(0.0), col("cn2") - col("score") * col("score")).as("resid"))
   }
 
+  /** BPE training primitive (r10): the FIRST merge step of byte-pair
+    * encoding — adjacent symbol-pair counts over the character-level
+    * symbolization of the corpus vocabulary, weighted by word frequency
+    * (Sennrich et al.'s algorithm counts pairs on the word-type table,
+    * not the running text — the corpus appears only through the word
+    * counts). Published: the top-20 merge candidates with their weighted
+    * pair counts and ranks; a tokenizer trainer loops this step, merging
+    * rank 1 and re-counting.
+    *
+    * Scale: the pair enumeration runs on the VOCABULARY (word-type)
+    * table, not the corpus — the corpus-sized work is one (word) hash
+    * agg with map-side partial; everything after is |vocab| × word_len
+    * rows. The final ranking window is over the distinct-pair keyspace —
+    * bounded by charset² (a few hundred rows), the same bounded-window
+    * justification as q_agg_gini_source. Ties break on the pair string,
+    * matching the deterministic-merge-order requirement of a
+    * reproducible tokenizer. */
+  val bpeMergePairs = Q("q_bpe_merge_pairs", "BPE first-merge-step weighted pair counts (top 20)")(
+    "WITH " + TextQueries.tokwBody +
+      ", wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM tokw GROUP BY 1), " +
+      "wp AS (SELECT word, wc, unnest(range(1, len(word))) AS i FROM wc), " +
+      "pc AS (SELECT substr(word, i, 2) AS pair, CAST(sum(wc) AS BIGINT) AS n_pair " +
+      "FROM wp GROUP BY 1), " +
+      "r AS (SELECT pair, n_pair, CAST(row_number() OVER " +
+      "(ORDER BY n_pair DESC, pair) AS BIGINT) AS rank FROM pc) " +
+      "SELECT rank, pair, n_pair FROM r WHERE rank <= 20") {
+    (s, d) =>
+      val wc = graft.ops.TextOps.explodeTokens(documents(s, d))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      // sequence(1, len-1) only when len >= 2: Spark's sequence DESCENDS
+      // when stop < start, so the guard is load-bearing, not cosmetic.
+      val pairs = wc.select(col("wc"),
+        explode(when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(typedLit(Array.empty[String]))).as("pair"))
+      val pc = pairs.groupBy("pair").agg(sum("wc").as("n_pair"))
+      val w = Window.orderBy(col("n_pair").desc, col("pair"))
+      pc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("n_pair"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
-    embPcaPower, embPcaProject)
+    embPcaPower, embPcaProject, bpeMergePairs)
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.{CorpusStatsQueries, CurationQueries, PipelineQueries, PrepQueries}
+
+/** Hand-computed semantics + driver replays for the round-10 batch-4
+  * operators: BPE merge-pair counts on a pencil-and-paper vocabulary and
+  * against a full Scala recount at sf0.001, mixture epoch planning
+  * against the exact grid arithmetic, the duplicate-cluster size
+  * histogram on planted normalize-identical documents, and curriculum
+  * phase assignment against a Scala replay of the integer-quartile rule.
+  */
+class Round10dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Grid = 1073741824.0
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_r10d_$tag").toFile.getAbsolutePath
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, String, String)]): Unit =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def docTexts(dir: String): Seq[String] =
+    graft.util.Tables.documents(spark, dir).select("text").collect().map(_.getString(0)).toSeq
+
+  test("bpe_merge_pairs: pencil-and-paper vocabulary, frequency-weighted, tie on pair") {
+    val dir = tmpDir("bpe")
+    // words: aab x2, ab x1, x x1 (single char: no pairs)
+    writeDocs(dir, Seq((0L, "aab aab ab x", "en", "s")))
+    val out = PrepQueries.bpeMergePairs.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // aab -> aa, ab (x2 each); ab -> ab (x1)  =>  ab: 3, aa: 2
+    assert(out.toSeq == Seq((1L, "ab", 3L), (2L, "aa", 2L)))
+  }
+
+  test("bpe_merge_pairs: sf0.001 top-20 equals a full Scala recount") {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docTexts(sf).foreach(_.split(" ", -1).foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L))
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2); pc(p) = pc.getOrElse(p, 0L) + c
+      }
+    }
+    val expected = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val got = PrepQueries.bpeMergePairs.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("mix_epochs: sf0.001 equals the exact grid arithmetic replay") {
+    val src = graft.util.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = src.values.sum
+    val z = src.values.map(t => math.floor(math.sqrt(t.toDouble) * Grid).toLong)
+      .sum.toDouble / Grid
+    val expected = src.map { case (s, t) =>
+      val raw = ((math.sqrt(t.toDouble) / z) * (2.0 * total)) / t
+      val cell = math.floor(raw * Grid).toLong
+      (s, t, cell, math.min(cell, 4L * 1073741824L), if (cell > 4L * 1073741824L) 1L else 0L)
+    }.toSet
+    val got = PipelineQueries.mixEpochs.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_cluster_sizes: planted normalize-identical docs make a real histogram") {
+    val dir = tmpDir("clsz")
+    writeDocs(dir, Seq(
+      (0L, "Hello, World!", "en", "s"),   // all three normalize to "hello world"
+      (1L, "hello   world", "en", "s"),
+      (2L, "HELLO WORLD.", "en", "s"),
+      (3L, "something else", "en", "s"),
+      (4L, "another doc", "en", "s")))
+    val out = CorpusStatsQueries.dedupClusterSizes.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def share(n: Long) = math.floor(n.toDouble / 5.0 * Grid).toLong
+    assert(out == Map(3L -> ((1L, 3L, share(3))), 1L -> ((2L, 2L, share(2)))))
+  }
+
+  test("dedup_cluster_sizes: duplicate-free sf0.001 collapses to the sz=1 row, share 2^30") {
+    val out = CorpusStatsQueries.dedupClusterSizes.fn(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == r.getLong(2) &&
+      r.getLong(3) == Grid.toLong)
+  }
+
+  test("curriculum_phase: sf0.001 equals the integer-quartile Scala replay") {
+    val lens = docTexts(sf).map(_.split(" ", -1).length.toLong)
+    val n = lens.length.toLong
+    val cum = lens.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (v, c)) => (v, acc + c)
+      }.drop(1)
+    def thr(k: Long, den: Long): Long =
+      cum.collectFirst { case (v, cm) if cm * den >= k * n => v }.get
+    val (t1, t2, t3) = (thr(1, 4), thr(1, 2), thr(3, 4))
+    val phases = lens.map(l =>
+      1L + (if (l > t1) 1L else 0L) + (if (l > t2) 1L else 0L) + (if (l > t3) 1L else 0L))
+    val expected = phases.zip(lens).groupBy(_._1).map { case (p, g) =>
+      (p, g.length.toLong, g.map(_._2).min, g.map(_._2).max, g.map(_._2).sum)
+    }.toSet
+    val got = CurationQueries.curriculumPhase.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // 4 phases exist and each holds 15-35% of a 500-doc corpus
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 4L))
+    got.foreach { case (_, nd, _, _, _) => assert(nd >= 75 && nd <= 175) }
+  }
+}
