@@ -925,14 +925,17 @@ object CorpusStatsQueries {
         "CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
       " AS distinct_ratio FROM u GROUP BY 1, 2") {
     (s, d) =>
-      val base = documents(s, d)
+      // one scan + one tokenize + ONE explode for all three n (the
+      // three-way union-of-scans spelling re-read and re-split the
+      // corpus 3x — at x10 text lengths the split dominated)
+      def grams(n: Int) = when(size(col("sp")) >= n,
+        transform(sequence(lit(1), size(col("sp")) - (n - 1)),
+          i => struct(lit(n.toLong).as("n"), concat_ws(" ", slice(col("sp"), i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:bigint,g:string>>"))
+      documents(s, d)
         .select(col("source"), TextOps.tokens(col("text")).as("sp"))
-      def grams(n: Int): DataFrame = base.select(col("source"), lit(n.toLong).as("n"),
-        explode(when(size(col("sp")) >= n,
-          transform(sequence(lit(1), size(col("sp")) - (n - 1)),
-            i => concat_ws(" ", slice(col("sp"), i, lit(n)))))
-          .otherwise(typedLit(Array.empty[String]))).as("g"))
-      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .select(col("source"), explode(concat(grams(1), grams(2), grams(3))).as("ng"))
+        .select(col("source"), col("ng.n").as("n"), col("ng.g").as("g"))
         .groupBy("source", "n", "g").agg(count(lit(1)).as("c"))
         .groupBy("source", "n")
         .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
