@@ -1805,6 +1805,43 @@ object VectorQueries {
           coalesce(Exact.pinScoreInt(lit(1.0) / col("first_hit")), lit(0L)).as("rr"))
   }
 
+  /** MAP@3 (r10) — the last member of the IR-eval triple over the SAME
+    * graded chain (annRelCtes / annRelFrame): average precision per
+    * query = (1/3)·Σ_{rel hits} precision@rank, where precision@k is
+    * the cumulative-relevance / k rational at each relevant position
+    * (ground-truth size is exactly 3, so the normalizer is the constant
+    * 3). Arithmetic contract: cumrel is an integer window over ≤3 rows
+    * per query, each addend is ONE exact integer product and ONE
+    * correctly-rounded division, the ≤3 addends fold through the
+    * order-free grid portableSum, and the published score is the grid
+    * cell of one more division — double-free schema like every ranking
+    * score. Query-universe left join: candidate-less queries publish
+    * ap3 = 0 (the ADVICE-r9 convention shared by ndcg/mrr/recall). */
+  val evalMap = Q("q_eval_map", "MAP@3 of IVF search vs exact cosine top-3")(
+    annRelCtes +
+      ", pr AS (SELECT q, rn, rel, CAST(sum(rel) OVER " +
+      "(PARTITION BY q ORDER BY rn) AS BIGINT) AS cumrel FROM relj), " +
+      "agg AS (SELECT q, CAST(sum(rel) AS BIGINT) AS n_hits, " +
+      graft.util.Exact.Sql.portableSum("CAST(rel * cumrel AS DOUBLE) / rn") +
+      " AS apn FROM pr GROUP BY 1), " +
+      evalQsSql + " " +
+      "SELECT qs.q, COALESCE(agg.n_hits, 0) AS n_hits, COALESCE(" +
+      graft.util.Exact.Sql.pinScoreInt("agg.apn / 3.0") + ", 0) AS ap3 " +
+      "FROM qs LEFT JOIN agg ON agg.q = qs.q") {
+    (s, d) =>
+      import graft.util.Exact
+      val w = Window.partitionBy("q").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pr = annRelFrame(s, d).withColumn("cumrel", sum("rel").over(w))
+      val agg = pr.groupBy("q")
+        .agg(sum("rel").as("n_hits"),
+          Exact.portableSum(
+            (col("rel") * col("cumrel")).cast("double") / col("rn")).as("apn"))
+      evalQs(s, d).join(agg, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(Exact.pinScoreInt(col("apn") / lit(3.0)), lit(0L)).as("ap3"))
+  }
+
   /** Recall@3 of the REGISTERED single-probe LSH search (q_ann_lsh,
     * planes = 2) against the exact cosine top-3 — the recall eval the
     * IVF family already has (q_eval_ndcg / q_eval_mrr), closing the
@@ -2071,6 +2108,6 @@ object VectorQueries {
     annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
-    annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr,
+    annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness)
 }

@@ -95,6 +95,32 @@ class Round10dOpsSpec extends SparkSpec {
       r.getLong(3) == Grid.toLong)
   }
 
+  test("q_eval_map equals the average-precision recomputation from the same chain") {
+    val ann = graft.queries.VectorQueries.annIvf.fn(spark, sf).select("q", "c", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gt = graft.queries.VectorQueries.annCosineTopk.fn(spark, sf).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = ann.groupBy(_._1).map { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      var cum = 0L
+      val addends = sorted.map { case (_, c, rn) =>
+        val rel = if (gt((q, c))) 1L else 0L
+        cum += rel
+        math.floor(((rel * cum).toDouble / rn) * Grid).toLong
+      }
+      val apn = addends.sum.toDouble / Grid
+      q -> (sorted.count { case (_, c, _) => gt((q, c)) }.toLong,
+        math.floor(apn / 3.0 * Grid).toLong)
+    }
+    val expected = (0L to 9L).map(q => q -> byQ.getOrElse(q, (0L, 0L))).toMap
+    val got = graft.queries.VectorQueries.evalMap.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // perfect query: all 3 hits in order gives AP = 1 exactly (cell 2^30)
+    assert(got.values.exists { case (h, ap) => h == 3L && ap == Grid.toLong },
+      "fixture should contain at least one perfect query")
+  }
+
   test("curriculum_phase: sf0.001 equals the integer-quartile Scala replay") {
     val lens = docTexts(sf).map(_.split(" ", -1).length.toLong)
     val n = lens.length.toLong
