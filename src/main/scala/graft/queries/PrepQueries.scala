@@ -326,6 +326,48 @@ object PrepQueries {
           greatest(lit(0.0), col("cn2") - col("score") * col("score")).as("resid"))
   }
 
+  /** Per-dimension whitening / standardization audit (r10): z-score
+    * every embedding component against its dimension's population
+    * mean/std, then publish per-VECTOR the whitened squared norm (as the
+    * raw 2⁻³⁰ grid-cell SUM — an integer, order-free), the pinned max
+    * |z|, and the count of dimensions beyond 3σ. For a well-conditioned
+    * embedding table the whitened norm² concentrates near d and n_out3
+    * near 0 — the post-whitening health check run before cosine/PQ
+    * machinery that assumes roughly isotropic inputs. Constant
+    * dimensions (sd = 0) whiten to 0 rather than divide by zero.
+    *
+    * Portability: per-dim mean/std ride the decimal-exact sums (the
+    * q_agg_mean_std contract); each z is a fixed sequence of
+    * correctly-rounded ops; the norm² addends are floored onto the grid
+    * and summed as INTEGERS (order-free); max is order-free; the 3σ
+    * compare sees bit-identical z on both engines. Scale: one d-sized
+    * stats aggregate broadcast back + one map-side pass + one
+    * vec_id-keyed aggregate — corpus-linear, no windows. */
+  val embWhiten = Q("q_emb_whiten", "per-dim whitening: norm cell + max |z| + 3-sigma dims per vector")(
+    embExplodeSql +
+      "st AS (SELECT i, " + Exact.Sql.avg("e") + " AS mu, " +
+      Exact.Sql.stddevPop("e") + " AS sd FROM v GROUP BY 1), " +
+      "w AS (SELECT v.vec_id, CASE WHEN st.sd > 0 THEN (v.e - st.mu) / st.sd " +
+      "ELSE 0.0 END AS w FROM v JOIN st ON st.i = v.i) " +
+      "SELECT vec_id, " +
+      "CAST(SUM(CAST(floor(w * w * 1073741824.0) AS BIGINT)) AS BIGINT) AS wn2_cell, " +
+      Exact.Sql.pinScoreInt("max(abs(w))") + " AS max_absz, " +
+      "CAST(sum(CASE WHEN abs(w) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out3 " +
+      "FROM w GROUP BY 1") {
+    (s, d) =>
+      val v = embExplode(embeddings(s, d))
+      val st = v.groupBy("i").agg(Exact.exactAvg(col("e")).as("mu"),
+        Exact.exactStddevPop(col("e")).as("sd"))
+      val w = v.join(broadcast(st), "i")
+        .select(col("vec_id"),
+          when(col("sd") > 0, (col("e") - col("mu")) / col("sd"))
+            .otherwise(lit(0.0)).as("w"))
+      w.groupBy("vec_id").agg(
+        sum(floor(col("w") * col("w") * lit(1073741824.0)).cast("long")).as("wn2_cell"),
+        Exact.pinScoreInt(max(abs(col("w")))).as("max_absz"),
+        sum(when(abs(col("w")) > 3.0, 1L).otherwise(0L)).as("n_out3"))
+  }
+
   /** BPE training primitive (r10): the FIRST merge step of byte-pair
     * encoding — adjacent symbol-pair counts over the character-level
     * symbolization of the corpus vocabulary, weighted by word frequency
@@ -370,5 +412,5 @@ object PrepQueries {
   }
 
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
-    embPcaPower, embPcaProject, bpeMergePairs)
+    embPcaPower, embPcaProject, bpeMergePairs, embWhiten)
 }

@@ -121,6 +121,40 @@ class Round10dOpsSpec extends SparkSpec {
       "fixture should contain at least one perfect query")
   }
 
+  test("emb_whiten: sf0.001 equals the per-dim z-score replay with exact moments") {
+    val vecs = graft.util.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d = vecs.head._2.length
+    val n = vecs.size.toDouble
+    // decimal-exact per-dim sums (scale 8 for e, 4 for e*e), like Exact
+    def dsum(xs: Iterable[Double], scale: Int): Double =
+      xs.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val stats = (0 until d).map { i =>
+      val col = vecs.values.map(_(i))
+      val s = dsum(col, 8); val sq = dsum(col.map(x => x * x), 4)
+      val mu = s / n
+      val sd = math.sqrt(math.max(0.0, (sq - s * s / n) / n))
+      (mu, sd)
+    }
+    val expected = vecs.map { case (id, v) =>
+      val zs = (0 until d).map { i =>
+        val (mu, sd) = stats(i); if (sd > 0) (v(i) - mu) / sd else 0.0
+      }
+      val cell = zs.map(z => math.floor(z * z * Grid).toLong).sum
+      val maxz = math.floor(zs.map(math.abs).max * Grid).toLong
+      val nOut = zs.count(z => math.abs(z) > 3.0).toLong
+      id -> ((cell, maxz, nOut))
+    }
+    val got = PrepQueries.embWhiten.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // whitened norm^2 should concentrate near d for a sane embedding table
+    val meanNorm = got.values.map(_._1.toDouble / Grid).sum / got.size
+    assert(meanNorm > d * 0.5 && meanNorm < d * 1.5)
+  }
+
   test("curriculum_phase: sf0.001 equals the integer-quartile Scala replay") {
     val lens = docTexts(sf).map(_.split(" ", -1).length.toLong)
     val n = lens.length.toLong
