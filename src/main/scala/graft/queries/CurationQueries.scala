@@ -259,6 +259,115 @@ object CurationQueries {
           graft.util.Exact.pinScoreInt(col("s") / col("dl").cast("double")).as("dsir"))
   }
 
+  /** Per-document curation REPORT (r10): the "why was this document
+    * dropped" audit a data-governance review asks the platform for —
+    * every training document with the gate decisions CorpusPipeline
+    * takes, as flag columns plus a reason bitmask: bit 1 = non-keeper
+    * exact duplicate (normalized hash, keeper = min doc_id — the
+    * pipeline's step-2 rule), bit 2 = repetition gate (dup-token frac
+    * > 0.7 OR top-bigram frac > 0.18, the step-3 thresholds), bit 4 =
+    * benchmark contamination (shingle overlap ≥ 0.5, the step-4
+    * threshold), bit 8 = PII present (step 5 — REDACTS, does not drop,
+    * so `keep` ignores it). `keep` = no drop bit set.
+    *
+    * Drift-proofing: every threshold is a RATIONAL, so each flag is an
+    * exact integer cross-multiplication ((n_tokens−n_distinct)·10 >
+    * 7·n_tokens, …) — no float division anywhere, nothing to pin, no
+    * engine can disagree. Scale: four corpus-linear flag frames (hash
+    * agg / two-level bigram agg / blocked shingle join / map-only
+    * regex), all re-joined on doc_id — the contamination term reuses the
+    * q_contamination join shape (bench side shuffled, never broadcast). */
+  val curationReport = Q("q_curation_report", "per-doc filter-attribution bitmask + keep decision")(
+    "WITH d0 AS (SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL), " +
+      "t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM d0), " +
+      "tok AS (SELECT doc_id, source, sp, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "tokw AS (SELECT doc_id, sp[i] AS word FROM tok), " +
+      "h AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh FROM d0), " +
+      "gk AS (SELECT nh, min(doc_id) AS keeper FROM h GROUP BY 1), " +
+      "fd AS (SELECT h.doc_id, CASE WHEN h.doc_id <> g.keeper THEN 1 ELSE 0 END AS f_dup " +
+      "FROM h JOIN gk g ON g.nh = h.nh), " +
+      "wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM tokw GROUP BY 1, 2), " +
+      "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(count(*) AS BIGINT) AS n_distinct FROM wc GROUP BY 1), " +
+      "bg AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS bigram FROM tok WHERE i + 1 <= len(sp)), " +
+      "bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2), " +
+      "bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n " +
+      "FROM bgc GROUP BY 1), " +
+      "fr AS (SELECT ts.doc_id, CASE WHEN (ts.n_tokens - ts.n_distinct) * 10 > 7 * ts.n_tokens " +
+      "OR COALESCE(bgs.top_bigram_n * 100 > 18 * bgs.n_bigrams, FALSE) THEN 1 ELSE 0 END AS f_rep " +
+      "FROM ts LEFT JOIN bgs ON bgs.doc_id = ts.doc_id), " +
+      "sh AS (SELECT DISTINCT doc_id, source, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS shingle " +
+      "FROM tok WHERE i + 2 <= len(sp)), " +
+      "bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'), " +
+      "train AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'), " +
+      "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM train GROUP BY 1), " +
+      "ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM train tr " +
+      "JOIN bench b ON b.shingle = tr.shingle GROUP BY 1), " +
+      "fc AS (SELECT st.doc_id, CASE WHEN COALESCE(ov.n_overlap, 0) * 2 >= st.n_shingles " +
+      "THEN 1 ELSE 0 END AS f_contam FROM st LEFT JOIN ov ON ov.doc_id = st.doc_id), " +
+      s"fp AS (SELECT doc_id, CASE WHEN len(regexp_extract_all(text, '${TextOps.PiiEmail}')) > 0 " +
+      s"OR len(regexp_extract_all(text, '${TextOps.PiiPhone}')) > 0 " +
+      s"OR len(regexp_extract_all(text, '${TextOps.PiiIpv4}')) > 0 THEN 1 ELSE 0 END AS f_pii FROM d0) " +
+      "SELECT d0.doc_id, CAST(fd.f_dup AS BIGINT) AS f_dup, CAST(fr.f_rep AS BIGINT) AS f_rep, " +
+      "CAST(COALESCE(fc.f_contam, 0) AS BIGINT) AS f_contam, CAST(fp.f_pii AS BIGINT) AS f_pii, " +
+      "CAST(fd.f_dup + 2 * fr.f_rep + 4 * COALESCE(fc.f_contam, 0) + 8 * fp.f_pii AS BIGINT) AS reason_mask, " +
+      "CAST(CASE WHEN fd.f_dup = 0 AND fr.f_rep = 0 AND COALESCE(fc.f_contam, 0) = 0 " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM d0 JOIN fd ON fd.doc_id = d0.doc_id JOIN fr ON fr.doc_id = d0.doc_id " +
+      "LEFT JOIN fc ON fc.doc_id = d0.doc_id JOIN fp ON fp.doc_id = d0.doc_id " +
+      "WHERE d0.source <> 'src0'") {
+    (s, d) =>
+      val d0 = documents(s, d).filter(col("text").isNotNull)
+      val h = d0.select(col("doc_id"),
+        TextOps.contentHash(TextOps.normalizeText(col("text"))).as("nh"))
+      val gk = h.groupBy("nh").agg(min("doc_id").as("keeper"))
+      val fdup = h.join(gk, "nh")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper")).cast("long").as("f_dup"))
+      val sp = d0.select(col("doc_id"), TextOps.tokens(col("text")).as("sp"))
+      val ts = TextOps.explodeTokens(d0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+      val bgs = sp.select(col("doc_id"),
+          explode(when(size(col("sp")) >= 2,
+            transform(sequence(lit(1), size(col("sp")) - 1),
+              i => concat_ws(" ", slice(col("sp"), i, lit(2)))))
+            .otherwise(typedLit(Array.empty[String]))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+      val frep = ts.join(bgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(((col("n_tokens") - col("n_distinct")) * 10 > col("n_tokens") * 7)
+            || coalesce(col("top_bigram_n") * 100 > col("n_bigrams") * 18, lit(false)),
+            1L).otherwise(0L).as("f_rep"))
+      val shd = TextOps.shingles3(d0).distinct()
+        .join(d0.select("doc_id", "source"), "doc_id")
+      val bench = shd.filter(col("source") === "src0").select("shingle").distinct()
+      val tr = shd.filter(col("source") =!= "src0").select("doc_id", "shingle")
+      val st = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val ov = tr.join(bench, "shingle").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+      val fcon = st.join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_overlap"), lit(0L)) * 2 >= col("n_shingles"))
+            .cast("long").as("f_contam"))
+      def piiHit(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))) > 0
+      val fpii = d0.select(col("doc_id"),
+        (piiHit(TextOps.PiiEmail) || piiHit(TextOps.PiiPhone) || piiHit(TextOps.PiiIpv4))
+          .cast("long").as("f_pii"))
+      d0.filter(col("source") =!= "src0").select("doc_id")
+        .join(fdup, "doc_id").join(frep, "doc_id")
+        .join(fcon, Seq("doc_id"), "left").join(fpii, "doc_id")
+        .select(col("doc_id"), col("f_dup"), col("f_rep"),
+          coalesce(col("f_contam"), lit(0L)).as("f_contam"), col("f_pii"),
+          (col("f_dup") + lit(2L) * col("f_rep")
+            + lit(4L) * coalesce(col("f_contam"), lit(0L))
+            + lit(8L) * col("f_pii")).as("reason_mask"),
+          when(col("f_dup") === 0L && col("f_rep") === 0L
+            && coalesce(col("f_contam"), lit(0L)) === 0L, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Length-curriculum phase assignment (r10): split the corpus into 4
     * training phases by document length quartile — the short→long
     * curriculum (warm up on short documents, grow the context) that
@@ -317,5 +426,5 @@ object CurationQueries {
   }
 
   val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight,
-    curriculumPhase)
+    curriculumPhase, curationReport)
 }

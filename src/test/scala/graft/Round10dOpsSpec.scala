@@ -121,6 +121,46 @@ class Round10dOpsSpec extends SparkSpec {
       "fixture should contain at least one perfect query")
   }
 
+  test("curation_report: planted corpus exercises every flag bit and the keep rule") {
+    val dir = tmpDir("report")
+    writeDocs(dir, Seq(
+      // A/B normalize-identical: A (min id) is the keeper, B is the dup
+      (0L, "Alpha, beta! gamma delta epsilon zeta eta theta", "en", "s1"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1"),
+      // C: 8x the same token -> dup-token frac 7/8 > 0.7
+      (2L, "spam spam spam spam spam spam spam spam", "en", "s1"),
+      // D is the benchmark source (excluded from the report universe)
+      (3L, "one two three four five six seven eight", "en", "src0"),
+      // E: 4 of 6 shingles overlap the benchmark -> contaminated
+      (4L, "one two three four five six zzz yyy", "en", "s1"),
+      // F: email address -> PII flag (redaction, still kept)
+      (5L, "contact me at bob@example.com for details about stuff", "en", "s1"),
+      (6L, "just a normal clean document with many distinct words", "en", "s1")))
+    val got = CurationQueries.curationReport.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(!got.contains(3L), "benchmark docs are not in the report")
+    assert(got(0L) == ((0L, 0L, 0L, 0L, 0L, 1L)), "keeper of the dup pair stays")
+    assert(got(1L) == ((1L, 0L, 0L, 0L, 1L, 0L)), "non-keeper flagged dup")
+    assert(got(2L) == ((0L, 1L, 0L, 0L, 2L, 0L)), "repetition gate")
+    assert(got(4L) == ((0L, 0L, 1L, 0L, 4L, 0L)), "contamination gate")
+    assert(got(5L) == ((0L, 0L, 0L, 1L, 8L, 1L)), "PII flags but keeps")
+    assert(got(6L) == ((0L, 0L, 0L, 0L, 0L, 1L)), "clean doc")
+  }
+
+  test("curation_report: sf0.001 covers the train universe, keep consistent with bits") {
+    val nTrain = graft.util.Tables.documents(spark, sf)
+      .filter("source <> 'src0' AND text IS NOT NULL").count()
+    val rows = CurationQueries.curationReport.fn(spark, sf).collect()
+    assert(rows.length.toLong == nTrain)
+    rows.foreach { r =>
+      val (fd, fr, fc, fp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getLong(5) == fd + 2 * fr + 4 * fc + 8 * fp)
+      assert(r.getLong(6) == (if (fd == 0 && fr == 0 && fc == 0) 1L else 0L))
+    }
+  }
+
   test("emb_whiten: sf0.001 equals the per-dim z-score replay with exact moments") {
     val vecs = graft.util.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
