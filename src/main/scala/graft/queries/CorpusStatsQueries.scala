@@ -791,6 +791,72 @@ object CorpusStatsQueries {
           graft.util.Exact.pinScoreInt(col("kl")).as("kl"))
   }
 
+  /** Per-source Jensen-Shannon divergence from the corpus (r10) — the
+    * SYMMETRIC, bounded ([0, ln 2]) companion of q_text_kl_source: KL
+    * explodes when a source merely lacks corpus vocabulary, JS stays
+    * finite and comparable across sources, which is what a mix dashboard
+    * ranks by. JS(P‖Q) = ½Σp·ln(p/m) + ½Σq·ln(q/m), m = (p+q)/2.
+    *
+    * Absent-mass algebra (the scale trick): the q-side sum over words a
+    * source NEVER uses would need a sources×vocabulary dense frame; but
+    * for p = 0 the addend is q·ln 2 exactly, so that whole tail folds to
+    * ln 2·(1 − Σ_{w∈s} q) — computed from the PRESENT pairs only. The
+    * frame stays |distinct (source, word)| like KL, corpus-linear.
+    *
+    * Portability: two chained portable-ln stages (ratios p/m, q/m), all
+    * three per-source folds through the grid portableSum, ln 2 is the
+    * shared literal Portable.Ln2, one pinned publish. */
+  val textJsSource = Q("q_text_js_source", "per-source Jensen-Shannon divergence from the corpus")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "tw AS (SELECT t.word, d.source FROM tokw t JOIN documents d ON d.doc_id = t.doc_id), " +
+      "cs AS (SELECT source, word, count(*) AS cs FROM tw GROUP BY 1, 2), " +
+      "ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM cs GROUP BY 1), " +
+      "cw AS (SELECT word, CAST(sum(cs) AS BIGINT) AS cw FROM cs GROUP BY 1), " +
+      "nn AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw), " +
+      "b2 AS (SELECT c.source, t.ts, " +
+      "CAST(c.cs AS DOUBLE) / CAST(t.ts AS DOUBLE) AS p, " +
+      "CAST(w.cw AS DOUBLE) / CAST(n.n AS DOUBLE) AS q " +
+      "FROM cs c JOIN ts t ON t.source = c.source JOIN cw w ON w.word = c.word " +
+      "CROSS JOIN nn n), " +
+      "b3 AS (SELECT *, 0.5 * (p + q) AS m FROM b2), " +
+      "p1 AS (SELECT *, p / m AS _lnx FROM b3), " +
+      Portable.plnSqlCtes("p1", "k1") + ", " +
+      "c1 AS (SELECT source, ts, p, q, m, _pln AS l1 FROM k1), " +
+      "p2 AS (SELECT *, q / m AS _lnx FROM c1), " +
+      Portable.plnSqlCtes("p2", "k2") + ", " +
+      "s AS (SELECT source, ts, " +
+      graft.util.Exact.Sql.portableSum("p * l1") + " AS s1, " +
+      graft.util.Exact.Sql.portableSum("q * _pln") + " AS s2, " +
+      graft.util.Exact.Sql.portableSum("q") + " AS sq FROM k2 GROUP BY 1, 2) " +
+      "SELECT source, ts AS n_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        s"((0.5 * s1) + (0.5 * s2)) + ((0.5 * ${Portable.Ln2}) * (1.0 - sq))") +
+      " AS js FROM s") {
+    (s, d) =>
+      val tw = TextOps.explodeTokens(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+      val cs = tw.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+        .materialized(eager = false)
+      val ts = cs.groupBy("source").agg(sum("cs").as("ts"))
+      val cw = cs.groupBy("word").agg(sum("cs").as("cw"))
+      val nn = cw.agg(sum("cw").as("n"))
+      val b3 = cs.join(ts, "source").join(cw, "word").crossJoin(broadcast(nn))
+        .withColumn("p", col("cs").cast("double") / col("ts").cast("double"))
+        .withColumn("q", col("cw").cast("double") / col("n").cast("double"))
+        .withColumn("m", lit(0.5) * (col("p") + col("q")))
+      val w2 = Portable.pln(
+        Portable.pln(b3, col("p") / col("m"), "l1"),
+        col("q") / col("m"), "l2")
+      w2.groupBy("source", "ts")
+        .agg(graft.util.Exact.portableSum(col("p") * col("l1")).as("s1"),
+          graft.util.Exact.portableSum(col("q") * col("l2")).as("s2"),
+          graft.util.Exact.portableSum(col("q")).as("sq"))
+        .select(col("source"), col("ts").as("n_tokens"),
+          graft.util.Exact.pinScoreInt(
+            (lit(0.5) * col("s1") + lit(0.5) * col("s2"))
+              + ((lit(0.5) * lit(Portable.Ln2)) * (lit(1.0) - col("sq")))).as("js"))
+  }
+
   /** Gini coefficient of the per-source token mass (r10) — the one-number
     * mix-balance signal (0 = perfectly even sources, →1 = one source is
     * the corpus) read alongside q_mix_temperature's boosts: temperature
@@ -948,5 +1014,6 @@ object CorpusStatsQueries {
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
-    textKlSource, aggGiniSource, dedupWeight, textDistinctNgrams, dedupClusterSizes)
+    textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
+    dedupClusterSizes)
 }

@@ -95,6 +95,40 @@ class Round10dOpsSpec extends SparkSpec {
       r.getLong(3) == Grid.toLong)
   }
 
+  test("js_source: two-source corpus matches the pencil-and-paper JS, bounded by ln 2") {
+    val dir = tmpDir("js")
+    // corpus: q(a)=2/5 q(b)=2/5 q(c)=1/5; A="a a b" p=(2/3,1/3); B="b c" p=(1/2,1/2)
+    Seq((0L, "a a b", "en", "A", 5L), (1L, "b c", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def js(p: Map[String, Double], q: Map[String, Double]): Double = {
+      val sup = q.keySet
+      sup.toSeq.map { w =>
+        val pw = p.getOrElse(w, 0.0); val qw = q(w); val m = 0.5 * (pw + qw)
+        (if (pw > 0) 0.5 * pw * math.log(pw / m) else 0.0) + 0.5 * qw * math.log(qw / m)
+      }.sum
+    }
+    val q = Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2)
+    val expA = js(Map("a" -> 2.0 / 3, "b" -> 1.0 / 3), q)
+    val expB = js(Map("b" -> 0.5, "c" -> 0.5), q)
+    val out = CorpusStatsQueries.textJsSource.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2) / Grid))).toMap
+    assert(out("A")._1 == 3L && out("B")._1 == 2L)
+    assert(math.abs(out("A")._2 - expA) < 3e-9, s"A=${out("A")._2} want $expA")
+    assert(math.abs(out("B")._2 - expB) < 3e-9, s"B=${out("B")._2} want $expB")
+    out.values.foreach { case (_, v) => assert(v >= 0.0 && v <= 0.6931471805599453 + 1e-9) }
+  }
+
+  test("js_source: a source distributed like the corpus scores ~0") {
+    val dir = tmpDir("js0")
+    Seq((0L, "a a b", "en", "A", 5L), (1L, "a a b", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusStatsQueries.textJsSource.fn(spark, dir).collect()
+      .map(r => r.getLong(2) / Grid)
+    out.foreach(v => assert(math.abs(v) < 1e-8, s"js=$v"))
+  }
+
   test("q_eval_map equals the average-precision recomputation from the same chain") {
     val ann = graft.queries.VectorQueries.annIvf.fn(spark, sf).select("q", "c", "rn").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
