@@ -1059,37 +1059,186 @@ object VectorQueries {
     * blocked-exact contract as q_dedup_semantic: exactness within the
     * block, recall bounded by the blocking (single-probe here; the probe/
     * trained knobs compose exactly as in the q_ann_ivf* family). */
-  val annKnnJoin = Q("q_ann_knn_join", "within-cluster kNN graph (top-3, all vectors)")(
-    vecsSql +
-      seedAssignCtes +
-      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+  /** Shared oracle CTE chain ending in `knn` — the within-cluster top-3
+    * graph spliced by q_ann_knn_join. */
+  private val knnGraphCtes =
+    seedAssignCtes +
+      "gpairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
-      "pdots AS (SELECT p.q, p.c, p.cluster, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
+      "gdots AS (SELECT p.q, p.c, p.cluster, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM gpairs p " +
       "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
       "GROUP BY 1, 2, 3), " +
-      "pcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
-      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c) " +
-      "SELECT q, c, cluster, cosine, rn FROM (SELECT pcos.*, " +
-      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
-      "WHERE rn <= 3") {
+      "gcos AS (SELECT d.q, d.c, d.cluster, d.dot / (na.nrm * nb.nrm) AS cosine FROM gdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "knn AS (SELECT q, c, cluster, cosine, rn FROM (SELECT gcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM gcos) " +
+      "WHERE rn <= 3) "
+
+  /** Spark twin of `knn`: the registered within-cluster top-3 graph
+    * (q, c, cluster, cosine, rn). Shared by the graph query and the
+    * NN-descent refinement. */
+  private def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+    val cents = seedCents(base)
+    val all = base.select(col("vec_id").as("vid"),
+      col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+    val assign = assignClusters(all, cents)
+    val withVec = all.join(assign, "vid").materialized()
+    val a = withVec.select(col("vid").as("q"), col("cluster"),
+      col("ev").as("eq"), col("nv").as("nq"))
+    val b = withVec.select(col("vid").as("c"), col("cluster"),
+      col("ev").as("ec"), col("nv").as("nc"))
+    val pcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+      .filter(col("q") =!= col("c"))
+      .select(col("q"), col("c"), col("cluster"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+    pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
+  val annKnnJoin = Q("q_ann_knn_join", "within-cluster kNN graph (top-3, all vectors)")(
+    vecsSql +
+      knnGraphCtes +
+      "SELECT q, c, cluster, cosine, rn FROM knn") {
+    (s, d) => knnGraph(s, d)
+  }
+
+  /** Oracle CTE chain ending in `lknn` — the ALL-vectors stacked-LSH
+    * (4 tables × 4 planes) top-3 graph: q_ann_lsh_stacked's index CTEs
+    * with the query restriction lifted. The cheap initial graph
+    * NN-descent refines. */
+  private val lshGraphCtes =
+    ", proj AS (SELECT v.vec_id, p.j, " +
+      "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
+      "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
+      "FROM v, (SELECT unnest(range(0, 16)) AS j) p GROUP BY 1, 2), " +
+      "buck AS (SELECT vec_id, j // 4 AS t, " +
+      "CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM proj GROUP BY 1, 2), " +
+      "lcand AS (SELECT DISTINCT q.vec_id AS q, c.vec_id AS c FROM buck q " +
+      "JOIN buck c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id), " +
+      "ldots AS (SELECT p.q, p.c, CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM lcand p JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2), " +
+      "lcos AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM ldots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "lknn AS (SELECT q, c, cosine FROM (SELECT lcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM lcos) " +
+      "WHERE rn <= 3) "
+
+  /** Spark twin of `lknn` — the full stacked-LSH top-3 graph. Unlike
+    * lshSearchStacked (10 broadcast queries), both sides are corpus-
+    * sized, so the bucket join is a plain shuffled equi-join on
+    * (table, bucket); cross-table duplicate pairs collapse BEFORE the
+    * exact rerank. */
+  private def lshGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val planes = 4; val tables = 4
+    val projCols = (0 until tables * planes).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
+    val withProj = embeddings(s, d)
+      .select(Seq(col("vec_id"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm")) ++ projCols: _*)
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { j =>
+        when(col(s"pj${t * planes + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.cast("long").as("bucket"))
+    }
+    val buck = withProj
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .materialized()
+    val qv = buck.select(col("vec_id").as("q"),
+      col("embedding").as("eq"), col("nrm").as("nq"), col("t"), col("bucket"))
+    val cv = buck.select(col("vec_id").as("c"),
+      col("embedding").as("ec"), col("nrm").as("nc"), col("t"), col("bucket"))
+    val cand = qv.join(cv, Seq("t", "bucket"))
+      .filter(col("q") =!= col("c"))
+      .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
+      .dropDuplicates("q", "c")
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+    cand.select(col("q"), col("c"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+      .select("q", "c", "cosine")
+  }
+
+  /** One NN-DESCENT refinement round (r10) — the algorithm (Dong et al.
+    * 2011) that makes kNN-graph construction scale: start from a CHEAP
+    * approximate graph, then let each vector examine only its neighbors'
+    * neighbors ("a neighbor of my neighbor is probably my neighbor") and
+    * keep what beats its current worst edge. The initial graph here is
+    * the all-vectors stacked-LSH top-3 (lshGraphCtes) — deliberately NOT
+    * the within-cluster kNN graph, whose 2-hop closure stays inside one
+    * cluster where the blocked build is already exact (a round over it
+    * proves vacuous — measured, every node converged); LSH tables
+    * overlap differently per node, so 2-hop paths genuinely cross
+    * blocks and find what the buckets missed. Published per node: the
+    * best 2-hop candidate not already an edge, its exact cosine, the
+    * current worst-edge cosine and degree, and whether the candidate
+    * IMPROVES the graph (degree < 3, or better than the worst edge).
+    * Σ improved is the convergence signal — NN-descent stops when a
+    * round stops improving.
+    *
+    * Scale: candidates per node ≤ degree² = 9 before dedup — a round is
+    * O(k²·n) no matter how skewed the buckets were, strictly cheaper
+    * than re-indexing with more tables; cosine re-verification touches
+    * only surviving candidates. */
+  val annNnDescent = Q("q_ann_nn_descent", "one NN-descent round over the stacked-LSH graph")(
+    vecsSql +
+      lshGraphCtes +
+      ", cur AS (SELECT q, min(cosine) AS worst, CAST(count(*) AS BIGINT) AS n_cur " +
+      "FROM lknn GROUP BY 1), " +
+      "hop AS (SELECT DISTINCT e1.q, e2.c FROM lknn e1 " +
+      "JOIN lknn e2 ON e2.q = e1.c WHERE e2.c <> e1.q), " +
+      "cand AS (SELECT h.q, h.c FROM hop h WHERE NOT EXISTS " +
+      "(SELECT 1 FROM lknn k WHERE k.q = h.q AND k.c = h.c)), " +
+      "ndots AS (SELECT p.q, p.c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM cand p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2), " +
+      "ncos AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM ndots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "best AS (SELECT q, c, cosine FROM (SELECT ncos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM ncos) " +
+      "WHERE rn = 1) " +
+      "SELECT cur.q, best.c AS cand, cur.n_cur, " +
+      graft.util.Exact.Sql.pinScoreInt("best.cosine") + " AS cos_new, " +
+      graft.util.Exact.Sql.pinScoreInt("cur.worst") + " AS cos_worst, " +
+      "CAST(CASE WHEN best.c IS NULL THEN 0 WHEN cur.n_cur < 3 THEN 1 " +
+      "WHEN best.cosine > cur.worst THEN 1 ELSE 0 END AS BIGINT) AS improved " +
+      "FROM cur LEFT JOIN best ON best.q = cur.q") {
     (s, d) =>
+      import graft.util.Exact
+      val e = lshGraph(s, d).materialized()
+      val cur = e.groupBy("q").agg(min("cosine").as("worst"),
+        count(lit(1)).as("n_cur"))
+      val hop = e.select(col("q"), col("c").as("b"))
+        .join(e.select(col("q").as("b"), col("c").as("c2")), "b")
+        .select(col("q"), col("c2").as("c")).filter(col("q") =!= col("c"))
+        .distinct()
+        .join(e.select("q", "c"), Seq("q", "c"), "left_anti")
       val base = embeddings(s, d)
-      val cents = seedCents(base)
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
-      val assign = assignClusters(all, cents)
-      val withVec = all.join(assign, "vid").materialized()
-      val a = withVec.select(col("vid").as("q"), col("cluster"),
-        col("ev").as("eq"), col("nv").as("nq"))
-      val b = withVec.select(col("vid").as("c"), col("cluster"),
-        col("ev").as("ec"), col("nv").as("nc"))
-      val pcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
-        .filter(col("q") =!= col("c"))
-        .select(col("q"), col("c"), col("cluster"),
+      val ncos = hop
+        .join(all.select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq")), "q")
+        .join(all.select(col("vid").as("c"), col("ev").as("ec"), col("nv").as("nc")), "c")
+        .select(col("q"), col("c"),
           (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+      val best = ncos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q"), col("c").as("cand"), col("cosine"))
+      cur.join(best, Seq("q"), "left")
+        .select(col("q"), col("cand"), col("n_cur"),
+          Exact.pinScoreInt(col("cosine")).as("cos_new"),
+          Exact.pinScoreInt(col("worst")).as("cos_worst"),
+          when(col("cand").isNull, 0L)
+            .when(col("n_cur") < 3, 1L)
+            .when(col("cosine") > col("worst"), 1L)
+            .otherwise(0L).as("improved"))
   }
 
   /** The hier family's shared prologue — the dense-renumbered seed
@@ -2104,7 +2253,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
-    mmEmbedPool, annRange, annKnnJoin, annKnnHier, annIvfProbeHier,
+    mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
     annKnnMutual, annKnnMutualHier,
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,

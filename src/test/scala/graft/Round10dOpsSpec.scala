@@ -229,6 +229,75 @@ class Round10dOpsSpec extends SparkSpec {
     assert(meanNorm > d * 0.5 && meanNorm < d * 1.5)
   }
 
+  test("nn_descent: sf0.001 equals the 2-hop replay from a stacked-LSH graph replay") {
+    import graft.functions.DecimalDot.quantize8
+    def qdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += quantize8(a(i) * b(i)); i += 1 }
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 8).doubleValue()
+    }
+    val vecs = graft.util.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(qdot(v, v)) }
+    // stacked-LSH (4 tables x 4 planes) bucket replay: md5 signs, the
+    // DECIMAL(18,8) projection fold, sign bit -> bucket
+    def signs(j: Int): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to 64).map { i =>
+        val digest = md.digest(s"$j|$i".getBytes("UTF-8"))
+        if ((digest(3) & 1) == 1) 1.0 else -1.0
+      }.toArray
+    }
+    val allSigns = (0 until 16).map(signs)
+    def proj(v: Array[Double], j: Int): Double = {
+      val sg = allSigns(j)
+      var acc = BigDecimal(0).setScale(8)
+      (0 until 64).foreach { i =>
+        acc = acc + BigDecimal(v(i) * sg(i)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }
+      acc.toDouble
+    }
+    val bucketOf = vecs.map { case (id, v) =>
+      id -> (0 until 4).map { t =>
+        (0 until 4).map(j => if (proj(v, t * 4 + j) >= 0) 1L << j else 0L).sum
+      }
+    }
+    val edges = vecs.keys.toSeq.flatMap { q =>
+      val cands = vecs.keys.filter(c => c != q &&
+        (0 until 4).exists(t => bucketOf(c)(t) == bucketOf(q)(t)))
+      cands.map(c => (q, c, qdot(vecs(q), vecs(c)) / (nrm(q) * nrm(c)))).toSeq
+        .sortBy { case (_, c, cos) => (-cos, c) }.take(3)
+    }.toArray
+    val byQ = edges.groupBy(_._1)
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    val expected = byQ.map { case (q, es) =>
+      val worst = es.map(_._3).min
+      val nCur = es.length.toLong
+      val cands = es.flatMap { case (_, b, _) => byQ.getOrElse(b, Array.empty).map(_._2) }
+        .filter(c => c != q && !edgeSet((q, c))).distinct
+      val best = cands.map(c => (qdot(vecs(q), vecs(c)) / (nrm(q) * nrm(c)), c))
+        .sortBy { case (cos, c) => (-cos, c) }.headOption
+      val (cand, cosNew, improved) = best match {
+        case None => (None, None, 0L)
+        case Some((cos, c)) =>
+          (Some(c), Some(math.floor(cos * Grid).toLong),
+            if (nCur < 3 || cos > worst) 1L else 0L)
+      }
+      q -> ((cand, nCur, cosNew, math.floor(worst * Grid).toLong, improved))
+    }
+    val got = graft.queries.VectorQueries.annNnDescent.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, e) => assert(got(q) == e, s"q=$q got=${got(q)} want=$e") }
+    // the fixture graph must leave SOMETHING to improve and something converged
+    assert(got.values.exists(_._5 == 1L), "at least one improving candidate")
+    assert(got.values.exists(_._5 == 0L), "at least one converged node")
+  }
+
   test("curriculum_phase: sf0.001 equals the integer-quartile Scala replay") {
     val lens = docTexts(sf).map(_.split(" ", -1).length.toLong)
     val n = lens.length.toLong
