@@ -699,7 +699,71 @@ object PipelineQueries {
           Exact.exactSum(col("l_quantity")).as("volume"))
   }
 
+  /** Per-class precision/recall/F1 of the language-ID heuristic (r11) —
+    * the one-row-per-class summary the confusion matrix
+    * (q_text_langid_confusion) feeds a dashboard: truth is the labeled
+    * lang column folded to the classifier's own two-class universe
+    * ('en' vs 'und'), so the numbers grade exactly the decision the
+    * pipeline makes (keep-as-English or not). tp/fp/fn are raw BIGINT
+    * counts; precision/recall/F1 are single IEEE divisions of those
+    * integers, published as grid cells, NULL (not 0) when a denominator
+    * is empty — an absent class has no measurable precision.
+    *
+    * Scale: one corpus-sized classify pass (shared with the confusion
+    * matrix), then a 2-row broadcast label frame × grouped integer
+    * sums — the output is |classes| rows regardless of corpus size. */
+  val evalF1Langid = Q("q_eval_f1_langid",
+    "per-class precision/recall/F1 of the language-ID heuristic")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "p AS (SELECT doc_id, CASE WHEN score >= 0.02 " +
+      "THEN 'en' ELSE 'und' END AS pl FROM sc), " +
+      "j AS (SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'und' END AS tl, " +
+      "p.pl FROM p JOIN documents d ON d.doc_id = p.doc_id), " +
+      "st AS (SELECT l.label, " +
+      "CAST(sum(CASE WHEN j.tl = l.label AND j.pl = l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN j.tl <> l.label AND j.pl = l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN j.tl = l.label AND j.pl <> l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
+      "FROM j CROSS JOIN (SELECT 'en' AS label UNION ALL SELECT 'und') l GROUP BY 1) " +
+      "SELECT label, tp, fp, fn, " +
+      "CASE WHEN tp + fp > 0 THEN " +
+      Exact.Sql.pinScoreInt("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)") +
+      " END AS precision_c, " +
+      "CASE WHEN tp + fn > 0 THEN " +
+      Exact.Sql.pinScoreInt("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)") +
+      " END AS recall_c, " +
+      "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)") +
+      " END AS f1 FROM st") {
+    (s, d) =>
+      import s.implicits._
+      val pred = enScore(s, d).select(col("doc_id"),
+        when(col("score") >= 0.02, "en").otherwise("und").as("pl"))
+      val j = pred.join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(when(col("lang") === "en", "en").otherwise("und").as("tl"), col("pl"))
+      val labels = Seq("en", "und").toDF("label")
+      val st = j.crossJoin(broadcast(labels)).groupBy("label")
+        .agg(sum(when(col("tl") === col("label") && col("pl") === col("label"), 1L)
+          .otherwise(0L)).as("tp"),
+          sum(when(col("tl") =!= col("label") && col("pl") === col("label"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("tl") === col("label") && col("pl") =!= col("label"), 1L)
+            .otherwise(0L)).as("fn"))
+      st.select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, Exact.pinScoreInt(
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .as("precision_c"),
+        when(col("tp") + col("fn") > 0, Exact.pinScoreInt(
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+          .as("recall_c"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0, Exact.pinScoreInt(
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+          .as("f1"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
-    snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration)
+    snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid)
 }

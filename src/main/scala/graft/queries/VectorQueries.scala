@@ -2251,6 +2251,202 @@ object VectorQueries {
       hist.unionByName(zero)
   }
 
+  /** Triangle count + global clustering coefficient of the mutual-kNN
+    * graph (r11) — the one-number cohesion gauge of the graph the
+    * PageRank/classify/hubness family consumes: a corpus whose mutual
+    * graph closes many triangles has tight, self-consistent neighbor
+    * structure; a near-zero coefficient says the kNN edges are noise
+    * (random directions close almost no triangles) and downstream label
+    * voting is untrustworthy. C = 3·triangles / wedges, with
+    * wedges = Σ_v deg(v)·(deg(v)−1)/2 — both sides integer-pure, one
+    * final pinned division.
+    *
+    * Scale: edges are ≤ 3·corpus rows (mutual ⊆ top-3), and the triangle
+    * join enumerates WEDGES (edge⋈edge on the shared endpoint) then
+    * probes the closing edge — two keyed equi-join shuffles over the
+    * edge list, never a corpus² pass. Wedge fan-out per node is
+    * deg² ≤ (in-deg + 3)², bounded exactly by the hubness profile
+    * (q_graph_hubness) — read that histogram first; a pathological hub
+    * is the one thing that can blow a wedge join up, and the fix
+    * (drop/cap hub nodes before closure) composes as a filter on `deg`.
+    * Edges are oriented a < b throughout, so each triangle is counted
+    * exactly once with no post-hoc /6. */
+  val graphTriangles = Q("q_graph_triangles",
+    "triangle count + global clustering coefficient of the mutual-kNN graph")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
+      "GROUP BY 1), " +
+      "wd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, " +
+      "CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg), " +
+      "tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM edges e1 " +
+      "JOIN edges e2 ON e2.a = e1.b " +
+      "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "eg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges) " +
+      "SELECT w.n_nodes, g.n_edges, w.n_wedges, t.n_triangles, " +
+      "CASE WHEN w.n_wedges > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)") +
+      " END AS global_cc FROM wd w CROSS JOIN tr t CROSS JOIN eg g") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // feeds degree, wedge closure (twice) and the count
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wd = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("CAST(sum(deg * (deg - 1)) div 2 AS BIGINT)").as("n_wedges"))
+      val tr = edges.as("e1")
+        .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val eg = edges.agg(count(lit(1)).as("n_edges"))
+      wd.crossJoin(tr).crossJoin(eg)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0, graft.util.Exact.pinScoreInt(
+            (lit(3L) * col("n_triangles")).cast("double") /
+              col("n_wedges").cast("double"))).as("global_cc"))
+  }
+
+  /** Per-cluster k-means inertia of the TRAINED IVF index (r11) — the
+    * index-quality gauge behind q_ann_ivf_trained: mean and total
+    * within-cluster cosine distance (1 − cos to the assigned centroid)
+    * per cluster, the quantity Lloyd training minimizes. Read it per
+    * index build: a cluster whose mean distance is an outlier is either
+    * underfit (needs more k — the elbow read) or a garbage pocket
+    * (cross-check q_emb_outlier); re-training with k doubled should move
+    * THIS number, and the published cells make the before/after diff
+    * exact rather than eyeballed.
+    *
+    * Scale: the assignment is the map-only broadcast fold every trained
+    * query already pays (corpus·k·d); the inertia adds ONE decimal dot
+    * per vector against its broadcast winning centroid and a k-row hash
+    * aggregate — strictly cheaper than the search it audits. The oracle
+    * replays seeding, both Lloyd iterations, the final argmax AND the
+    * per-cluster folds. */
+  val embKmeansInertia = Q("q_emb_kmeans_inertia",
+    "per-cluster inertia (cosine distance) of the trained k-means index")(
+    vecsSql +
+      s", kseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
+      s"FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= $IvfTrainedK), " +
+      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM kseeds s JOIN v ON v.vec_id = s.vec_id), " +
+      lloydSqlCtes("v", IvfTrainedIters) + ", " +
+      s"cnf AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      s"FROM c$IvfTrainedIters GROUP BY 1), " +
+      "ac AS (SELECT vec_id, cid, cos FROM (SELECT d.vec_id, d.cid, d.cos, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      s"FROM v JOIN c$IvfTrainedIters c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cnf cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d) " +
+      "WHERE rn = 1), " +
+      "pf AS (SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      graft.util.Exact.Sql.portableSum("1.0 - cos") + " AS it FROM ac GROUP BY 1) " +
+      "SELECT cluster, n_vecs, " +
+      graft.util.Exact.Sql.pinScoreInt("it") + " AS inertia, " +
+      graft.util.Exact.Sql.pinScoreInt("it / CAST(n_vecs AS DOUBLE)") +
+      " AS mean_dist FROM pf") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = fitExact(base, IvfTrainedK, IvfTrainedIters)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      // the fold decides the cluster; the winner's exact cosine is then
+      // recomputed once against the broadcast centroid row (the
+      // q_emb_outlier identity), so it equals the oracle's argmax value
+      assignClusters(all, cents)
+        .join(all, "vid")
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("cluster"),
+          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cos"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.util.Exact.portableSum(lit(1.0) - col("cos")).as("it"))
+        .select(col("cluster"), col("n_vecs"),
+          graft.util.Exact.pinScoreInt(col("it")).as("inertia"),
+          graft.util.Exact.pinScoreInt(
+            col("it") / col("n_vecs").cast("double")).as("mean_dist"))
+  }
+
+  /** Contrastive-training triplet mining (r11) — for EVERY vector: its
+    * hardest in-cluster positive (nearest same-label neighbor) and
+    * hardest in-cluster negative (nearest different-label neighbor),
+    * with a zero-margin violation flag (negative at least as close as
+    * the positive). This is the batch-mining step of metric-learning /
+    * embedding-finetune pipelines (FaceNet-style semi-hard mining): the
+    * violating anchors are exactly the examples worth a gradient, and
+    * the violation RATE per label is the health number that says whether
+    * the label structure is learnable from these embeddings at all.
+    *
+    * Scale: candidates come from the same seed-cluster blocking as the
+    * kNN graph (salted self-join, Σ|cluster|² bounded by k ≈ √corpus) —
+    * mining never enumerates cross-cluster pairs; a vector whose cluster
+    * lacks a same-label (or different-label) peer publishes NULL for
+    * that side, never a row drop (the q_eval_mrr universe contract).
+    * All cosines decimal-exact, published as grid cells. */
+  val embTripletMine = Q("q_emb_triplet_mine",
+    "hardest in-cluster positive/negative triplet mining per vector")(
+    vecsSql +
+      seedAssignCtes +
+      "tpairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+      "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
+      "tdots AS (SELECT p.q, p.c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM tpairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2), " +
+      "tcos AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine, " +
+      "lq.label AS ql, lc.label AS cl FROM tdots d " +
+      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c " +
+      "JOIN embeddings lq ON lq.vec_id = d.q " +
+      "JOIN embeddings lc ON lc.vec_id = d.c), " +
+      "pos AS (SELECT q, c AS pos_id, cosine AS pos_cos FROM (SELECT tcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
+      "FROM tcos WHERE cl = ql) WHERE rn = 1), " +
+      "neg AS (SELECT q, c AS neg_id, cosine AS neg_cos FROM (SELECT tcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
+      "FROM tcos WHERE cl <> ql) WHERE rn = 1) " +
+      "SELECT e.vec_id AS vid, e.label, p.pos_id, " +
+      graft.util.Exact.Sql.pinScoreInt("p.pos_cos") + " AS pos_cos, " +
+      "g.neg_id, " + graft.util.Exact.Sql.pinScoreInt("g.neg_cos") + " AS neg_cos, " +
+      "CAST(CASE WHEN p.pos_cos IS NOT NULL AND g.neg_cos IS NOT NULL " +
+      "AND g.neg_cos >= p.pos_cos THEN 1 ELSE 0 END AS BIGINT) AS violates " +
+      "FROM embeddings e " +
+      "LEFT JOIN pos p ON p.q = e.vec_id LEFT JOIN neg g ON g.q = e.vec_id") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = seedCents(base)
+      val all = base.select(col("vec_id").as("vid"), col("label"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val withVec = all.join(assignClusters(
+        all.select("vid", "ev", "nv"), cents), "vid").materialized()
+      val a = withVec.select(col("vid").as("q"), col("cluster"),
+        col("label").as("ql"), col("ev").as("eq"), col("nv").as("nq"))
+      val b = withVec.select(col("vid").as("c"), col("cluster"),
+        col("label").as("cl"), col("ev").as("ec"), col("nv").as("nc"))
+      val tcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+        .filter(col("q") =!= col("c"))
+        .select(col("q"), col("c"), col("ql"), col("cl"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+        .materialized() // both ranked slices read the same pair frame
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      val pos = tcos.filter(col("cl") === col("ql"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q"), col("c").as("pos_id"), col("cosine").as("pos_cos"))
+      val neg = tcos.filter(col("cl") =!= col("ql"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q"), col("c").as("neg_id"), col("cosine").as("neg_cos"))
+      base.select(col("vec_id").as("vid"), col("label"))
+        .join(pos, col("vid") === pos("q"), "left").drop("q")
+        .join(neg, col("vid") === neg("q"), "left").drop("q")
+        .select(col("vid"), col("label"), col("pos_id"),
+          graft.util.Exact.pinScoreInt(col("pos_cos")).as("pos_cos"),
+          col("neg_id"),
+          graft.util.Exact.pinScoreInt(col("neg_cos")).as("neg_cos"),
+          (col("pos_cos").isNotNull && col("neg_cos").isNotNull &&
+            col("neg_cos") >= col("pos_cos")).cast("long").as("violates"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
@@ -2258,5 +2454,6 @@ object VectorQueries {
     embOutlier, embOutlierHier, annPq,
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
-    evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness)
+    evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
+    graphTriangles, embKmeansInertia, embTripletMine)
 }
