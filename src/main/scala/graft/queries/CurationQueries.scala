@@ -425,6 +425,117 @@ object CurationQueries {
         sum("n_tokens").as("total_tokens"))
   }
 
+  /** C0 controls except tab/LF/CR, plus DEL — characters with no
+    * legitimate place in decoded prose. */
+  private val CtrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  /** U+FFFD REPLACEMENT CHARACTER — a decoder's explicit failure mark. */
+  private val ReplPat = "\\x{fffd}"
+  private val NonAsciiPat = "[^\\x00-\\x7f]"
+
+  /** Encoding-quality / mojibake audit (r11) — the byte-level health
+    * rung BELOW every text heuristic: a crawl shard that arrives
+    * double-decoded or truncated mid-codepoint poisons tokenization,
+    * language ID and dedup alike, and the cheap tell-tales are (a) C0
+    * control characters that no real prose contains (everything except
+    * tab/newline/CR, plus DEL) and (b) U+FFFD replacement characters —
+    * a decoder's explicit "I gave up" marker. Published per doc: the
+    * character length, the two bad-character counts, the non-ASCII
+    * count (not bad per se — a health axis read against the labeled
+    * lang), an ASCII-share grid cell, and the binary mojibake flag the
+    * curation gate consumes.
+    *
+    * Scale: map-only projection — three regex match-counts per doc, no
+    * shuffle, no explode. Patterns use only syntax Java regex and RE2
+    * read identically (bounded classes, \x escapes); counts are exact
+    * integers, the one ratio rides the pin grid. */
+  val textCtrlChars = Q("q_text_ctrl_chars",
+    "control/replacement-character encoding-quality audit")(
+    "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_seen, " +
+      s"CAST(len(regexp_extract_all(text, '$CtrlPat')) AS BIGINT) AS n_ctrl, " +
+      s"CAST(len(regexp_extract_all(text, '$ReplPat')) AS BIGINT) AS n_repl, " +
+      s"CAST(len(regexp_extract_all(text, '$NonAsciiPat')) AS BIGINT) AS n_nonascii, " +
+      "CASE WHEN len(text) > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        s"1.0 - CAST(len(regexp_extract_all(text, '$NonAsciiPat')) AS DOUBLE) " +
+          "/ CAST(len(text) AS DOUBLE)") +
+      " END AS ascii_share, " +
+      s"CAST(CASE WHEN len(regexp_extract_all(text, '$CtrlPat')) " +
+      s"+ len(regexp_extract_all(text, '$ReplPat')) > 0 THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS flag_mojibake " +
+      "FROM documents WHERE text IS NOT NULL") {
+    (s, d) =>
+      def cnt(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_seen"),
+          cnt(CtrlPat).as("n_ctrl"), cnt(ReplPat).as("n_repl"),
+          cnt(NonAsciiPat).as("n_nonascii"))
+        .select(col("doc_id"), col("n_chars_seen"), col("n_ctrl"), col("n_repl"),
+          col("n_nonascii"),
+          when(col("n_chars_seen") > 0, graft.util.Exact.pinScoreInt(
+            lit(1.0) - col("n_nonascii").cast("double") /
+              col("n_chars_seen").cast("double"))).as("ascii_share"),
+          (col("n_ctrl") + col("n_repl") > 0).cast("long").as("flag_mojibake"))
+  }
+
+  /** Cross-document duplicated-SENTENCE fraction (r11) — the RefinedWeb
+    * cleanup granularity between q_text_dedup_lines (within-doc lines)
+    * and q_dedup_substring (20-token spans): sentences (split on
+    * [.!?]+ runs, the q_text_readability boundary rule), lowercased and
+    * trimmed, at least 20 characters (below that "yes" and "thanks"
+    * dominate and the measure is noise), are duplicated when they occur
+    * in ≥ 2 DISTINCT documents. Published per doc: qualifying-sentence
+    * count, duplicated count (with multiplicity), and the duplicated
+    * fraction as a grid cell — the per-doc signal a boilerplate-strip
+    * pass thresholds on.
+    *
+    * Scale: explode → one (sentence-key) hash aggregate for the
+    * document frequency → broadcast-eligible join back (df ≥ 2 keys are
+    * few) → per-doc aggregate; corpus-linear, the exact q_ngram_
+    * boilerplate shape one level up. Docs with zero qualifying
+    * sentences publish n_sents = 0 with a NULL fraction (no denominator),
+    * never a dropped row. */
+  val dedupSentence = Q("q_dedup_sentence",
+    "cross-doc duplicated-sentence fraction per document")(
+    "WITH sx AS (SELECT doc_id, " +
+      "lower(trim(unnest(string_split_regex(text, '[.!?]+')))) AS sent " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "sq AS (SELECT doc_id, sent FROM sx WHERE len(sent) >= 20), " +
+      "df AS (SELECT sent, count(DISTINCT doc_id) AS ndocs FROM sq GROUP BY 1), " +
+      "pd AS (SELECT s.doc_id, count(*) AS n_sents, " +
+      "CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents " +
+      "FROM sq s JOIN df f ON f.sent = s.sent GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(p.n_sents, 0) AS BIGINT) AS n_sents, " +
+      "CAST(coalesce(p.n_dup_sents, 0) AS BIGINT) AS n_dup_sents, " +
+      "CASE WHEN p.n_sents > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(p.n_dup_sents AS DOUBLE) / CAST(p.n_sents AS DOUBLE)") +
+      " END AS dup_frac " +
+      "FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id " +
+      "WHERE d.text IS NOT NULL") {
+    (s, d) =>
+      val sq = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), lower(trim(col("raw"))).as("sent"))
+        .filter(length(col("sent")) >= 20)
+        .materialized(eager = false) // feeds the df count AND the per-doc join
+      val df = sq.groupBy("sent").agg(countDistinct("doc_id").as("ndocs"))
+      val pd = sq.join(df, "sent")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_sents"))
+      documents(s, d).filter(col("text").isNotNull).select("doc_id")
+        .join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+          coalesce(col("n_dup_sents"), lit(0L)).as("n_dup_sents"),
+          when(col("n_sents") > 0, graft.util.Exact.pinScoreInt(
+            col("n_dup_sents").cast("double") / col("n_sents").cast("double")))
+            .as("dup_frac"))
+  }
+
   val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight,
-    curriculumPhase, curationReport)
+    curriculumPhase, curationReport, textCtrlChars, dedupSentence)
 }

@@ -763,7 +763,126 @@ object PipelineQueries {
           .as("f1"))
   }
 
+  /** The two audited predicate bands: a part-key band and a supplier-key
+    * band — selective at every test SF (partkey domain grows with sf;
+    * suppkey stays small) so both pruning numbers stay meaningful. */
+  private val PruneLoP = 100L
+  private val PruneHiP = 299L
+  private val PruneLoS = 10L
+  private val PruneHiS = 49L
+
+  /** Compaction target size (bytes of n_chars mass per output bin):
+    * 2 KiB packs the fixture's ~100-file manifest into a few bins per
+    * source; production would pass 128 MiB. */
+  private val CompactTarget = 2048L
+
+  /** Zone-map pruning audit of the Z-order layout (r11) — the number
+    * that justifies q_zorder_curve's existence: files laid out by the
+    * Morton key keep per-file min/max "zone maps" on BOTH interleaved
+    * dimensions, and a scan with a selective predicate on EITHER key
+    * skips every file whose [min, max] misses the band. This audit
+    * builds the cell → (min, max) zone maps (cells = 256 equal zval
+    * slices of the OBSERVED curve range, the file-boundary analog) and
+    * publishes, for a part-key band and a supplier-key band, how many
+    * cells a zone-map-aware scan prunes and what fraction of rows it
+    * never reads — the data-skipping effectiveness report a table
+    * OPTIMIZE job prints. A near-zero fraction says the layout has
+    * decayed (or the keys were never clustered) and a re-sort is due.
+    *
+    * Scale: one scan for the curve max (an O(1) zone-map read in a real
+    * lake), one 256-key hash aggregate for the maps, one 1-row fold —
+    * corpus-linear, no shuffle wider than the cell count. Integer-pure
+    * except the two pinned fractions. */
+  val layoutPruning = Q("q_layout_pruning",
+    "zone-map pruning audit over the Z-order cell layout")(
+    "WITH z AS (SELECT l_partkey, l_suppkey, " +
+      s"(CASE WHEN l_partkey BETWEEN 0 AND $ZKeyMax " +
+      s"AND l_suppkey BETWEEN 0 AND $ZKeyMax " +
+      s"THEN (${spreadBitsSql("l_partkey")} | (${spreadBitsSql("l_suppkey")} << 1)) " +
+      s"ELSE error('z-order key outside [0, $ZKeyMax]') END) AS zval " +
+      "FROM lineitem), " +
+      "mx AS (SELECT max(zval) AS zmax FROM z), " +
+      "zc AS (SELECT l_partkey, l_suppkey, zval // ((mx.zmax // 256) + 1) AS cell " +
+      "FROM z CROSS JOIN mx), " +
+      "maps AS (SELECT cell, CAST(count(*) AS BIGINT) AS n, " +
+      "min(l_partkey) AS p_min, max(l_partkey) AS p_max, " +
+      "min(l_suppkey) AS s_min, max(l_suppkey) AS s_max FROM zc GROUP BY 1), " +
+      "f AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_rows, " +
+      s"CAST(sum(CASE WHEN p_max < $PruneLoP OR p_min > $PruneHiP THEN 1 ELSE 0 END) AS BIGINT) AS p_pruned_cells, " +
+      s"CAST(sum(CASE WHEN p_max < $PruneLoP OR p_min > $PruneHiP THEN n ELSE 0 END) AS BIGINT) AS p_skipped_rows, " +
+      s"CAST(sum(CASE WHEN s_max < $PruneLoS OR s_min > $PruneHiS THEN 1 ELSE 0 END) AS BIGINT) AS s_pruned_cells, " +
+      s"CAST(sum(CASE WHEN s_max < $PruneLoS OR s_min > $PruneHiS THEN n ELSE 0 END) AS BIGINT) AS s_skipped_rows " +
+      "FROM maps) " +
+      "SELECT n_cells, n_rows, p_pruned_cells, p_skipped_rows, " +
+      Exact.Sql.pinScoreInt("CAST(p_skipped_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)") +
+      " AS p_skip_frac, s_pruned_cells, s_skipped_rows, " +
+      Exact.Sql.pinScoreInt("CAST(s_skipped_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)") +
+      " AS s_skip_frac FROM f") {
+    (s, d) =>
+      val z = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+        zvalExpr(col("l_partkey"), col("l_suppkey")).as("zval"))
+      val mx = z.agg(max("zval").as("zmax"))
+      val maps = z.crossJoin(broadcast(mx))
+        .withColumn("cell", expr("zval div ((zmax div 256) + 1)"))
+        .groupBy("cell").agg(count(lit(1)).as("n"),
+          min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+          min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+      def pruned(mn: String, mxc: String, lo: Long, hi: Long) =
+        col(mxc) < lo || col(mn) > hi
+      maps.agg(count(lit(1)).as("n_cells"), sum("n").as("n_rows"),
+        sum(when(pruned("p_min", "p_max", PruneLoP, PruneHiP), 1L).otherwise(0L))
+          .as("p_pruned_cells"),
+        sum(when(pruned("p_min", "p_max", PruneLoP, PruneHiP), col("n")).otherwise(0L))
+          .as("p_skipped_rows"),
+        sum(when(pruned("s_min", "s_max", PruneLoS, PruneHiS), 1L).otherwise(0L))
+          .as("s_pruned_cells"),
+        sum(when(pruned("s_min", "s_max", PruneLoS, PruneHiS), col("n")).otherwise(0L))
+          .as("s_skipped_rows"))
+        .select(col("n_cells"), col("n_rows"),
+          col("p_pruned_cells"), col("p_skipped_rows"),
+          Exact.pinScoreInt(col("p_skipped_rows").cast("double") /
+            col("n_rows").cast("double")).as("p_skip_frac"),
+          col("s_pruned_cells"), col("s_skipped_rows"),
+          Exact.pinScoreInt(col("s_skipped_rows").cast("double") /
+            col("n_rows").cast("double")).as("s_skip_frac"))
+  }
+
+  /** Small-file compaction plan (r11) — the lakehouse OPTIMIZE planning
+    * step: treat each (source, lang) document group as one "file" of
+    * `bytes` = Σ n_chars (the manifest a real lake reads from parquet
+    * footers), and bin-pack files per source, in lang order, into
+    * ~2 KiB target bins by prefix-sum offset: bin_id = start_off ÷
+    * target. A file lands wholly in the bin its START offset falls in —
+    * first-fit in manifest order, each bin overshooting the target by at
+    * most one file (the rule real compaction jobs use: never split a
+    * file). The published plan is the rewrite job's work list.
+    *
+    * Scale: the window runs over the FILE MANIFEST, which is metadata-
+    * sized (files per source, not rows) — the same bounded-partition
+    * argument as q_agg_gini_source's source table; if a single source's
+    * manifest ever outgrows a partition, ops.Corpus.packOffsets'
+    * two-phase prefix layout slots in unchanged (same offsets). Output
+    * is integer-pure. */
+  val fileCompactionPlan = Q("q_file_compaction_plan",
+    "small-file compaction bins from the (source, lang) manifest")(
+    "WITH m AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes " +
+      "FROM documents GROUP BY 1, 2), " +
+      "o AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY source ORDER BY lang " +
+      "ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS start_off FROM m) " +
+      s"SELECT source, lang, bytes, start_off, start_off // $CompactTarget AS bin_id " +
+      "FROM o") {
+    (s, d) =>
+      val m = documents(s, d).groupBy("source", "lang")
+        .agg(sum("n_chars").as("bytes"))
+      val w = Window.partitionBy("source").orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("start_off", sum("bytes").over(w) - col("bytes"))
+        .select(col("source"), col("lang"), col("bytes"), col("start_off"),
+          expr(s"start_off div $CompactTarget").as("bin_id"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
-    snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid)
+    snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
+    layoutPruning, fileCompactionPlan)
 }

@@ -440,7 +440,103 @@ object SessionQueries {
         .filter(col("n_occur") >= 5)
   }
 
+  /** Per-type inter-arrival profile + burstiness (r11) — the
+    * event-stream texture gauge beside q_event_anomaly's daily z-scores:
+    * gaps are measured within each user's per-type stream (the
+    * q_sessionize ordering contract: ts µs, event_id tiebreak), then
+    * folded per event type into count/sum/min/max plus exact-moment mean
+    * and population σ, and Goh–Barabási burstiness B = (σ−μ)/(σ+μ) —
+    * B → −1 for a periodic stream, 0 for Poisson, → 1 for bursty; the
+    * number that says whether a session-gap threshold or a rate alarm is
+    * even well-posed for this type.
+    *
+    * Scale: one (user_id)-keyed window pass (same Exchange the rest of
+    * the session family rides) and one bounded-key hash aggregate; the
+    * moments are decimal-exact sums of integer-µs gaps, the three
+    * published scores ride the pin grid, guarded NULL when a type has
+    * < 2 gaps (no σ) or σ+μ = 0. */
+  val eventInterarrival = Q("q_event_interarrival",
+    "per-type inter-arrival profile + burstiness")(
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+      "g AS (SELECT event_type, ts_us - lag(ts_us) OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS gap FROM e), " +
+      "gg AS (SELECT event_type, CAST(gap AS DOUBLE) AS gd, gap FROM g WHERE gap IS NOT NULL), " +
+      "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "CAST(sum(gap) AS BIGINT) AS sum_gap_us, " +
+      "CAST(min(gap) AS BIGINT) AS min_gap_us, CAST(max(gap) AS BIGINT) AS max_gap_us, " +
+      Exact.Sql.avg("gd") + " AS mu, " + Exact.Sql.stddevPop("gd") + " AS sd " +
+      "FROM gg GROUP BY 1) " +
+      // pinned scores publish in SECONDS: a µs-scale mean gap (~2e11 here)
+      // times the 2^30 grid would overflow BIGINT — loudly in DuckDB,
+      // silently (ANSI off) in Spark; /1e6 is one correct IEEE rounding on
+      // both engines, and the integer columns keep full µs resolution
+      "SELECT event_type, n_gaps, sum_gap_us, min_gap_us, max_gap_us, " +
+      Exact.Sql.pinScoreInt("mu / 1000000.0") + " AS mean_s, " +
+      "CASE WHEN n_gaps >= 2 THEN " +
+      Exact.Sql.pinScoreInt("sd / 1000000.0") + " END AS sd_s, " +
+      "CASE WHEN n_gaps >= 2 AND sd + mu > 0 THEN " +
+      Exact.Sql.pinScoreInt("(sd - mu) / (sd + mu)") + " END AS burstiness " +
+      "FROM st") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val g = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap").isNotNull)
+      val st = g.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap").as("sum_gap_us"),
+        min("gap").as("min_gap_us"), max("gap").as("max_gap_us"),
+        Exact.exactAvg(col("gap").cast("double")).as("mu"),
+        Exact.exactStddevPop(col("gap").cast("double")).as("sd"))
+      st.select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+        col("min_gap_us"), col("max_gap_us"),
+        Exact.pinScoreInt(col("mu") / 1000000.0).as("mean_s"),
+        when(col("n_gaps") >= 2,
+          Exact.pinScoreInt(col("sd") / 1000000.0)).as("sd_s"),
+        when(col("n_gaps") >= 2 && col("sd") + col("mu") > 0,
+          Exact.pinScoreInt((col("sd") - col("mu")) / (col("sd") + col("mu"))))
+          .as("burstiness"))
+  }
+
+  /** Per-user modal event type (r11) — the pandas `groupby().agg(mode)`
+    * idiom done the deterministic way: the most frequent event type per
+    * user, ties broken to the lexicographically smallest type (pandas
+    * mode() returns ALL tied values; a pipeline needs ONE, and the tie
+    * rule must be engine-portable, so it is part of the contract), plus
+    * the count and the modal share of the user's events as a grid cell.
+    * The categorical companion of q_event_rfm's numeric profile —
+    * "what does this user mostly do".
+    *
+    * Scale: one (user, type) hash aggregate (partial map-side combine),
+    * then a per-user window over ≤ |event types| rows — the window
+    * partition is bounded by the type vocabulary, never by a user's
+    * event count. */
+  val aggModeUser = Q("q_agg_mode", "per-user modal event type with deterministic ties")(
+    "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY 1), " +
+      "r AS (SELECT user_id, event_type, n, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) " +
+      "SELECT r.user_id, r.event_type AS mode_event_type, CAST(r.n AS BIGINT) AS n_mode, " +
+      "t.n_total, " +
+      Exact.Sql.pinScoreInt("CAST(r.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)") +
+      " AS mode_share FROM r JOIN t ON t.user_id = r.user_id WHERE r.rn = 1") {
+    (s, d) =>
+      val c = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .materialized(eager = false) // feeds the total AND the ranked pick
+      val t = c.groupBy("user_id").agg(sum("n").as("n_total"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(t, "user_id")
+        .select(col("user_id"), col("event_type").as("mode_event_type"),
+          col("n").as("n_mode"), col("n_total"),
+          Exact.pinScoreInt(
+            col("n").cast("double") / col("n_total").cast("double")).as("mode_share"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
-    eventSeqNgram)
+    eventSeqNgram, eventInterarrival, aggModeUser)
 }
