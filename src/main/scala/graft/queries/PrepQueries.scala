@@ -411,6 +411,53 @@ object PrepQueries {
         .select(col("rank"), col("pair"), col("n_pair"))
   }
 
+  /** Intrinsic-dimensionality estimate of the embedding table (r11) —
+    * the participation ratio PR = (Σᵢ σᵢ²)² / Σᵢ σᵢ⁴ over the per-dim
+    * variances (the diagonal variance spectrum; with decorrelated dims
+    * it counts how many dimensions carry real signal: 64 isotropic dims
+    * → PR = 64, one dominant dim → PR → 1). The one-number anisotropy
+    * collapse gauge read WITH q_emb_whiten (per-vector z-health) and
+    * q_emb_pca_power (the top component itself): a PR crash between
+    * embedding-model versions means cosine and PQ geometry silently
+    * degraded. top_var_share pins the same story from the other end.
+    *
+    * Scale: one d-keyed exact-moment aggregate over the exploded table
+    * (the q_emb_quantize_int8 shape), then a d-row fold — corpus-linear,
+    * output is one row. The d-row folds ride the portable grid (their
+    * order is partition-dependent); everything published is a grid
+    * cell. */
+  val embIntrinsicDim = Q("q_emb_intrinsic_dim",
+    "participation-ratio intrinsic dimensionality of the embeddings")(
+    embExplodeSql +
+      "st AS (SELECT i, COUNT(e) AS n, " + Exact.Sql.sum("e") + " AS s, " +
+      Exact.Sql.sum("e*e", 4) + " AS sq FROM v GROUP BY 1), " +
+      "vr AS (SELECT i, greatest(0.0, (sq - s*s/n) / n) AS vx FROM st), " +
+      "f AS (SELECT CAST(count(*) AS BIGINT) AS n_dims, " +
+      Exact.Sql.portableSum("vx") + " AS sv, " +
+      Exact.Sql.portableSum("vx*vx") + " AS sv2, max(vx) AS mx FROM vr) " +
+      "SELECT n_dims, " + Exact.Sql.pinScoreInt("sv") + " AS total_var, " +
+      "CASE WHEN sv2 > 0 THEN " + Exact.Sql.pinScoreInt("(sv * sv) / sv2") +
+      " END AS participation_ratio, " +
+      "CASE WHEN sv > 0 THEN " + Exact.Sql.pinScoreInt("mx / sv") +
+      " END AS top_var_share FROM f") {
+    (s, d) =>
+      val v = embExplode(embeddings(s, d))
+      val st = v.groupBy("i").agg(count("e").as("n"),
+        Exact.exactSum(col("e")).as("s"),
+        Exact.exactSum(col("e") * col("e"), 4).as("sq"))
+      val vr = st.select(greatest(lit(0.0),
+        (col("sq") - col("s") * col("s") / col("n")) / col("n")).as("vx"))
+      vr.agg(count(lit(1)).as("n_dims"),
+        Exact.portableSum(col("vx")).as("sv"),
+        Exact.portableSum(col("vx") * col("vx")).as("sv2"),
+        max(col("vx")).as("mx"))
+        .select(col("n_dims"), Exact.pinScoreInt(col("sv")).as("total_var"),
+          when(col("sv2") > 0, Exact.pinScoreInt(
+            (col("sv") * col("sv")) / col("sv2"))).as("participation_ratio"),
+          when(col("sv") > 0, Exact.pinScoreInt(col("mx") / col("sv")))
+            .as("top_var_share"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
-    embPcaPower, embPcaProject, bpeMergePairs, embWhiten)
+    embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim)
 }

@@ -184,5 +184,40 @@ object RollingQueries {
             (sqrt(vx) * sqrt(vy))).as("roll_corr"))
   }
 
-  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr)
+  /** Donchian channel, 21-row (r11) — the order-statistic band family
+    * beside Bollinger's moment band: rolling high/low extrema of the
+    * price and their midline, pandas `rolling(21).max()/.min()`. The
+    * breakout-system primitive (price above dc_high = N-period high);
+    * as a data-quality lens it brackets the exact range a spike filter
+    * clips to (q_agg_winsorize's rolling sibling).
+    *
+    * Exactness is free: min/max are ORDER STATISTICS (no arithmetic on
+    * the values), the midline is one IEEE add + one dyadic halve — no
+    * decimal/pin machinery needed. Same single asset-key shuffle +
+    * frame as every rolling query; pandas min_periods semantics via the
+    * frame-count guard. */
+  val winDonchian = Q("q_win_donchian", "Donchian 21-row high/low channel + midline")({
+    val c = "l_extendedprice"
+    val w = "w21"
+    val full = s"COUNT($c) OVER $w >= 21"
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, $c, " +
+      s"(CASE WHEN $full THEN max($c) OVER $w END) AS dc_high, " +
+      s"(CASE WHEN $full THEN min($c) OVER $w END) AS dc_low, " +
+      s"(CASE WHEN $full THEN (max($c) OVER $w + min($c) OVER $w) / 2.0 END) AS dc_mid " +
+      s"FROM lineitem WINDOW $w AS ${frameSql(21)}"
+  }) {
+    (s, d) =>
+      val w = frame(21)
+      val c = col("l_extendedprice")
+      val full = count(c).over(w) >= 21
+      val hi = max(c).over(w)
+      val lo = min(c).over(w)
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"), c,
+        when(full, hi).as("dc_high"),
+        when(full, lo).as("dc_low"),
+        when(full, (hi + lo) / 2.0).as("dc_mid"))
+  }
+
+  val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
+    winDonchian)
 }

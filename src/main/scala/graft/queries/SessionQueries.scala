@@ -484,20 +484,29 @@ object SessionQueries {
           unix_micros(col("ts")).as("ts_us"))
         .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
         .filter(col("gap").isNotNull)
-      val st = g.groupBy("event_type").agg(
-        count(lit(1)).as("n_gaps"),
-        sum("gap").as("sum_gap_us"),
-        min("gap").as("min_gap_us"), max("gap").as("max_gap_us"),
-        Exact.exactAvg(col("gap").cast("double")).as("mu"),
-        Exact.exactStddevPop(col("gap").cast("double")).as("sd"))
-      st.select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
-        col("min_gap_us"), col("max_gap_us"),
-        Exact.pinScoreInt(col("mu") / 1000000.0).as("mean_s"),
-        when(col("n_gaps") >= 2,
-          Exact.pinScoreInt(col("sd") / 1000000.0)).as("sd_s"),
-        when(col("n_gaps") >= 2 && col("sd") + col("mu") > 0,
-          Exact.pinScoreInt((col("sd") - col("mu")) / (col("sd") + col("mu"))))
-          .as("burstiness"))
+      interarrivalStats(g)
+  }
+
+  /** The published fold of q_event_interarrival over a (event_type, gap)
+    * frame — shared verbatim by the batch operator and the streaming
+    * gap-ingest rollup (Streams.gapRollup), so stream and batch profiles
+    * cannot drift. */
+  private[graft] def interarrivalStats(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = g.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum("gap").as("sum_gap_us"),
+      min("gap").as("min_gap_us"), max("gap").as("max_gap_us"),
+      Exact.exactAvg(col("gap").cast("double")).as("mu"),
+      Exact.exactStddevPop(col("gap").cast("double")).as("sd"))
+    st.select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+      col("min_gap_us"), col("max_gap_us"),
+      Exact.pinScoreInt(col("mu") / 1000000.0).as("mean_s"),
+      when(col("n_gaps") >= 2,
+        Exact.pinScoreInt(col("sd") / 1000000.0)).as("sd_s"),
+      when(col("n_gaps") >= 2 && col("sd") + col("mu") > 0,
+        Exact.pinScoreInt((col("sd") - col("mu")) / (col("sd") + col("mu"))))
+        .as("burstiness"))
   }
 
   /** Per-user modal event type (r11) — the pandas `groupby().agg(mode)`

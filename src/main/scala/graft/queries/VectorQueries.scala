@@ -2251,6 +2251,51 @@ object VectorQueries {
       hist.unionByName(zero)
   }
 
+  /** Connected-component SIZE HISTOGRAM of the mutual-kNN graph (r11) —
+    * the fragmentation gauge beside q_graph_triangles' cohesion number:
+    * how does the corpus decompose when only reciprocal neighbor edges
+    * are trusted? A healthy embedding yields many small tight components
+    * (near-dup pockets, topic clumps); one giant component says the
+    * mutual filter kept hub noise, thousands of singletons say it
+    * starved. Published: (component_size, n_components) plus the
+    * explicit size-1 bucket = vectors with NO mutual edge (corpus −
+    * covered, the q_graph_hubness zero-bucket contract — never a row
+    * drop).
+    *
+    * Scale: Spark side runs ops.Corpus.componentLabels — star-contraction
+    * min-label propagation, O(diameter) rounds of keyed joins, checksum
+    * convergence, no driver per-row traffic (the q_dedup_cluster
+    * machinery applied to a second edge domain — graph-parametric like
+    * mutualSql). The oracle replays closure as a recursive CTE over the
+    * same inlined mutual edges. */
+  val graphCcSizes = Q("q_graph_cc_sizes",
+    "component-size histogram of the mutual-kNN graph")(
+    "WITH RECURSIVE medges AS (" + mutualSql(annKnnJoin) + "), " +
+      "sym AS (SELECT a AS s, b AS t FROM medges UNION SELECT b, a FROM medges), " +
+      "reach AS (SELECT s, t FROM sym " +
+      "UNION SELECT r.s, e.t FROM reach r JOIN sym e ON e.s = r.t WHERE e.t <> r.s), " +
+      "comp AS (SELECT s AS node, LEAST(s, min(t)) AS cluster FROM reach GROUP BY s), " +
+      "sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS component_size FROM comp GROUP BY 1), " +
+      "h AS (SELECT component_size, CAST(count(*) AS BIGINT) AS n_components FROM sz GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), " +
+      "cov AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM comp) " +
+      "SELECT component_size, n_components FROM h UNION ALL " +
+      "SELECT CAST(1 AS BIGINT), t.n - c.nc FROM tot t CROSS JOIN cov c " +
+      "WHERE t.n - c.nc > 0") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comp = graft.ops.Corpus.componentLabels(edges)
+        .materialized(eager = false) // histogram AND coverage count
+      val h = comp.groupBy("cluster").agg(count(lit(1)).as("component_size"))
+        .groupBy("component_size").agg(count(lit(1)).as("n_components"))
+      val tot = embeddings(s, d).agg(count(lit(1)).as("n"))
+      val singles = tot.crossJoin(comp.agg(count(lit(1)).as("nc")))
+        .select(lit(1L).as("component_size"), (col("n") - col("nc")).as("n_components"))
+        .filter(col("n_components") > 0)
+      h.unionByName(singles)
+  }
+
   /** Triangle count + global clustering coefficient of the mutual-kNN
     * graph (r11) — the one-number cohesion gauge of the graph the
     * PageRank/classify/hubness family consumes: a corpus whose mutual
@@ -2455,5 +2500,5 @@ object VectorQueries {
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
-    graphTriangles, embKmeansInertia, embTripletMine)
+    graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes)
 }

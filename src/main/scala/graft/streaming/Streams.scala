@@ -639,4 +639,52 @@ object Streams {
         col("click_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
+
+  final case class GapCarry(ts_us: Long, event_id: Long)
+  final case class GapRow(user_id: Long, event_type: String, gap: Long)
+
+  /** Streaming twin of q_event_interarrival's GAP extraction (r11):
+    * per-(user, event_type) stateful carry of the last observed event, so
+    * the gap that SPANS a micro-batch or restart boundary — exactly the
+    * one a per-batch window can never see — is emitted exactly once. The
+    * sink is append-only gap occurrences; the published per-type profile
+    * (count/sum/extrema/mean/σ/burstiness) folds at read through the
+    * IDENTICAL recipe as the batch operator ([[gapRollup]] delegates to
+    * SessionQueries.interarrivalStats), the fold-at-read layout of
+    * seqNgramRollup.
+    *
+    * State is one (ts_us, event_id) pair per live (user, type) key —
+    * bounded by key cardinality, never event volume. Same in-order
+    * ingest contract as funnelStages/seqNgramStages: within a drain rows
+    * fold in (ts_us, event_id) order; batches arrive in time order per
+    * key (the AvailableNow snapshot-drop layout provides this). */
+  def gapIngest(spark: SparkSession, sourceDir: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SeqEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[GapCarry, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case ((uid, et), rows, state) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        val prevTs = state.getOption.map(_.ts_us).toSeq
+        val ts = prevTs ++ sorted.map(_.ts_us)
+        val gaps = ts.sliding(2).collect { case Seq(a, b) => GapRow(uid, et, b - a) }
+          .toList
+        sorted.lastOption.foreach(l => state.update(GapCarry(l.ts_us, l.event_id)))
+        gaps.iterator
+      }.toDF()
+  }
+
+  /** Read-side profile over gapIngest's append-only sink — column-exact
+    * twin of q_event_interarrival (the shared fold makes drift
+    * impossible by construction). */
+  def gapRollup(staged: DataFrame): DataFrame =
+    graft.queries.SessionQueries.interarrivalStats(
+      staged.select(col("event_type"), col("gap")))
 }

@@ -694,4 +694,62 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.contains(("C", "A", "B", 6L, 1L)))
     assert(got.size == 3)
   }
+
+  test("Streams.gapIngest emits boundary-spanning gaps once; rollup equals the batch profile") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.gapIngest(spark, src, schema)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: user 1 clicks at 10:00/10:01/10:03 (gaps 60s, 120s); its view
+    // at 10:00 is a DIFFERENT key (no gap); user 2 one click (no gap yet)
+    ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:03:00", "click"),
+      (4L, 1L, "2024-01-01 10:00:30", "view"),
+      (5L, 2L, "2024-01-01 09:00:00", "click")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val run1 = spark.read.parquet(out).as[Streams.GapRow].collect().toSeq
+    assert(run1.filter(_.user_id == 1L).map(_.gap).sorted == Seq(60000000L, 120000000L))
+    assert(!run1.exists(_.user_id == 2L), "a single event has no gap")
+    // run 2 (restart): user 2's second click closes the gap that SPANS the
+    // checkpoint boundary; user 1 adds one more (10:03 -> 10:10)
+    ev(Seq(
+      (6L, 2L, "2024-01-01 09:05:00", "click"),
+      (7L, 1L, "2024-01-01 10:10:00", "click")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val staged = spark.read.parquet(out).as[Streams.GapRow].collect().toSeq
+    assert(staged.size == run1.size + 2, "run 2 emits exactly the 2 new gaps")
+    assert(staged.filter(_.user_id == 2L).map(_.gap) == Seq(300000000L),
+      "the boundary-spanning gap emits exactly once")
+
+    // read-side rollup equals the batch operator on the same lake
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    val got = Streams.gapRollup(spark.read.parquet(out)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSet
+    val batch = graft.queries.SessionQueries.eventInterarrival.fn(spark, evDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSet
+    assert(got == batch, s"stream rollup $got != batch $batch")
+    assert(got.exists(t => t._1 == "click" && t._2 == 4L))
+  }
 }
