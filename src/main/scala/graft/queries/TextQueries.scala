@@ -629,8 +629,55 @@ object TextQueries {
             .as("edit_sim"))
   }
 
+  /** Modality-mix composition report (r11) — the q_source_mix of the
+    * MEDIA table: per modality (image/audio/video), media count, total
+    * payload bytes, frame mass, the largest single asset, mean asset
+    * size, and each modality's share of corpus bytes. The first page of
+    * any multimodal-dataset card ("X TB video, Y TB images…") and the
+    * number storage/shuffle sizing is planned from. The Spark side runs
+    * the REAL typed chain (mediaTable → mapPartitions extractFeatures →
+    * grouped fold) so the Encoders/batch path is what the gate
+    * certifies; the oracle replays the decode stub's byte arithmetic.
+    *
+    * Scale: map-only decode (codec init once per task) + one
+    * 3-key hash aggregate × a broadcast 1-row total — output is
+    * |modalities| rows at any corpus size. */
+  val mmModalityMix = Q("q_mm_modality_mix", "per-modality composition report")(
+    "WITH f AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+      "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "CAST((octet_length(encode(text)) // 100) + 1 AS BIGINT) AS n_frames " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_media, " +
+      "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+      "CAST(sum(n_frames) AS BIGINT) AS total_frames, " +
+      "CAST(max(n_bytes) AS BIGINT) AS max_bytes FROM f GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS corpus_bytes FROM g) " +
+      "SELECT kind, n_media, total_bytes, total_frames, max_bytes, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(total_bytes AS DOUBLE) / CAST(n_media AS DOUBLE)") + " AS mean_bytes, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(total_bytes AS DOUBLE) / CAST(t.corpus_bytes AS DOUBLE)") +
+      " AS byte_share FROM g CROSS JOIN t") {
+    (s, d) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.mediaTable(s, d).filter(col("payload").isNotNull))
+      val g = feats.groupBy("kind").agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        sum("n_frames").cast("long").as("total_frames"),
+        max("n_bytes").as("max_bytes"))
+      val t = g.agg(sum("total_bytes").as("corpus_bytes"))
+      g.crossJoin(broadcast(t))
+        .select(col("kind"), col("n_media"), col("total_bytes"), col("total_frames"),
+          col("max_bytes"),
+          graft.util.Exact.pinScoreInt(col("total_bytes").cast("double") /
+            col("n_media").cast("double")).as("mean_bytes"),
+          graft.util.Exact.pinScoreInt(col("total_bytes").cast("double") /
+            col("corpus_bytes").cast("double")).as("byte_share"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
-    textReadability, dedupEditVerify)
+    textReadability, dedupEditVerify, mmModalityMix)
 }

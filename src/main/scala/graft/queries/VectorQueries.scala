@@ -1863,14 +1863,11 @@ object VectorQueries {
     * their join (`relj`: q, rn, rel, disc). ONE text spliced by
     * q_eval_ndcg and q_eval_mrr so the graded search and the relevance
     * rule can never fork between the metrics. */
-  private val annRelCtes =
-    vecsSql +
-      seedAssignCtes +
-      ivfPairsCtes +
-      ", ann AS (SELECT q, c, rn FROM (SELECT pcos.*, " +
-      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
-      "WHERE rn <= 3), " +
-      "gtd AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+  /** Exact-cosine top-3 ground truth over the vid < 10 query universe —
+    * `gt(q, c)`. ONE text spliced by the graded-search evals and the
+    * recall-curve sweep so the truth definition can never fork. */
+  private val gtSqlCtes =
+    "gtd AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
       "FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id " +
       "GROUP BY 1, 2), " +
@@ -1878,7 +1875,16 @@ object VectorQueries {
       "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
       "gt AS (SELECT q, c FROM (SELECT gtc.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY gcos DESC, c) AS grn FROM gtc) " +
-      "WHERE grn <= 3), " +
+      "WHERE grn <= 3)"
+
+  private val annRelCtes =
+    vecsSql +
+      seedAssignCtes +
+      ivfPairsCtes +
+      ", ann AS (SELECT q, c, rn FROM (SELECT pcos.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
+      "WHERE rn <= 3), " +
+      gtSqlCtes + ", " +
       "relj AS (SELECT ann.q, ann.rn, CASE WHEN gt.c IS NOT NULL THEN 1 ELSE 0 END AS rel, " +
       ndcgDiscSql("ann.rn") + " AS disc FROM ann LEFT JOIN gt ON gt.q = ann.q AND gt.c = ann.c) "
 
@@ -2251,6 +2257,85 @@ object VectorQueries {
       hist.unionByName(zero)
   }
 
+  /** Recall@3 vs nprobe CURVE of the hierarchical multi-probe IVF (r11)
+    * — the index-TUNING table behind the point gauges (q_eval_recall_lsh
+    * grades one configuration; this sweeps the knob): for nprobe ∈
+    * {1, 2, 4}, search through the hier assignment probing the top-n
+    * stage-2 clusters and publish hits against the exact cosine top-3
+    * (the shared `gt` truth text). The marginal recall per extra probe
+    * is THE number that prices the recall/latency trade before anyone
+    * re-trains a bigger index; a flat curve means the hierarchy itself
+    * (not the probe count) is the recall ceiling.
+    *
+    * Scale: the probe sweep multiplies only the QUERY side (universe ×
+    * Σnprobe candidate clusters) — the corpus-sized assignment is
+    * computed once and shared; ground truth is queries×corpus exact
+    * (brute force priced by the universe, the q_eval_ndcg contract).
+    * Universe-complete: an nprobe row publishes 0 hits even when every
+    * query came up empty. */
+  val evalRecallCurve = Q("q_eval_recall_curve",
+    "recall@3 vs nprobe curve of the hier multi-probe IVF")(
+    vecsSql +
+      hierPrologueSql +
+      hierAssignSqlCtes +
+      "nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe), " +
+      "qp2 AS (SELECT np.nprobe, s.vid AS q, s.cid AS cluster " +
+      "FROM s2 s CROSS JOIN nps np WHERE s.vid < 10 AND s.rn <= np.nprobe), " +
+      "cpairs AS (SELECT p.nprobe, p.q, ca.vid AS c FROM qp2 p " +
+      "JOIN assign ca ON ca.cluster = p.cluster AND ca.vid <> p.q), " +
+      "cdots AS (SELECT p.nprobe, p.q, p.c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM cpairs p " +
+      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
+      "GROUP BY 1, 2, 3), " +
+      "ccand AS (SELECT d.nprobe, d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM cdots d JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "res AS (SELECT nprobe, q, c FROM (SELECT ccand.*, " +
+      "row_number() OVER (PARTITION BY nprobe, q ORDER BY cosine DESC, c) AS rn " +
+      "FROM ccand) WHERE rn <= 3), " +
+      gtSqlCtes + ", " +
+      "hits AS (SELECT r.nprobe, CAST(count(*) AS BIGINT) AS n_hits FROM res r " +
+      "JOIN gt ON gt.q = r.q AND gt.c = r.c GROUP BY 1), " +
+      "qs AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < 10) " +
+      "SELECT np.nprobe, qs.n_queries, COALESCE(h.n_hits, 0) AS n_hits, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(3 * qs.n_queries AS DOUBLE)") +
+      " AS recall FROM nps np CROSS JOIN qs " +
+      "LEFT JOIN hits h ON h.nprobe = np.nprobe") {
+    (s, d) =>
+      import s.implicits._
+      val base = embeddings(s, d)
+      val cents = hierSeedCents(base)
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val s2 = hierStage2(all, cents, k).materialized()
+      val assign = s2.filter(col("rn") === 1)
+        .select(col("vid").as("c"), col("cid").as("cluster"))
+      val nps = Seq(1L, 2L, 4L).toDF("nprobe")
+      val qprobe = s2.filter(col("vid") < 10).crossJoin(broadcast(nps))
+        .filter(col("rn") <= col("nprobe"))
+        .select(col("nprobe"), col("vid").as("q"), col("cid").as("cluster"))
+      val pairs = qprobe.join(assign, "cluster").filter(col("c") =!= col("q"))
+      val qv = all.select(col("vid").as("q"), col("ev").as("eq"), col("nv").as("nq"))
+      val cv = all.select(col("vid").as("c"), col("ev").as("ec"), col("nv").as("nc"))
+      val cand = pairs.join(qv, "q").join(cv, "c")
+        .select(col("nprobe"), col("q"), col("c"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("nprobe", "q").orderBy(col("cosine").desc, col("c"))
+      val res = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      val gt = exactCosTopK(base, 3).select(col("q"), col("c"))
+      val hits = res.join(gt, Seq("q", "c"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val qs = base.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+      nps.crossJoin(broadcast(qs))
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), col("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_hits"), lit(0L)).cast("double") /
+              (lit(3L) * col("n_queries")).cast("double")).as("recall"))
+  }
+
   /** Connected-component SIZE HISTOGRAM of the mutual-kNN graph (r11) —
     * the fragmentation gauge beside q_graph_triangles' cohesion number:
     * how does the corpus decompose when only reciprocal neighbor edges
@@ -2500,5 +2585,5 @@ object VectorQueries {
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
-    graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes)
+    graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve)
 }
