@@ -1011,9 +1011,59 @@ object CorpusStatsQueries {
             .as("distinct_ratio"))
   }
 
+  /** Quality-signal redundancy audit (r11) — the corpus Pearson
+    * correlation between document LENGTH (dl, the token count) and the
+    * unigram-LM surprisal score, computed over q_text_unigram_logprob's
+    * OWN published frame (inlined text oracle-side, shared fn
+    * Spark-side — the mutualSql pattern, so the audited signal is
+    * exactly the registered one). Perplexity filters are length-biased
+    * almost everywhere; this number says HOW much, per corpus snapshot:
+    * |corr| near 1 means the expensive LM score is mostly re-measuring
+    * length and a cheap length gate would keep nearly the same docs —
+    * the audit that decides whether a filter earns its compute.
+    *
+    * Exactness: x = dl (integer), y = the published grid CELL rescaled
+    * by the exact dyadic 2⁻³⁰ — both engine-identical doubles; then the
+    * q_agg_corr five-exact-sum recipe, zero-variance guarded, pinned
+    * publish. One corpus-sized aggregate over an already-computed
+    * frame. */
+  val evalSignalCorr = Q("q_eval_signal_corr",
+    "length × surprisal Pearson — the quality-signal redundancy audit")({
+    def dsum(c: String, scale: Int) = graft.util.Exact.Sql.sum(c, scale)
+    "WITH rep AS (" + textUnigramLogprob.oracle.get + "), " +
+      "xy AS (SELECT CAST(dl AS DOUBLE) AS x, " +
+      "CAST(logprob AS DOUBLE) / 1073741824.0 AS y FROM rep), " +
+      "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      dsum("x", 8) + " AS sx, " + dsum("y", 8) + " AS sy, " +
+      dsum("x * y", 4) + " AS sxy, " +
+      dsum("x * x", 4) + " AS sxx, " + dsum("y * y", 4) + " AS syy FROM xy) " +
+      "SELECT CAST(n AS BIGINT) AS n_docs, " +
+      "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))") +
+      " END AS len_surprisal_corr FROM s"
+  }) {
+    (s, d) =>
+      def dsum(c: Column, scale: Int) = graft.util.Exact.exactSum(c, scale)
+      val xy = textUnigramLogprob.fn(s, d)
+        .select(col("dl").cast("double").as("x"),
+          (col("logprob").cast("double") / 1073741824.0).as("y"))
+      val st = xy.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x"), 8).as("sx"), dsum(col("y"), 8).as("sy"),
+        dsum(col("x") * col("y"), 4).as("sxy"),
+        dsum(col("x") * col("x"), 4).as("sxx"),
+        dsum(col("y") * col("y"), 4).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      st.select(col("n").cast("long").as("n_docs"),
+        when(vx > 0 && vy > 0, graft.util.Exact.pinScoreInt(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx) * sqrt(vy)))).as("len_surprisal_corr"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
-    dedupClusterSizes)
+    dedupClusterSizes, evalSignalCorr)
 }

@@ -536,6 +536,51 @@ object CurationQueries {
             .as("dup_frac"))
   }
 
+  /** Filter-overlap (Venn) histogram over the curation bitmask (r11) —
+    * the REDUNDANCY report on top of q_curation_report: how many docs
+    * does each flag COMBINATION hit? Two gates that almost always fire
+    * together are one gate's worth of signal (drop the expensive one);
+    * a combination bucket that is empty at every corpus snapshot is a
+    * gate nothing exercises. Rows are one per OBSERVED bitmask value
+    * with the bits decoded back out, the doc share as a grid cell, and
+    * the keep decision (a pure function of the mask, so min == max).
+    *
+    * Scale: one ≤16-key hash aggregate over the report frame — the
+    * report itself is the cost, and it is shared text/fn with
+    * q_curation_report (the mutualSql graph-parametric pattern), so the
+    * two can never disagree about what the gates decided. */
+  val curationVenn = Q("q_curation_venn",
+    "filter-overlap histogram over the curation bitmask")(
+    "WITH rep AS (" + curationReport.oracle.get + "), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rep), " +
+      "g AS (SELECT reason_mask, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(min(keep) AS BIGINT) AS keep FROM rep GROUP BY 1) " +
+      "SELECT g.reason_mask, " +
+      "CAST(g.reason_mask % 2 AS BIGINT) AS f_dup, " +
+      "CAST((g.reason_mask // 2) % 2 AS BIGINT) AS f_rep, " +
+      "CAST((g.reason_mask // 4) % 2 AS BIGINT) AS f_contam, " +
+      "CAST((g.reason_mask // 8) % 2 AS BIGINT) AS f_pii, " +
+      "g.n_docs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(g.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE)") + " AS doc_share, " +
+      "g.keep FROM g CROSS JOIN t") {
+    (s, d) =>
+      val rep = curationReport.fn(s, d)
+      val g = rep.groupBy("reason_mask")
+        .agg(count(lit(1)).as("n_docs"), min("keep").as("keep"))
+      val t = rep.agg(count(lit(1)).as("n"))
+      g.crossJoin(broadcast(t))
+        .select(col("reason_mask"),
+          (col("reason_mask") % 2).as("f_dup"),
+          expr("(reason_mask div 2) % 2").as("f_rep"),
+          expr("(reason_mask div 4) % 2").as("f_contam"),
+          expr("(reason_mask div 8) % 2").as("f_pii"),
+          col("n_docs"),
+          graft.util.Exact.pinScoreInt(
+            col("n_docs").cast("double") / col("n").cast("double")).as("doc_share"),
+          col("keep"))
+  }
+
   val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight,
-    curriculumPhase, curationReport, textCtrlChars, dedupSentence)
+    curriculumPhase, curationReport, textCtrlChars, dedupSentence, curationVenn)
 }

@@ -545,7 +545,45 @@ object SessionQueries {
             col("n").cast("double") / col("n_total").cast("double")).as("mode_share"))
   }
 
+  /** DAU/WAU engagement stickiness (r11) — per active day: distinct
+    * daily actives, distinct TRAILING-7-day actives, and their ratio
+    * (the industry stickiness number, 1/7 = every user once a week,
+    * 1 = everyone daily). Days are integer epoch-day indices (µs //
+    * 86400e6) so the window arithmetic is integer-pure on both engines.
+    *
+    * Scale: the trailing distinct-count trap — COUNT(DISTINCT) OVER a
+    * 7-row window re-scans per day — is dodged by the contribution
+    * explode: each (user, active-day) pair contributes to the 7 window
+    * days it is visible in (a fixed ×7 row factor), then ONE distinct +
+    * ONE hash aggregate. Corpus-linear, mergeable across shards, the
+    * same layout at any window length. */
+  val eventDauWau = Q("q_event_dau_wau", "daily actives, trailing-7-day actives, stickiness")(
+    "WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dnum FROM events), " +
+      "dau AS (SELECT dnum, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1), " +
+      "x AS (SELECT DISTINCT user_id, dnum + o AS wnum FROM ud, " +
+      "(SELECT unnest(range(0, 7)) AS o) t), " +
+      "wau AS (SELECT wnum, CAST(count(*) AS BIGINT) AS wau FROM x GROUP BY 1) " +
+      "SELECT d.dnum AS day_num, d.dau, w.wau, " +
+      Exact.Sql.pinScoreInt("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)") +
+      " AS stickiness FROM dau d JOIN wau w ON w.wnum = d.dnum") {
+    (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dnum"))
+        .distinct()
+        .materialized(eager = false) // feeds DAU and the window explode
+      val dau = ud.groupBy("dnum").agg(count(lit(1)).as("dau"))
+      val wau = ud.select(col("user_id"), col("dnum"),
+          explode(sequence(lit(0L), lit(6L))).as("o"))
+        .select(col("user_id"), (col("dnum") + col("o")).as("wnum"))
+        .distinct()
+        .groupBy("wnum").agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("wnum") === col("dnum"))
+        .select(col("dnum").as("day_num"), col("dau"), col("wau"),
+          Exact.pinScoreInt(
+            col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
-    eventSeqNgram, eventInterarrival, aggModeUser)
+    eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau)
 }
