@@ -230,6 +230,71 @@ object JoinQueries {
               (col("n_fact") - col("n_match"))).as("fp_rate"))
   }
 
+  /** Shuffle-free CO-LOCATED join via bucketed tables (r11) — the layout
+    * move that matters most at 100 TB: both sides are written ONCE
+    * bucketed (+ sorted) on the join key (the layout cost a lake pays at
+    * ingest), and every subsequent join on that key is a zero-Exchange,
+    * zero-Sort sort-merge join — Spark's bucketing metadata proves the
+    * co-location, so the fact table never crosses the network again. The
+    * published result is the orders⋈lineitem per-order rollup (value-
+    * identical to a plain join — the ORACLE is the plain join, which is
+    * exactly the point); the PLAN is the deliverable, pinned by
+    * BucketedJoinSpec: 0 Exchange / 0 Sort nodes bucketed vs ≥1 Exchange
+    * unbucketed.
+    *
+    * Scale: bucket count is 8 here (fixture-sized); a cluster sizes it
+    * to ~(table size / target partition bytes) and both sides MUST
+    * agree. The one-time bucketed write shuffles once; every downstream
+    * join/agg on the key rides free — the break-even is one repeated
+    * join, and a fact table is joined thousands of times. */
+  val joinBucketed = Q("q_join_bucketed",
+    "co-located bucketed join (zero-shuffle sort-merge)")(
+    "SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items, " +
+      Exact.Sql.sum("l.l_extendedprice") + " AS sum_price " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+      "GROUP BY 1") {
+    (s, d) => bucketedJoinFrame(s, d)
+  }
+
+  /** The bucketed-join plan builder (exposed so BucketedJoinSpec can
+    * assert the physical plan, not just values). Writes both sides
+    * bucketBy(8, key) sortBy(key) — idempotent overwrite into the tmp
+    * warehouse — then joins the bucketed TABLES. */
+  private[graft] def bucketedJoinFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val buckets = 8
+    // the catalog is in-memory (dies with the JVM) but the warehouse dir
+    // persists: drop any registered table AND clear the orphaned location,
+    // or a second JVM's CTAS fails with LOCATION_ALREADY_EXISTS
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists) rm(loc)
+    }
+    // repartition on the key with numPartitions = buckets aligns writer
+    // tasks to buckets (same hash family), so each bucket is ONE sorted
+    // file — the layout under which the merge join needs no re-Sort
+    orders(s, d).select("o_orderkey")
+      .repartition(buckets, col("o_orderkey"))
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .repartition(buckets, col("l_orderkey"))
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
-    joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter)
+    joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed)
 }

@@ -29,6 +29,9 @@ object Sessions {
       // pandas-semantics: invalid casts coerce to null (`errors='coerce'`),
       // no runtime errors mid-pipeline (Spark 4 defaults ANSI on)
       .config("spark.sql.ansi.enabled", "false")
+      // bucketed-table writes (q_join_bucketed) land in tmp, not the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.windowExec.buffer.in.memory.threshold", "4194304")
       .config("spark.sql.windowExec.buffer.spill.threshold", "2147483647")
       .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "4194304")
