@@ -194,8 +194,36 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
   }
 
+  /** JSONL source round-trip (r11) — §2.1 source breadth: the documents
+    * table is written as JSON Lines (the wire format every crawl/API
+    * ingest actually lands — the reference's REST responses are JSON)
+    * and read back through `spark.read.schema(...).json`, with an
+    * EXPLICIT schema: schema inference is a full extra pass over 100 TB
+    * and infers the union of what it happens to see — a production
+    * source always declares its contract. The published frame pins the
+    * round trip (ids, metadata, and an md5 over the text) against the
+    * original parquet rows, so JSON escaping/decoding of the text
+    * column is value-gated, not assumed.
+    *
+    * Scale: the write is map-only; the read is a splittable line-based
+    * scan (JSONL, not a multiline document), so it parallelizes like
+    * parquet minus the columnar pruning — which is exactly the lesson:
+    * this op exists to LAND data; analytics re-lands it as parquet. */
+  val scanJsonl = Q("q_scan_jsonl", "JSONL source round-trip scan")(
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 " +
+      "FROM documents WHERE text IS NOT NULL") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_docs"
+      documents(s, d).filter(col("text").isNotNull)
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+  }
+
   val all: Seq[Q] = Seq(
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
-    winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union)
+    winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl)
 }

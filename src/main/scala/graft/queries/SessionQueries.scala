@@ -583,7 +583,76 @@ object SessionQueries {
             col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
   }
 
+  /** Stationary behavior mix of the event-type Markov chain (r11) — 3
+    * unrolled power iterations of q_event_transition's row-normalized
+    * matrix from the uniform start: where does user behavior SETTLE if
+    * today's transition structure persists? The long-run companion of
+    * the one-step matrix (the same read PageRank gives the kNN graph —
+    * q_graph_pagerank's recipe applied to the behavioral chain), and
+    * the drift gauge to diff across snapshots: a stationary mass shift
+    * toward 'error' is a product regression no single-day count shows.
+    *
+    * Exactness: P entries are exact integer ratios; each iteration's
+    * fold is a portable-grid sum over ≤ |types| addends; published mass
+    * is a pinned cell, universe-complete via a left join (a type with
+    * no INBOUND transitions publishes 0, never a dropped row). Dangling
+    * mass (a type with no outbound edges) drops — the sub-stochastic
+    * convention, documented rather than teleported, because behavior
+    * chains on real event data are dense. Cost: the one per-user window
+    * pass the transition matrix already pays + 3 joins over a
+    * |types|²-row broadcast frame. */
+  val eventMarkovStationary = Q("q_event_markov_stationary",
+    "3-iteration stationary distribution of the event-type chain")({
+    def step(prev: String, out: String): String =
+      s"$out AS (SELECT m.to_type AS t, " +
+        Exact.Sql.portableSum(s"$prev.pi * m.p") + " AS pi " +
+        s"FROM pm m JOIN $prev ON $prev.t = m.from_type GROUP BY 1)"
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "p AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type FROM e), " +
+      "tc AS (SELECT from_type, to_type, count(*) AS n FROM p " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tc GROUP BY 1), " +
+      "pm AS (SELECT tc.from_type, tc.to_type, CAST(tc.n AS DOUBLE) / tot.n_from AS p " +
+      "FROM tc JOIN tot ON tot.from_type = tc.from_type), " +
+      "types AS (SELECT DISTINCT event_type AS t FROM events), " +
+      "nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types), " +
+      "pi0 AS (SELECT t, 1.0 / (SELECT k FROM nt) AS pi FROM types), " +
+      step("pi0", "pi1") + ", " + step("pi1", "pi2") + ", " + step("pi2", "pi3") + " " +
+      "SELECT types.t AS event_type, " +
+      Exact.Sql.pinScoreInt("COALESCE(pi3.pi, 0.0)") + " AS pi " +
+      "FROM types LEFT JOIN pi3 ON pi3.t = types.t"
+  }) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tc = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+      val pm = tc.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+        .materialized() // three iterations read the same matrix
+      val types = events(s, d).select(col("event_type").as("t")).distinct()
+        .materialized(eager = false)
+      val k = types.agg(count(lit(1)).as("k"))
+      var pi = types.crossJoin(broadcast(k))
+        .select(col("t"), (lit(1.0) / col("k")).as("pi"))
+      for (_ <- 1 to 3)
+        pi = pm.join(broadcast(pi), col("t") === col("from_type"))
+          .groupBy(col("to_type").as("tn"))
+          .agg(Exact.portableSum(col("pi") * col("p")).as("pi"))
+          .withColumnRenamed("tn", "t")
+      types.join(pi, Seq("t"), "left")
+        .select(col("t").as("event_type"),
+          Exact.pinScoreInt(coalesce(col("pi"), lit(0.0))).as("pi"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
-    eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau)
+    eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary)
 }
