@@ -358,6 +358,69 @@ object AggQueries {
             .as("est_distinct"))
   }
 
+  /** KMV MERGEABILITY certification (r11) — the property that makes a
+    * sketch a 100 TB tool at all: top-k(top-k(A) ∪ top-k(B)) =
+    * top-k(A ∪ B), so per-shard KMV sketches union into the corpus
+    * sketch with NO raw re-scan — across 1000 executors or 30 daily
+    * increments. This operator proves it on live data: per-returnflag
+    * sketches of the part-key hash space, then a merged row derived
+    * ONLY from the ≤ 3k sketch hashes, published beside the exact
+    * global distinct so the union estimate's error is visible (the
+    * q_agg_distinct_kmv contract, one level up). Groups overlap in
+    * part keys — exactly the case where naively summing per-group
+    * estimates would double-count and the hash-space union does not.
+    *
+    * Scale: per-group top-k is a window over the distinct-hash frame
+    * (rank bounded at k per group); the merge ranks ≤ groups·k rows.
+    * Everything integer/hash arithmetic; estimates are single IEEE
+    * expressions over integers. */
+  val aggKmvMerge = Q("q_agg_kmv_merge", "KMV sketch union: merged estimate from per-group sketches")(
+    "WITH dh AS (SELECT DISTINCT l_returnflag AS grp, " +
+      "('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h FROM lineitem), " +
+      s"pg AS (SELECT grp, h FROM (SELECT dh.*, row_number() OVER " +
+      s"(PARTITION BY grp ORDER BY h) AS rn FROM dh) WHERE rn <= $KmvK), " +
+      s"sk AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_filled, max(h) AS kth_hash FROM pg GROUP BY 1), " +
+      "mg AS (SELECT h FROM (SELECT DISTINCT h FROM pg) u " +
+      s"ORDER BY h LIMIT $KmvK), " +
+      "ms AS (SELECT CAST(count(*) AS BIGINT) AS k_filled, max(h) AS kth_hash FROM mg), " +
+      "ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_global FROM dh) " +
+      s"SELECT sk.grp, sk.k_filled, sk.kth_hash, " +
+      s"CASE WHEN sk.k_filled < $KmvK THEN CAST(sk.k_filled AS DOUBLE) " +
+      s"ELSE ($KmvK - 1) * 4294967296.0 / sk.kth_hash END AS est_distinct, " +
+      "CAST(NULL AS BIGINT) AS exact_global FROM sk " +
+      "UNION ALL " +
+      s"SELECT 'MERGED' AS grp, ms.k_filled, ms.kth_hash, " +
+      s"CASE WHEN ms.k_filled < $KmvK THEN CAST(ms.k_filled AS DOUBLE) " +
+      s"ELSE ($KmvK - 1) * 4294967296.0 / ms.kth_hash END AS est_distinct, " +
+      "ex.exact_global FROM ms CROSS JOIN ex") {
+    (s, d) =>
+      val dh = lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          graft.ops.TextOps.hash32(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+        .materialized() // sketches AND the exact global count read it
+      val w = Window.partitionBy("grp").orderBy("h")
+      val pg = dh.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+        .select("grp", "h")
+        .materialized(eager = false) // per-group rows AND the merge
+      def est(kf: Column, kth: Column) =
+        when(kf < KmvK, kf.cast("double"))
+          .otherwise(lit(KmvK - 1) * 4294967296.0 / kth)
+      val sk = pg.groupBy("grp")
+        .agg(count(lit(1)).cast("long").as("k_filled"), max("h").as("kth_hash"))
+        .select(col("grp"), col("k_filled"), col("kth_hash"),
+          est(col("k_filled"), col("kth_hash")).as("est_distinct"),
+          lit(null).cast("long").as("exact_global"))
+      val ms = pg.select("h").distinct().orderBy("h").limit(KmvK)
+        .agg(count(lit(1)).cast("long").as("k_filled"), max("h").as("kth_hash"))
+      val ex = dh.agg(countDistinct("h").as("exact_global"))
+      val merged = ms.crossJoin(ex)
+        .select(lit("MERGED").as("grp"), col("k_filled"), col("kth_hash"),
+          est(col("k_filled"), col("kth_hash")).as("est_distinct"),
+          col("exact_global"))
+      sk.unionByName(merged)
+  }
+
   /** Histogram bin width for l_extendedprice (fixture range ~900–105k →
     * ~21 occupied bins). */
   private val HistW = 5000.0
@@ -589,7 +652,7 @@ object AggQueries {
             - lit(3.0)).as("kurt_ex"))
   }
 
-  val all: Seq[Q] = Seq(aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
+  val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.util.Exact
 import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -222,8 +223,44 @@ object CoreQueries {
           md5(col("text").cast("binary")).as("text_md5"))
   }
 
+  /** Partition-pruned scan (r11) — the directory-level data-skipping
+    * companion of q_join_bucketed's shuffle claim and q_layout_pruning's
+    * zone-map audit: orders land partitioned BY STATUS (the Hive layout
+    * `o_orderstatus=F/...`), and a status-filtered read must touch ONLY
+    * that directory — at 100 TB the difference between scanning one
+    * third of the lake and listing one directory. The published frame is
+    * the filtered read-back (the oracle is the plain filter — values
+    * can't drift with layout); the PLAN is pinned by PartitionPruneSpec:
+    * the FileScan shows the status predicate under PartitionFilters
+    * (metadata-level, zero data touched for other partitions), not
+    * PushedFilters (row-group level).
+    *
+    * Scale: the write is the one-time layout cost (same argument as
+    * bucketing); partition count must stay bounded (a status column: 3;
+    * never partition by a high-cardinality key — that is the
+    * small-files anti-pattern q_file_compaction_plan exists to fix). */
+  val scanPartitionPruned = Q("q_scan_partition_pruned",
+    "Hive-partitioned write + partition-pruned scan-back")(
+    "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+      "WHERE o_orderstatus = 'F'") {
+    (s, d) => partitionPrunedFrame(s, d)
+  }
+
+  /** Exposed for PartitionPruneSpec's plan assertion. */
+  private[graft] def partitionPrunedFrame(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      // partition columns read back as string; republish the contract
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
-    winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl)
+    winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
+    scanPartitionPruned)
 }

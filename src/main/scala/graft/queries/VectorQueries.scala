@@ -2026,6 +2026,33 @@ object VectorQueries {
             coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
   }
 
+  /** Recall@3 of the registered PQ-ADC search (r11) — completes the
+    * recall gauge across all three index families: IVF has the nprobe
+    * CURVE (q_eval_recall_curve), LSH its point gauge
+    * (q_eval_recall_lsh), and the 64×-compressed PQ codes get theirs
+    * here. PQ recall is the number that prices COMPRESSION: it bounds
+    * how much geometry survived 8-byte codes, read before anyone swaps
+    * float vectors out of memory for codes at 100 TB. Same inline-the-
+    * registered-oracle + share-the-fn layout as the LSH gauge;
+    * universe-complete. */
+  val evalRecallPq = Q("q_eval_recall_pq", "recall@3 of the registered PQ-ADC vs exact top-3")(
+    "SELECT qs.q, COALESCE(h.n_hits, 0) AS n_hits, " +
+      graft.util.Exact.Sql.pinScoreInt("COALESCE(h.n_hits, 0) / 3.0") + " AS recall " +
+      "FROM (SELECT vec_id AS q FROM embeddings WHERE vec_id < 10) qs " +
+      "LEFT JOIN (SELECT p.q, CAST(count(*) AS BIGINT) AS n_hits FROM (" +
+      annPq.oracle.get + ") p JOIN (" + annCosineTopk.oracle.get + ") g " +
+      "ON g.q = p.q AND g.c = p.c AND g.rn <= 3 GROUP BY 1) h ON h.q = qs.q") {
+    (s, d) =>
+      val pq = annPq.fn(s, d).select("q", "c")
+      val gt = exactCosTopK(embeddings(s, d), 3).select("q", "c")
+      val hits = pq.join(gt, Seq("q", "c"))
+        .groupBy("q").agg(count(lit(1)).as("n_hits"))
+      evalQs(s, d).join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   /** Per-label embedding norm profile (r10): count, mean, min, max of
     * the decimal-exact L2 norm — the pre-ANN data-quality gate (a label
     * whose norms collapse toward 0 or spread wildly breaks cosine
@@ -2585,5 +2612,6 @@ object VectorQueries {
     graphPagerank, graphPagerankHier, coresetKcenter, annKnnClassify,
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
-    graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve)
+    graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
+    evalRecallPq)
 }
