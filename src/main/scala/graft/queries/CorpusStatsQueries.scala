@@ -1061,9 +1061,56 @@ object CorpusStatsQueries {
             (sqrt(vx) * sqrt(vy)))).as("len_surprisal_corr"))
   }
 
+  /** Heaps'-law vocabulary growth curve (r11) — cumulative distinct
+    * vocabulary at each DECILE of the corpus in doc-id order, the
+    * companion of q_text_zipf (Zipf describes the frequency spectrum,
+    * Heaps V ≈ K·nᵝ its growth): the curve a tokenizer-vocabulary or
+    * OOV budget is sized from, and the saturation tell — a corpus whose
+    * curve flattens early is template-dominated (cross-check
+    * q_text_distinct_ngrams), one that never bends is noisy/unclean.
+    *
+    * Scale: a word's FIRST-occurrence doc is one hash aggregate
+    * (min doc_id per word); doc deciles ride ops.Quantiles.exactNtile
+    * (two-phase bit-prefix histogram — no corpus sort, the q_win_ntile
+    * plan); the cumulative fold is a window over exactly 10 rows.
+    * All-integer output. */
+  val textVocabGrowth = Q("q_text_vocab_growth",
+    "Heaps-law cumulative vocabulary growth by corpus decile")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "fw AS (SELECT word, min(doc_id) AS fd FROM tokw GROUP BY 1), " +
+      "dd AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile " +
+      "FROM (SELECT DISTINCT doc_id FROM tokw)), " +
+      "nw AS (SELECT d.decile, CAST(count(*) AS BIGINT) AS new_words " +
+      "FROM fw f JOIN dd d ON d.doc_id = f.fd GROUP BY 1), " +
+      "dc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1) " +
+      "SELECT dc.decile, " +
+      "CAST(sum(dc.n_docs) OVER (ORDER BY dc.decile) AS BIGINT) AS docs_cum, " +
+      "CAST(sum(COALESCE(nw.new_words, 0)) OVER (ORDER BY dc.decile) AS BIGINT) AS vocab_cum " +
+      "FROM dc LEFT JOIN nw ON nw.decile = dc.decile") {
+    (s, d) =>
+      val tokw = TextOps.explodeTokens(documents(s, d))
+        .materialized(eager = false) // first-occurrence agg AND the doc universe
+      val fw = tokw.groupBy("word").agg(min("doc_id").as("fd"))
+      val dd = graft.ops.Quantiles.exactNtile(
+        tokw.select("doc_id").distinct().withColumn("_g", lit(1)),
+        part = "_g", value = "doc_id", ord = col("doc_id"),
+        tiles = 10, outCol = "decile")
+        .select("doc_id", "decile")
+      val nw = fw.join(dd, col("fd") === col("doc_id"))
+        .groupBy("decile").agg(count(lit(1)).as("new_words"))
+      val dc = dd.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      // 10-row cumulative fold: the unpartitioned window is bounded by
+      // the tile count, never the corpus (the q_text_zipf argument)
+      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      dc.join(nw, Seq("decile"), "left")
+        .select(col("decile"),
+          sum("n_docs").over(w).cast("long").as("docs_cum"),
+          sum(coalesce(col("new_words"), lit(0L))).over(w).cast("long").as("vocab_cum"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
-    dedupClusterSizes, evalSignalCorr)
+    dedupClusterSizes, evalSignalCorr, textVocabGrowth)
 }

@@ -652,7 +652,59 @@ object SessionQueries {
           Exact.pinScoreInt(coalesce(col("pi"), lit(0.0))).as("pi"))
   }
 
+  /** Day-of-week seasonality profile + uniformity chi² (r11) — the
+    * weekly-rhythm gauge beside q_event_anomaly's daily z-scores: event
+    * counts per weekday (integer epoch-day arithmetic, (d+4) mod 7 with
+    * Monday = 0 — 1970-01-01 was a Thursday; no timezone/locale
+    * dependence), each day's share, and Pearson's χ² against the
+    * uniform-week null published on a TOTAL row (the q_agg_kmv_merge
+    * summary-row pattern). A χ² near zero on human-driven events is
+    * itself an anomaly — it usually means the table is machine
+    * replay/synthetic, which is worth knowing about training data.
+    *
+    * Scale: one map-only day projection + a 7-key hash aggregate;
+    * χ² is a 7-addend portable-grid fold of integer-derived terms. */
+  val eventDowProfile = Q("q_event_dow_profile",
+    "day-of-week activity profile + uniformity chi-square")(
+    "WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow FROM events), " +
+      "g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g), " +
+      "c AS (SELECT " + Exact.Sql.portableSum(
+        "((CAST(n AS DOUBLE) - CAST(t.total AS DOUBLE) / 7.0) * " +
+          "(CAST(n AS DOUBLE) - CAST(t.total AS DOUBLE) / 7.0)) / " +
+          "(CAST(t.total AS DOUBLE) / 7.0)") + " AS chi2 " +
+      "FROM g CROSS JOIN t) " +
+      "SELECT g.dow, g.n, " +
+      Exact.Sql.pinScoreInt("CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)") +
+      " AS share, CAST(NULL AS BIGINT) AS chi2 FROM g CROSS JOIN t " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS dow, t.total AS n, " +
+      Exact.Sql.pinScoreInt("1.0") + " AS share, " +
+      Exact.Sql.pinScoreInt("c.chi2") + " AS chi2 FROM t CROSS JOIN c") {
+    (s, d) =>
+      val g = events(s, d)
+        .select(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        .groupBy("dow").agg(count(lit(1)).as("n"))
+        .materialized(eager = false) // shares, the total, and the chi2 fold
+      val t = g.agg(sum("n").cast("long").as("total"))
+      val exp7 = col("total").cast("double") / 7.0
+      val c = g.crossJoin(broadcast(t))
+        .agg(Exact.portableSum(
+          (col("n").cast("double") - exp7) * (col("n").cast("double") - exp7) / exp7)
+          .as("chi2"))
+      val perDow = g.crossJoin(broadcast(t))
+        .select(col("dow"), col("n"),
+          Exact.pinScoreInt(col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          lit(null).cast("long").as("chi2"))
+      val totalRow = t.crossJoin(c)
+        .select(lit(-1L).as("dow"), col("total").as("n"),
+          Exact.pinScoreInt(lit(1.0)).as("share"),
+          Exact.pinScoreInt(col("chi2")).as("chi2"))
+      perDow.unionByName(totalRow)
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
-    eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary)
+    eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
+    eventDowProfile)
 }
