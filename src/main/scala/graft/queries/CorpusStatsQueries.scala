@@ -1108,9 +1108,63 @@ object CorpusStatsQueries {
           sum(coalesce(col("new_words"), lit(0L))).over(w).cast("long").as("vocab_cum"))
   }
 
+  /** Per-source duplicate rate with the cross-source split (r11) — the
+    * WHERE of duplication, completing the dedup report family
+    * (q_dedup_cluster_sizes says how big the groups are; this says which
+    * SOURCES produce them): per source, doc count, non-keeper count
+    * under the shared contentHash∘normalizeText identity (keeper =
+    * min doc_id, the q_curation_report rule), and — the syndication
+    * gauge — how many of those duplicates' KEEPERS live in a DIFFERENT
+    * source. A source that is mostly cross-source duplicates is a
+    * re-crawl/mirror and its acquisition cost is pure waste; a source
+    * duplicating against itself has a crawler loop.
+    *
+    * Scale: the normalized-dedup hash agg + one join back on the group
+    * key + one sources-bounded aggregate — the q_dedup_weight plan with
+    * a keeper-source lookup (1 extra join keyed on the group hash). */
+  val mixSourceDedupRate = Q("q_mix_source_dedup_rate",
+    "per-source duplicate rate + cross-source syndication split")(
+    "WITH d0 AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT doc_id, source, md5(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh FROM d0), " +
+      "gk AS (SELECT nh, min(doc_id) AS keeper FROM h GROUP BY 1), " +
+      "ks AS (SELECT g.nh, g.keeper, h2.source AS ksource FROM gk g " +
+      "JOIN h h2 ON h2.doc_id = g.keeper), " +
+      "f AS (SELECT h.source, " +
+      "CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END AS is_dup, " +
+      "CASE WHEN h.doc_id <> k.keeper AND h.source <> k.ksource THEN 1 ELSE 0 END AS is_cross " +
+      "FROM h JOIN ks k ON k.nh = h.nh) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(is_dup) AS BIGINT) AS n_dups, " +
+      "CAST(sum(is_cross) AS BIGINT) AS n_dups_cross, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)") + " AS dup_rate " +
+      "FROM f GROUP BY 1") {
+    (s, d) =>
+      val h = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextOps.contentHash(TextOps.normalizeText(col("text"))).as("nh"))
+        .materialized(eager = false) // group keys, keeper lookup, and the fold
+      val gk = h.groupBy("nh").agg(min("doc_id").as("keeper"))
+      val ks = gk.join(h.select(col("doc_id"), col("source").as("ksource")),
+        col("keeper") === col("doc_id")).select("nh", "keeper", "ksource")
+      h.join(ks, "nh")
+        .select(col("source"),
+          (col("doc_id") =!= col("keeper")).cast("long").as("is_dup"),
+          (col("doc_id") =!= col("keeper") && col("source") =!= col("ksource"))
+            .cast("long").as("is_cross"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"),
+          sum("is_cross").as("n_dups_cross"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          col("n_dups_cross").as("n_dups_cross"),
+          graft.util.Exact.pinScoreInt(
+            col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
-    dedupClusterSizes, evalSignalCorr, textVocabGrowth)
+    dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate)
 }

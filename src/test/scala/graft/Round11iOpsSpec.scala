@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.CorpusStatsQueries
+
+/** Round-11 batch-9: the per-source duplicate-rate report on a planted
+  * corpus exercising both the within-source and the cross-source
+  * (syndication) split, plus the clean-corpus zero path.
+  */
+class Round11iOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Grid = 1073741824.0
+
+  test("mix_source_dedup_rate: planted within- and cross-source dups split correctly") {
+    val dir = Files.createTempDirectory("graft_r11_srcdup").toFile.getAbsolutePath
+    Seq(
+      // A: keeper of a cross-source pair (doc 0 < doc 3)
+      (0L, "Shared Syndicated Story!", "en", "A", 24L),
+      (1L, "a thing only in source a", "en", "A", 24L),
+      // A: within-source pair (2 keeper, 4 dup)
+      (2L, "repeat inside source a", "en", "A", 22L),
+      (4L, "Repeat, inside source A", "en", "A", 23L),
+      // B: the cross-source dup of doc 0, plus a unique doc
+      (3L, "shared syndicated story", "en", "B", 23L),
+      (5L, "unique to source b", "en", "B", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStatsQueries.mixSourceDedupRate.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    def rate(d: Long, n: Long) = math.floor(d.toDouble / n * Grid).toLong
+    assert(got("A") == ((4L, 1L, 0L, rate(1, 4))),
+      "A: one within-source dup, keeper of the cross pair is not a dup")
+    assert(got("B") == ((2L, 1L, 1L, rate(1, 2))),
+      "B: its dup's keeper lives in A -> cross-source")
+  }
+
+  test("mix_source_dedup_rate: sf0.001 is duplicate-free, all rates zero") {
+    val rows = CorpusStatsQueries.mixSourceDedupRate.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    }
+    assert(rows.map(_.getLong(1)).sum == 500L)
+  }
+}
