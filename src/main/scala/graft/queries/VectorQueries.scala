@@ -1104,17 +1104,40 @@ object VectorQueries {
     (s, d) => knnGraph(s, d)
   }
 
+  /** Corpus-adaptive planes-per-table for the ALL-VECTORS LSH graph:
+    * p = max(4, bitlength(n / 50)), so buckets-per-table 2ᵖ ≈ n/50 and
+    * expected bucket occupancy stays ~50 — the candidate count
+    * 4·Σ|bucket|² stays LINEAR in the corpus. A fixed p (the r10
+    * registration) makes the graph build quadratic: measured 176.9×
+    * CPU at ×10 on q_ann_nn_descent (20k vectors / 16 buckets = 1250
+    * per bucket) before this rule, 4-ish× after. Integer-pure and
+    * engine-identical: bitlength via length(bin(x)) on both engines
+    * (n = 500 gives p = 4, so every ≤sf0.01 result is bit-unchanged).
+    * The QUERY-side stacked search (q_ann_lsh_stacked) keeps its fixed
+    * 4×4 — 10 broadcast queries never pay a corpus² term; only the
+    * all-pairs GRAPH build needs the occupancy bound (the seedSamp /
+    * kseed argument, §4e, applied to hash buckets). */
+  private[graft] def lshGraphPlanes(n: Long): Int = {
+    val x = n / 50
+    math.max(4, if (x <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x))
+  }
+
+  private val lshPlanesSql =
+    "pl AS (SELECT greatest(4, length(bin(count(*) // 50))) AS p FROM embeddings)"
+
   /** Oracle CTE chain ending in `lknn` — the ALL-vectors stacked-LSH
-    * (4 tables × 4 planes) top-3 graph: q_ann_lsh_stacked's index CTEs
-    * with the query restriction lifted. The cheap initial graph
+    * (4 tables × corpus-adaptive planes, lshGraphPlanes) top-3 graph:
+    * q_ann_lsh_stacked's index CTEs with the query restriction lifted
+    * and the bucket count scaled to the corpus. The cheap initial graph
     * NN-descent refines. */
   private val lshGraphCtes =
-    ", proj AS (SELECT v.vec_id, p.j, " +
+    ", " + lshPlanesSql + ", " +
+      "proj AS (SELECT v.vec_id, p.j, " +
       "CAST(SUM(CAST((CASE WHEN ('0x' || substr(md5(p.j || '|' || v.i), 1, 8))::BIGINT % 2 = 1 " +
       "THEN v.e ELSE -v.e END) AS DECIMAL(38,8))) AS DOUBLE) AS pr " +
-      "FROM v, (SELECT unnest(range(0, 16)) AS j) p GROUP BY 1, 2), " +
-      "buck AS (SELECT vec_id, j // 4 AS t, " +
-      "CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM v, (SELECT unnest(range(0, 4 * (SELECT p FROM pl))) AS j) p GROUP BY 1, 2), " +
+      "buck AS (SELECT vec_id, j // (SELECT p FROM pl) AS t, " +
+      "CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (j % (SELECT p FROM pl))) ELSE 0 END) AS BIGINT) AS bucket " +
       "FROM proj GROUP BY 1, 2), " +
       "lcand AS (SELECT DISTINCT q.vec_id AS q, c.vec_id AS c FROM buck q " +
       "JOIN buck c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id), " +
@@ -1133,7 +1156,9 @@ object VectorQueries {
     * (table, bucket); cross-table duplicate pairs collapse BEFORE the
     * exact rerank. */
   private def lshGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val planes = 4; val tables = 4
+    // corpus-adaptive bucket count — see lshGraphPlanes; one count() on a
+    // bare scan, the same price the kseed CTE pays oracle-side
+    val planes = lshGraphPlanes(embeddings(s, d).count()); val tables = 4
     val projCols = (0 until tables * planes).map(j => expr(lshProjExpr(j)).as(s"pj$j"))
     val withProj = embeddings(s, d)
       .select(Seq(col("vec_id"), col("embedding"),

@@ -37,6 +37,23 @@ class Round11iOpsSpec extends SparkSpec {
       "B: its dup's keeper lives in A -> cross-source")
   }
 
+  test("lshGraphPlanes: the Scala bit-length rule equals the SQL bin-length twin") {
+    val ns = Seq(0L, 1L, 49L, 50L, 99L, 100L, 500L, 2000L, 3199L, 3200L,
+      20000L, 1000000L, (1L << 40))
+    val fromSql = ns.map(n => spark.sql(
+        s"SELECT greatest(4, length(bin($n div 50))) AS p").head().getInt(0))
+    val fromScala = ns.map(graft.queries.VectorQueries.lshGraphPlanes)
+    assert(fromScala == fromSql, s"$fromScala vs $fromSql")
+    // the occupancy law: buckets-per-table 2^p keeps n/2^p <= ~50 once
+    // n is past the floor
+    ns.filter(_ >= 3200).foreach { n =>
+      val p = graft.queries.VectorQueries.lshGraphPlanes(n)
+      assert(n.toDouble / (1L << p) <= 50.0, s"n=$n p=$p")
+    }
+    assert(graft.queries.VectorQueries.lshGraphPlanes(500) == 4,
+      "test-SF corpora keep the original 4 planes: published results unchanged")
+  }
+
   test("mix_source_dedup_rate: sf0.001 is duplicate-free, all rates zero") {
     val rows = CorpusStatsQueries.mixSourceDedupRate.fn(spark, sf).collect()
     assert(rows.length == 20)
