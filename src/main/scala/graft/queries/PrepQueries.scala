@@ -458,6 +458,52 @@ object PrepQueries {
             .as("top_var_share"))
   }
 
+  /** Explained-variance share of the top principal component (r11) —
+    * the number PCA is RUN for: λ₁ (the variance of the trained
+    * component's projection scores) over the total per-dim variance
+    * mass, both taken from REGISTERED operators (q_emb_pca_project's
+    * score frame and q_emb_intrinsic_dim's total, inlined oracle-side /
+    * shared fn Spark-side — the audit-the-registered pattern). Read
+    * with the participation ratio: PR says how many directions carry
+    * signal, this says how much the single biggest one carries — a
+    * var_explained spike between embedding versions is the anisotropy
+    * collapse q_emb_whiten flags per vector, summarized in one number.
+    * By PCA optimality λ₁ ≥ every single dimension's variance, so
+    * var_explained ≥ q_emb_intrinsic_dim's top_var_share — an invariant
+    * the spec pins.
+    *
+    * Scale: one corpus-sized moment fold over the existing score frame
+    * + the d-sized variance fold; output is one row. */
+  val embVarExplained = Q("q_emb_var_explained",
+    "explained-variance share of the top principal component")(
+    "WITH rep AS (" + embPcaProject.oracle.get + "), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      Exact.Sql.sum("score") + " AS sx, " +
+      Exact.Sql.sum("score * score", 4) + " AS sq FROM rep), " +
+      "iv AS (" + embIntrinsicDim.oracle.get + "), " +
+      "f AS (SELECT n, greatest(0.0, (sq - sx * sx / n) / n) AS lam1, " +
+      "CAST(iv.total_var AS DOUBLE) / 1073741824.0 AS tv FROM st CROSS JOIN iv) " +
+      "SELECT CAST(n AS BIGINT) AS n_vecs, " +
+      Exact.Sql.pinScoreInt("lam1") + " AS lambda1, " +
+      "CASE WHEN tv > 0 THEN " + Exact.Sql.pinScoreInt("lam1 / tv") +
+      " END AS var_explained FROM f") {
+    (s, d) =>
+      val st = embPcaProject.fn(s, d).agg(
+        count(lit(1)).cast("double").as("n"),
+        Exact.exactSum(col("score"), 8).as("sx"),
+        Exact.exactSum(col("score") * col("score"), 4).as("sq"))
+      val tv = embIntrinsicDim.fn(s, d)
+        .select((col("total_var").cast("double") / 1073741824.0).as("tv"))
+      st.crossJoin(broadcast(tv))
+        .select(col("n").cast("long").as("n_vecs"),
+          Exact.pinScoreInt(greatest(lit(0.0),
+            (col("sq") - col("sx") * col("sx") / col("n")) / col("n"))).as("lambda1"),
+          when(col("tv") > 0, Exact.pinScoreInt(greatest(lit(0.0),
+            (col("sq") - col("sx") * col("sx") / col("n")) / col("n")) / col("tv")))
+            .as("var_explained"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
-    embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim)
+    embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
+    embVarExplained)
 }

@@ -54,6 +54,29 @@ class Round11iOpsSpec extends SparkSpec {
       "test-SF corpora keep the original 4 planes: published results unchanged")
   }
 
+  test("emb_var_explained: equals the moment replay over the registered score frame") {
+    val scores = graft.queries.PrepQueries.embPcaProject.fn(spark, sf)
+      .select("score").collect().map(_.getDouble(0))
+    def dsum(xs: Iterable[Double], scale: Int): Double =
+      xs.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val n = scores.length.toDouble
+    val sx = dsum(scores, 8); val sq = dsum(scores.map(x => x * x), 4)
+    val lam1 = math.max(0.0, (sq - sx * sx / n) / n)
+    val iv = graft.queries.PrepQueries.embIntrinsicDim.fn(spark, sf).collect().head
+    val tv = iv.getLong(1).toDouble / Grid
+    val r = graft.queries.PrepQueries.embVarExplained.fn(spark, sf).collect().head
+    assert(r.getLong(0) == scores.length.toLong)
+    assert(r.getLong(1) == math.floor(lam1 * Grid).toLong)
+    assert(r.getLong(2) == math.floor(lam1 / tv * Grid).toLong)
+    // PCA optimality: the top component explains at least as much as any
+    // single dimension, and at least the uniform floor 1/d
+    val topShare = iv.getLong(3).toDouble / Grid
+    val ve = r.getLong(2).toDouble / Grid
+    assert(ve >= topShare - 1e-9, s"ve=$ve topShare=$topShare")
+    assert(ve >= 1.0 / iv.getLong(0) - 1e-9)
+  }
+
   test("mix_source_dedup_rate: sf0.001 is duplicate-free, all rates zero") {
     val rows = CorpusStatsQueries.mixSourceDedupRate.fn(spark, sf).collect()
     assert(rows.length == 20)
