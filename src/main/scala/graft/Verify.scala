@@ -13,9 +13,18 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = graft.util.Sessions.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // oracle_sql.json FIRST (r12): the driver's compare needs it to score
+    // ANY query, so writing it after the dump loop meant a mid-run JVM
+    // death (OOM, wall-clock kill) zeroed the whole round's correctness
+    // instead of keeping the queries already dumped. It is cheap,
+    // depends on nothing the loop computes, and a partial dump with the
+    // full oracle map degrades to per-query misses, not an empty record.
+    writeOracleJson(outDir)
+    val todo = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val total = todo.size
+    var done = 0
+    todo.foreach { case (name, fn) =>
       // Remove any previous dump FIRST: a failed query must never leave a
       // stale (previous-run) parquet behind for the oracle compare to
       // pass green on.
@@ -25,13 +34,21 @@ object Verify {
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
       rmrf(dest)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(dest.toString)
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(dest.toString)
+        done += 1
+        System.err.println(s"[verify] $done/$total $name ok")
+      } catch { case e: Throwable =>
         rmrf(dest)
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        done += 1
+        System.err.println(s"[verify] $done/$total $name FAILED: ${e.getMessage}")
       }
     }
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +64,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

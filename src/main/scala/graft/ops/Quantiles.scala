@@ -151,6 +151,40 @@ object Quantiles {
       .unionByName(boundary.select(keep.head, keep.tail: _*))
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `weight` under the global
+    * ascending order of a numeric `orderCol` whose values are DISTINCT
+    * per row (group first if they are not) — the two-phase replacement
+    * for `sum(weight) OVER (ORDER BY orderCol ROWS UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)`, whose unpartitioned window serializes the whole
+    * frame into one task.
+    *
+    * Phase 1 buckets rows by the order-preserving IEEE-754 bit prefix
+    * (the [[exactNtile]] sortable-long layout: monotone over the whole
+    * double line, so bucket order IS value order) and hash-aggregates one
+    * weight sum per bucket; the only unpartitioned window then runs over
+    * that BUCKET histogram — bounded by per-binade resolution
+    * (2^(52-shift) buckets/binade), never by row count. Phase 2 joins
+    * the broadcast per-bucket exclusive prefix back and adds the
+    * within-bucket exclusive prefix (`Window.partitionBy(_bkt)` — bounded
+    * partitions). Integer weights make the result bit-identical to the
+    * single-task window at any partitioning. */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, weight: String,
+      outCol: String, buckets: Int = 4096): DataFrame = {
+    val shift = 52 - (64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 1)))
+    val nb = expr(s"double_bits(cast(`$orderCol` as double) + 0.0D)")
+    val sortable = when(nb < 0, nb.bitwiseXOR(lit(Long.MaxValue))).otherwise(nb)
+    val rows = df.withColumn("_bkt", shiftright(sortable, shift))
+    val bhist = rows.groupBy("_bkt").agg(sum(weight).as("_bsum"))
+    val wB = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = bhist.select(col("_bkt"),
+      coalesce(sum("_bsum").over(wB), lit(0L)).as("_bpre"))
+    val wIn = Window.partitionBy("_bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(broadcast(bpre), Seq("_bkt"))
+      .withColumn(outCol, col("_bpre") + coalesce(sum(weight).over(wIn), lit(0L)))
+      .drop("_bkt", "_bpre")
+  }
+
   /** Exact per-group discrete quantiles (`percentile_disc`: value at sorted
     * position ceil(p·n)) for an integral value column, via an exact
     * per-value histogram instead of a per-group row sort. The prefix

@@ -2561,17 +2561,23 @@ object VectorQueries {
     * the violation RATE per label is the health number that says whether
     * the label structure is learnable from these embeddings at all.
     *
-    * Scale: candidates come from the same seed-cluster blocking as the
-    * kNN graph (salted self-join, Σ|cluster|² bounded by k ≈ √corpus) —
-    * mining never enumerates cross-cluster pairs; a vector whose cluster
+    * Scale (r12, VERDICT r11 #4): the flat √corpus-k blocking made the
+    * pair frame Σ|cluster|² ~ corpus^1.5 — the registry's worst ×10
+    * ratio (14× CPU). Candidates now come from the HIER assignment
+    * (hierPrologueSql seeds, two-level coarse→fine argmax — the
+    * q_ann_knn_hier contract): bounded ~50-vector clusters keep the pair
+    * frame corpus-LINEAR while assignment is corpus^1.25. The two ranked
+    * slices also fold into ONE window partitioned by (q, same-label) —
+    * one sort of the pair frame instead of two. A vector whose cluster
     * lacks a same-label (or different-label) peer publishes NULL for
     * that side, never a row drop (the q_eval_mrr universe contract).
     * All cosines decimal-exact, published as grid cells. */
   val embTripletMine = Q("q_emb_triplet_mine",
     "hardest in-cluster positive/negative triplet mining per vector")(
     vecsSql +
-      seedAssignCtes +
-      "tpairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
+      hierPrologueSql +
+      hierAssignSqlCtes +
+      "tpairs AS (SELECT qa.vid AS q, ca.vid AS c FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
       "tdots AS (SELECT p.q, p.c, " +
       "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM tpairs p " +
@@ -2582,12 +2588,11 @@ object VectorQueries {
       "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c " +
       "JOIN embeddings lq ON lq.vec_id = d.q " +
       "JOIN embeddings lc ON lc.vec_id = d.c), " +
-      "pos AS (SELECT q, c AS pos_id, cosine AS pos_cos FROM (SELECT tcos.*, " +
-      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
-      "FROM tcos WHERE cl = ql) WHERE rn = 1), " +
-      "neg AS (SELECT q, c AS neg_id, cosine AS neg_cos FROM (SELECT tcos.*, " +
-      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
-      "FROM tcos WHERE cl <> ql) WHERE rn = 1) " +
+      "best AS (SELECT q, c, cosine, same FROM (SELECT q, c, cosine, " +
+      "(cl = ql) AS same, row_number() OVER (PARTITION BY q, (cl = ql) " +
+      "ORDER BY cosine DESC, c) AS rn FROM tcos) WHERE rn = 1), " +
+      "pos AS (SELECT q, c AS pos_id, cosine AS pos_cos FROM best WHERE same), " +
+      "neg AS (SELECT q, c AS neg_id, cosine AS neg_cos FROM best WHERE NOT same) " +
       "SELECT e.vec_id AS vid, e.label, p.pos_id, " +
       graft.util.Exact.Sql.pinScoreInt("p.pos_cos") + " AS pos_cos, " +
       "g.neg_id, " + graft.util.Exact.Sql.pinScoreInt("g.neg_cos") + " AS neg_cos, " +
@@ -2597,11 +2602,12 @@ object VectorQueries {
       "LEFT JOIN pos p ON p.q = e.vec_id LEFT JOIN neg g ON g.q = e.vec_id") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = seedCents(base)
+      val cents = hierSeedCents(base)
+      val k = cents.count()
       val all = base.select(col("vec_id").as("vid"), col("label"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
-      val withVec = all.join(assignClusters(
-        all.select("vid", "ev", "nv"), cents), "vid").materialized()
+      val withVec = all.join(assignClustersHier(
+        all.select("vid", "ev", "nv"), cents, k), "vid").materialized()
       val a = withVec.select(col("vid").as("q"), col("cluster"),
         col("label").as("ql"), col("ev").as("eq"), col("nv").as("nq"))
       val b = withVec.select(col("vid").as("c"), col("cluster"),
@@ -2610,13 +2616,14 @@ object VectorQueries {
         .filter(col("q") =!= col("c"))
         .select(col("q"), col("c"), col("ql"), col("cl"),
           (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
-        .materialized() // both ranked slices read the same pair frame
-      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-      val pos = tcos.filter(col("cl") === col("ql"))
+      val w = Window.partitionBy("q", "same").orderBy(col("cosine").desc, col("c"))
+      val best = tcos.withColumn("same", col("cl") === col("ql"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q"), col("c"), col("cosine"), col("same"))
+        .materialized() // the pos and neg slices read the same ranked frame
+      val pos = best.filter(col("same"))
         .select(col("q"), col("c").as("pos_id"), col("cosine").as("pos_cos"))
-      val neg = tcos.filter(col("cl") =!= col("ql"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val neg = best.filter(!col("same"))
         .select(col("q"), col("c").as("neg_id"), col("cosine").as("neg_cos"))
       base.select(col("vec_id").as("vid"), col("label"))
         .join(pos, col("vid") === pos("q"), "left").drop("q")

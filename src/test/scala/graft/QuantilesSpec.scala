@@ -119,4 +119,38 @@ class QuantilesSpec extends SparkSpec {
     assert(bySort.exceptAll(byHist).count() == 0 &&
       byHist.exceptAll(bySort).count() == 0)
   }
+
+  test("exclusivePrefixSum == unpartitioned window (distinct keys, mixed signs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // distinct order keys across several binades, both signs, and zero;
+    // integer weights so bit-equality is exact by construction
+    val keys = (rnd.shuffle((1 to 400).toList).take(300).map(i =>
+      (i - 150) * math.pow(2.0, i % 11) / 3.0) :+ 0.0).distinct
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (k, (i % 7).toLong) }.toDF("score", "nn")
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+    val actual = Quantiles.exclusivePrefixSum(df, "score", "nn", "cumneg")
+    assert(actual.count() == keys.size)
+    assert(expected.exceptAll(actual).count() == 0 &&
+      actual.exceptAll(expected).count() == 0)
+    // the plan's only unpartitioned window must run over the bucket
+    // HISTOGRAM (its input carries the aggregated _bsum), never over the
+    // input rows — the serialize-into-one-task shape this helper replaces
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case qs: QueryStageExec => windows(qs.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val winExecs = windows(actual.queryExecution.executedPlan)
+    val unpart = winExecs.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"expected one histogram window, got ${unpart.size}")
+    assert(unpart.head.child.output.exists(_.name == "_bsum"),
+      "the unpartitioned window is not over the bucket histogram")
+  }
 }
