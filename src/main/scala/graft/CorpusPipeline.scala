@@ -54,7 +54,8 @@ object CorpusPipeline {
       benchSource: String = "src0", maxDupTokenFrac: Double = 0.7,
       maxTopBigramFrac: Double = 0.18, maxContamFrac: Double = 0.5,
       langBudget: Long = 3000, maxLossPct: Double = 80.0,
-      minEntropy: Option[Double] = Some(0.5), packLen: Int = 256): Summary = {
+      minEntropy: Option[Double] = Some(0.5), packLen: Int = 256,
+      compactTargetBytes: Option[Long] = None): Summary = {
     val lake = new Lake(spark, lakeRoot)
 
     log("step 1/7: raw corpus -> bronze")
@@ -115,6 +116,20 @@ object CorpusPipeline {
     lake.write(packed, "gold", "packed_sequences")
     val goldPacks = lake.read("gold", "packed_sequences")
       .select("lang", "pack_id").distinct().count()
+
+    // optional epilogue (r12): execute the small-file compaction the plan
+    // operator (q_file_compaction_plan) only PLANS — the many incremental
+    // writes above leave the gold layer as small files; compact() rewrites
+    // each leaf to ~target-sized files with a row-count check before the
+    // swap, leaving every query over the layer unchanged.
+    compactTargetBytes.foreach { target =>
+      Seq("training_mix", "packed_sequences").foreach { artifact =>
+        val st = lake.compact("gold", artifact, target)
+        log(s"epilogue: compacted gold/$artifact " +
+          s"${st.filesBefore} -> ${st.filesAfter} files " +
+          s"(${st.leavesRewritten} leaves, ${st.rowsVerified} rows verified)")
+      }
+    }
 
     log("corpus pipeline completed successfully")
     Summary(bronzeRows, afterExact, afterNearDup, removedByQuality,

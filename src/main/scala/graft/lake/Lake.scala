@@ -69,6 +69,66 @@ final class Lake(spark: SparkSession, root: String) {
     }
   }
 
+  /** Execute small-file compaction on an artifact — the rewrite job whose
+    * work list q_file_compaction_plan plans: every LEAF directory (a
+    * partition dir, or the artifact root when unpartitioned) whose data
+    * files outnumber ⌈bytes / targetBytes⌉ is rewritten into that many
+    * files, row-count-verified BEFORE the swap, and renamed into place.
+    * Rewriting per leaf keeps the partition layout byte-for-byte, so
+    * partition pruning and every query over the artifact are unchanged —
+    * only the file manifest shrinks (the open-a-file fixed cost is what
+    * kills 100 TB scans over millions of KB-sized files).
+    *
+    * The temp dir is underscore-prefixed INSIDE the parent, so a
+    * concurrent parquet read never lists it; the swap is delete+rename,
+    * whose residual non-atomic window is the same one the parquet commit
+    * protocol already has (the reference's cache rewrites artifacts
+    * wholesale the same way, pipeline_helpers.py:72-91) — production puts
+    * the layer behind a transactional table format. A leaf already at or
+    * under its bin count is left untouched (idempotent: a second compact
+    * is a no-op). Returns the manifest delta; `rowsVerified` counts only
+    * rewritten rows (untouched leaves are not re-read). */
+  def compact(layer: String, name: String,
+      targetBytes: Long = 128L * 1024 * 1024): Lake.CompactStats = {
+    val rootP = new Path(path(layer, name))
+    val f = fs(rootP.toString)
+    def isData(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = f.listStatus(dir).filter(s => isData(s.getPath))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      val sub = dirs.toSeq.flatMap(d => leaves(d.getPath))
+      if (files.nonEmpty) dir +: sub else sub
+    }
+    var before = 0L; var after = 0L; var rewritten = 0L
+    var rows = 0L; var bytes = 0L
+    leaves(rootP).foreach { leaf =>
+      val files = f.listStatus(leaf).filter(s => s.isFile && isData(s.getPath))
+      val b = files.map(_.getLen).sum
+      val nBins = math.max(1L, math.ceil(b.toDouble / targetBytes).toLong).toInt
+      before += files.length
+      bytes += b
+      if (files.length <= nBins) after += files.length
+      else {
+        val df = spark.read.parquet(leaf.toString)
+        val nRows = df.count()
+        val tmp = new Path(leaf.getParent, "_compacting_" + leaf.getName)
+        f.delete(tmp, true)
+        df.repartition(nBins).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val got = spark.read.parquet(tmp.toString).count()
+        require(got == nRows,
+          s"compact($layer/$name): $leaf rewrote $got rows, expected $nRows — aborting swap")
+        f.delete(leaf, true)
+        f.rename(tmp, leaf)
+        val now = f.listStatus(leaf).count(s => s.isFile && isData(s.getPath))
+        after += now
+        rewritten += 1
+        rows += nRows
+      }
+    }
+    Lake.CompactStats(before, after, rewritten, rows, bytes)
+  }
+
   /** JSON artifacts (universe maps, lookup dicts;
     * pipeline_helpers.py:83-84,97-99). */
   def writeJson(df: DataFrame, layer: String, name: String): Unit =
@@ -76,4 +136,11 @@ final class Lake(spark: SparkSession, root: String) {
 
   def readJson(layer: String, name: String): DataFrame =
     spark.read.json(path(layer, name))
+}
+
+object Lake {
+  /** Manifest delta of one [[Lake.compact]] run. `rowsVerified` covers
+    * only the rewritten leaves (untouched leaves are never re-read). */
+  final case class CompactStats(filesBefore: Long, filesAfter: Long,
+    leavesRewritten: Long, rowsVerified: Long, bytes: Long)
 }

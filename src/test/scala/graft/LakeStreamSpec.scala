@@ -752,4 +752,115 @@ class LakeStreamSpec extends SparkSpec {
     assert(got == batch, s"stream rollup $got != batch $batch")
     assert(got.exists(t => t._1 == "click" && t._2 == 4L))
   }
+
+  test("Streams.packIngest: null-text docs pack no rows; their file still ledgers (no replay re-scan)") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val pk = tmp() + "/packed"
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("srcT"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val schema = docs(Nil).schema
+    // batch 1: one real doc + one null-text doc in the same file
+    docs(Seq((1L, words(100), "en"), (2L, null, "en")))
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, ckpt, pk).awaitTermination()
+    val store1 = spark.read.parquet(pk)
+    assert(store1.count() == 1, "the null-text doc must not write a pack row")
+    assert(store1.filter(col("ws_tokens").isNull || col("start_off").isNull ||
+      col("pack_id").isNull).count() == 0, "a pack is a token run — no null spans")
+    // batch 2: a file whose EVERY doc is null-text — zero pack rows, but
+    // the file must enter the sidecar ledger
+    docs(Seq((3L, null, "en"), (4L, null, "de")))
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, ckpt, pk).awaitTermination()
+    assert(spark.read.parquet(pk).count() == 1)
+    // checkpoint LOSS replay + a new doc: the all-null file re-delivers but
+    // contributes nothing (ledgered); the new doc continues en at 100
+    docs(Seq((5L, words(40), "en")))
+      .coalesce(1).write.mode("append").parquet(src)
+    Streams.packIngest(spark, src, schema, tmp(), pk).awaitTermination()
+    val store3 = spark.read.parquet(pk)
+    assert(store3.count() == 2, "replay must not duplicate or resurrect rows")
+    val d5 = store3.filter(col("doc_id") === 5L).head()
+    assert(d5.getAs[Long]("start_off") == 100L,
+      "the en stream continues after the ledgered zero-pack file")
+  }
+
+  test("Streams.cmSketchIngest: an all-zero-cell file ledgers a sentinel and never re-merges on replay") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val sk = tmp() + "/sketch"
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    def folded() = Streams.cmSketch(spark, sk).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    docs(Seq((1L, "alpha beta alpha"))).coalesce(1).write.mode("append").parquet(src)
+    Streams.cmSketchIngest(spark, src, schema, ckpt, sk).awaitTermination()
+    val after1 = folded()
+    // an all-NULL-text file: split(null) explodes to zero word rows, so
+    // the file contributes zero cells — only its sentinel may land
+    docs(Seq((2L, null), (3L, null))).coalesce(1).write.mode("append").parquet(src)
+    Streams.cmSketchIngest(spark, src, schema, ckpt, sk).awaitTermination()
+    assert(folded() === after1, "zero-cell file must not change the sketch")
+    val sentinels = spark.read.parquet(sk).filter(col("i") === -1)
+      .select("src_file").distinct().count()
+    assert(sentinels == 2, "every ingested file ledgers a sentinel, cells or not")
+    // checkpoint LOSS: both files re-deliver as batch 0 — the sentinel
+    // ledger must skip them BOTH (without the zero-cell sentinel the null
+    // file would re-scan forever); the new file still merges
+    docs(Seq((4L, "beta beta"))).coalesce(1).write.mode("append").parquet(src)
+    Streams.cmSketchIngest(spark, src, schema, tmp(), sk).awaitTermination()
+    val expected = graft.ops.TextOps.explodeTokens(
+      docs(Seq((1L, "alpha beta alpha"), (4L, "beta beta"))))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+        graft.ops.TextOps.cmBucket(i, col("word"), 256).as("b"))): _*)).as("ib"),
+        col("n"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b")).agg(sum("n").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded() === expected, "replayed files skip; the fresh file merges once")
+  }
+
+  test("Lake.compact rewrites small files per leaf, preserves results, and is idempotent") {
+    import spark.implicits._
+    val root = tmp()
+    val lake = new Lake(spark, root)
+    def dataFiles(dir: String): Seq[java.io.File] = {
+      val d = new java.io.File(dir)
+      val here = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      here.filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) ++
+        here.filter(_.isDirectory).flatMap(sd => dataFiles(sd.getPath))
+    }
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", s"l${i % 3}")).toDF("id", "v", "lang")
+
+    // FLAT artifact scattered over 20 small files -> 1 file, same rows
+    lake.write(df.repartition(20), "gold", "mix")
+    assert(dataFiles(s"$root/gold/mix").size == 20)
+    val before = lake.read("gold", "mix").collect().map(_.toSeq).toSet
+    val st = lake.compact("gold", "mix")
+    assert(st.filesBefore == 20 && st.filesAfter == 1 && st.leavesRewritten == 1,
+      s"unexpected stats: $st")
+    assert(st.rowsVerified == 500)
+    assert(dataFiles(s"$root/gold/mix").size == 1)
+    assert(lake.read("gold", "mix").collect().map(_.toSeq).toSet === before,
+      "query results must be unchanged by compaction")
+    // idempotent: a second compact touches nothing
+    val st2 = lake.compact("gold", "mix")
+    assert(st2.leavesRewritten == 0 && st2.filesBefore == st2.filesAfter)
+
+    // PARTITIONED artifact: each lang leaf compacts independently; the
+    // partition layout (and so pruning) is preserved
+    lake.write(df.repartition(10), "gold", "part", partitionBy = Seq("lang"))
+    val partBefore = lake.read("gold", "part").collect().map(_.toSeq).toSet
+    assert(dataFiles(s"$root/gold/part").size > 3)
+    val stp = lake.compact("gold", "part")
+    assert(stp.leavesRewritten == 3 && stp.filesAfter == 3, s"unexpected stats: $stp")
+    val leafDirs = Option(new java.io.File(s"$root/gold/part").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(leafDirs == Set("lang=l0", "lang=l1", "lang=l2"),
+      "partition directories must survive compaction")
+    assert(lake.read("gold", "part").collect().map(_.toSeq).toSet === partBefore)
+  }
 }
