@@ -1162,9 +1162,103 @@ object CorpusStatsQueries {
             col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
   }
 
+  /** HyperLogLog bucket/width geometry: m = 64 registers addressed by the
+    * low 6 hash bits; the remaining 26 bits feed the leading-zero rank,
+    * so rho ∈ [1, 27] (27 = all-zero word). Pinned here so the Spark and
+    * oracle texts can never disagree on the register layout. */
+  private val HllM = 64
+  private val HllRemBits = 26 // 32-bit hash minus log2(m)
+
+  /** HyperLogLog vocabulary-cardinality sketch (r12) — the register-array
+    * sibling of q_agg_distinct_kmv, and the sketch that actually ships at
+    * 100 TB: 64 registers of max leading-zero rank over the word-hash
+    * space, built with one vocabulary-keyed aggregate; registers merge
+    * across shards/days by cell-wise MAX (the count-min addition law,
+    * with max for idempotence — HllSketchSpec certifies union = sketch of
+    * union on live data). Published as the full 64-row register array
+    * (bucket spine left-joined, empty registers publish rho 0 — the
+    * eval zero-row convention, and the merge identity needs the zeros)
+    * plus one summary row carrying the raw-HLL estimate beside the exact
+    * distinct so the error is visible in the result (the KMV contract).
+    *
+    * Exactness: rho comes from the BINARY-STRING length of the 26-bit
+    * remainder (`bin()` drops leading zeros in both engines — integer-
+    * pure, no log2 edge cases), the indicator sum Σ 2^(-rho) is scaled by
+    * 2^27 into an exact BIGINT fold (rho ≤ 27, so every addend is a
+    * nonnegative shift), and the raw estimate (alpha_64 = 0.709,
+    * alpha·m²·2^27 / S) is one fixed-order IEEE expression. The published
+    * estimate applies the STANDARD small-range correction (the regime a
+    * fresh shard's sketch always starts in, where raw HLL reads ~2× high):
+    * when est_raw ≤ 2.5·m and zero registers exist, est = m·ln(m/V) —
+    * linear counting over the V empty registers — with the log through
+    * [[graft.util.Portable.pln]] so the branch is bit-identical across
+    * engines; the result pins to the 2⁻³⁰ grid. */
+  val textVocabHll = Q("q_text_vocab_hll",
+    "HyperLogLog register sketch + estimate of the vocabulary cardinality")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "dh AS (SELECT DISTINCT ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tokw), " +
+      s"rr AS (SELECT h % $HllM AS bucket, h // $HllM AS rem FROM dh), " +
+      s"rho AS (SELECT bucket, CASE WHEN rem = 0 THEN ${HllRemBits + 1} " +
+      s"ELSE ${HllRemBits + 1} - length(bin(rem)) END AS rho FROM rr), " +
+      s"regs AS (SELECT u.bucket, CAST(COALESCE(max(rho.rho), 0) AS BIGINT) AS r " +
+      s"FROM (SELECT unnest(range(0, $HllM)) AS bucket) u " +
+      "LEFT JOIN rho ON rho.bucket = u.bucket GROUP BY 1), " +
+      s"s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - r)) AS BIGINT) AS ind, " +
+      "CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v FROM regs), " +
+      "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM dh), " +
+      "pre AS (SELECT s.ind, s.v, ex.exact_distinct, " +
+      s"0.709 * ${HllM * HllM}.0 * ${1L << (HllRemBits + 1)}.0 / CAST(s.ind AS DOUBLE) AS est_raw, " +
+      s"CASE WHEN s.v > 0 THEN $HllM.0 / CAST(s.v AS DOUBLE) END AS _lnx " +
+      "FROM s CROSS JOIN ex), " +
+      graft.util.Portable.plnSqlCtes("pre", "lc") + ", " +
+      s"fin AS (SELECT exact_distinct, CASE WHEN est_raw <= ${5 * HllM / 2}.0 AND v > 0 " +
+      s"THEN $HllM.0 * _pln ELSE est_raw END AS est FROM lc) " +
+      "SELECT CAST(bucket AS BIGINT) AS bucket, r, CAST(NULL AS BIGINT) AS est_distinct, " +
+      "CAST(NULL AS BIGINT) AS exact_distinct FROM regs " +
+      "UNION ALL " +
+      s"SELECT CAST(-1 AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS r, " +
+      graft.util.Exact.Sql.pinScoreInt("fin.est") +
+      " AS est_distinct, fin.exact_distinct FROM fin") {
+    (s, d) =>
+      import graft.util.Exact
+      val dh = TextOps.explodeTokens(documents(s, d))
+        .select(TextOps.hash32(col("word")).as("h")).distinct()
+        .materialized() // feeds the registers AND the exact count
+      val rho = dh.select((col("h") % HllM).as("bucket"),
+          expr(s"h div $HllM").as("rem"))
+        .select(col("bucket"), when(col("rem") === 0, lit(HllRemBits + 1).cast("long"))
+          .otherwise(lit(HllRemBits + 1) - length(bin(col("rem"))).cast("long")).as("rho"))
+      val regs = s.range(HllM).select(col("id").as("bucket"))
+        .join(rho.groupBy("bucket").agg(max("rho").as("mr")), Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("r"))
+        .materialized() // the register rows AND the indicator fold read it
+      val ind = regs.agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllRemBits + 1} - r AS INT))"))
+          .cast("long").as("ind"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).cast("long").as("v"))
+      val ex = dh.agg(count(lit(1)).cast("long").as("exact_distinct"))
+      val pre = ind.crossJoin(ex)
+        .withColumn("est_raw", lit(0.709) * lit((HllM * HllM).toDouble) *
+          lit((1L << (HllRemBits + 1)).toDouble) / col("ind").cast("double"))
+      val lc = graft.util.Portable.pln(pre,
+        when(col("v") > 0, lit(HllM.toDouble) / col("v").cast("double")), "_pln")
+      val summary = lc
+        .select(lit(-1L).as("bucket"), lit(null).cast("long").as("r"),
+          Exact.pinScoreInt(
+            when(col("est_raw") <= lit((5 * HllM / 2).toDouble) && col("v") > 0,
+              lit(HllM.toDouble) * col("_pln"))
+              .otherwise(col("est_raw"))).as("est_distinct"),
+          col("exact_distinct"))
+      regs.select(col("bucket"), col("r"),
+          lit(null).cast("long").as("est_distinct"),
+          lit(null).cast("long").as("exact_distinct"))
+        .unionByName(summary)
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
-    dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate)
+    dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
+    textVocabHll)
 }

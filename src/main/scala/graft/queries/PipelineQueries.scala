@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.ops.TextOps
 import graft.util.{Exact, Portable}
+import graft.util.Materialize.Ops
 import graft.util.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,6 +43,57 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), bucket.as("bucket"))
         .withColumn("split", when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val").otherwise("test"))
+  }
+
+  /** Shard count for the deterministic output sharding. 16 here; at
+    * corpus scale the same plan runs with thousands — the key property
+    * (hash placement independent of corpus content or arrival order)
+    * is what lets a re-run, an incremental append, or a different
+    * executor count reproduce byte-identical shard membership. */
+  private val NShards = 16
+
+  /** Deterministic output sharding audit (r12) — the data-loader-facing
+    * step after curation: every doc gets a content-independent shard by
+    * portable hash (the q_split_train_test identity with a distinct salt,
+    * so the split and the sharding are independent hash dimensions), and
+    * the published frame is the per-shard manifest a training launcher
+    * reads: doc/token counts and the doc-balance ratio vs the uniform
+    * share. The shard spine is a left-joined 0..N-1 universe — an empty
+    * shard publishes zeros, never a missing row (the eval zero-row
+    * convention; a loader that indexes shards by id must see every id).
+    * One map pass + one N-row aggregate; shard stats merge by addition. */
+  val splitShards = Q("q_split_shards",
+    "deterministic hash-shard manifest: per-shard doc/token counts + balance")(
+    "WITH s AS (SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT " +
+      s"% $NShards AS shard, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(toks) AS BIGINT) AS n_tokens FROM s GROUP BY 1), " +
+      s"u AS (SELECT unnest(range(0, $NShards)) AS shard), " +
+      "t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g) " +
+      "SELECT CAST(u.shard AS BIGINT) AS shard, COALESCE(g.n_docs, 0) AS n_docs, " +
+      "COALESCE(g.n_tokens, 0) AS n_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        s"$NShards.0 * COALESCE(g.n_docs, 0) / CAST(t.total_docs AS DOUBLE)") +
+      " AS balance FROM u LEFT JOIN g ON g.shard = u.shard CROSS JOIN t") {
+    (s, d) =>
+      import graft.util.Exact
+      val sh = documents(s, d).select(
+        (TextOps.hash32(concat(lit("shard:"), col("doc_id").cast("string")))
+          % NShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val g = sh.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .materialized() // the spine join AND the total read it
+      val t = g.agg(sum("n_docs").cast("long").as("total_docs"))
+      s.range(NShards).select(col("id").as("shard"))
+        .join(g, Seq("shard"), "left")
+        .crossJoin(broadcast(t))
+        .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          Exact.pinScoreInt(lit(NShards.toDouble) *
+            coalesce(col("n_docs"), lit(0L)) / col("total_docs").cast("double"))
+            .as("balance"))
   }
 
   /** Data-mixture report: per-source document/token counts, each source's
@@ -882,5 +934,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
-    layoutPruning, fileCompactionPlan)
+    layoutPruning, fileCompactionPlan, splitShards)
 }

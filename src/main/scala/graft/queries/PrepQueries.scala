@@ -152,6 +152,55 @@ object PrepQueries {
           (col("filled").cast("double") / lit(PackL.toDouble)).as("fill_frac"))
   }
 
+  /** Length-bucket boundaries for padding-batch planning: powers of two
+    * from 16 to 4096, with one overflow bucket above (real pipelines
+    * chunk longer docs upstream — q_text_chunk). Pinned so the Spark and
+    * oracle folded-when chains can never disagree. */
+  private val LenBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+  private val LenOverflow = 8192L
+
+  /** Length bucketing for PADDED batching (r12) — the other packing
+    * discipline next to concat-and-chunk (q_pack_sequences): group docs
+    * into power-of-two token-length buckets and publish, per (lang,
+    * bucket), the doc/token counts, the padded token capacity
+    * (n_docs × bucket_max), and the pad-waste fraction — the number a
+    * training team reads to choose between padding and packing, and the
+    * bucket histogram a dynamic-batching loader is built from. The
+    * bucket key is a folded-when chain over pinned integer boundaries
+    * (integer-pure, engine-portable, and — unlike a log2 form — no
+    * boundary ulp cases); the only published double is one pinned
+    * division. One map pass + one (lang, bucket)-keyed aggregate;
+    * buckets merge across shards by addition (sketch property). */
+  val packLengthBuckets = Q("q_pack_length_buckets",
+    "power-of-two token-length buckets with padded-batch waste")({
+    val caseSql = LenBuckets.map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+    "WITH t AS (SELECT lang, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n FROM documents), " +
+      s"b AS (SELECT lang, CASE $caseSql ELSE $LenOverflow END AS bucket_max, n FROM t), " +
+      "g AS (SELECT lang, bucket_max, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n) AS BIGINT) AS sum_tokens FROM b GROUP BY 1, 2) " +
+      "SELECT lang, bucket_max, n_docs, sum_tokens, " +
+      "CAST(n_docs * bucket_max AS BIGINT) AS padded_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_docs * bucket_max - sum_tokens AS DOUBLE) / CAST(n_docs * bucket_max AS DOUBLE)") +
+      " AS pad_waste FROM g"
+  }) {
+    (s, d) =>
+      val n = size(split(trim(col("text")), "\\s+")).cast("long")
+      val bucket = LenBuckets.foldRight(lit(LenOverflow): Column) {
+        case (b, rest) => when(col("n") <= b, b).otherwise(rest)
+      }
+      documents(s, d).select(col("lang"), n.as("n"))
+        .withColumn("bucket_max", bucket)
+        .groupBy("lang", "bucket_max")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+        .select(col("lang"), col("bucket_max"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket_max")).as("padded_tokens"),
+          Exact.pinScoreInt(
+            (col("n_docs") * col("bucket_max") - col("sum_tokens")).cast("double") /
+              (col("n_docs") * col("bucket_max")).cast("double")).as("pad_waste"))
+  }
+
   /** The oracle's exploded-embedding prologue (local twin of
     * VectorQueries' vecsSql, without the norm CTE). */
   private val embExplodeSql =
@@ -505,5 +554,5 @@ object PrepQueries {
 
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
     embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
-    embVarExplained)
+    embVarExplained, packLengthBuckets)
 }

@@ -2572,10 +2572,13 @@ object VectorQueries {
     * lacks a same-label (or different-label) peer publishes NULL for
     * that side, never a row drop (the q_eval_mrr universe contract).
     * All cosines decimal-exact, published as grid cells. */
-  val embTripletMine = Q("q_emb_triplet_mine",
-    "hardest in-cluster positive/negative triplet mining per vector")(
-    vecsSql +
-      hierPrologueSql +
+  /** The mining pair chain SHARED by q_emb_triplet_mine and
+    * q_emb_hard_negatives (one definition so the hier blocking, the
+    * decimal-exact pair cosine, and the label join can never fork
+    * between the two mining rules): hier assignment → within-cluster
+    * pairs → `tcos(q, c, cosine, ql, cl)`. */
+  private val tripletPairSqlCtes =
+    hierPrologueSql +
       hierAssignSqlCtes +
       "tpairs AS (SELECT qa.vid AS q, ca.vid AS c FROM assign qa " +
       "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
@@ -2587,7 +2590,32 @@ object VectorQueries {
       "lq.label AS ql, lc.label AS cl FROM tdots d " +
       "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c " +
       "JOIN embeddings lq ON lq.vec_id = d.q " +
-      "JOIN embeddings lc ON lc.vec_id = d.c), " +
+      "JOIN embeddings lc ON lc.vec_id = d.c), "
+
+  /** Spark twin of [[tripletPairSqlCtes]]'s `tcos`. */
+  private def tripletPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val base = embeddings(s, d)
+    val cents = hierSeedCents(base)
+    val k = cents.count()
+    val all = base.select(col("vec_id").as("vid"), col("label"),
+      col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+    val withVec = all.join(assignClustersHier(
+      all.select("vid", "ev", "nv"), cents, k), "vid").materialized()
+    val a = withVec.select(col("vid").as("q"), col("cluster"),
+      col("label").as("ql"), col("ev").as("eq"), col("nv").as("nq"))
+    val b = withVec.select(col("vid").as("c"), col("cluster"),
+      col("label").as("cl"), col("ev").as("ec"), col("nv").as("nc"))
+    graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+      .filter(col("q") =!= col("c"))
+      .select(col("q"), col("c"), col("ql"), col("cl"),
+        (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+  }
+
+  val embTripletMine = Q("q_emb_triplet_mine",
+    "hardest in-cluster positive/negative triplet mining per vector")(
+    vecsSql +
+      tripletPairSqlCtes +
       "best AS (SELECT q, c, cosine, same FROM (SELECT q, c, cosine, " +
       "(cl = ql) AS same, row_number() OVER (PARTITION BY q, (cl = ql) " +
       "ORDER BY cosine DESC, c) AS rn FROM tcos) WHERE rn = 1), " +
@@ -2602,20 +2630,7 @@ object VectorQueries {
       "LEFT JOIN pos p ON p.q = e.vec_id LEFT JOIN neg g ON g.q = e.vec_id") {
     (s, d) =>
       val base = embeddings(s, d)
-      val cents = hierSeedCents(base)
-      val k = cents.count()
-      val all = base.select(col("vec_id").as("vid"), col("label"),
-        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
-      val withVec = all.join(assignClustersHier(
-        all.select("vid", "ev", "nv"), cents, k), "vid").materialized()
-      val a = withVec.select(col("vid").as("q"), col("cluster"),
-        col("label").as("ql"), col("ev").as("eq"), col("nv").as("nq"))
-      val b = withVec.select(col("vid").as("c"), col("cluster"),
-        col("label").as("cl"), col("ev").as("ec"), col("nv").as("nc"))
-      val tcos = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
-        .filter(col("q") =!= col("c"))
-        .select(col("q"), col("c"), col("ql"), col("cl"),
-          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val tcos = tripletPairs(s, d)
       val w = Window.partitionBy("q", "same").orderBy(col("cosine").desc, col("c"))
       val best = tcos.withColumn("same", col("cl") === col("ql"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -2636,6 +2651,64 @@ object VectorQueries {
             col("neg_cos") >= col("pos_cos")).cast("long").as("violates"))
   }
 
+  /** SEMI-HARD negative mining (r12) — the selection rule production
+    * metric-learning actually trains with (FaceNet): for each anchor, the
+    * closest different-label candidate that is still FARTHER than the
+    * hardest positive (cosine < pos_cos). Hardest negatives (the
+    * q_emb_triplet_mine `violates` rows) give noisy gradients near label
+    * boundaries; the semi-hard band gives the informative-but-consistent
+    * ones, and `n_semihard` (the band size per anchor) is the budget
+    * number a sampler reads. Shares [[tripletPairSqlCtes]] /
+    * [[tripletPairs]] with the triplet miner — same hier blocking, same
+    * decimal-exact cosines, corpus-linear pair frame — so the two mining
+    * rules can never disagree on the geometry. Universe-complete: an
+    * anchor with no positive (or an empty band) publishes NULL ids and
+    * n_semihard 0, never a dropped row. */
+  val embHardNegatives = Q("q_emb_hard_negatives",
+    "semi-hard negative per anchor (closest negative beyond the hardest positive)")(
+    vecsSql +
+      tripletPairSqlCtes +
+      "pos AS (SELECT q, c AS pos_id, cosine AS pos_cos FROM (SELECT q, c, cosine, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
+      "FROM tcos WHERE cl = ql) WHERE rn = 1), " +
+      "band AS (SELECT t.q, t.c, t.cosine FROM tcos t " +
+      "JOIN pos p ON p.q = t.q AND t.cosine < p.pos_cos WHERE t.cl <> t.ql), " +
+      "sneg AS (SELECT q, c AS sneg_id, cosine AS sneg_cos, n_band FROM " +
+      "(SELECT q, c, cosine, CAST(count(*) OVER (PARTITION BY q) AS BIGINT) AS n_band, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM band) " +
+      "WHERE rn = 1) " +
+      "SELECT e.vec_id AS vid, e.label, p.pos_id, " +
+      graft.util.Exact.Sql.pinScoreInt("p.pos_cos") + " AS pos_cos, " +
+      "s.sneg_id, " + graft.util.Exact.Sql.pinScoreInt("s.sneg_cos") + " AS sneg_cos, " +
+      "COALESCE(s.n_band, 0) AS n_semihard FROM embeddings e " +
+      "LEFT JOIN pos p ON p.q = e.vec_id LEFT JOIN sneg s ON s.q = e.vec_id") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val tcos = tripletPairs(s, d).materialized() // pos rank AND band read it
+      val wq = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      val pos = tcos.filter(col("cl") === col("ql"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+        .select(col("q"), col("c").as("pos_id"), col("cosine").as("pos_cos"))
+      val band = tcos.filter(col("cl") =!= col("ql"))
+        .join(pos.select(col("q"), col("pos_cos")), Seq("q"))
+        .filter(col("cosine") < col("pos_cos"))
+        .select(col("q"), col("c"), col("cosine"))
+      val sneg = band
+        .withColumn("n_band", count(lit(1)).over(Window.partitionBy("q")))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+        .select(col("q"), col("c").as("sneg_id"), col("cosine").as("sneg_cos"),
+          col("n_band"))
+      base.select(col("vec_id").as("vid"), col("label"))
+        .join(pos.select(col("q"), col("pos_id"), col("pos_cos")),
+          col("vid") === pos("q"), "left").drop("q")
+        .join(sneg, col("vid") === sneg("q"), "left").drop("q")
+        .select(col("vid"), col("label"), col("pos_id"),
+          graft.util.Exact.pinScoreInt(col("pos_cos")).as("pos_cos"),
+          col("sneg_id"),
+          graft.util.Exact.pinScoreInt(col("sneg_cos")).as("sneg_cos"),
+          coalesce(col("n_band"), lit(0L)).as("n_semihard"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
@@ -2645,5 +2718,5 @@ object VectorQueries {
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
-    evalRecallPq)
+    evalRecallPq, embHardNegatives)
 }
