@@ -1165,9 +1165,25 @@ object CorpusStatsQueries {
   /** HyperLogLog bucket/width geometry: m = 64 registers addressed by the
     * low 6 hash bits; the remaining 26 bits feed the leading-zero rank,
     * so rho ∈ [1, 27] (27 = all-zero word). Pinned here so the Spark and
-    * oracle texts can never disagree on the register layout. */
-  private val HllM = 64
-  private val HllRemBits = 26 // 32-bit hash minus log2(m)
+    * oracle texts (and the streaming twin) can never disagree on the
+    * register layout. */
+  private[graft] val HllM = 64
+  private[graft] val HllRemBits = 26 // 32-bit hash minus log2(m)
+
+  /** (bucket, rho) per row of a word-hash frame `dh(h)` — THE register
+    * identity, shared by the batch sketch (q_text_vocab_hll) and the
+    * streaming maintainer (Streams.hllIngest) so stream-built and
+    * batch-built registers are the same function of the text. */
+  private[graft] def hllRhoFromHashes(dh: DataFrame): DataFrame =
+    dh.select((col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("rem"))
+      .select(col("bucket"), when(col("rem") === 0, lit(HllRemBits + 1).cast("long"))
+        .otherwise(lit(HllRemBits + 1) - length(bin(col("rem"))).cast("long")).as("rho"))
+
+  /** [[hllRhoFromHashes]] from raw documents (the streaming twin's
+    * per-batch entry point). */
+  private[graft] def hllRho(docs: DataFrame): DataFrame =
+    hllRhoFromHashes(TextOps.explodeTokens(docs)
+      .select(TextOps.hash32(col("word")).as("h")).distinct())
 
   /** HyperLogLog vocabulary-cardinality sketch (r12) — the register-array
     * sibling of q_agg_distinct_kmv, and the sketch that actually ships at
@@ -1224,10 +1240,7 @@ object CorpusStatsQueries {
       val dh = TextOps.explodeTokens(documents(s, d))
         .select(TextOps.hash32(col("word")).as("h")).distinct()
         .materialized() // feeds the registers AND the exact count
-      val rho = dh.select((col("h") % HllM).as("bucket"),
-          expr(s"h div $HllM").as("rem"))
-        .select(col("bucket"), when(col("rem") === 0, lit(HllRemBits + 1).cast("long"))
-          .otherwise(lit(HllRemBits + 1) - length(bin(col("rem"))).cast("long")).as("rho"))
+      val rho = hllRhoFromHashes(dh) // dh shared with the exact count
       val regs = s.range(HllM).select(col("id").as("bucket"))
         .join(rho.groupBy("bucket").agg(max("rho").as("mr")), Seq("bucket"), "left")
         .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("r"))

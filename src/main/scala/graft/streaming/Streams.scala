@@ -420,6 +420,47 @@ object Streams {
       }
       .start()
 
+  /** Streaming HyperLogLog maintenance (r12) — the continuous twin of
+    * q_text_vocab_hll's register build, and the count-min twin's
+    * structural opposite: HLL registers merge by cell-wise MAX, and max —
+    * unlike the sketch-delta ADDITION above — is IDEMPOTENT. A replayed
+    * file (or an entire checkpoint-lost history re-delivered as batch 0)
+    * can only re-assert register values it already asserted, never
+    * inflate them, so this twin needs NO file ledger, no sentinels, no
+    * seen-scan: the algebra of the state is the exactly-once mechanism.
+    * That is the 100 TB lesson the pair of twins teaches — pick
+    * idempotent state merges and the hardest streaming problem
+    * disappears. Each drained micro-batch appends its own register rows
+    * (≤ 64/batch) through the SAME cell identity as the batch operator
+    * (CorpusStatsQueries.hllRho); [[hllRegisters]] folds the store by
+    * max. The store grows 64 rows per batch — [[hllCompact]]-style
+    * folding is just re-writing the max rows, and even that is optional
+    * at any realistic cadence. */
+  def hllIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, sketchDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.queries.CorpusStatsQueries.hllRho(batch.toDF())
+          .groupBy("bucket").agg(max("rho").as("rho"))
+          .write.mode("append").parquet(sketchDir)
+      }
+      .start()
+
+  /** The queryable register array: max-fold the per-batch register rows
+    * over the complete 0..63 bucket spine (empty registers read 0 — the
+    * batch operator's published shape, and what the estimator needs). */
+  def hllRegisters(spark: SparkSession, sketchDir: String): DataFrame = {
+    val m = graft.queries.CorpusStatsQueries.HllM
+    spark.range(m).select(col("id").as("bucket"))
+      .join(spark.read.parquet(sketchDir).groupBy("bucket").agg(max("rho").as("mr")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("r"))
+  }
+
   /** Compact the count-min delta store: fold every cell to one row per
     * (i, b) and keep one sentinel row per seen file — the seen-file
     * lookup then scans d×w + |files| rows no matter how long the stream

@@ -822,6 +822,39 @@ class LakeStreamSpec extends SparkSpec {
     assert(folded() === expected, "replayed files skip; the fresh file merges once")
   }
 
+  test("Streams.hllIngest: stream registers equal the batch sketch; replay is idempotent with NO ledger") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val sk = tmp() + "/hll"
+    def docs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("srcT"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val schema = docs(Nil).schema
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b2 = Seq((3L, "alpha delta epsilon"))
+    def streamRegs() = Streams.hllRegisters(spark, sk).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def batchRegs(rows: Seq[(Long, String)]) = {
+      val d = tmp()
+      docs(rows).coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      graft.queries.CorpusStatsQueries.textVocabHll.fn(spark, d).collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    docs(b1).coalesce(1).write.mode("append").parquet(src)
+    Streams.hllIngest(spark, src, schema, ckpt, sk).awaitTermination()
+    docs(b2).coalesce(1).write.mode("append").parquet(src)
+    Streams.hllIngest(spark, src, schema, ckpt, sk).awaitTermination()
+    assert(streamRegs() === batchRegs(b1 ++ b2),
+      "stream-folded registers equal the batch operator on the union")
+    // checkpoint LOSS, no new data: the whole history re-delivers as
+    // batch 0 and re-appends its registers — max is idempotent, so the
+    // folded sketch is UNCHANGED, with no file ledger anywhere
+    Streams.hllIngest(spark, src, schema, tmp(), sk).awaitTermination()
+    assert(streamRegs() === batchRegs(b1 ++ b2),
+      "full-history replay must be absorbed by the max-merge algebra")
+  }
+
   test("Lake.compact rewrites small files per leaf, preserves results, and is idempotent") {
     import spark.implicits._
     val root = tmp()
