@@ -552,7 +552,53 @@ object PrepQueries {
             .as("var_explained"))
   }
 
+  /** Random-projection target dimensionality. */
+  private val RpK = 8
+
+  /** Deterministic ±1 random projection (r12) — the Johnson-Lindenstrauss
+    * dimensionality-reduction step ahead of ANN / clustering at 100 TB:
+    * y_j = Σ_i x_i · s_ij with s_ij = ±1 by the PARITY of the portable
+    * hash of ("rp:i:j") — a sign matrix both engines (and any future
+    * re-scoring job) can regenerate from nothing, so the projection needs
+    * no stored model artifact and shards project independently. Published
+    * in long form (vec_id, j, y): each y is ONE decimal-exact dot of the
+    * embedding against the j-th broadcast sign row (the codegen'd
+    * decimal_dot fold — identical addend multiset to the oracle's
+    * exploded-join SUM, so bit-equal under any partitioning). Map-only:
+    * corpus × k rows out, no shuffle anywhere; the k×d sign matrix is a
+    * driver-built literal (corpus-independent, 8×64 doubles). */
+  val embRandProj = Q("q_emb_rand_proj",
+    s"deterministic ±1 sign random projection to $RpK dims (long form)")(
+    "WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e, " +
+      "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), " +
+      s"js AS (SELECT unnest(range(1, ${RpK + 1})) AS j), " +
+      "r AS (SELECT d.i, js.j, CASE WHEN (('0x' || substr(md5('rp:' || CAST(d.i AS VARCHAR) " +
+      "|| ':' || CAST(js.j AS VARCHAR)), 1, 8))::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END AS s " +
+      "FROM (SELECT DISTINCT i FROM v) d CROSS JOIN js) " +
+      "SELECT v.vec_id, CAST(r.j AS BIGINT) AS j, " +
+      "CAST(SUM(CAST(v.e * r.s AS DECIMAL(38,8))) AS DOUBLE) AS y " +
+      "FROM v JOIN r ON r.i = v.i GROUP BY 1, 2") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val dims = base.select(size(col("embedding")).as("d")).head().getInt(0)
+      def h32(str: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val signRows = (1 to RpK).map { j =>
+        (j.toLong, (1 to dims).map(i =>
+          if (h32(s"rp:$i:$j") % 2 == 0) 1.0 else -1.0))
+      }
+      import s.implicits._
+      val sdf = signRows.toDF("j", "sj")
+      base.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("ev"))
+        .crossJoin(broadcast(sdf))
+        .select(col("vec_id"), col("j"), expr("decimal_dot(ev, sj)").as("y"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
     embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
-    embVarExplained, packLengthBuckets)
+    embVarExplained, packLengthBuckets, embRandProj)
 }

@@ -4,6 +4,7 @@ import graft.Q
 import graft.util.Exact
 import graft.util.Materialize.Ops
 import graft.util.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +57,21 @@ object SessionQueries {
           Exact.exactSum(col("value")).as("total_value"))
   }
 
+  /** The shared oracle prologue of the two funnel queries: the staged
+    * per-(user, day) times via the textbook three-self-join form,
+    * ending in `g3(user_id, day, vt, ct, pt)`. (Declared BEFORE the two
+    * Q vals that splice it — object vals initialize in order.) */
+  private val funnelStagesSql =
+    "WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "g1 AS (SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN ts_us END) AS vt " +
+      "FROM e GROUP BY 1, 2), " +
+      "g2 AS (SELECT e.user_id, e.day, min(g1.vt) AS vt, " +
+      "min(CASE WHEN e.event_type = 'click' AND e.ts_us > g1.vt THEN e.ts_us END) AS ct " +
+      "FROM e JOIN g1 ON g1.user_id = e.user_id AND g1.day = e.day GROUP BY 1, 2), " +
+      "g3 AS (SELECT e.user_id, e.day, min(g2.vt) AS vt, min(g2.ct) AS ct, " +
+      "min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > g2.ct THEN e.ts_us END) AS pt " +
+      "FROM e JOIN g2 ON g2.user_id = e.user_id AND g2.day = e.day GROUP BY 1, 2) "
+
   /** Ordered funnel conversion per user-day: first 'view', then the first
     * 'click' strictly after it, then the first 'purchase' strictly after
     * that — the order-aware variant of a naive exists-count funnel.
@@ -68,40 +84,75 @@ object SessionQueries {
     * join form, and the events scan runs once, not three times).
     * Timestamps are compared in integer microseconds — no float anywhere. */
   val eventFunnel = Q("q_event_funnel", "ordered view→click→purchase funnel")(
-    "WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS ts_us, event_type FROM events), " +
-      "g1 AS (SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN ts_us END) AS vt " +
-      "FROM e GROUP BY 1, 2), " +
-      "g2 AS (SELECT e.user_id, e.day, min(g1.vt) AS vt, " +
-      "min(CASE WHEN e.event_type = 'click' AND e.ts_us > g1.vt THEN e.ts_us END) AS ct " +
-      "FROM e JOIN g1 ON g1.user_id = e.user_id AND g1.day = e.day GROUP BY 1, 2), " +
-      "g3 AS (SELECT e.user_id, e.day, min(g2.vt) AS vt, min(g2.ct) AS ct, " +
-      "min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > g2.ct THEN e.ts_us END) AS pt " +
-      "FROM e JOIN g2 ON g2.user_id = e.user_id AND g2.day = e.day GROUP BY 1, 2) " +
+    funnelStagesSql +
       "SELECT day, count(*) AS n_users, count(vt) AS n_view, " +
       "count(ct) AS n_click_after_view, count(pt) AS n_purchase_after_click " +
       "FROM g3 GROUP BY 1") {
     (s, d) =>
-      val wUD = Window.partitionBy("user_id", "day")
-      val e = events(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        // null-key parity with the oracle's join form: an inner join on
-        // (user_id, day) drops null keys, a window partition would keep
-        // them as a real group — filter to keep the two forms identical
-        .filter(col("user_id").isNotNull && col("day").isNotNull)
-      val staged = e
-        .withColumn("vt",
-          min(when(col("event_type") === "view", col("ts_us"))).over(wUD))
-        .withColumn("ct",
-          min(when(col("event_type") === "click" && col("ts_us") > col("vt"),
-            col("ts_us"))).over(wUD))
-        .withColumn("pt",
-          min(when(col("event_type") === "purchase" && col("ts_us") > col("ct"),
-            col("ts_us"))).over(wUD))
-      staged.groupBy("user_id", "day")
-        .agg(min("vt").as("vt"), min("ct").as("ct"), min("pt").as("pt"))
+      funnelStaged(s, d)
         .groupBy("day")
         .agg(count(lit(1)).as("n_users"), count("vt").as("n_view"),
           count("ct").as("n_click_after_view"), count("pt").as("n_purchase_after_click"))
+  }
+
+  /** The per-(user, day) staged funnel times (vt, ct, pt) — ONE
+    * definition shared by q_event_funnel and q_event_funnel_time so the
+    * conversion rule and its latency profile can never disagree on what
+    * "converted" means. Single (user_id, day) Exchange feeds all three
+    * chained stage windows and the rollup. */
+  private def funnelStaged(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val wUD = Window.partitionBy("user_id", "day")
+    val e = events(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      // null-key parity with the oracle's join form: an inner join on
+      // (user_id, day) drops null keys, a window partition would keep
+      // them as a real group — filter to keep the two forms identical
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
+    e.withColumn("vt",
+        min(when(col("event_type") === "view", col("ts_us"))).over(wUD))
+      .withColumn("ct",
+        min(when(col("event_type") === "click" && col("ts_us") > col("vt"),
+          col("ts_us"))).over(wUD))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("ct"),
+          col("ts_us"))).over(wUD))
+      .groupBy("user_id", "day")
+      .agg(min("vt").as("vt"), min("ct").as("ct"), min("pt").as("pt"))
+  }
+
+  /** Funnel stage LATENCY profile (r12) — the companion the conversion
+    * counts need to be actionable: per day and stage (view→click,
+    * click→purchase), the converter count and the exact p50/p90 of the
+    * stage duration in integer microseconds. Durations come from the
+    * SAME staged frame as q_event_funnel (shared code object, shared
+    * oracle CTEs), so "median time to purchase" can never disagree with
+    * "how many purchased". Quantiles ride ops.Quantiles.groupQuantilesDisc
+    * — the per-(day) value-histogram layout, no per-group data sort —
+    * and everything is integer until publication (no floats at all). */
+  val eventFunnelTime = Q("q_event_funnel_time",
+    "per-day funnel stage latency: exact p50/p90 of view→click and click→purchase")(
+    funnelStagesSql +
+      ", u AS (SELECT day, 'view_to_click' AS stage, ct - vt AS dur_us FROM g3 WHERE ct IS NOT NULL " +
+      "UNION ALL SELECT day, 'click_to_purchase' AS stage, pt - ct AS dur_us FROM g3 WHERE pt IS NOT NULL), " +
+      "h AS (SELECT day, stage, dur_us, count(*) AS c FROM u GROUP BY 1, 2, 3), " +
+      "cm AS (SELECT *, sum(c) OVER (PARTITION BY day, stage ORDER BY dur_us) AS cum, " +
+      "sum(c) OVER (PARTITION BY day, stage) AS n FROM h) " +
+      "SELECT day, stage, CAST(max(n) AS BIGINT) AS n_pairs, " +
+      "CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN dur_us END) AS BIGINT) AS p50_us, " +
+      "CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN dur_us END) AS BIGINT) AS p90_us " +
+      "FROM cm GROUP BY 1, 2") {
+    (s, d) =>
+      val g3 = funnelStaged(s, d).materialized() // both stage slices read it
+      val ps = Seq(0.5 -> "p50_us", 0.9 -> "p90_us")
+      def stage(name: String, dur: Column, conv: Column): DataFrame =
+        graft.ops.Quantiles.groupQuantilesDisc(
+          g3.filter(conv.isNotNull).select(col("day"), dur.as("dur_us")),
+          "day", "dur_us", ps)
+          .select(col("day"), lit(name).as("stage"), col("n").as("n_pairs"),
+            col("p50_us"), col("p90_us"))
+      stage("view_to_click", col("ct") - col("vt"), col("ct"))
+        .unionByName(stage("click_to_purchase", col("pt") - col("ct"), col("pt")))
   }
 
   /** Cohort retention (r8): cohort = a user's first active day; for each
@@ -706,5 +757,5 @@ object SessionQueries {
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
-    eventDowProfile)
+    eventDowProfile, eventFunnelTime)
 }

@@ -63,6 +63,70 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("event_funnel_time: full Scala replay of staged durations and exact quantiles") {
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .filter(col("user_id").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val staged = ev.groupBy { case (u, day, _, _) => (u, day) }.map { case (_, xs) =>
+      val vt = xs.filter(_._4 == "view").map(_._3).minOption
+      val ct = vt.flatMap(v => xs.filter(x => x._4 == "click" && x._3 > v).map(_._3).minOption)
+      val pt = ct.flatMap(c => xs.filter(x => x._4 == "purchase" && x._3 > c).map(_._3).minOption)
+      (xs.head._2, vt, ct, pt)
+    }.toSeq
+    def q(vals: Seq[Long], p: Double): Long = {
+      val sorted = vals.sorted
+      sorted(math.ceil(p * sorted.size).toInt - 1)
+    }
+    val expected = (
+      staged.collect { case (day, Some(v), Some(c), _) => (day, "view_to_click", c - v) } ++
+        staged.collect { case (day, _, Some(c), Some(p)) => (day, "click_to_purchase", p - c) })
+      .groupBy { case (day, st, _) => (day, st) }
+      .map { case ((day, st), xs) =>
+        val ds = xs.map(_._3)
+        (day, st, ds.size.toLong, q(ds, 0.5), q(ds, 0.9))
+      }.toSet
+    val got = graft.queries.SessionQueries.eventFunnelTime.fn(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected, s"funnel latency mismatch:\n got=$got\n exp=$expected")
+    // cross-consistency with the conversion counts (shared staged frame)
+    val funnel = graft.queries.SessionQueries.eventFunnel.fn(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(3), r.getLong(4))).toMap
+    got.foreach { case (day, st, n, _, _) =>
+      val (nClick, nPurchase) = funnel(day)
+      if (st == "view_to_click") assert(n == nClick)
+      else assert(n == nPurchase)
+    }
+  }
+
+  test("emb_rand_proj: sign matrix + decimal dot replayed from scratch") {
+    val rows = graft.queries.PrepQueries.embRandProj.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val embs = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(rows.size == embs.length * 8, "long form: one row per (vector, j)")
+    def h32(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    embs.take(25).foreach { case (vid, e) =>
+      (1 to 8).foreach { j =>
+        val sum = e.zipWithIndex.map { case (x, i0) =>
+          val s = if (h32(s"rp:${i0 + 1}:$j") % 2 == 0) 1.0 else -1.0
+          graft.functions.DecimalDot.quantize8(x.toDouble * s)
+        }.sum
+        val y = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(sum), 8).doubleValue()
+        assert(rows((vid, j.toLong)) == y, s"y($vid, $j) diverged from the replay")
+      }
+    }
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
