@@ -4,6 +4,7 @@ import graft.util.Materialize.Ops
 import graft.Q
 import graft.ops.{Multimodal, TextOps}
 import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.12 north-star: training-data text operators over
@@ -272,6 +273,84 @@ object TextQueries {
         .agg(sum(hit).cast("long").as("stop_hits"), count(lit(1)).as("n_tokens"))
         .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
         .withColumn("pred_lang", when(col("stop_ratio") >= 0.02, "en").otherwise("und"))
+  }
+
+  /** Per-lang profile size of the trigram LID. */
+  private val TriP = 30
+
+  /** Char-trigram language ID (r12) — the Cavnar–Trenkle n-gram-profile
+    * classifier next to the stopword heuristic (q_text_langid): each
+    * language's profile is its top-30 character trigrams by corpus
+    * frequency (tie-break: trigram ASC), each doc is scored by the
+    * OVERLAP of its distinct trigram set with every profile, and the
+    * argmax (tie-break: lang ASC) is the prediction — published as the
+    * same confusion-matrix shape as q_text_langid_confusion, against the
+    * labeled lang column. Unlike the stopword score, this works for any
+    * language with no word segmentation at all — the LID that survives
+    * CJK and mojibake at 100 TB.
+    *
+    * Scale: the trigram explode is corpus-CHARACTER-linear (map-only);
+    * the profile build is a vocabulary-keyed aggregate + a langs-sized
+    * top-30 window; scoring joins each doc's distinct trigrams to the
+    * broadcast-sized (langs × 30) profile; the argmax window partitions
+    * by doc_id. Everything integer until the one confusion-rate division. */
+  val textLangidTrigram = Q("q_text_langid_trigram",
+    "char-trigram-profile language ID confusion matrix (Cavnar-Trenkle)")(
+    "WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri FROM " +
+      "(SELECT doc_id, text, unnest(range(1, greatest(length(text) - 1, 1))) AS i " +
+      "FROM documents)), " +
+      "lp AS (SELECT d.lang, t.tri, count(*) AS c FROM tri t " +
+      "JOIN documents d ON d.doc_id = t.doc_id GROUP BY 1, 2), " +
+      s"prof AS (SELECT lang AS cand, tri FROM (SELECT lp.*, " +
+      s"row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rn FROM lp) " +
+      s"WHERE rn <= $TriP), " +
+      "dt AS (SELECT DISTINCT doc_id, tri FROM tri), " +
+      "sc AS (SELECT dt.doc_id, p.cand, count(*) AS score FROM dt " +
+      "JOIN prof p ON p.tri = dt.tri GROUP BY 1, 2), " +
+      "langs AS (SELECT DISTINCT lang AS cand FROM documents), " +
+      "allsc AS (SELECT d.doc_id, l.cand, COALESCE(sc.score, 0) AS score " +
+      "FROM documents d CROSS JOIN langs l " +
+      "LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cand = l.cand), " +
+      "pred AS (SELECT doc_id, cand AS pred_lang FROM (SELECT allsc.*, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn " +
+      "FROM allsc) WHERE rn = 1), " +
+      "cells AS (SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n " +
+      "FROM pred p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2), " +
+      "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1) " +
+      "SELECT c.lang, c.pred_lang, c.n, CAST(c.n AS DOUBLE) / t.n_lang AS rate " +
+      "FROM cells c JOIN tot t ON t.lang = c.lang") {
+    (s, d) =>
+      val docs = documents(s, d)
+      val tri = docs
+        .select(col("doc_id"),
+          // CASE-null for docs under 3 chars: explode drops the null row
+          // (Spark's sequence(1, 0) would DESCEND, not be empty)
+          explode(expr(
+            "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2) END")).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, CAST(i AS INT), 3)").as("tri"))
+        .materialized() // profile build AND doc sets read it
+      val lp = tri.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      val wL = Window.partitionBy("lang").orderBy(col("c").desc, col("tri"))
+      val prof = lp.withColumn("rn", row_number().over(wL)).filter(col("rn") <= TriP)
+        .select(col("lang").as("cand"), col("tri"))
+      val dt = tri.distinct()
+      val sc = dt.join(broadcast(prof), "tri")
+        .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
+      val langs = docs.select(col("lang").as("cand")).distinct()
+      val allsc = docs.select("doc_id").crossJoin(broadcast(langs))
+        .join(sc, Seq("doc_id", "cand"), "left")
+        .select(col("doc_id"), col("cand"), coalesce(col("score"), lit(0L)).as("score"))
+      val wD = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+      val pred = allsc.withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("pred_lang"))
+      val cells = pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("n_lang")).as("rate"))
   }
 
   /** Quality scoring: length/stopword/word-shape components → [0,1] score
@@ -679,5 +758,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
-    textReadability, dedupEditVerify, mmModalityMix)
+    textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram)
 }

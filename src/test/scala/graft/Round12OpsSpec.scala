@@ -127,6 +127,45 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_langid_trigram: full Scala replay of profiles, scoring, and the confusion matrix") {
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      if (t == null || t.length < 3) Nil
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    // per-lang profile: top-30 trigrams by count, tie-break trigram ASC
+    val prof: Map[String, Set[String]] = docs.groupBy(_._2).map { case (lang, xs) =>
+      lang -> xs.flatMap(x => tris(x._3)).groupBy(identity)
+        .map { case (t, os) => (t, os.size) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(30).map(_._1).toSet
+    }
+    val langs = docs.map(_._2).distinct.sorted
+    val pred = docs.map { case (_, lang, text) =>
+      val ts = tris(text).toSet
+      val best = langs.map(l => (l, prof(l).count(ts.contains)))
+        .maxBy { case (l, sc) => (sc, LangDesc(l)) }._1
+      (lang, best)
+    }
+    val expected = pred.groupBy(identity).map { case ((l, p), xs) =>
+      (l, p, xs.size.toLong)
+    }.toSet
+    val got = graft.queries.TextQueries.textLangidTrigram.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"confusion cells mismatch:\n got=$got\n exp=$expected")
+    // the classifier must beat chance on the labeled fixture
+    val correct = pred.count { case (l, p) => l == p }
+    assert(correct.toDouble / pred.length > 1.0 / langs.size,
+      "trigram LID no better than chance on the fixture")
+  }
+
+  /** Ordering helper: maxBy picks the HIGHEST (score, LangDesc), and
+    * LangDesc inverts string order so ties resolve to the ASC-lowest
+    * lang — the query's (score DESC, cand ASC) rule. */
+  private case class LangDesc(l: String) extends Ordered[LangDesc] {
+    def compare(that: LangDesc): Int = that.l.compareTo(this.l)
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
