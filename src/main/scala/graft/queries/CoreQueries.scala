@@ -223,6 +223,30 @@ object CoreQueries {
           md5(col("text").cast("binary")).as("text_md5"))
   }
 
+  /** CSV source round-trip (r12) — the third source format next to
+    * parquet and JSONL, completing §2.1's interchange story: write the
+    * orders key/status/price columns as headered CSV, read them back
+    * with an EXPLICIT schema (never inferSchema — a schema inferred per
+    * shard can fork types across 1000 executors' file sets), and publish
+    * the round-tripped rows. Doubles survive bit-exactly because Spark's
+    * CSV writer emits the shortest round-trippable decimal form
+    * (Double.toString contract) and the declared-DOUBLE read parses it
+    * back to the identical bits — pinned by the oracle comparing against
+    * the PARQUET-read originals. Timestamp/text columns are deliberately
+    * out of scope here (CSV's weak spot; JSONL is the registered path
+    * for those). */
+  val scanCsv = Q("q_scan_csv", "CSV source round-trip scan (explicit schema)")(
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_orders"
+      orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
   /** Partition-pruned scan (r11) — the directory-level data-skipping
     * companion of q_join_bucketed's shuffle claim and q_layout_pruning's
     * zone-map audit: orders land partitioned BY STATUS (the Hive layout
@@ -262,5 +286,5 @@ object CoreQueries {
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
     winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
-    scanPartitionPruned)
+    scanPartitionPruned, scanCsv)
 }

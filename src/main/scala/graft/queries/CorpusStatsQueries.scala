@@ -1268,10 +1268,62 @@ object CorpusStatsQueries {
         .unionByName(summary)
   }
 
+  /** Coverage checkpoints. Bounded small so the rank frame the Spark
+    * side materializes is a top-k, never a vocabulary sort. */
+  private val CovTops = Seq(10L, 100L, 1000L)
+
+  /** Vocabulary coverage curve (r12) — what fraction of the corpus TOKEN
+    * MASS the top-N words carry (N = 10/100/1000): the number that sizes
+    * a tokenizer's vocabulary budget and quantifies how Zipfian the
+    * corpus actually is (the integral companion of q_text_zipf's slope).
+    * Published beside the vocabulary size and total token count so the
+    * curve is self-normalizing.
+    *
+    * Scale: one vocabulary-keyed count aggregate; the Spark side takes
+    * the global top-1000 by (count DESC, word) via orderBy+limit —
+    * Spark plans that as TakeOrderedAndProject (per-partition top-k +
+    * driver merge of 1000 rows), NOT a vocabulary sort — and the only
+    * unpartitioned window ranks that bounded 1000-row frame. The oracle
+    * ranks the full vocabulary (DuckDB is single-node; same result by
+    * the shared tie rule). Integers until the three pinned divisions. */
+  val textVocabCoverage = Q("q_text_vocab_coverage",
+    "token-mass coverage of the top-10/100/1000 vocabulary")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tokw GROUP BY 1), " +
+      "rk AS (SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rn FROM wc), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM wc), " +
+      s"ns AS (SELECT CAST(unnest([${CovTops.mkString(", ")}]) AS BIGINT) AS n_top), " +
+      "cov AS (SELECT ns.n_top, CAST(COALESCE(sum(CASE WHEN rk.rn <= ns.n_top THEN rk.c END), 0) " +
+      "AS BIGINT) AS covered FROM ns LEFT JOIN rk ON rk.rn <= ns.n_top GROUP BY 1) " +
+      "SELECT c.n_top, t.v AS vocab_size, t.t AS total_tokens, c.covered, " +
+      graft.util.Exact.Sql.pinScoreInt("CAST(c.covered AS DOUBLE) / CAST(t.t AS DOUBLE)") +
+      " AS coverage FROM cov c CROSS JOIN tot t") {
+    (s, d) =>
+      import graft.util.Exact
+      import s.implicits._
+      val wc = TextOps.explodeTokens(documents(s, d))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .materialized() // the total AND the top-k read it
+      val tot = wc.agg(sum("c").cast("long").as("t"), count(lit(1)).as("v"))
+      val maxN = CovTops.max.toInt
+      val topk = wc.orderBy(col("c").desc, col("word")).limit(maxN)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+      val ns = CovTops.toDF("n_top")
+      val cov = ns.join(topk, col("rn") <= col("n_top"), "left")
+        .groupBy("n_top")
+        .agg(coalesce(sum("c"), lit(0L)).cast("long").as("covered"))
+      cov.crossJoin(broadcast(tot))
+        .select(col("n_top"), col("v").as("vocab_size"), col("t").as("total_tokens"),
+          col("covered"),
+          Exact.pinScoreInt(
+            col("covered").cast("double") / col("t").cast("double")).as("coverage"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
-    textVocabHll)
+    textVocabHll, textVocabCoverage)
 }

@@ -166,6 +166,40 @@ class Round12OpsSpec extends SparkSpec {
     def compare(that: LangDesc): Int = that.l.compareTo(this.l)
   }
 
+  test("scan_csv: bit-exact round-trip vs the parquet originals, TakeOrdered-free map plan") {
+    val orig = graft.util.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val back = graft.queries.CoreQueries.scanCsv.fn(spark, sf)
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)) ==
+      orig.schema.map(f => (f.name, f.dataType.typeName)),
+      "explicit read schema must reproduce the parquet types")
+    assert(orig.exceptAll(back).count() == 0 && back.exceptAll(orig).count() == 0,
+      "CSV round-trip must be bit-exact, doubles included")
+  }
+
+  test("text_vocab_coverage: Scala replay; monotone curve; top-k plan (no vocabulary sort)") {
+    val toks = graft.ops.TextOps.explodeTokens(graft.util.Tables.documents(spark, sf))
+      .select("word").collect().map(_.getString(0))
+    val wc = toks.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }.toSeq
+    val total = wc.map(_._2).sum
+    val ranked = wc.sortBy { case (w, c) => (-c, w) }
+    val expected = Seq(10, 100, 1000).map { n =>
+      val covered = ranked.take(n).map(_._2).sum
+      (n.toLong, wc.size.toLong, total, covered,
+        math.floor(covered.toDouble / total * Grid).toLong)
+    }.toSet
+    val df = graft.queries.CorpusStatsQueries.textVocabCoverage.fn(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected, s"coverage mismatch:\n got=$got\n exp=$expected")
+    val sorted = got.toSeq.sortBy(_._1)
+    assert(sorted.map(_._4) == sorted.map(_._4).sorted, "coverage must be monotone in n_top")
+    // the plan must take a bounded top-k, never sort the vocabulary
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-1000 should plan as TakeOrderedAndProject")
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
