@@ -65,6 +65,26 @@ object Multimodal {
     features.toDF().select(col("media_id"), col("kind"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Fixed-duration chunk windows with overlap over the audio rows — the
+    * time-domain sibling of [[sampleFrames]]: every audio payload becomes
+    * ⌊max(dur − W, 0)/H⌋ + 1 windows of W ms at hop H (the final window
+    * may be short, never empty) — the segmentation step an ASR/audio-
+    * embedding pipeline runs before its model. Duration is the decode
+    * stub's (1 byte ≈ 1 ms stand-in); a real demuxer replaces ONE column.
+    * Map-only, explosion bounded by dur/H. */
+  def chunkWindows(features: Dataset[MediaFeatures], windowMs: Long,
+      hopMs: Long): DataFrame = {
+    val nch = (lit(1L) + floor(greatest(col("dur_ms") - windowMs, lit(0L))
+      / lit(hopMs.toDouble))).cast("long")
+    features.toDF().filter(col("kind") === "audio")
+      .select(col("media_id"), col("n_bytes").as("dur_ms"))
+      .select(col("media_id"), col("dur_ms"),
+        explode(sequence(lit(0L), nch - 1)).as("chunk_id"))
+      .select(col("media_id"), col("chunk_id"),
+        (col("chunk_id") * hopMs).as("t_start_ms"),
+        least(col("chunk_id") * hopMs + windowMs, col("dur_ms")).as("t_end_ms"))
+  }
+
   final case class ResizedRow(media_id: Long, kind: String, width: Int,
       height: Int, payload: Array[Byte])
 

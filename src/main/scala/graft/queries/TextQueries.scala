@@ -445,6 +445,31 @@ object TextQueries {
         .select(col("media_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"))
   }
 
+  /** Audio chunk-window geometry (r12) — the time-domain member of the
+    * multimodal plumbing family: every audio payload is cut into 2000 ms
+    * windows at 1000 ms hop through the typed decode chain
+    * (Multimodal.extractFeatures → chunkWindows), the segmentation an
+    * ASR / audio-embedding pipeline runs before its model. The duration
+    * column is the decode stub's (1 byte ≈ 1 ms stand-in — the honest
+    * offline-codec policy of the whole mm family); a real demuxer
+    * replaces one column and the window arithmetic — which the oracle
+    * replays exactly (same ⌊max(dur−W,0)/H⌋+1 form as q_text_chunk) —
+    * is untouched. Map-only; the explosion is bounded by dur/hop. */
+  val mmAudioChunks = Q("q_mm_audio_chunks",
+    "typed audio chunk windows (2000 ms window, 1000 ms hop)")(
+    "WITH a AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS dur " +
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 1), " +
+      "c AS (SELECT doc_id, dur, unnest(range(0, " +
+      "CAST(1 + floor(greatest(dur - 2000, 0) / 1000.0) AS BIGINT))) AS chunk_id FROM a) " +
+      "SELECT doc_id AS media_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+      "CAST(chunk_id * 1000 AS BIGINT) AS t_start_ms, " +
+      "CAST(least(chunk_id * 1000 + 2000, dur) AS BIGINT) AS t_end_ms FROM c") {
+    (s, d) =>
+      val media = Multimodal.mediaTable(s, d).filter(col("payload").isNotNull)
+      Multimodal.chunkWindows(Multimodal.extractFeatures(media),
+        windowMs = 2000L, hopMs = 1000L)
+  }
+
   /** Resize geometry contract over the typed per-partition scaler:
     * bounding-box 32×32, aspect preserved, strided-byte resample sized to
     * the output pixel count. The oracle replays the geometry arithmetic
@@ -758,5 +783,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
-    textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram)
+    textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram,
+    mmAudioChunks)
 }

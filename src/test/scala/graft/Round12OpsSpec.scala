@@ -200,6 +200,27 @@ class Round12OpsSpec extends SparkSpec {
       "top-1000 should plan as TakeOrderedAndProject")
   }
 
+  test("mm_audio_chunks: window geometry law on every row; audio rows only; gap-free cover") {
+    val rows = graft.queries.TextQueries.mmAudioChunks.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (mid, _, _, _) => mid % 3 == 1 }, "audio rows only")
+    rows.groupBy(_._1).foreach { case (mid, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0; starts advance by the hop
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"media $mid gaps")
+      sorted.foreach { case (_, cid, t0, t1) =>
+        assert(t0 == cid * 1000 && t1 > t0 - 1 && t1 <= t0 + 2000,
+          s"media $mid chunk $cid window law violated ($t0, $t1)")
+      }
+      // consecutive windows overlap or touch: full cover of [0, dur)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, e0), (_, _, s1, _)) => assert(s1 <= e0, s"media $mid gap")
+        case _ =>
+      }
+    }
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
