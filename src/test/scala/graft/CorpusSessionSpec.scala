@@ -331,6 +331,21 @@ class CorpusSessionSpec extends SparkSpec {
     assert(gold.filter(col("source") === "src0").count() == 0)
   }
 
+  test("CorpusPipeline.run compaction epilogue: gold lands as one file per layer, results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_t4").toString
+    val s = CorpusPipeline.run(spark, Tables.documents(spark, sf), root,
+      compactTargetBytes = Some(64L * 1024 * 1024))
+    def dataFiles(dir: String) = Option(new java.io.File(s"$root/$dir").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // tiny fixture << 64 MiB target: each gold layer compacts to ONE file
+    assert(dataFiles("gold/training_mix") == 1, "training_mix not compacted")
+    assert(dataFiles("gold/packed_sequences") == 1, "packed_sequences not compacted")
+    // and the compacted layers still answer exactly the pipeline's counts
+    assert(spark.read.parquet(s"$root/gold/training_mix").count() == s.goldRows)
+    assert(spark.read.parquet(s"$root/gold/packed_sequences").count() == s.goldRows)
+  }
+
   test("CorpusPipeline.run line-cleans and redacts planted documents end to end") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_corpus_t3").toString
