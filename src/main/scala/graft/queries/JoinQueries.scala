@@ -295,6 +295,55 @@ object JoinQueries {
         Exact.exactSum(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** NEAREST as-of join (r12) — the bidirectional completion of the
+    * backward as-of family (q_filter_asof looks back only): for every
+    * non-purchase event, the SAME user's nearest purchase in time,
+    * whichever direction is closer (tie → the past one — attribution
+    * convention: what already happened wins). This is the "closest
+    * snapshot to this observation" operator Spark has no native form of;
+    * expressed as TWO frame-bounded running extremes over ONE
+    * (user_id, ts, event_id) window partitioning — a running max of
+    * purchase times behind, a running min ahead — so there is no range
+    * self-join (candidate blow-up) and no global sort: one Exchange on
+    * user_id, bounded per-user partitions, integer microseconds end to
+    * end. Events of users with no purchase publish NULL (the
+    * universe-complete convention), never a dropped row. */
+  val joinAsofNearest = Q("q_join_asof_nearest",
+    "nearest-purchase as-of join per event (bidirectional, past wins ties)")(
+    "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "w AS (SELECT *, " +
+      "max(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bwd, " +
+      "min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd FROM e) " +
+      "SELECT event_id, user_id, ts_us, " +
+      "CASE WHEN bwd IS NULL THEN fwd WHEN fwd IS NULL THEN bwd " +
+      "WHEN ts_us - bwd <= fwd - ts_us THEN bwd ELSE fwd END AS near_us, " +
+      "CASE WHEN bwd IS NULL THEN fwd WHEN fwd IS NULL THEN bwd " +
+      "WHEN ts_us - bwd <= fwd - ts_us THEN bwd ELSE fwd END - ts_us AS dt_us " +
+      "FROM w WHERE event_type <> 'purchase'") {
+    (s, d) =>
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pTs = when(col("event_type") === "purchase", col("ts_us"))
+      val w = e
+        .withColumn("bwd", max(pTs).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("fwd", min(pTs).over(
+          ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      val near = when(col("bwd").isNull, col("fwd"))
+        .when(col("fwd").isNull, col("bwd"))
+        .when(col("ts_us") - col("bwd") <= col("fwd") - col("ts_us"), col("bwd"))
+        .otherwise(col("fwd"))
+      w.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          near.as("near_us"), (near - col("ts_us")).as("dt_us"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
-    joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed)
+    joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed,
+    joinAsofNearest)
 }

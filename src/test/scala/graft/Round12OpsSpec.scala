@@ -221,6 +221,36 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_nearest: brute-force replay (nearest purchase, past wins ties), universe-complete") {
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getString(3)))
+    val purchasesByUser = ev.filter(_._4 == "purchase")
+      .groupBy(_._2).map { case (u, xs) => u -> xs.map(_._3).toSeq.sorted }
+    val nonPurch = ev.filter(_._4 != "purchase")
+    val got = graft.queries.JoinQueries.joinAsofNearest.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.size == nonPurch.length, "every non-purchase event publishes a row")
+    nonPurch.foreach { case (eid, u, ts, _) =>
+      val expected = purchasesByUser.getOrElse(u, Seq.empty[Long]) match {
+        case ps if ps.isEmpty => None
+        case ps =>
+          // brute force: min |dt|, past wins ties
+          Some(ps.minBy(p => (math.abs(p - ts), p - ts)))
+      }
+      assert(got(eid)._1 == expected, s"event $eid nearest mismatch")
+      assert(got(eid)._2 == expected.map(_ - ts), s"event $eid dt mismatch")
+    }
+    assert(got.values.exists(v => v._2.exists(_ > 0)) &&
+      got.values.exists(v => v._2.exists(_ < 0)),
+      "fixture should exercise both directions")
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
