@@ -2491,6 +2491,63 @@ object VectorQueries {
               col("n_wedges").cast("double"))).as("global_cc"))
   }
 
+  /** Degree assortativity of the mutual-kNN graph (r12) — the Pearson
+    * correlation of endpoint degrees over the directed edge set (each
+    * undirected edge counted in both orientations, the standard Newman
+    * convention): POSITIVE means hubs link to hubs (a "rich club" in the
+    * embedding space — typical of hubness pathologies the q_graph_hubness
+    * histogram flags), NEGATIVE means hubs link to the periphery. The
+    * third corpus-level graph-health number next to the clustering
+    * coefficient and the component-size histogram. Degrees are integers,
+    * so all five correlation sums fold exactly in BIGINT (no decimal
+    * grid needed) and the published r is one fixed-order IEEE expression
+    * over them, pinned; NULL when either variance is 0 (the q_agg_corr
+    * contract). Cost: the graph build's, plus one edges-sized join to
+    * degrees and one scalar aggregate. */
+  val graphAssortativity = Q("q_graph_assortativity",
+    "degree assortativity (Newman r) of the mutual-kNN graph")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
+      "GROUP BY 1), " +
+      "de AS (SELECT da.deg AS x, db.deg AS y FROM " +
+      "(SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges) e " +
+      "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS m2, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, " +
+      "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM de) " +
+      "SELECT m2, CASE WHEN (m2 * sxx - sx * sx) > 0 AND (m2 * syy - sy * sy) > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(m2 * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))") +
+      " END AS assortativity FROM s") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // degrees AND the doubled edge list read it
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val doubled = edges.select(col("a"), col("b"))
+        .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val de = doubled
+        .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+      val st = de.agg(count(lit(1)).as("m2"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      val vx = col("m2") * col("sxx") - col("sx") * col("sx")
+      val vy = col("m2") * col("syy") - col("sy") * col("sy")
+      st.select(col("m2"),
+        when(vx > 0 && vy > 0, graft.util.Exact.pinScoreInt(
+          (col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
+          .as("assortativity"))
+  }
+
   /** Per-cluster k-means inertia of the TRAINED IVF index (r11) — the
     * index-quality gauge behind q_ann_ivf_trained: mean and total
     * within-cluster cosine distance (1 − cos to the assigned centroid)
@@ -2718,5 +2775,5 @@ object VectorQueries {
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
-    evalRecallPq, embHardNegatives)
+    evalRecallPq, embHardNegatives, graphAssortativity)
 }

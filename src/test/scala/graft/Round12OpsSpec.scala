@@ -251,6 +251,28 @@ class Round12OpsSpec extends SparkSpec {
       "fixture should exercise both directions")
   }
 
+  test("graph_assortativity: Newman r replayed over the collected mutual edges") {
+    val edges = graft.queries.VectorQueries.annKnnMutual.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val xy = edges.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = xy.size.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val syy = xy.map(p => p._2 * p._2).sum
+    val row = graft.queries.VectorQueries.graphAssortativity.fn(spark, sf).collect().head
+    assert(row.getLong(0) == m2, "doubled edge count")
+    val vx = m2 * sxx - sx * sx; val vy = m2 * syy - sy * sy
+    if (vx > 0 && vy > 0) {
+      val r = (m2 * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+      assert(row.getLong(1) == math.floor(r * Grid).toLong, "assortativity pin")
+      // x/y sums are symmetric by construction on the doubled edge list
+      assert(sx == sy && sxx == syy)
+    } else assert(row.isNullAt(1))
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
