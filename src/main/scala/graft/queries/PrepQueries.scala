@@ -598,7 +598,68 @@ object PrepQueries {
         .select(col("vec_id"), col("j"), expr("decimal_dot(ev, sj)").as("y"))
   }
 
+  /** JL distortion audit of the registered projection (r12) — the gauge
+    * that PRICES q_emb_rand_proj before anyone searches in 8 dims (the
+    * recall-gauge discipline applied to a transformation instead of an
+    * index): per label-blocked pair, squared distances in the original
+    * and projected spaces and their normalized ratio d2p / (k·d2o) —
+    * E[ratio] = 1 for a ±1 sign projection, and the per-pair spread IS
+    * the JL distortion actually realized on this corpus. Both distances
+    * are decimal-exact dots of difference vectors; the ratio is one
+    * pinned IEEE expression (NULL for identical vectors — nothing to
+    * distort). Pair volume is the label blocking's (the
+    * q_dedup_embed_cosine contract: bounded, salted); the oracle inlines
+    * the REGISTERED projection oracle as a derived table, so this gauge
+    * certifies the projection users actually run. */
+  val evalRandProj = Q("q_eval_rand_proj",
+    "per-pair JL distortion of the registered ±1 random projection")(
+    "WITH v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e, " +
+      "unnest(range(1, len(embedding)+1)) AS i FROM embeddings), " +
+      "proj AS (SELECT * FROM (" + embRandProj.oracle.get + ")), " +
+      "pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a " +
+      "JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), " +
+      "od AS (SELECT pr.va, pr.vb, " +
+      "CAST(SUM(CAST((x.e - y.e) * (x.e - y.e) AS DECIMAL(38,8))) AS DOUBLE) AS d2o " +
+      "FROM pairs pr JOIN v x ON x.vec_id = pr.va " +
+      "JOIN v y ON y.vec_id = pr.vb AND y.i = x.i GROUP BY 1, 2), " +
+      "pd AS (SELECT pr.va, pr.vb, " +
+      "CAST(SUM(CAST((pa.y - pb.y) * (pa.y - pb.y) AS DECIMAL(38,8))) AS DOUBLE) AS d2p " +
+      "FROM pairs pr JOIN proj pa ON pa.vec_id = pr.va " +
+      "JOIN proj pb ON pb.vec_id = pr.vb AND pb.j = pa.j GROUP BY 1, 2) " +
+      "SELECT od.va, od.vb, " +
+      graft.util.Exact.Sql.pinScoreInt("od.d2o") + " AS d2_orig, " +
+      graft.util.Exact.Sql.pinScoreInt("pd.d2p") + " AS d2_proj, " +
+      "CASE WHEN od.d2o > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(s"pd.d2p / ($RpK.0 * od.d2o)") +
+      " END AS distortion " +
+      "FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb") {
+    (s, d) =>
+      import graft.util.Exact
+      val proj = embRandProj.fn(s, d)
+      val yArr = proj.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, y))), p -> p.y)").as("yv"))
+      val base = embeddings(s, d)
+      val a = base.select(col("vec_id").as("va"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("ea"))
+      val b = base.select(col("vec_id").as("vb"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("eb"))
+      val diffSq = "zip_with(ea, eb, (x, y) -> x - y)"
+      val pdiffSq = "zip_with(ya, yb, (x, y) -> x - y)"
+      graft.ops.VectorOps.saltedBlockJoin(a, b, "label", col("va"), 8)
+        .filter(col("va") < col("vb"))
+        .join(yArr.select(col("vec_id").as("va"), col("yv").as("ya")), Seq("va"))
+        .join(yArr.select(col("vec_id").as("vb"), col("yv").as("yb")), Seq("vb"))
+        .select(col("va"), col("vb"),
+          expr(s"decimal_dot($diffSq, $diffSq)").as("d2o"),
+          expr(s"decimal_dot($pdiffSq, $pdiffSq)").as("d2p"))
+        .select(col("va"), col("vb"),
+          Exact.pinScoreInt(col("d2o")).as("d2_orig"),
+          Exact.pinScoreInt(col("d2p")).as("d2_proj"),
+          when(col("d2o") > 0, Exact.pinScoreInt(
+            col("d2p") / (lit(RpK.toDouble) * col("d2o")))).as("distortion"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
     embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
-    embVarExplained, packLengthBuckets, embRandProj)
+    embVarExplained, packLengthBuckets, embRandProj, evalRandProj)
 }

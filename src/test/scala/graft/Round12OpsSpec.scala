@@ -273,6 +273,22 @@ class Round12OpsSpec extends SparkSpec {
     } else assert(row.isNullAt(1))
   }
 
+  test("eval_rand_proj: distortion centers on 1 (JL expectation) and covers every blocked pair") {
+    val rows = graft.queries.PrepQueries.evalRandProj.fn(spark, sf).collect()
+    val nPairs = {
+      val byLabel = graft.util.Tables.embeddings(spark, sf)
+        .groupBy("label").count().collect().map(_.getLong(1))
+      byLabel.map(n => n * (n - 1) / 2).sum
+    }
+    assert(rows.length.toLong == nPairs, "one row per label-blocked pair")
+    val ds = rows.filter(!_.isNullAt(4)).map(_.getLong(4).toDouble / Grid)
+    assert(ds.nonEmpty)
+    val mean = ds.sum / ds.length
+    assert(mean > 0.7 && mean < 1.4,
+      f"mean distortion $mean%.3f far from the JL expectation of 1")
+    assert(ds.forall(_ >= 0), "squared-distance ratio cannot be negative")
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
