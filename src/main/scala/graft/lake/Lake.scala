@@ -87,9 +87,19 @@ final class Lake(spark: SparkSession, root: String) {
     * the layer behind a transactional table format. A leaf already at or
     * under its bin count is left untouched (idempotent: a second compact
     * is a no-op). Returns the manifest delta; `rowsVerified` counts only
-    * rewritten rows (untouched leaves are not re-read). */
+    * rewritten rows (untouched leaves are not re-read).
+    *
+    * `clusterBy` (r12): when non-empty, rewritten leaves are RANGE-
+    * partitioned and sorted on those columns instead of round-robin'd —
+    * compaction then doubles as layout clustering: per-file min/max
+    * ranges become disjoint, so zone-map (row-group) pruning on the
+    * cluster key skips whole FILES after the rewrite (the executable
+    * sibling of q_layout_pruning's audit; note a clustered rewrite is no
+    * longer idempotent-by-file-count when the leaf was already at its
+    * bin count — clustering is a layout CHANGE, run it deliberately). */
   def compact(layer: String, name: String,
-      targetBytes: Long = 128L * 1024 * 1024): Lake.CompactStats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Lake.CompactStats = {
     val rootP = new Path(path(layer, name))
     val f = fs(rootP.toString)
     def isData(p: Path): Boolean =
@@ -108,13 +118,18 @@ final class Lake(spark: SparkSession, root: String) {
       val nBins = math.max(1L, math.ceil(b.toDouble / targetBytes).toLong).toInt
       before += files.length
       bytes += b
-      if (files.length <= nBins) after += files.length
+      if (files.length <= nBins && clusterBy.isEmpty) after += files.length
       else {
         val df = spark.read.parquet(leaf.toString)
         val nRows = df.count()
         val tmp = new Path(leaf.getParent, "_compacting_" + leaf.getName)
         f.delete(tmp, true)
-        df.repartition(nBins).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val binned =
+          if (clusterBy.isEmpty) df.repartition(nBins)
+          else df.repartitionByRange(nBins,
+              clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        binned.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val got = spark.read.parquet(tmp.toString).count()
         require(got == nRows,
           s"compact($layer/$name): $leaf rewrote $got rows, expected $nRows — aborting swap")

@@ -104,6 +104,13 @@ object Quantiles {
     // for very high group cardinality, drop the hint and let AQE decide.
     import scala.jdk.CollectionConverters._
     val collected = mapDf.collect()
+    // the bounded-driver-state contract, ASSERTED (VERDICT r11 #4): the
+    // threshold map is |part| × occupied buckets — if a caller ever feeds
+    // a group cardinality that breaks the bound, fail loudly here instead
+    // of silently OOMing the driver
+    require(collected.length <= 4000000,
+      s"exactNtile threshold map has ${collected.length} rows (> 4M): group " +
+        "cardinality too high for the broadcast layout — drop to AQE (see scaladoc)")
     val bucketMap = df.sparkSession.createDataFrame(
       collected.toSeq.asJava, mapDf.schema)
     val joined = rows.join(broadcast(bucketMap), Seq(part, "_bkt"))

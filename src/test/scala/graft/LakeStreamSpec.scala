@@ -896,4 +896,29 @@ class LakeStreamSpec extends SparkSpec {
       "partition directories must survive compaction")
     assert(lake.read("gold", "part").collect().map(_.toSeq).toSet === partBefore)
   }
+
+  test("Lake.compact(clusterBy): rewritten files carry DISJOINT key ranges (zone-map-prunable)") {
+    import spark.implicits._
+    val root = tmp()
+    val lake = new Lake(spark, root)
+    // ids deliberately scattered across the input files
+    val df = scala.util.Random.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    lake.write(df.repartition(16), "gold", "cl")
+    val before = lake.read("gold", "cl").collect().map(_.toSeq).toSet
+    // tiny target -> several output bins, each range-clustered on id
+    val st = lake.compact("gold", "cl", targetBytes = 16L * 1024, clusterBy = Seq("id"))
+    assert(st.leavesRewritten == 1 && st.filesAfter > 1, s"stats: $st")
+    assert(lake.read("gold", "cl").collect().map(_.toSeq).toSet === before)
+    val ranges = lake.read("gold", "cl")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == st.filesAfter)
+    ranges.sliding(2).foreach {
+      case Array((_, hi0), (lo1, _)) =>
+        assert(lo1 > hi0, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }
