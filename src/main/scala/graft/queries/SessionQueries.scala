@@ -155,6 +155,52 @@ object SessionQueries {
         .unionByName(stage("click_to_purchase", col("pt") - col("ct"), col("pt")))
   }
 
+  /** Wilson 95% interval on the daily view→click conversion (r12) — the
+    * statistical layer over q_event_funnel's counts: a day with 3/5
+    * converting and a day with 300/500 print the same rate, but only one
+    * supports a decision; the Wilson score interval (the
+    * recommended-over-Wald form for small n and extreme p) bounds what
+    * the data actually supports, per day. Shares the staged frame and
+    * oracle CTEs with the funnel, so "conversion" here can never drift
+    * from the funnel's definition. Arithmetic: counts are integers; the
+    * interval is ONE fixed-order IEEE expression per bound (+, −, ×, ÷,
+    * √ — all correctly rounded, identical text both engines) over those
+    * integers, published as pinned grid cells; NULL bounds when a day
+    * has no views (no rate to bound). One day-keyed aggregate. */
+  val eventConversionCi = Q("q_event_conversion_ci",
+    "Wilson 95% bounds on the daily view-to-click conversion")({
+    val z2 = "(1.96 * 1.96)"
+    val p = "(nc / nv)"
+    val den = s"(1.0 + $z2 / nv)"
+    val ctr = s"(($p + $z2 / (2.0 * nv)) / $den)"
+    val hf = s"(1.96 * sqrt($p * (1.0 - $p) / nv + $z2 / (4.0 * nv * nv)) / $den)"
+    funnelStagesSql +
+      ", c AS (SELECT day, CAST(count(vt) AS DOUBLE) AS nv, " +
+      "CAST(count(ct) AS DOUBLE) AS nc FROM g3 GROUP BY 1) " +
+      "SELECT day, CAST(nv AS BIGINT) AS n_view, CAST(nc AS BIGINT) AS n_click, " +
+      "CASE WHEN nv > 0 THEN " + graft.util.Exact.Sql.pinScoreInt(p) + " END AS p_hat, " +
+      "CASE WHEN nv > 0 THEN " + graft.util.Exact.Sql.pinScoreInt(s"$ctr - $hf") +
+      " END AS wilson_lo, " +
+      "CASE WHEN nv > 0 THEN " + graft.util.Exact.Sql.pinScoreInt(s"$ctr + $hf") +
+      " END AS wilson_hi FROM c"
+  }) {
+    (s, d) =>
+      import graft.util.Exact
+      val c = funnelStaged(s, d).groupBy("day")
+        .agg(count("vt").cast("double").as("nv"), count("ct").cast("double").as("nc"))
+      val z2 = lit(1.96) * lit(1.96)
+      val p = col("nc") / col("nv")
+      val den = lit(1.0) + z2 / col("nv")
+      val ctr = (p + z2 / (lit(2.0) * col("nv"))) / den
+      val hf = lit(1.96) * sqrt(p * (lit(1.0) - p) / col("nv") +
+        z2 / (lit(4.0) * col("nv") * col("nv"))) / den
+      c.select(col("day"), col("nv").cast("long").as("n_view"),
+        col("nc").cast("long").as("n_click"),
+        when(col("nv") > 0, Exact.pinScoreInt(p)).as("p_hat"),
+        when(col("nv") > 0, Exact.pinScoreInt(ctr - hf)).as("wilson_lo"),
+        when(col("nv") > 0, Exact.pinScoreInt(ctr + hf)).as("wilson_hi"))
+  }
+
   /** Cohort retention (r8): cohort = a user's first active day; for each
     * (cohort, day-offset ≤ 7) the count of distinct users still active —
     * the standard product-analytics retention triangle. Two grouped
@@ -757,5 +803,5 @@ object SessionQueries {
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
-    eventDowProfile, eventFunnelTime)
+    eventDowProfile, eventFunnelTime, eventConversionCi)
 }

@@ -289,6 +289,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(ds.forall(_ >= 0), "squared-distance ratio cannot be negative")
   }
 
+  test("event_conversion_ci: Wilson bounds replayed; interval brackets p_hat and the funnel counts") {
+    val funnel = graft.queries.SessionQueries.eventFunnel.fn(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = graft.queries.SessionQueries.eventConversionCi.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nvF, ncF) = funnel(r.getTimestamp(0))
+      assert(r.getLong(1) == nvF && r.getLong(2) == ncF,
+        "counts must equal the funnel's (shared staged frame)")
+      val (nv, nc) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      if (nv > 0) {
+        val z2 = 1.96 * 1.96
+        val p = nc / nv
+        val den = 1.0 + z2 / nv
+        val ctr = (p + z2 / (2.0 * nv)) / den
+        val hf = 1.96 * math.sqrt(p * (1.0 - p) / nv + z2 / (4.0 * nv * nv)) / den
+        assert(r.getLong(3) == math.floor(p * Grid).toLong, "p_hat pin")
+        assert(r.getLong(4) == math.floor((ctr - hf) * Grid).toLong, "lo pin")
+        assert(r.getLong(5) == math.floor((ctr + hf) * Grid).toLong, "hi pin")
+        assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5) + 1,
+          "interval must bracket the point estimate")
+      } else assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
