@@ -247,6 +247,31 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
   }
 
+  /** Schema-evolution read (r12) — the lake-lifecycle contract the other
+    * scans don't cover: a dataset whose EARLY files predate a column
+    * (here: half the docs written as (doc_id, lang), the other half
+    * after `source` was added) must still read as ONE frame, old rows
+    * NULL in the new column. `mergeSchema` resolves the union of file
+    * footers at planning time; the published frame pins the exact
+    * NULL-backfill semantics the oracle states declaratively. The
+    * write is the one-time fixture cost; at 100 TB the point is that
+    * adding a column never rewrites history. */
+  val scanSchemaMerge = Q("q_scan_schema_merge",
+    "mergeSchema read across a column-added file generation")(
+    "SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL " +
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_docs"
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/gen=old")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(s"$out/gen=new")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select("doc_id", "lang", "source")
+  }
+
   /** Partition-pruned scan (r11) — the directory-level data-skipping
     * companion of q_join_bucketed's shuffle claim and q_layout_pruning's
     * zone-map audit: orders land partitioned BY STATUS (the Hive layout
@@ -286,5 +311,5 @@ object CoreQueries {
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
     winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
-    scanPartitionPruned, scanCsv)
+    scanPartitionPruned, scanCsv, scanSchemaMerge)
 }

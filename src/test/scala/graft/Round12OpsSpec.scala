@@ -314,6 +314,16 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("scan_schema_merge: old-generation rows read NULL in the added column; new rows keep it") {
+    val rows = graft.queries.CoreQueries.scanSchemaMerge.fn(spark, sf).collect()
+    val n = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == n, "both generations read as one frame")
+    rows.foreach { r =>
+      if (r.getLong(0) % 2 == 0) assert(r.isNullAt(2), "old-file row must backfill NULL")
+      else assert(!r.isNullAt(2), "new-file row must keep its source")
+    }
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
