@@ -2078,6 +2078,77 @@ object VectorQueries {
             coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
   }
 
+  /** Recall@3 of brute-force search over the INT8-DEQUANTIZED embeddings
+    * (r12) — the gauge that prices q_emb_quantize_int8's compression the
+    * way q_eval_recall_pq prices PQ codes: replay the registered per-dim
+    * affine quantization (same floor(x+0.5) code rule, same scale), search
+    * in the dequantized space, and score against the exact-float top-3.
+    * Together with the projection-distortion audit, every registered
+    * compression/reduction now publishes its measured cost BEFORE anyone
+    * swaps float vectors out of memory at 100 TB. Dequantized values are
+    * fixed-order IEEE expressions over per-dim stats (bit-identical both
+    * engines); dots are decimal-exact; universe-complete. Cost: the
+    * brute-force search's (10 × corpus), plus two d-sized stat passes. */
+  val evalRecallInt8 = Q("q_eval_recall_int8",
+    "recall@3 of brute-force search over int8-dequantized embeddings")(
+    vecsSql +
+      ", qst AS (SELECT i, min(e) AS mn, max(e) AS mx FROM v GROUP BY 1), " +
+      "qd AS (SELECT v.vec_id, v.i, qst.mn + " +
+      "(CASE WHEN qst.mx > qst.mn THEN " +
+      "least(CAST(floor((v.e - qst.mn) / ((qst.mx - qst.mn) / 255.0) + 0.5) AS BIGINT), 255) " +
+      "ELSE 0 END) * ((qst.mx - qst.mn) / 255.0) AS de " +
+      "FROM v JOIN qst ON qst.i = v.i), " +
+      "nd AS (SELECT vec_id, sqrt(CAST(SUM(CAST(de*de AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
+      "FROM qd GROUP BY 1), " +
+      "ddots AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.de * b.de AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM qd a JOIN qd b ON b.i = a.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id " +
+      "GROUP BY 1, 2), " +
+      "res AS (SELECT q, c FROM (SELECT d.q, d.c, " +
+      "row_number() OVER (PARTITION BY q ORDER BY d.dot / (na.nrm * nb.nrm) DESC, c) AS rn " +
+      "FROM ddots d JOIN nd na ON na.vec_id = d.q JOIN nd nb ON nb.vec_id = d.c) " +
+      "WHERE rn <= 3), " +
+      gtSqlCtes + ", " +
+      "h AS (SELECT r.q, CAST(count(*) AS BIGINT) AS n_hits FROM res r " +
+      "JOIN gt ON gt.q = r.q AND gt.c = r.c GROUP BY 1), " +
+      evalQsSql + " " +
+      "SELECT qs.q, COALESCE(h.n_hits, 0) AS n_hits, " +
+      graft.util.Exact.Sql.pinScoreInt("COALESCE(h.n_hits, 0) / 3.0") + " AS recall " +
+      "FROM qs LEFT JOIN h ON h.q = qs.q") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val v = base.select(col("vec_id"),
+          posexplode(transform(col("embedding"), _.cast("double"))))
+        .toDF("vec_id", "p", "e")
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("e"))
+      val st = v.groupBy("i").agg(min("e").as("mn"), max("e").as("mx"))
+      val qd = v.join(broadcast(st), Seq("i"))
+        .withColumn("code", when(col("mx") > col("mn"),
+          least(floor((col("e") - col("mn")) / ((col("mx") - col("mn")) / lit(255.0))
+            + lit(0.5)).cast("long"), lit(255L))).otherwise(lit(0L)))
+        .withColumn("de", col("mn") + col("code") * ((col("mx") - col("mn")) / lit(255.0)))
+      val dArr = qd.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(i, de))), p -> p.de)").as("dv"))
+        .withColumn("nd", expr("sqrt(decimal_dot(dv, dv))"))
+        .materialized() // queries AND candidates read it
+      val qs = dArr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("dv").as("qv"), col("nd").as("nq"))
+      val cand = dArr.select(col("vec_id").as("c"), col("dv").as("cv"), col("nd").as("nc"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      val res = cand.join(broadcast(qs), col("c") =!= col("q"))
+        .select(col("q"), col("c"),
+          (expr("decimal_dot(qv, cv)") / (col("nq") * col("nc"))).as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("q", "c")
+      val gt = exactCosTopK(base, 3).select("q", "c")
+      val hits = res.join(gt, Seq("q", "c"))
+        .groupBy("q").agg(count(lit(1)).as("n_hits"))
+      evalQs(s, d).join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   /** Per-label embedding norm profile (r10): count, mean, min, max of
     * the decimal-exact L2 norm — the pre-ANN data-quality gate (a label
     * whose norms collapse toward 0 or spread wildly breaks cosine
@@ -2775,5 +2846,5 @@ object VectorQueries {
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
-    evalRecallPq, embHardNegatives, graphAssortativity)
+    evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8)
 }

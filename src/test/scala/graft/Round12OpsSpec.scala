@@ -324,6 +324,20 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("eval_recall_int8: universe-complete; int8 recall high (quantization step is tiny vs spread)") {
+    val rows = graft.queries.VectorQueries.evalRecallInt8.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10L), "query universe")
+    rows.foreach { case (_, h, rc) =>
+      assert(h >= 0 && h <= 3)
+      assert(rc == math.floor(h / 3.0 * Grid).toLong, "recall pin")
+    }
+    // int8 affine steps are ~1/255 of the per-dim range: top-3 geometry
+    // should survive almost entirely on this fixture
+    val mean = rows.map(_._2).sum.toDouble / (3.0 * rows.length)
+    assert(mean >= 0.8, f"int8 recall@3 $mean%.2f implausibly low")
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
