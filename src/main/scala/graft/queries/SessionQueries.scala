@@ -155,6 +155,50 @@ object SessionQueries {
         .unionByName(stage("click_to_purchase", col("pt") - col("ct"), col("pt")))
   }
 
+  /** Session-size histogram (r12) — the engagement-distribution report
+    * over the REGISTERED sessionizer (oracle inlines q_sessionize's text
+    * as a derived table; the Spark side calls the same fn — the mutualSql
+    * discipline, so "session" can never fork between the builder and its
+    * rollup): sessions bucketed by event count (1, 2, 3–4, 5–8, 9–16,
+    * 17+) with the session share and the mean duration per bucket — the
+    * single-event-bounce vs long-session shape a product team reads
+    * first. Buckets merge by addition; the mean duration publishes as an
+    * exact BIGINT integer division (durations in µs would overflow the
+    * 2⁻³⁰ pin's exact domain); share is one pinned division. Cost: the
+    * sessionizer's, plus one buckets-sized aggregate. */
+  val eventSessionHist = Q("q_event_session_hist",
+    "session-size histogram with shares and mean durations")(
+    "WITH sess AS (SELECT * FROM (" + sessionize.oracle.get + ")), " +
+      "b AS (SELECT CASE WHEN n_events <= 1 THEN 1 WHEN n_events <= 2 THEN 2 " +
+      "WHEN n_events <= 4 THEN 3 WHEN n_events <= 8 THEN 5 " +
+      "WHEN n_events <= 16 THEN 9 ELSE 17 END AS bucket_lo, " +
+      "n_events, duration_us FROM sess), " +
+      "g AS (SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_sessions, " +
+      "CAST(sum(duration_us) AS BIGINT) AS sdur FROM b GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS tot FROM g) " +
+      "SELECT g.bucket_lo, g.n_sessions, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(g.n_sessions AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS share, " +
+      "CAST(g.sdur // g.n_sessions AS BIGINT) AS mean_dur_us " +
+      "FROM g CROSS JOIN t") {
+    (s, d) =>
+      import graft.util.Exact
+      val bucket = when(col("n_events") <= 1, 1L).when(col("n_events") <= 2, 2L)
+        .when(col("n_events") <= 4, 3L).when(col("n_events") <= 8, 5L)
+        .when(col("n_events") <= 16, 9L).otherwise(17L)
+      val g = sessionize.fn(s, d)
+        .select(bucket.as("bucket_lo"), col("duration_us"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_sessions"), sum("duration_us").as("sdur"))
+        .materialized() // the total AND the output rows read it
+      val t = g.agg(sum("n_sessions").cast("long").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("bucket_lo"), col("n_sessions"),
+          Exact.pinScoreInt(col("n_sessions").cast("double") /
+            col("tot").cast("double")).as("share"),
+          expr("CAST(sdur div n_sessions AS BIGINT)").as("mean_dur_us"))
+  }
+
   /** Wilson 95% interval on the daily view→click conversion (r12) — the
     * statistical layer over q_event_funnel's counts: a day with 3/5
     * converting and a day with 300/500 print the same rate, but only one
@@ -803,5 +847,5 @@ object SessionQueries {
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
-    eventDowProfile, eventFunnelTime, eventConversionCi)
+    eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist)
 }

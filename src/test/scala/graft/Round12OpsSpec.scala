@@ -338,6 +338,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(mean >= 0.8, f"int8 recall@3 $mean%.2f implausibly low")
   }
 
+  test("event_session_hist: buckets partition the registered sessionizer's output; shares sum to 1") {
+    val sessions = graft.queries.SessionQueries.sessionize.fn(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(5))) // (n_events, duration_us)
+    def bucketOf(n: Long): Long =
+      if (n <= 1) 1L else if (n <= 2) 2L else if (n <= 4) 3L
+      else if (n <= 8) 5L else if (n <= 16) 9L else 17L
+    val expected = sessions.groupBy { case (n, _) => bucketOf(n) }
+      .map { case (b, xs) =>
+        (b, xs.size.toLong, xs.map(_._2).sum / xs.size.toLong)
+      }.toSet
+    val rows = graft.queries.SessionQueries.eventSessionHist.fn(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected, s"histogram mismatch:\n got=$got\n exp=$expected")
+    assert(rows.map(_.getLong(1)).sum == sessions.length.toLong,
+      "buckets must partition the session set")
+    val shareSum = rows.map(_.getLong(2).toDouble / Grid).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"shares sum to $shareSum")
+  }
+
   test("emb_hard_negatives: consistent with the triplet miner on every anchor") {
     val tm = VectorQueries.embTripletMine.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (
