@@ -931,8 +931,144 @@ object PipelineQueries {
           expr(s"start_off div $CompactTarget").as("bin_id"))
   }
 
+  /** PR-AUC / average precision of the en-score ranking (r13) — the
+    * precision-recall companion of q_eval_auc: on a class-imbalanced
+    * gate (the usual corpus-curation case: few 'good' docs in a sea of
+    * noise) ROC AUC saturates while average precision still moves. Exact
+    * tie-aware threshold definition (sklearn's average_precision_score):
+    * thresholds at DISTINCT score groups descending, AP = Σ_k ΔR_k · P_k
+    * = (1/n_pos) Σ_k np_k · (TP_k / N_k), with TP_k/N_k the inclusive
+    * positives/total at-or-above group k. Each group term is one IEEE
+    * divide+multiply in a pinned order; the sum rides the 2⁻³⁰ portable
+    * grid; the published AP is a grid cell next to the integer class
+    * counts and the prevalence baseline (AP of a random ranker).
+    *
+    * Scale: same layout as q_eval_auc — per-score hash aggregate, then
+    * BOTH descending cumulatives derived from ops.Quantiles' two-phase
+    * bit-prefix prefix sums (no unpartitioned window over the distinct-
+    * score frame), then one scalar fold. */
+  val evalPrAuc = Q("q_eval_pr_auc", "tie-aware average precision of the en-score ranking")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      "g AS (SELECT score, CAST(sum(y) AS BIGINT) AS np, " +
+      "CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1), " +
+      "c AS (SELECT score, np, n, " +
+      "CAST(COALESCE(sum(np) OVER wlt, 0) AS BIGINT) AS np_lt, " +
+      "CAST(COALESCE(sum(n) OVER wlt, 0) AS BIGINT) AS n_lt FROM g " +
+      "WINDOW wlt AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_all FROM g), " +
+      "tm AS (SELECT " + Exact.Sql.portableSum(
+        "CAST(c.np AS DOUBLE) * (CAST(t.n_pos - c.np_lt AS DOUBLE) / " +
+          "CAST(t.n_all - c.n_lt AS DOUBLE))") + " AS s " +
+      "FROM c CROSS JOIN tot t WHERE c.np > 0) " +
+      "SELECT t.n_pos, t.n_all - t.n_pos AS n_neg, " +
+      "CASE WHEN t.n_pos > 0 THEN " +
+      Exact.Sql.pinScoreInt("tm.s / CAST(t.n_pos AS DOUBLE)") + " END AS ap, " +
+      "CASE WHEN t.n_all > 0 THEN " +
+      Exact.Sql.pinScoreInt("CAST(t.n_pos AS DOUBLE) / CAST(t.n_all AS DOUBLE)") +
+      " END AS prevalence FROM tot t CROSS JOIN tm") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val g = lab.groupBy("score")
+        .agg(sum("y").cast("long").as("np"), count(lit(1)).as("n"))
+      // both descending cumulatives via the two-phase ascending-exclusive
+      // prefixes (inclusive-at-or-above = total − exclusive-below)
+      val c = graft.ops.Quantiles.exclusivePrefixSum(
+        graft.ops.Quantiles.exclusivePrefixSum(g, "score", "np", "np_lt"),
+        "score", "n", "n_lt")
+        .select(col("score"), col("np"), col("n"),
+          col("np_lt").cast("long").as("np_lt"), col("n_lt").cast("long").as("n_lt"))
+      val tot = g.agg(sum("np").cast("long").as("n_pos"),
+        sum("n").cast("long").as("n_all"))
+      val tm = c.crossJoin(broadcast(tot)).filter(col("np") > 0)
+        .agg(Exact.portableSum(col("np").cast("double") *
+          ((col("n_pos") - col("np_lt")).cast("double") /
+            (col("n_all") - col("n_lt")).cast("double"))).as("s"))
+      tot.crossJoin(tm)
+        .select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+          when(col("n_pos") > 0,
+            Exact.pinScoreInt(col("s") / col("n_pos").cast("double"))).as("ap"),
+          when(col("n_all") > 0, Exact.pinScoreInt(
+            col("n_pos").cast("double") / col("n_all").cast("double"))).as("prevalence"))
+  }
+
+  /** CDC changeset APPLY (r13) — the write half of q_snapshot_diff: ship
+    * only the compact changelog (insert/update/delete — never the 'same'
+    * rows) and MERGE it into the old snapshot: deletes drop, updates
+    * overwrite, inserts add, untouched keys carry forward. This is the
+    * Delta/Iceberg `MERGE INTO` shape done as one full-outer join, and
+    * the invariant that makes CDC a protocol rather than a report:
+    * apply(old, diff(old, new)) ≡ new — spec-asserted against the
+    * independently-built new snapshot (Round13OpsSpec).
+    *
+    * Scale: one key-partitioned full-outer join of the old snapshot
+    * against a changelog that is SMALL by construction (churn, not
+    * corpus): broadcast-able below the AQE threshold, key-shuffled
+    * above; per row the merge decision is a constant-time CASE. The
+    * published applied_op column is the per-row audit trail a lake
+    * MERGE emits as its operation metrics. */
+  val cdcApply = Q("q_cdc_apply", "apply the CDC changeset: merge insert/update/delete into the old snapshot")(
+    "WITH base AS (SELECT l_partkey, l_shipdate, l_extendedprice AS px, " +
+      "(l_orderkey * 8 + l_linenumber) AS ord FROM lineitem), " +
+      s"o AS (SELECT l_partkey, px FROM (SELECT base.*, row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY l_shipdate DESC, ord DESC) AS rn " +
+      s"FROM base WHERE l_shipdate <= '$DiffOldEnd') WHERE rn = 1), " +
+      s"n AS (SELECT l_partkey, px FROM (SELECT base.*, row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY l_shipdate DESC, ord DESC) AS rn " +
+      s"FROM base WHERE l_shipdate > '$DiffOldEnd' AND l_shipdate <= '$DiffNewEnd') WHERE rn = 1), " +
+      "chg AS (SELECT COALESCE(o.l_partkey, n.l_partkey) AS l_partkey, " +
+      "n.px AS new_price, " +
+      "CASE WHEN o.l_partkey IS NULL THEN 'insert' " +
+      "WHEN n.l_partkey IS NULL THEN 'delete' " +
+      "WHEN o.px <> n.px THEN 'update' END AS change_type " +
+      "FROM o FULL OUTER JOIN n ON n.l_partkey = o.l_partkey " +
+      "WHERE o.l_partkey IS NULL OR n.l_partkey IS NULL OR o.px <> n.px) " +
+      "SELECT COALESCE(o.l_partkey, c.l_partkey) AS l_partkey, " +
+      "CASE WHEN c.change_type IN ('insert', 'update') THEN c.new_price ELSE o.px END AS px, " +
+      "COALESCE(c.change_type, 'carry') AS applied_op " +
+      "FROM o FULL OUTER JOIN chg c ON c.l_partkey = o.l_partkey " +
+      "WHERE c.change_type IS NULL OR c.change_type <> 'delete'") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice").as("px"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("ord"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate").desc, col("ord").desc)
+      def snap(f: org.apache.spark.sql.Column) =
+        base.filter(f).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("l_partkey", "px")
+      val o = snap(col("l_shipdate") <= lit(DiffOldEnd).cast("timestamp"))
+        .materialized() // diffed against n AND merged against chg
+      val n = snap(col("l_shipdate") > lit(DiffOldEnd).cast("timestamp") &&
+        col("l_shipdate") <= lit(DiffNewEnd).cast("timestamp"))
+      val chg = o.as("o").join(n.as("n"),
+          col("n.l_partkey") === col("o.l_partkey"), "full_outer")
+        .filter(col("o.l_partkey").isNull || col("n.l_partkey").isNull ||
+          col("o.px") =!= col("n.px"))
+        .select(
+          coalesce(col("o.l_partkey"), col("n.l_partkey")).as("l_partkey"),
+          col("n.px").as("new_price"),
+          when(col("o.l_partkey").isNull, "insert")
+            .when(col("n.l_partkey").isNull, "delete")
+            .when(col("o.px") =!= col("n.px"), "update").as("change_type"))
+      o.as("o").join(chg.as("c"),
+          col("c.l_partkey") === col("o.l_partkey"), "full_outer")
+        .filter(col("c.change_type").isNull || col("c.change_type") =!= "delete")
+        .select(
+          coalesce(col("o.l_partkey"), col("c.l_partkey")).as("l_partkey"),
+          when(col("c.change_type").isin("insert", "update"), col("c.new_price"))
+            .otherwise(col("o.px")).as("px"),
+          coalesce(col("c.change_type"), lit("carry")).as("applied_op"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
-    layoutPruning, fileCompactionPlan, splitShards)
+    layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply)
 }

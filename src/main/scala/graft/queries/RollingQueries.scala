@@ -218,6 +218,90 @@ object RollingQueries {
         when(full, (hi + lo) / 2.0).as("dc_mid"))
   }
 
+  /** Stochastic oscillator, 14/3 (r13) — %K = 100·(C−L14)/(H14−L14), the
+    * position of the current price inside its Donchian-style 14-row range,
+    * plus %D = the 3-row SMA of %K (the classic signal line). Completes
+    * the momentum family next to RSI (which is ratio-of-moves) and
+    * Donchian (which is the raw band this normalizes against).
+    *
+    * Exactness: H14/L14 are order statistics; %K is ONE fixed-order IEEE
+    * expression over them (both engines produce identical bits); %D is
+    * the decimal-exact 3-row mean of those identical doubles
+    * (Exact.winAvg), with a count guard for pandas min_periods and a
+    * NULL when the range is flat (H14 = L14 — division-guard contract
+    * of q_win_roll_zscore). Same single asset-key shuffle as every
+    * rolling query; two window frames over one partitioning. */
+  val winStochastic = Q("q_win_stochastic", "stochastic oscillator 14-row %K + 3-row %D")({
+    val c = "l_extendedprice"
+    val w14 = "w14"
+    val hi = s"max($c) OVER $w14"; val lo = s"min($c) OVER $w14"
+    val k = s"(CASE WHEN COUNT($c) OVER $w14 >= 14 AND $hi > $lo THEN " +
+      s"100.0 * (($c) - $lo) / ($hi - $lo) END)"
+    s"WITH k AS (SELECT l_partkey, l_shipdate, $ordSql AS ord, $c, $k AS pct_k " +
+      s"FROM lineitem WINDOW $w14 AS ${frameSql(14)}) " +
+      "SELECT l_partkey, l_shipdate, ord, pct_k, " +
+      s"(CASE WHEN COUNT(pct_k) OVER w3 >= 3 THEN ${Exact.Sql.winAvg("pct_k", "w3")} END) AS pct_d " +
+      "FROM k WINDOW w3 AS (PARTITION BY l_partkey ORDER BY l_shipdate, ord " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+  }) {
+    (s, d) =>
+      val w14 = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+        .rowsBetween(-13, 0)
+      val c = col("l_extendedprice")
+      val hi = max(c).over(w14); val lo = min(c).over(w14)
+      val k = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"), c)
+        .withColumn("pct_k",
+          when(count(c).over(w14) >= 14 && hi > lo,
+            lit(100.0) * (c - lo) / (hi - lo)))
+      val w3 = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+        .rowsBetween(-2, 0)
+      k.select(col("l_partkey"), col("l_shipdate"), col("ord"), col("pct_k"),
+        when(count(col("pct_k")).over(w3) >= 3,
+          Exact.winAvg(col("pct_k"), w3)).as("pct_d"))
+  }
+
+  /** On-balance volume (r13) — the running sum of signed volume
+    * (sign of the 1-step price change × quantity), the classic
+    * volume-confirms-price accumulation line and the simplest member of
+    * the CUMULATIVE (unbounded-preceding) frame family, which no other
+    * rolling query here exercises: every other frame is fixed-width.
+    * First row of each asset contributes 0 (no prior price — pandas
+    * diff() NaN → sign 0).
+    *
+    * Exactness: sign(Δprice) ∈ {−1,0,1} is exact on IEEE compare;
+    * quantities are parts-integral doubles, so the unbounded decimal
+    * running sum (Exact.winSum) is exact and engine-identical. The
+    * cumulative frame costs O(rows) via Spark's running-frame window —
+    * never a per-row rescan — over the same one asset-key shuffle. */
+  val winObv = Q("q_win_obv", "on-balance volume cumulative signed-volume line")({
+    val sgn = "(CASE WHEN lag(l_extendedprice, 1) OVER wo IS NULL THEN 0.0 " +
+      "WHEN l_extendedprice > lag(l_extendedprice, 1) OVER wo THEN 1.0 " +
+      "WHEN l_extendedprice < lag(l_extendedprice, 1) OVER wo THEN -1.0 ELSE 0.0 END)"
+    s"WITH sv AS (SELECT l_partkey, l_shipdate, $ordSql AS ord, " +
+      s"$sgn * l_quantity AS signed_vol FROM lineitem " +
+      s"WINDOW wo AS (PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql)) " +
+      "SELECT l_partkey, l_shipdate, ord, signed_vol, " +
+      Exact.Sql.winSum("signed_vol", "wc") + " AS obv FROM sv " +
+      "WINDOW wc AS (PARTITION BY l_partkey ORDER BY l_shipdate, ord " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  }) {
+    (s, d) =>
+      val wo = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+      val prev = lag(col("l_extendedprice"), 1).over(wo)
+      val sgn = when(prev.isNull, 0.0)
+        .when(col("l_extendedprice") > prev, 1.0)
+        .when(col("l_extendedprice") < prev, -1.0)
+        .otherwise(0.0)
+      val sv = lineitem(s, d)
+        .select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+          col("l_extendedprice"), col("l_quantity"))
+        .withColumn("signed_vol", sgn * col("l_quantity"))
+      val wc = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      sv.select(col("l_partkey"), col("l_shipdate"), col("ord"), col("signed_vol"),
+        Exact.winSum(col("signed_vol"), wc).as("obv"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian)
+    winDonchian, winStochastic, winObv)
 }

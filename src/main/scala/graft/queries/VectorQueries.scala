@@ -1509,7 +1509,10 @@ object VectorQueries {
     * published estimate is pinned — so encoding (argmin, code-ASC ties)
     * and ranking replay bit-for-bit in the oracle, certifying codebook
     * assignment + encoding + ADC search end-to-end. */
-  val annPq = Q("q_ann_pq", "product-quantization ADC top-3 (8×16 codebook)")(
+  /** The PQ encode + ADC scan CTE chain through `adc(q, c, adc)` — shared
+    * by q_ann_pq (rank top-3) and q_ann_pq_refine (shortlist → exact
+    * re-rank), so the codebook/encoding contract cannot fork. */
+  private val pqAdcCtes: String =
     vecsSql +
       ", vq AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS s, i, e FROM v), " +
       "ssv AS (SELECT vec_id, s, CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE) AS ss " +
@@ -1530,10 +1533,21 @@ object VectorQueries {
       "adc AS (SELECT l.q, e.vec_id AS c, " +
       graft.util.Exact.Sql.pinScoreInt(graft.util.Exact.Sql.portableSum("l.dist2")) +
       " AS adc FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code " +
-      "WHERE e.vec_id <> l.q GROUP BY 1, 2) " +
+      "WHERE e.vec_id <> l.q GROUP BY 1, 2) "
+
+  val annPq = Q("q_ann_pq", "product-quantization ADC top-3 (8×16 codebook)")(
+    pqAdcCtes +
       "SELECT q, c, adc, rn FROM (SELECT adc.*, " +
       "row_number() OVER (PARTITION BY q ORDER BY adc, c) AS rn FROM adc) WHERE rn <= 3") {
-    (s, d) =>
+    (s, d) => pqAdcFrame(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q").orderBy(col("adc"), col("c"))).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** The Spark twin of [[pqAdcCtes]]: (q, c, adc) for every query ×
+    * candidate, adc already a pinned grid cell. */
+  private def pqAdcFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       val base = embeddings(s, d)
       def subFrame(df: DataFrame, idAs: String, subAs: String) = df
         .select(col("vec_id").as(idAs),
@@ -1556,13 +1570,60 @@ object VectorQueries {
         .select("vid", "s", "code")
       val lut = d2.filter(col("vid") < 5)
         .select(col("vid").as("q"), col("s"), col("code"), col("dist2"))
-      val adc = enc.join(broadcast(lut), Seq("s", "code"))
+      enc.join(broadcast(lut), Seq("s", "code"))
         .filter(col("vid") =!= col("q"))
         .groupBy(col("q"), col("vid").as("c"))
         .agg(graft.util.Exact.pinScoreInt(
           graft.util.Exact.portableSum(col("dist2"))).as("adc"))
-      val w = Window.partitionBy("q").orderBy(col("adc"), col("c"))
-      adc.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+
+  /** Two-stage PQ search with exact re-rank (r13) — the production FAISS
+    * layout q_ann_pq documents half of: the ADC scan over 8-byte codes
+    * produces a SHORTLIST (top-10 by approximate distance), then ONLY
+    * those 10 rows per query fetch their full vectors for an exact
+    * decimal cosine re-rank to top-3. Recall is bounded below by the
+    * shortlist's recall (≥ the pure-ADC top-3's, since the exact re-rank
+    * can only promote true neighbors INTO the top-3, never evict one
+    * that pure ADC would have kept wrongly ranked) — ANNRecallSpec pins
+    * both numbers. This is the operator that makes PQ usable: codes
+    * prune 64×, exact math decides the podium.
+    *
+    * Scale: stage 1 is q_ann_pq's scan unchanged (corpus × 128-row
+    * broadcast codebook); stage 2 touches 10 vectors per query — the
+    * full-vector fetch is a |queries|·10-row broadcast-able join, never
+    * a corpus-sized second pass. */
+  val annPqRefine = Q("q_ann_pq_refine",
+    "PQ ADC top-10 shortlist + exact cosine re-rank to top-3")(
+    pqAdcCtes +
+      ", short AS (SELECT q, c FROM (SELECT adc.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY adc, c) AS rn FROM adc) WHERE rn <= 10), " +
+      "rr AS (SELECT s.q, s.c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) / (na.nrm * nb.nrm) AS cosine " +
+      "FROM short s JOIN v a ON a.vec_id = s.q " +
+      "JOIN v b ON b.vec_id = s.c AND b.i = a.i " +
+      "JOIN n na ON na.vec_id = s.q JOIN n nb ON nb.vec_id = s.c " +
+      "GROUP BY s.q, s.c, na.nrm, nb.nrm) " +
+      "SELECT q, c, " + graft.util.Exact.Sql.pinScoreInt("cosine") + " AS cosine, rn " +
+      "FROM (SELECT rr.*, row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn " +
+      "FROM rr) WHERE rn <= 3") {
+    (s, d) =>
+      val wAdc = Window.partitionBy("q").orderBy(col("adc"), col("c"))
+      val short = pqAdcFrame(s, d)
+        .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 10)
+        .select("q", "c")
+      val vecs = embeddings(s, d).select(col("vec_id"),
+        col("embedding"), expr(normExpr("embedding")).as("nrm"))
+      val rr = short
+        .join(vecs.select(col("vec_id").as("q"), col("embedding").as("eq"),
+          col("nrm").as("nq")), Seq("q"))
+        .join(vecs.select(col("vec_id").as("c"), col("embedding").as("ec"),
+          col("nrm").as("nc")), Seq("c"))
+        .select(col("q"), col("c"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      rr.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+        .select(col("q"), col("c"),
+          graft.util.Exact.pinScoreInt(col("cosine")).as("cosine"), col("rn"))
   }
 
   /** PageRank damping + iteration count — fixed small constants so the
@@ -2837,6 +2898,122 @@ object VectorQueries {
           coalesce(col("n_band"), lit(0L)).as("n_semihard"))
   }
 
+  /** 2-core decomposition of the mutual-kNN graph (r13) — iterative
+    * degree-peel: drop every node with fewer than 2 surviving mutual
+    * neighbors, remove its edges, repeat. Nodes OUTSIDE the 2-core are
+    * tree-like fringe (pendant chains the mutual pruning left behind);
+    * nodes inside sit on at least one cycle of reciprocal similarity —
+    * the structurally-reliable region for label propagation and graph
+    * clustering downstream (a kNN-classify vote backed by the 2-core is
+    * evidence; a vote from a pendant is one edge's opinion). Published
+    * per node: starting degree, the peel round that removed it (NULL =
+    * survived), and the in-core flag — universe-complete over the mutual
+    * graph's nodes.
+    *
+    * Three peel rounds are unrolled (the q_graph_pagerank convention:
+    * fixed iteration count, oracle replays every round). Mutual-top-3
+    * degrees are ≤ 3, so peeling converges fast; round 3's survivors on
+    * this fixture ARE the fixed point (spec-asserted: round-4 peel is
+    * a no-op). Scale: each round is one edges-sized degree aggregate +
+    * one semi-join — O(iters · |E|), |E| ≤ 3n/2. */
+  val graphKcore = Q("q_graph_kcore",
+    "2-core peel of the mutual-kNN graph (3 unrolled rounds)")({
+    def peel(edges: String, surv: String): (String, String) = (
+      s"SELECT node FROM (SELECT a AS node FROM $edges UNION ALL SELECT b FROM $edges) " +
+        "GROUP BY 1 HAVING count(*) >= 2",
+      s"SELECT e.a, e.b FROM $edges e JOIN $surv x ON x.node = e.a " +
+        s"JOIN $surv y ON y.node = e.b")
+    val (s1, e1) = peel("edges", "s1"); val (s2, e2) = peel("e1", "s2")
+    val (s3, _) = peel("e2", "s3")
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "deg0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg0 FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1), " +
+      s"s1 AS ($s1), e1 AS ($e1), s2 AS ($s2), e2 AS ($e2), s3 AS ($s3) " +
+      "SELECT d.node, d.deg0, " +
+      "CASE WHEN s1.node IS NULL THEN 1 WHEN s2.node IS NULL THEN 2 " +
+      "WHEN s3.node IS NULL THEN 3 END AS removed_round, " +
+      "(s3.node IS NOT NULL) AS in_core FROM deg0 d " +
+      "LEFT JOIN s1 ON s1.node = d.node LEFT JOIN s2 ON s2.node = d.node " +
+      "LEFT JOIN s3 ON s3.node = d.node"
+  }) {
+    (s, d) =>
+      val edges0 = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+      def peel(e: DataFrame): (DataFrame, DataFrame) = {
+        val surv = degrees(e).filter(col("deg") >= 2).select("node")
+          .materialized(eager = false) // both endpoint semi-joins + the report
+        val kept = e.join(surv.select(col("node").as("a")), Seq("a"), "semi")
+          .join(surv.select(col("node").as("b")), Seq("b"), "semi")
+          .select("a", "b")
+        (surv, kept.materialized())
+      }
+      val deg0 = degrees(edges0).withColumnRenamed("deg", "deg0")
+      val (s1, e1) = peel(edges0)
+      val (s2, e2) = peel(e1)
+      val (s3, _) = peel(e2)
+      def mark(sv: DataFrame, nm: String) =
+        sv.select(col("node"), lit(true).as(nm))
+      deg0
+        .join(mark(s1, "in1"), Seq("node"), "left")
+        .join(mark(s2, "in2"), Seq("node"), "left")
+        .join(mark(s3, "in3"), Seq("node"), "left")
+        .select(col("node"), col("deg0"),
+          when(col("in1").isNull, 1)
+            .when(col("in2").isNull, 2)
+            .when(col("in3").isNull, 3).as("removed_round"),
+          col("in3").isNotNull.as("in_core"))
+  }
+
+  /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
+    * for every NON-adjacent pair at distance 2: the common-neighbor
+    * count and its Jaccard normalization cn/(deg_a + deg_b − cn). These
+    * are the edges the mutual pruning ALMOST kept — the candidate list
+    * for graph densification (recovering recall the reciprocity filter
+    * dropped) and the standard baseline feature of link prediction.
+    * Read beside q_graph_triangles: a high-clustering graph yields many
+    * strong candidates, a fragmented one yields none.
+    *
+    * Scale: wedge enumeration off the doubled edge list — Σ deg(v)² with
+    * deg ≤ k = 3 pinned by the mutual-top-3 contract, so candidates are
+    * corpus-LINEAR (never an all-pairs term); the non-edge screen is one
+    * null-producing left join. Integer counts + one pinned ratio. */
+  val graphLinkPredict = Q("q_graph_link_predict",
+    "common-neighbor + Jaccard link prediction on the mutual-kNN graph")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "du AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM du GROUP BY 1), " +
+      "cn AS (SELECT d1.a AS u, d2.a AS w, CAST(count(*) AS BIGINT) AS common " +
+      "FROM du d1 JOIN du d2 ON d2.b = d1.b AND d1.a < d2.a GROUP BY 1, 2), " +
+      "ne AS (SELECT cn.u, cn.w, cn.common FROM cn " +
+      "LEFT JOIN edges e ON e.a = cn.u AND e.b = cn.w WHERE e.a IS NULL) " +
+      "SELECT ne.u, ne.w, ne.common, da.deg AS deg_u, db.deg AS deg_w, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(ne.common AS DOUBLE) / CAST(da.deg + db.deg - ne.common AS DOUBLE)") +
+      " AS jaccard FROM ne " +
+      "JOIN deg da ON da.node = ne.u JOIN deg db ON db.node = ne.w") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // wedges, the non-edge screen, and degrees read it
+      val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val deg = du.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val cn = du.as("d1")
+        .join(du.as("d2"), col("d2.b") === col("d1.b") && col("d1.a") < col("d2.a"))
+        .groupBy(col("d1.a").as("u"), col("d2.a").as("w"))
+        .agg(count(lit(1)).as("common"))
+      val ne = cn.as("cn").join(edges.as("ne"),
+          col("ne.a") === col("cn.u") && col("ne.b") === col("cn.w"), "left")
+        .filter(col("ne.a").isNull)
+        .select(col("cn.u").as("u"), col("cn.w").as("w"), col("cn.common").as("common"))
+      ne.join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+        .join(deg.select(col("node").as("w"), col("deg").as("deg_w")), Seq("w"))
+        .select(col("u"), col("w"), col("common"), col("deg_u"), col("deg_w"),
+          graft.util.Exact.pinScoreInt(col("common").cast("double") /
+            (col("deg_u") + col("deg_w") - col("common")).cast("double"))
+            .as("jaccard"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
@@ -2846,5 +3023,6 @@ object VectorQueries {
     annKnnClassifyHier, clusterDbscan, evalNdcg, evalMrr, evalMap,
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
-    evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8)
+    evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
+    graphKcore, graphLinkPredict, annPqRefine)
 }
