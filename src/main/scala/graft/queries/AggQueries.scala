@@ -652,8 +652,48 @@ object AggQueries {
             - lit(3.0)).as("kurt_ex"))
   }
 
+  /** Median absolute deviation per group (r13) — the robust dispersion
+    * pair to q_agg_mean_std: per return-flag, the exact lower-median
+    * price, the exact median of |price − median| (MAD), and the normal-
+    * consistent σ estimate 1.4826·MAD. This is the outlier-proof spread
+    * a spike can't poison (one bad tick moves a stddev arbitrarily, a
+    * MAD not at all) — the robust z-score denominator a cleaning pass
+    * wants BEFORE deciding which points are spikes (q_agg_winsorize's
+    * bounds suffer the same contamination this avoids).
+    *
+    * Exactness: both medians are ORDER STATISTICS via ops.Quantiles'
+    * value-histogram layout (position ⌈n/2⌉ — DuckDB quantile_disc
+    * semantics), so no arithmetic touches the data until |x − med| (one
+    * IEEE subtract+abs on identical inputs) and the final 1.4826 scale
+    * (one IEEE multiply, both engines evaluate the identical expression
+    * text). Scale: two chained histogram passes — each a (group, value)
+    * hash aggregate + a distinct-values-sized window, never a per-group
+    * row sort. */
+  val aggMad = Q("q_agg_mad", "per-group median absolute deviation + robust sigma")(
+    "WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "quantile_disc(l_extendedprice, 0.5) AS med FROM lineitem GROUP BY 1), " +
+      "d AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev " +
+      "FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag), " +
+      "s AS (SELECT l_returnflag, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1) " +
+      "SELECT m.l_returnflag, m.n, m.med, s.mad, 1.4826 * s.mad AS sigma_est " +
+      "FROM m JOIN s ON s.l_returnflag = m.l_returnflag") {
+    (s, d) =>
+      val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      val m = graft.ops.Quantiles.groupQuantilesDisc(
+          li, "l_returnflag", "l_extendedprice", Seq((0.5, "med")))
+        .select(col("l_returnflag"), col("n"), col("med"))
+      val dev = li.join(broadcast(m), "l_returnflag")
+        .select(col("l_returnflag"), abs(col("l_extendedprice") - col("med")).as("dev"))
+      val mad = graft.ops.Quantiles.groupQuantilesDisc(
+          dev, "l_returnflag", "dev", Seq((0.5, "mad")))
+        .select(col("l_returnflag"), col("mad"))
+      m.join(broadcast(mad), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+          (lit(1.4826) * col("mad")).as("sigma_est"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
-    aggWinsorize, aggQuantileSketch, aggSkewKurt)
+    aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad)
 }

@@ -272,6 +272,27 @@ object CoreQueries {
         .select("doc_id", "lang", "source")
   }
 
+  /** ORC source round-trip (r13) — the fourth interchange format next to
+    * parquet, JSONL and CSV: write the documents metadata columns as ORC
+    * (the columnar format a Hive-lineage lake hands over), read them
+    * back, and pin the round trip — ids, strings and an md5 over the
+    * text — against the parquet originals. ORC is columnar + splittable
+    * like parquet (stripe-level pruning, predicate pushdown), so unlike
+    * the CSV/JSONL rows-only paths this one keeps analytics-grade scan
+    * properties; the operator exists because a 100 TB migration READS
+    * the old estate in place rather than re-landing it first. */
+  val scanOrc = Q("q_scan_orc", "ORC source round-trip scan")(
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 " +
+      "FROM documents WHERE text IS NOT NULL") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+      documents(s, d).filter(col("text").isNotNull)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+  }
+
   /** Partition-pruned scan (r11) — the directory-level data-skipping
     * companion of q_join_bucketed's shuffle claim and q_layout_pruning's
     * zone-map audit: orders land partitioned BY STATUS (the Hive layout
@@ -311,5 +332,5 @@ object CoreQueries {
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
     winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
-    scanPartitionPruned, scanCsv, scanSchemaMerge)
+    scanPartitionPruned, scanCsv, scanSchemaMerge, scanOrc)
 }

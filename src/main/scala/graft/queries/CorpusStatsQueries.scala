@@ -1320,10 +1320,89 @@ object CorpusStatsQueries {
             col("covered").cast("double") / col("t").cast("double")).as("coverage"))
   }
 
+  /** Hapax legomena rate per source (r13) — the share of word TYPES that
+    * occur exactly once, per source and on a corpus TOTAL row. The
+    * vocabulary-health gauge between q_text_vocab_growth (how fast types
+    * accumulate) and q_text_distinct_ngrams (how templated the text is):
+    * natural language sits near 40–60% hapax; a source far BELOW is
+    * boilerplate/templated (types repeat), far ABOVE is OCR noise or
+    * garbled encoding (every "type" is a typo). The TOTAL row is
+    * computed over CORPUS-wide term counts, not a sum of the per-source
+    * rows — a word that is hapax in two sources separately is NOT corpus
+    * hapax, which is exactly the cross-source syndication signal.
+    *
+    * Scale: two (key, word) hash aggregates over the one token explode —
+    * vocabulary-sized frames, integer counts, one pinned ratio each. */
+  val textHapax = Q("q_text_hapax", "hapax-legomena type rate per source + corpus total")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "ds AS (SELECT t.word, d.source FROM tokw t JOIN documents d ON d.doc_id = t.doc_id), " +
+      "wc AS (SELECT source, word, count(*) AS c FROM ds GROUP BY 1, 2), " +
+      "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM wc GROUP BY 1), " +
+      "cc AS (SELECT word, count(*) AS c FROM ds GROUP BY 1), " +
+      "ct AS (SELECT CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM cc) " +
+      "SELECT source, n_types, n_hapax, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)") + " AS hapax_rate FROM g " +
+      "UNION ALL SELECT 'TOTAL' AS source, n_types, n_hapax, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)") + " AS hapax_rate FROM ct") {
+    (s, d) =>
+      import graft.util.Exact
+      val ds = TextOps.explodeTokens(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("word", "source")
+        .materialized(eager = false) // per-source AND corpus-wide counts
+      def hapaxOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val wc = df.groupBy((keys :+ "word").map(col): _*).agg(count(lit(1)).as("c"))
+        wc.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1).otherwise(0)).cast("long").as("n_hapax"))
+      }
+      val g = hapaxOf(ds, Seq("source"))
+      val ct = hapaxOf(ds, Seq.empty).withColumn("source", lit("TOTAL"))
+      def out(df: DataFrame) = df.select(col("source"), col("n_types"), col("n_hapax"),
+        Exact.pinScoreInt(col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_rate"))
+      out(g).unionByName(out(ct))
+  }
+
+  /** Prefix-window dedup (r13) — duplicate groups keyed by the FIRST 64
+    * chars of the normalized text (md5 over the shared normalize∘hash
+    * identity of q_dedup_normalized): catches templated-intro families —
+    * syndicated articles, form letters, scraped mirrors whose bodies
+    * diverge after the lede — that full-content hashing calls distinct
+    * and pair-enumeration dedup prices at O(candidates). Per group with
+    * ≥2 docs: copy count, the keeper (min doc_id), and the count of
+    * DISTINCT full normalized bodies — n_variants = 1 means the prefix
+    * family is really a full-dup family (q_dedup_normalized will catch
+    * it); n_variants > 1 is the prefix-only signal this operator exists
+    * for. Map-only hash + one groupBy: corpus-linear, no pairs. */
+  val dedupPrefix = Q("q_dedup_prefix", "normalized 64-char-prefix duplicate families")({
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+      "' +', ' ', 'g'))"
+    s"SELECT md5(substr($norm, 1, 64)) AS prefix_hash, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper, " +
+      s"CAST(count(DISTINCT md5($norm)) AS BIGINT) AS n_variants " +
+      "FROM documents GROUP BY 1 HAVING count(*) >= 2"
+  }) {
+    (s, d) =>
+      val norm = TextOps.normalizeText(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.contentHash(substring(norm, 1, 64)).as("prefix_hash"),
+          TextOps.contentHash(norm).as("full_hash"))
+        .groupBy("prefix_hash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"),
+          countDistinct("full_hash").as("n_variants"))
+        .filter(col("n_docs") >= 2)
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
-    textVocabHll, textVocabCoverage)
+    textVocabHll, textVocabCoverage, textHapax, dedupPrefix)
 }

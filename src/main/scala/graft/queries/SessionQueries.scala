@@ -844,8 +844,124 @@ object SessionQueries {
       perDow.unionByName(totalRow)
   }
 
+  /** Peak concurrent sessions per day (r13) — the capacity-planning
+    * number over the REGISTERED sessionizer: for each calendar day, how
+    * many sessions were simultaneously open at the worst instant, plus
+    * how many sessions touched the day at all. The classic interval
+    * sweep-line, made distributed: each session [start, end] (closed, in
+    * µs) EXPLODES one boundary pair per day it touches, clipped to that
+    * day — a multi-day session contributes a +1 at the day boundary it
+    * enters through, so carry-in needs no cross-partition state. Ends
+    * convert to −1 at end+1µs (closed→half-open), so a session ending
+    * and another starting in the same µs DO count as concurrent.
+    *
+    * Determinism: the running sum is windowed by (ts, delta) — within a
+    * tie group all deltas are equal-signed after the (+1 before −1 at
+    * identical ts is impossible: −1s sit at end+1) ordering, so the
+    * day's MAX is order-independent even where individual prefix values
+    * are not. Everything is integer.
+    *
+    * Scale: sessions-linear explode (bounded by days-per-session), one
+    * day-keyed shuffle, a per-day window over that day's boundaries —
+    * the partition key is the day, so no global sort ever exists. */
+  val eventConcurrency = Q("q_event_concurrency",
+    "peak concurrent sessions per day (sweep line over the sessionizer)")({
+    val dayUs = 86400000000L
+    "WITH sess AS (SELECT * FROM (" + sessionize.oracle.get + ")), " +
+      s"sd AS (SELECT user_id, session_id, start_us, end_us, " +
+      s"unnest(range(start_us // $dayUs, end_us // $dayUs + 1)) AS day FROM sess), " +
+      s"b AS (SELECT day, greatest(start_us, day * $dayUs) AS ts, 1 AS delta FROM sd " +
+      "UNION ALL " +
+      s"SELECT day, least(end_us, (day + 1) * $dayUs - 1) + 1 AS ts, -1 AS delta FROM sd), " +
+      "r AS (SELECT day, ts, delta, CAST(sum(delta) OVER " +
+      "(PARTITION BY day ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run " +
+      "FROM b) " +
+      "SELECT day AS epoch_day, " +
+      "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_active, " +
+      "CAST(max(run) AS BIGINT) AS max_concurrent FROM r GROUP BY 1"
+  }) {
+    (s, d) =>
+      val dayUs = 86400000000L
+      val sd = sessionize.fn(s, d)
+        .select(col("start_us"), col("end_us"),
+          explode(sequence(expr(s"start_us div $dayUs"), expr(s"end_us div $dayUs")))
+            .as("day"))
+      val b = sd.select(col("day"),
+          greatest(col("start_us"), col("day") * dayUs).as("ts"), lit(1).as("delta"))
+        .unionAll(sd.select(col("day"),
+          (least(col("end_us"), (col("day") + 1) * dayUs - 1) + 1).as("ts"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy("day").orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("run", sum("delta").over(w).cast("long"))
+        .groupBy(col("day").as("epoch_day"))
+        .agg(sum(when(col("delta") === 1, 1).otherwise(0)).cast("long").as("n_active"),
+          max("run").cast("long").as("max_concurrent"))
+  }
+
+  /** Activity-concentration (Pareto) deciles over users (r13) — rank
+    * users by event count, cut into ten VALUE-COHORT deciles (every user
+    * with the same activity count lands in the same decile — ties are
+    * never split, so the cut is deterministic and engine-identical), and
+    * publish each decile's user count, event mass, share, and cumulative
+    * share. The "do 10% of users generate 80% of events?" report — the
+    * behavioral twin of q_agg_gini_source's token-mass gauge, and the
+    * number that decides whether per-user sampling caps are needed
+    * before events feed training data (a corpus owned by its top decile
+    * memorizes those users' behavior).
+    *
+    * Scale: per-user counts (one hash aggregate), then everything runs
+    * on the DISTINCT-count histogram — the strictly-greater cumulative
+    * rides ops.Quantiles' two-phase bit-prefix (no unpartitioned window
+    * over users), decile keys are integer floor-division, and the final
+    * cumulative share is a window over ≤ 10 decile rows. */
+  val eventPowerUsers = Q("q_event_power_users",
+    "activity-concentration deciles: user/event shares by activity rank")(
+    "WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events " +
+      "WHERE user_id IS NOT NULL GROUP BY 1), " +
+      "h AS (SELECT n, CAST(count(*) AS BIGINT) AS nu, " +
+      "CAST(n * count(*) AS BIGINT) AS ne FROM uc GROUP BY 1), " +
+      "c AS (SELECT n, nu, ne, CAST(COALESCE(sum(nu) OVER " +
+      "(ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS ugt FROM h), " +
+      "t AS (SELECT CAST(sum(nu) AS BIGINT) AS tu, CAST(sum(ne) AS BIGINT) AS te FROM h), " +
+      "dd AS (SELECT least(9, (c.ugt * 10) // t.tu) AS decile, " +
+      "CAST(sum(c.nu) AS BIGINT) AS n_users, CAST(sum(c.ne) AS BIGINT) AS n_events " +
+      "FROM c CROSS JOIN t GROUP BY 1) " +
+      "SELECT dd.decile, dd.n_users, dd.n_events, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(dd.n_events AS DOUBLE) / CAST(t.te AS DOUBLE)") + " AS event_share, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(dd.n_events) OVER (ORDER BY dd.decile ROWS UNBOUNDED PRECEDING) " +
+          "AS DOUBLE) / CAST(t.te AS DOUBLE)") + " AS cum_event_share " +
+      "FROM dd CROSS JOIN t") {
+    (s, d) =>
+      import graft.util.Exact
+      val uc = events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val h = uc.groupBy("n").agg(count(lit(1)).as("nu"),
+          (col("n") * count(lit(1))).cast("long").as("ne"))
+        .materialized(eager = false) // the prefix, the totals, and the cut
+      // strictly-greater mass = total − (exclusive-below + self)
+      val c = graft.ops.Quantiles.exclusivePrefixSum(h, "n", "nu", "u_lt")
+      val t = h.agg(sum("nu").cast("long").as("tu"), sum("ne").cast("long").as("te"))
+      val dd = c.crossJoin(broadcast(t))
+        .withColumn("ugt", col("tu") - col("u_lt").cast("long") - col("nu"))
+        .groupBy(least(lit(9L), expr("(ugt * 10) div tu")).cast("long").as("decile"))
+        .agg(sum("nu").cast("long").as("n_users"), sum("ne").cast("long").as("n_events"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dd.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          Exact.pinScoreInt(col("n_events").cast("double") / col("te").cast("double"))
+            .as("event_share"),
+          Exact.pinScoreInt(sum("n_events").over(wCum).cast("double") /
+            col("te").cast("double")).as("cum_event_share"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
-    eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist)
+    eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
+    eventConcurrency, eventPowerUsers)
 }
