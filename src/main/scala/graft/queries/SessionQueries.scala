@@ -708,20 +708,28 @@ object SessionQueries {
       Exact.Sql.pinScoreInt("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)") +
       " AS stickiness FROM dau d JOIN wau w ON w.wnum = d.dnum") {
     (s, d) =>
-      val ud = events(s, d)
+      dauWauFromPairs(events(s, d)
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dnum"))
-        .distinct()
-        .materialized(eager = false) // feeds DAU and the window explode
-      val dau = ud.groupBy("dnum").agg(count(lit(1)).as("dau"))
-      val wau = ud.select(col("user_id"), col("dnum"),
-          explode(sequence(lit(0L), lit(6L))).as("o"))
-        .select(col("user_id"), (col("dnum") + col("o")).as("wnum"))
-        .distinct()
-        .groupBy("wnum").agg(count(lit(1)).as("wau"))
-      dau.join(wau, col("wnum") === col("dnum"))
-        .select(col("dnum").as("day_num"), col("dau"), col("wau"),
-          Exact.pinScoreInt(
-            col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+        .distinct())
+  }
+
+  /** The DAU/WAU/stickiness rollup over DISTINCT (user_id, dnum) pairs —
+    * shared code object between the batch q_event_dau_wau and the
+    * streaming twin's read-side fold (Streams.dauRollup), so the two
+    * can never drift. The pair set is the state algebra: set union is
+    * idempotent, which is what makes the streaming store replay-proof. */
+  private[graft] def dauWauFromPairs(ud0: DataFrame): DataFrame = {
+    val ud = ud0.materialized(eager = false) // feeds DAU and the window explode
+    val dau = ud.groupBy("dnum").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("user_id"), col("dnum"),
+        explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select(col("user_id"), (col("dnum") + col("o")).as("wnum"))
+      .distinct()
+      .groupBy("wnum").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("wnum") === col("dnum"))
+      .select(col("dnum").as("day_num"), col("dau"), col("wau"),
+        Exact.pinScoreInt(
+          col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
   }
 
   /** Stationary behavior mix of the event-type Markov chain (r11) — 3

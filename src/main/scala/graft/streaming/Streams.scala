@@ -728,4 +728,43 @@ object Streams {
   def gapRollup(staged: DataFrame): DataFrame =
     graft.queries.SessionQueries.interarrivalStats(
       staged.select(col("event_type"), col("gap")))
+
+  /** Streaming DAU/WAU ingestion (r13) — the continuous twin of
+    * q_event_dau_wau via the hllIngest state-algebra argument: the store
+    * is the SET of distinct (user_id, day) pairs, per batch appended
+    * after an in-batch distinct. Set union is idempotent, so — exactly
+    * like the HLL registers' cell-wise MAX — a checkpoint-lost
+    * full-history replay duplicates pair ROWS but never changes the SET
+    * the read side folds: no file ledger needed. Store growth is
+    * bounded by active-users × days (+ duplicate rows ≤ one per
+    * batch × pair, reclaimed by [[dauCompact]]). */
+  def dauIngest(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpoint: String, pairsDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        batch.select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("dnum"))
+          .distinct()
+          .write.mode("append").parquet(pairsDir)
+      }
+      .start()
+
+  /** Fold the pair store to the canonical distinct set — the idempotent
+    * compaction (same read-equivalence argument as [[cmCompact]]; run
+    * while ingest is quiesced). */
+  def dauCompact(spark: SparkSession, pairsDir: String): Unit = {
+    val compacted = spark.read.parquet(pairsDir).distinct().localCheckpoint()
+    compacted.write.mode("overwrite").parquet(pairsDir)
+  }
+
+  /** Read-side DAU/WAU/stickiness over the pair store — the SAME code
+    * object as the batch q_event_dau_wau (SessionQueries.dauWauFromPairs),
+    * not a copy; the store's duplicate rows collapse in the distinct. */
+  def dauRollup(spark: SparkSession, pairsDir: String): DataFrame =
+    graft.queries.SessionQueries.dauWauFromPairs(
+      spark.read.parquet(pairsDir).distinct())
 }

@@ -65,6 +65,21 @@ class ANNRecallSpec extends SparkSpec {
     assert(s26 > s66 && m26 > m66, "coarser buckets must not lower recall here")
   }
 
+  test("pq refine: exact re-rank of the ADC top-10 shortlist dominates pure-ADC recall") {
+    val pq = hits(VectorQueries.annPq.fn(spark, sf))
+    val rf = hits(VectorQueries.annPqRefine.fn(spark, sf))
+    assert(rf >= pq, s"refine=$rf must dominate pure ADC=$pq")
+    assert(rf > 0, "refined PQ search must retrieve")
+    // every refined podium row came from the ADC shortlist by construction;
+    // the published cosine cells are exact-rerank values: monotone in rn
+    VectorQueries.annPqRefine.fn(spark, sf).collect()
+      .groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val byRn = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+        assert(byRn.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+          "rerank cosine must be non-increasing in rank")
+      }
+  }
+
   test("stacking hash tables raises recall over one table at the same plane count") {
     val one = hits(VectorQueries.lshSearchStacked(spark, sf, planes = 4, tables = 1))
     val four = hits(VectorQueries.lshSearchStacked(spark, sf, planes = 4, tables = 4))

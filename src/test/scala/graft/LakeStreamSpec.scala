@@ -921,4 +921,50 @@ class LakeStreamSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("Streams.dauIngest: rollup equals batch DAU/WAU; replay + compact are set-idempotent") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val pairs = tmp() + "/dau"
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val schema = ev(Nil).schema
+    // batch 1: user 1 twice on day 1 (ONE pair), user 2 once
+    val b1 = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 18:00:00", "click"),
+      (3L, 2L, "2024-01-01 11:00:00", "view"))
+    // batch 2 (restart): user 1 AGAIN on day 1 (already in the store —
+    // the set absorbs it) and on day 2; user 3 appears day 2
+    val b2 = Seq(
+      (4L, 1L, "2024-01-01 23:00:00", "view"),
+      (5L, 1L, "2024-01-02 09:00:00", "view"),
+      (6L, 3L, "2024-01-02 10:00:00", "view"))
+    def rollup() = Streams.dauRollup(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def batch(rows: Seq[(Long, Long, String, String)]) = {
+      val d = tmp()
+      ev(rows).coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+      graft.queries.SessionQueries.eventDauWau.fn(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    ev(b1).coalesce(1).write.mode("append").parquet(src)
+    Streams.dauIngest(spark, src, schema, ckpt, pairs).awaitTermination()
+    assert(rollup() === batch(b1))
+    ev(b2).coalesce(1).write.mode("append").parquet(src)
+    Streams.dauIngest(spark, src, schema, ckpt, pairs).awaitTermination()
+    val want = batch(b1 ++ b2)
+    assert(rollup() === want, "restart-spanning rollup equals the batch operator")
+    // checkpoint LOSS: the whole history re-delivers — duplicate pair
+    // rows land, but the read-side set fold is unchanged (no ledger)
+    Streams.dauIngest(spark, src, schema, tmp(), pairs).awaitTermination()
+    assert(rollup() === want, "full-history replay absorbed by set union")
+    val rowsBefore = spark.read.parquet(pairs).count()
+    Streams.dauCompact(spark, pairs)
+    assert(spark.read.parquet(pairs).count() < rowsBefore,
+      "compaction reclaims the replay's duplicate rows")
+    assert(rollup() === want, "compaction preserves the rollup")
+  }
 }
