@@ -692,8 +692,159 @@ object AggQueries {
           (lit(1.4826) * col("mad")).as("sigma_est"))
   }
 
+  /** Daily VWAP per asset (r13) — the execution-quality benchmark price:
+    * Σ(price × size) / Σ(size) per (asset, day). Both sums are exact
+    * decimals (scale 4 for the product term, 8 for the size term — the
+    * DSq rationale), so the published value is ONE correctly-rounded IEEE
+    * division of two bit-identical operands on any engine. Scale: a
+    * single hash aggregate with map-side partials on (asset, day) — the
+    * same shuffle shape as q_agg_mean_month at any corpus size. */
+  val aggVwap = Q("q_agg_vwap", "daily volume-weighted average price per asset")(
+    "SELECT l_partkey, date_trunc('day', l_shipdate) AS date, " +
+      "CAST(count(*) AS BIGINT) AS n_fills, " +
+      Exact.Sql.sum("l_quantity") + " AS volume, " +
+      "(" + Exact.Sql.sum("l_extendedprice * l_quantity", 4) + " / " +
+      Exact.Sql.sum("l_quantity") + ") AS vwap " +
+      "FROM lineitem GROUP BY 1, 2") {
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_partkey"), date_trunc("day", col("l_shipdate")).as("date"))
+        .agg(count(lit(1)).as("n_fills"),
+          Exact.exactSum(col("l_quantity")).as("volume"),
+          (Exact.exactSum(col("l_extendedprice") * col("l_quantity"), 4) /
+            Exact.exactSum(col("l_quantity"))).as("vwap"))
+  }
+
+  /** Market beta per asset (r13) — CAPM slope of the asset's monthly
+    * returns on the equal-weight market's: β = cov(r_a, r_m)/var(r_m)
+    * from exact moment sums, the factor-model counterpart of q_agg_hml.
+    * The monthly closes are q_agg_mean_month's exact means; the market
+    * series is their exact cross-asset mean; both return series are
+    * single fixed-order IEEE expressions over exact inputs, so every
+    * engine reproduces them bit-for-bit (the q_agg_corr argument).
+    * Return-domain moments CANNOT ride the decimal-cast recipe: a return
+    * is a division result, so its bits carry noise in the trailing
+    * digits, and a double→decimal cast of such a value near a rounding
+    * boundary is engine-convention-dependent (observed: scale 4 bends β
+    * by 0.1% outright; scales 8/12 drift single quanta on the ~1e-4 of
+    * rows that straddle a boundary). The decimal recipe is only safe for
+    * RAW data columns and their exact products. Noisy doubles instead
+    * quantize on a DYADIC grid: floor(r · 2²⁴) — the multiply is exact
+    * (power of two), floor is exact, so both engines produce the
+    * identical BIGINT always; β is invariant to the common scaling.
+    * Integer moments then stay in int64: with the assert_true-guarded
+    * domain |r_asset| < 2⁹, |r_mkt| < 2³ and grid 2²⁰, Σx·y over a
+    * calendar-bounded ≤2¹⁰ months is ≤ 2⁶², and the final β is one
+    * fixed-order IEEE expression over int64-exact casts. Grid
+    * granularity 2⁻²⁰ ≈ 1e-6 puts β within ~1e-4 of the unquantized
+    * value (spec-checked against a naive replay); the market series is
+    * the one that needs the fine grid — its variance is the
+    * denominator — and it is an equal-weight mean, so |r_mkt| stays
+    * small by construction while the asset series tolerates coarseness
+    * in proportion to its own variance.
+    *
+    * Scale: two hash aggregates (asset-month, then month), one window
+    * per asset-month frame, one broadcast join of the MONTH-level market
+    * series (cardinality = calendar months — bounded by time, not
+    * corpus), then a per-asset moment fold. The only unpartitioned
+    * window orders the month-level frame: bounded by the calendar. */
+  val aggBetaMarket = Q("q_agg_beta_market",
+    "per-asset CAPM beta vs the equal-weight market (monthly returns)")(
+    "WITH p AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS m, " +
+      Exact.Sql.avg("l_extendedprice") + " AS p FROM lineitem GROUP BY 1, 2), " +
+      "mkt AS (SELECT m, (" + Exact.Sql.sum("p") + " / count(*)) AS pm FROM p GROUP BY 1), " +
+      "ra AS (SELECT l_partkey, m, p / lag(p) OVER " +
+      "(PARTITION BY l_partkey ORDER BY m) - 1.0 AS r FROM p), " +
+      "rm AS (SELECT m, pm / lag(pm) OVER (ORDER BY m) - 1.0 AS rm FROM mkt), " +
+      "j AS (SELECT a.l_partkey, " +
+      "CAST(floor(a.r * 1048576.0) AS BIGINT) AS y, " +
+      "CAST(floor(b.rm * 1048576.0) AS BIGINT) AS x " +
+      "FROM ra a JOIN rm b ON b.m = a.m " +
+      "WHERE a.r IS NOT NULL AND b.rm IS NOT NULL), " +
+      "s AS (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx, " +
+      "CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy, " +
+      "CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy, " +
+      "CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx " +
+      "FROM j GROUP BY 1) " +
+      "SELECT l_partkey, CAST(n AS BIGINT) AS n_months, " +
+      "CASE WHEN (n * sxx - sx * sx) > 0 THEN " +
+      "(n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta FROM s") {
+    (s, d) =>
+      val p = lineitem(s, d)
+        .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(Exact.exactAvg(col("l_extendedprice")).as("p"))
+        .materialized(eager = false) // feeds the market mean AND the returns
+      val mkt = p.groupBy("m")
+        .agg((Exact.exactSum(col("p")) / count(lit(1))).as("pm"))
+      val ra = p.select(col("l_partkey"), col("m"),
+        (col("p") / lag("p", 1).over(
+          Window.partitionBy("l_partkey").orderBy("m")) - 1.0).as("r"))
+      val rm = mkt.select(col("m"),
+        (col("pm") / lag("pm", 1).over(Window.orderBy("m")) - 1.0).as("rm"))
+      val guard = assert_true(abs(col("r")) < 512.0 && abs(col("rm")) < 8.0,
+        lit("q_agg_beta_market: monthly return outside the guarded domain " +
+          "(|asset| < 2^9, |market| < 2^3) breaks the int64 moment bound " +
+          "(rework the grid design, not the limit)"))
+      val j = ra.join(broadcast(rm), "m")
+        .filter(col("r").isNotNull && col("rm").isNotNull)
+        .select(col("l_partkey"),
+          when(guard.isNull,
+            floor(col("r") * 1048576.0).cast("long")).as("y"),
+          floor(col("rm") * 1048576.0).cast("long").as("x"))
+      val st = j.groupBy("l_partkey").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("long").cast("double").as("sx"),
+        sum("y").cast("long").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("long").cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("long").cast("double").as("sxx"))
+      st.select(col("l_partkey"), col("n").cast("long").as("n_months"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+  }
+
+  /** Lag-1 autocorrelation of each asset's price series (r13) — the
+    * mean-reversion/trending diagnostic: Pearson corr of (xₜ, xₜ₋₁) over
+    * the (shipdate, ordinal)-ordered series, exact moments per the
+    * q_agg_corr recipe. One window shuffle on the asset key + one hash
+    * aggregate — no self-join of the series against its shift. */
+  val aggAutocorr = Q("q_agg_autocorr", "per-asset lag-1 price autocorrelation")(
+    "WITH l AS (SELECT l_partkey, l_extendedprice AS x, " +
+      s"lag(l_extendedprice) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql) " +
+      "AS y FROM lineitem), " +
+      "j AS (SELECT l_partkey, x, y FROM l WHERE y IS NOT NULL), " +
+      "s AS (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n, " +
+      Exact.Sql.sum("x") + " AS sx, " + Exact.Sql.sum("y") + " AS sy, " +
+      Exact.Sql.sum("x * y", 4) + " AS sxy, " + Exact.Sql.sum("x * x", 4) + " AS sxx, " +
+      Exact.Sql.sum("y * y", 4) + " AS syy FROM j GROUP BY 1) " +
+      "SELECT l_partkey, CAST(n AS BIGINT) AS n_pairs, " +
+      "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
+      "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) " +
+      "END AS autocorr FROM s") {
+    (s, d) =>
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val j = lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice").as("x"),
+          lag("l_extendedprice", 1).over(w).as("y"))
+        .filter(col("y").isNotNull)
+      val st = j.groupBy("l_partkey").agg(
+        count(lit(1)).cast("double").as("n"),
+        Exact.exactSum(col("x")).as("sx"), Exact.exactSum(col("y")).as("sy"),
+        Exact.exactSum(col("x") * col("y"), 4).as("sxy"),
+        Exact.exactSum(col("x") * col("x"), 4).as("sxx"),
+        Exact.exactSum(col("y") * col("y"), 4).as("syy"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"),
+        col("n") * col("syy") - col("sy") * col("sy"))
+      st.select(col("l_partkey"), col("n").cast("long").as("n_pairs"),
+        when(den._1 > 0 && den._2 > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(den._1) * sqrt(den._2))).as("autocorr"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
-    aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad)
+    aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
+    aggAutocorr)
 }

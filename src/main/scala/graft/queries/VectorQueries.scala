@@ -2898,6 +2898,10 @@ object VectorQueries {
           coalesce(col("n_band"), lit(0L)).as("n_semihard"))
   }
 
+  /** Unrolled peel depth of q_graph_kcore — reaches the true fixed point
+    * on both test fixtures (7 rounds at sf0.001, 5 at sf0.01). */
+  private val KcoreRounds = 8
+
   /** 2-core decomposition of the mutual-kNN graph (r13) — iterative
     * degree-peel: drop every node with fewer than 2 surviving mutual
     * neighbors, remove its edges, repeat. Nodes OUTSIDE the 2-core are
@@ -2910,31 +2914,45 @@ object VectorQueries {
     * survived), and the in-core flag — universe-complete over the mutual
     * graph's nodes.
     *
-    * Three peel rounds are unrolled (the q_graph_pagerank convention:
-    * fixed iteration count, oracle replays every round). Mutual-top-3
-    * degrees are ≤ 3, so peeling converges fast; round 3's survivors on
-    * this fixture ARE the fixed point (spec-asserted: round-4 peel is
-    * a no-op). Scale: each round is one edges-sized degree aggregate +
-    * one semi-join — O(iters · |E|), |E| ≤ 3n/2. */
+    * KcoreRounds = 8 peel rounds are unrolled (the q_graph_pagerank
+    * convention: a fixed, replayable arithmetic circuit, not a
+    * convergence check — the oracle replays every round). 8 reaches the
+    * true fixed point on both test fixtures (measured: 7 rounds at
+    * sf0.001, 5 at sf0.01 — Round13OpsSpec asserts a further peel is a
+    * no-op); peel depth is bounded by the longest pendant chain, so a
+    * production run at unknown scale iterates the SAME per-round body
+    * under a survivor-count delta check — the per-round plan is
+    * unchanged, and a truncated unroll only OVER-approximates the core
+    * (each extra round can only remove nodes). Scale: each round is one
+    * edges-sized degree aggregate + one semi-join — O(rounds · |E|),
+    * |E| ≤ 3n/2. */
   val graphKcore = Q("q_graph_kcore",
-    "2-core peel of the mutual-kNN graph (3 unrolled rounds)")({
-    def peel(edges: String, surv: String): (String, String) = (
+    s"2-core peel of the mutual-kNN graph ($KcoreRounds unrolled rounds)")({
+    def survSql(edges: String): String =
       s"SELECT node FROM (SELECT a AS node FROM $edges UNION ALL SELECT b FROM $edges) " +
-        "GROUP BY 1 HAVING count(*) >= 2",
+        "GROUP BY 1 HAVING count(*) >= 2"
+    def edgeSql(edges: String, surv: String): String =
       s"SELECT e.a, e.b FROM $edges e JOIN $surv x ON x.node = e.a " +
-        s"JOIN $surv y ON y.node = e.b")
-    val (s1, e1) = peel("edges", "s1"); val (s2, e2) = peel("e1", "s2")
-    val (s3, _) = peel("e2", "s3")
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+        s"JOIN $surv y ON y.node = e.b"
+    // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, so an
+    // 8-round unroll would otherwise expand to 3^8 copies of the ANN chain
+    // (observed as an fd-exhaustion crash, not just slowness)
+    val rounds = (1 to KcoreRounds).map { i =>
+      val prevE = if (i == 1) "edges" else s"e${i - 1}"
+      s"s$i AS MATERIALIZED (${survSql(prevE)})" +
+        (if (i < KcoreRounds) s", e$i AS MATERIALIZED (${edgeSql(prevE, s"s$i")})"
+         else "")
+    }.mkString(", ")
+    val removedCase = (1 to KcoreRounds)
+      .map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
+    val joins = (1 to KcoreRounds)
+      .map(i => s"LEFT JOIN s$i ON s$i.node = d.node").mkString(" ")
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
       "deg0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg0 FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1), " +
-      s"s1 AS ($s1), e1 AS ($e1), s2 AS ($s2), e2 AS ($e2), s3 AS ($s3) " +
-      "SELECT d.node, d.deg0, " +
-      "CASE WHEN s1.node IS NULL THEN 1 WHEN s2.node IS NULL THEN 2 " +
-      "WHEN s3.node IS NULL THEN 3 END AS removed_round, " +
-      "(s3.node IS NOT NULL) AS in_core FROM deg0 d " +
-      "LEFT JOIN s1 ON s1.node = d.node LEFT JOIN s2 ON s2.node = d.node " +
-      "LEFT JOIN s3 ON s3.node = d.node"
+      rounds + " " +
+      s"SELECT d.node, d.deg0, CASE $removedCase END AS removed_round, " +
+      s"(s$KcoreRounds.node IS NOT NULL) AS in_core FROM deg0 d $joins"
   }) {
     (s, d) =>
       val edges0 = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
@@ -2950,20 +2968,20 @@ object VectorQueries {
         (surv, kept.materialized())
       }
       val deg0 = degrees(edges0).withColumnRenamed("deg", "deg0")
-      val (s1, e1) = peel(edges0)
-      val (s2, e2) = peel(e1)
-      val (s3, _) = peel(e2)
-      def mark(sv: DataFrame, nm: String) =
-        sv.select(col("node"), lit(true).as(nm))
-      deg0
-        .join(mark(s1, "in1"), Seq("node"), "left")
-        .join(mark(s2, "in2"), Seq("node"), "left")
-        .join(mark(s3, "in3"), Seq("node"), "left")
-        .select(col("node"), col("deg0"),
-          when(col("in1").isNull, 1)
-            .when(col("in2").isNull, 2)
-            .when(col("in3").isNull, 3).as("removed_round"),
-          col("in3").isNotNull.as("in_core"))
+      val survivors = Seq.iterate((edges0, edges0, 0), KcoreRounds + 1) {
+        case (_, e, i) => val (sv, kept) = peel(e); (sv, kept, i + 1)
+      }.drop(1).map(_._1)
+      def mark(sv: DataFrame, i: Int) =
+        sv.select(col("node"), lit(true).as(s"in$i"))
+      val joined = survivors.zipWithIndex.foldLeft(deg0) {
+        case (acc, (sv, i)) => acc.join(mark(sv, i + 1), Seq("node"), "left")
+      }
+      val removed = (1 to KcoreRounds).foldLeft(when(lit(false), 0)) {
+        case (acc, i) => acc.when(col(s"in$i").isNull, i)
+      }
+      joined.select(col("node"), col("deg0"),
+        removed.as("removed_round"),
+        col(s"in$KcoreRounds").isNotNull.as("in_core"))
   }
 
   /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
@@ -3014,6 +3032,65 @@ object VectorQueries {
             .as("jaccard"))
   }
 
+  /** Within-cluster cosine-distance histogram (r13) — the distribution
+    * the per-vector gauges summarize away: over every unordered within-
+    * cluster pair of the hier assignment, the pair count per 0.2-wide
+    * distance bin on [0, 2] with corpus shares. Read BEFORE picking any
+    * cosine threshold (SemDeDup's τ, DBSCAN's ε, the outlier cut): a
+    * bimodal histogram says thresholds separate cleanly, a unimodal blob
+    * says they don't — and a mass spike at d ≈ 1 (orthogonality) is the
+    * anisotropy-collapse signature q_emb_intrinsic_dim scores as one
+    * number. Distances are the decimal-exact dots over identical-bit
+    * norms; the bin key is one IEEE multiply + floor (corpus-independent,
+    * so per-shard histograms merge by ADDITION — the sketch property).
+    *
+    * Scale: the pair frame is the hier chain's — bounded ~50-vector
+    * clusters keep pairs corpus-LINEAR; the histogram is a ≤11-key hash
+    * aggregate. Cost ≈ the kNN-graph build minus its ranking window. */
+  val embDistHist = Q("q_emb_dist_hist",
+    "within-cluster cosine-distance histogram over the hier assignment")(
+    vecsSql +
+      hierPrologueSql +
+      hierAssignSqlCtes +
+      "pa AS (SELECT v.vec_id, v.i, v.e, a.cluster FROM v JOIN assign a ON a.vid = v.vec_id), " +
+      "dots AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM pa a JOIN pa b ON a.i = b.i AND a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+      "GROUP BY 1, 2), " +
+      "pd AS (SELECT least(9, CAST(floor((1.0 - d.dot / (na.nrm * nb.nrm)) * 5.0) AS BIGINT)) " +
+      "AS bin FROM dots d JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
+      "h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM pd GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM h) " +
+      "SELECT h.bin, h.bin / 5.0 AS bin_lo, h.n_pairs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(h.n_pairs AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS share " +
+      "FROM h CROSS JOIN t") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = hierSeedCents(base)
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClustersHier(all, cents, k)
+      val withVec = all.join(assign, "vid").materialized()
+      val a = withVec.select(col("vid").as("q"), col("cluster"),
+        col("ev").as("eq"), col("nv").as("nq"))
+      val b = withVec.select(col("vid").as("c"), col("cluster"),
+        col("ev").as("ec"), col("nv").as("nc"))
+      val h = graft.ops.VectorOps.saltedBlockJoin(a, b, "cluster", col("q"), 8)
+        .filter(col("q") < col("c"))
+        .select(least(lit(9L), floor((lit(1.0) -
+          expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))) * 5.0).cast("long"))
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .materialized(eager = false) // the total AND the output read it
+      val t = h.agg(sum("n_pairs").cast("long").as("tot"))
+      h.crossJoin(broadcast(t))
+        .select(col("bin"), (col("bin") / 5.0).as("bin_lo"), col("n_pairs"),
+          graft.util.Exact.pinScoreInt(
+            col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
@@ -3024,5 +3101,5 @@ object VectorQueries {
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
-    graphKcore, graphLinkPredict, annPqRefine)
+    graphKcore, graphLinkPredict, annPqRefine, embDistHist)
 }

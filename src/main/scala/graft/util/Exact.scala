@@ -22,6 +22,20 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale 8 with precision 38 leaves 30 integer digits — a sum of 1e18
   * values of magnitude 1e12 still fits, so no overflow at any target scale.
+  *
+  * DOMAIN LIMIT (r13): the decimal-cast recipe is only portable for RAW
+  * data columns and their exact products (2-decimal prices, integer-ish
+  * quantities — values whose decimal expansion terminates well above the
+  * cast scale). A DERIVED double (a division result such as a return or
+  * a ratio) carries noise in its trailing digits; when such a value lands
+  * within its noise of a decimal rounding boundary, Spark and DuckDB
+  * round it differently (~1e-4 of rows at scale 8 — observed in
+  * q_agg_beta_market). For noisy doubles use a DYADIC grid instead:
+  * floor(x · 2^k) — the power-of-two multiply and the floor are both
+  * exact, so the resulting BIGINT is engine-identical ALWAYS; keep the
+  * integer moments in int64 and re-scale at the end (see
+  * AggQueries.aggBetaMarket). pinScore/pinScoreInt below are the
+  * publish-side instances of the same idea.
   */
 object Exact {
   private val D = DecimalType(38, 8)
