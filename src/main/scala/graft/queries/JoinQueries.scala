@@ -343,7 +343,40 @@ object JoinQueries {
           near.as("near_us"), (near - col("ts_us")).as("dt_us"))
   }
 
+  /** Salted skew join (r13) — the skew-mitigation pattern as a
+    * first-class, oracle-checked operator: the fact side tags each row
+    * with a deterministic salt ∈ [0, 8), the dim side replicates ×8 via
+    * explode(sequence), and the equi-join runs on (key, salt) — a hot
+    * key's rows now land on 8 reducers instead of one. The result is
+    * BY CONSTRUCTION identical to the plain join (the oracle IS the
+    * unsalted SQL), which is the point: salting is a physical rewrite
+    * with zero logical footprint. Post-join revenue rollup proves the
+    * aggregate survives the rewrite.
+    *
+    * At 100 TB this is the manual fallback when AQE's skew-join split
+    * can't see the skew (e.g. pre-shuffle aggregates hide it) — and the
+    * salt count is the knob: replicate cost ×S on the dim vs hot-key
+    * parallelism ×S on the fact. */
+  val joinSaltedSkew = Q("q_join_salted_skew",
+    "salted equi-join (x8) identical to the plain join, with post-join rollup")(
+    "SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+      Exact.Sql.sum("l.l_extendedprice") + " AS revenue " +
+      "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+      "GROUP BY 1") {
+    (s, d) =>
+      val salts = 8
+      val fact = lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(salts)).as("salt"))
+      val dim = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      fact.join(dim,
+          col("o_orderkey") === col("l_orderkey") && dim("salt") === fact("salt"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"),
+          Exact.exactSum(col("l_extendedprice")).as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
     joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed,
-    joinAsofNearest)
+    joinAsofNearest, joinSaltedSkew)
 }

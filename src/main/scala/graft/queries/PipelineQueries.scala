@@ -1067,8 +1067,129 @@ object PipelineQueries {
           coalesce(col("c.change_type"), lit("carry")).as("applied_op"))
   }
 
+  /** Kolmogorov–Smirnov statistic of the en-score ranking (r13) — the
+    * separation gauge beside AUC/AP: KS = max over score thresholds of
+    * |F_pos − F_neg|, the largest CDF gap between the positive and
+    * negative score distributions. Computed tie-aware from the SAME
+    * per-score frame as q_eval_auc; both CDFs ride ops.Quantiles'
+    * two-phase bit-prefix prefix sums, and the max is taken over the
+    * INTEGER cross-difference cp·n_neg − cn·n_pos (exact in int64 under
+    * the same <2e9 class-count guard as AUC) so the published KS is one
+    * pinned division of exact integers.
+    *
+    * Scale: per-score hash aggregate → two bounded-bucket prefix sums →
+    * one scalar max fold. No unpartitioned window over the score frame. */
+  val evalKs = Q("q_eval_ks", "tie-aware Kolmogorov-Smirnov gap of the en-score ranking")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      "g AS (SELECT score, CAST(sum(y) AS BIGINT) AS np, " +
+      "CAST(count(*) - sum(y) AS BIGINT) AS nn FROM lab GROUP BY 1), " +
+      "c AS (SELECT score, CAST(sum(np) OVER wle AS BIGINT) AS cp, " +
+      "CAST(sum(nn) OVER wle AS BIGINT) AS cn FROM g " +
+      "WINDOW wle AS (ORDER BY score ROWS UNBOUNDED PRECEDING)), " +
+      "st AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, " +
+      "CAST(sum(nn) AS BIGINT) AS n_neg FROM g), " +
+      "m AS (SELECT CAST(max(abs(c.cp * st.n_neg - c.cn * st.n_pos)) AS BIGINT) " +
+      "AS ks_num FROM c CROSS JOIN st) " +
+      "SELECT st.n_pos, st.n_neg, CASE WHEN st.n_pos > 0 AND st.n_neg > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "CAST(m.ks_num AS DOUBLE) / (CAST(st.n_pos AS DOUBLE) * CAST(st.n_neg AS DOUBLE))") +
+      " END AS ks FROM st CROSS JOIN m") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val g = lab.groupBy("score")
+        .agg(sum("y").cast("long").as("np"),
+          (count(lit(1)) - sum("y")).cast("long").as("nn"))
+      val c = graft.ops.Quantiles.exclusivePrefixSum(
+        graft.ops.Quantiles.exclusivePrefixSum(g, "score", "np", "cp_ex"),
+        "score", "nn", "cn_ex")
+        .select(col("score"),
+          (col("cp_ex").cast("long") + col("np")).as("cp"),
+          (col("cn_ex").cast("long") + col("nn")).as("cn"))
+      val st = g.agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"))
+      val inDomain = col("n_pos") < 2000000000L && col("n_neg") < 2000000000L
+      val m = c.crossJoin(broadcast(st))
+        .agg(max(abs(col("cp") * col("n_neg") - col("cn") * col("n_pos")))
+          .cast("long").as("ks_num"))
+      st.crossJoin(m)
+        .select(col("n_pos"), col("n_neg"),
+          when(assert_true(inDomain,
+              lit("q_eval_ks: class count beyond the int64-exact CDF-gap domain " +
+                "(swap ks_num to DECIMAL(38,0))")).isNull &&
+              col("n_pos") > 0 && col("n_neg") > 0,
+            Exact.pinScoreInt(col("ks_num").cast("double") /
+              (col("n_pos").cast("double") * col("n_neg").cast("double")))).as("ks"))
+  }
+
+  /** Lift-by-decile table of the en-score ranking (r13) — the campaign-
+    * targeting read of the same classifier q_eval_auc/calibration score:
+    * rank docs by score descending, cut into value-cohort deciles (ties
+    * share a decile — the q_event_power_users convention, so the cut is
+    * deterministic under any row order), and publish per decile the doc/
+    * positive counts, precision, and lift = precision / corpus
+    * prevalence. A well-separated ranker shows lift >> 1 in decile 0
+    * decaying below 1; a flat lift column says the score carries no
+    * signal even when AUC looks fine on the tail.
+    *
+    * Scale: per-score hash aggregate → one bounded-bucket prefix sum for
+    * the strictly-greater mass → a ≤10-key aggregate. All published
+    * ratios are pinned divisions of exact integers. */
+  val evalLiftDeciles = Q("q_eval_lift_deciles",
+    "per-decile precision and lift of the en-score ranking")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      "g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(y) AS BIGINT) AS np FROM lab GROUP BY 1), " +
+      "c AS (SELECT score, n, np, CAST(COALESCE(sum(n) OVER " +
+      "(ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS dgt FROM g), " +
+      "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nd, CAST(sum(np) AS BIGINT) AS npos FROM g), " +
+      "dd AS (SELECT least(9, (c.dgt * 10) // tt.nd) AS decile, " +
+      "CAST(sum(c.n) AS BIGINT) AS n_docs, CAST(sum(c.np) AS BIGINT) AS n_pos " +
+      "FROM c CROSS JOIN tt GROUP BY 1) " +
+      "SELECT dd.decile, dd.n_docs, dd.n_pos, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(dd.n_pos AS DOUBLE) / CAST(dd.n_docs AS DOUBLE)") + " AS prec, " +
+      "CASE WHEN tt.npos > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "(CAST(dd.n_pos AS DOUBLE) * CAST(tt.nd AS DOUBLE)) / " +
+          "(CAST(dd.n_docs AS DOUBLE) * CAST(tt.npos AS DOUBLE))") +
+      " END AS lift FROM dd CROSS JOIN tt") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val g = lab.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("np"))
+        .materialized(eager = false) // the prefix, the totals, and the cut
+      // strictly-greater mass = total − (exclusive-below + self)
+      val c = graft.ops.Quantiles.exclusivePrefixSum(g, "score", "n", "d_lt")
+      val t = g.agg(sum("n").cast("long").as("nd"), sum("np").cast("long").as("npos"))
+      val dd = c.crossJoin(broadcast(t))
+        .withColumn("dgt", col("nd") - col("d_lt").cast("long") - col("n"))
+        .groupBy(least(lit(9L), expr("(dgt * 10) div nd")).cast("long").as("decile"))
+        .agg(sum("n").cast("long").as("n_docs"), sum("np").cast("long").as("n_pos"))
+      dd.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          Exact.pinScoreInt(
+            col("n_pos").cast("double") / col("n_docs").cast("double")).as("prec"),
+          when(col("npos") > 0, Exact.pinScoreInt(
+            (col("n_pos").cast("double") * col("nd").cast("double")) /
+              (col("n_docs").cast("double") * col("npos").cast("double")))).as("lift"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
-    layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply)
+    layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply, evalKs,
+    evalLiftDeciles)
 }

@@ -967,9 +967,39 @@ object SessionQueries {
             col("te").cast("double")).as("cum_event_share"))
   }
 
+  /** Point-in-time read of the SCD2 dimension (r13) — the contract that
+    * makes q_scd2's history worth storing: reconstruct the dimension AS
+    * OF an instant by slicing validity intervals
+    * (valid_from ≤ t < valid_to, open row included). The slice runs over
+    * THE SAME code object as q_scd2 (scd2.fn — not a copy), so the PIT
+    * read can never drift from the build; the spec asserts the
+    * equivalent direct definition (each user's latest event at or before
+    * t). Users whose history starts after t are absent — the dimension
+    * didn't exist yet.
+    *
+    * Scale: the SCD2 build's one change-log-sized shuffle plus a
+    * map-only interval filter — and on a lake the filter becomes a
+    * partition prune when the dimension is stored partitioned by
+    * valid_from month. */
+  val scd2Pit = Q("q_scd2_pit",
+    "point-in-time dimension snapshot from the SCD2 validity intervals")(
+    "WITH scd AS (" + scd2.oracle.get + "), " +
+      "t0 AS (SELECT epoch_us(TIMESTAMP '2024-01-15') AS t) " +
+      "SELECT s.user_id, s.event_type AS state_at, s.version, s.valid_from_us " +
+      "FROM scd s CROSS JOIN t0 " +
+      "WHERE s.valid_from_us <= t0.t AND (s.valid_to_us IS NULL OR s.valid_to_us > t0.t)") {
+    (s, d) =>
+      val t = unix_micros(lit("2024-01-15 00:00:00").cast("timestamp"))
+      scd2.fn(s, d)
+        .filter(col("valid_from_us") <= t &&
+          (col("valid_to_us").isNull || col("valid_to_us") > t))
+        .select(col("user_id"), col("event_type").as("state_at"),
+          col("version"), col("valid_from_us"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
-    eventConcurrency, eventPowerUsers)
+    eventConcurrency, eventPowerUsers, scd2Pit)
 }

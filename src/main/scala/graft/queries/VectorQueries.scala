@@ -3032,6 +3032,156 @@ object VectorQueries {
             .as("jaccard"))
   }
 
+  /** Per-node local clustering coefficient of the mutual-kNN graph (r13)
+    * — the node-level refinement of q_graph_triangles' one global number:
+    * cc(u) = 2·tri(u) / (deg(u)·(deg(u)−1)), NULL when deg < 2.
+    * Universe-complete over the graph's nodes (tri = 0 backfilled). High
+    * deg + low cc marks hub/bridge nodes (q_graph_hubness's suspects);
+    * high cc marks tight near-duplicate pockets the dedup family should
+    * have caught — the two failure modes read off one frame.
+    *
+    * Scale: the triangle list is the same two wedge joins as
+    * q_graph_triangles (edges ≤ 3n/2, mutual-top-3 degrees bounded, so
+    * wedges stay linear), then one explode-to-corners aggregate and one
+    * left join back to the degree frame. */
+  val graphLocalCc = Q("q_graph_local_cc",
+    "per-node local clustering coefficient over the mutual-kNN graph")(
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
+      "GROUP BY 1), " +
+      "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM edges e1 " +
+      "JOIN edges e2 ON e2.a = e1.b " +
+      "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+      "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri " +
+      "UNION ALL SELECT z FROM tri) GROUP BY 1) " +
+      "SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri, " +
+      "CASE WHEN d.deg >= 2 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE)") +
+      " END AS local_cc FROM deg d LEFT JOIN tn t ON t.node = d.node") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // degree frame + both wedge joins
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tn = tri.select(col("x").as("node"))
+        .unionAll(tri.select(col("y").as("node")))
+        .unionAll(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(tn, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2, graft.util.Exact.pinScoreInt(
+            (lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))).as("local_cc"))
+  }
+
+  /** Degree histogram of the mutual-kNN graph (r13) — the one-page shape
+    * summary under hubness/assortativity: node count + corpus share per
+    * degree value. Mutual-top-k degrees are bounded by k, so the output
+    * is ≤ k rows; per-shard histograms merge by ADDITION. One edges-sized
+    * aggregate + one ≤k-key aggregate. */
+  val graphDegreeHist = Q("q_graph_degree_hist",
+    "degree histogram of the mutual-kNN graph with corpus shares")(
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
+      "GROUP BY 1), " +
+      "h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS tot FROM h) " +
+      "SELECT h.deg, h.n_nodes, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(h.n_nodes AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS share " +
+      "FROM h CROSS JOIN t") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val h = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .materialized(eager = false) // the total AND the output read it
+      val t = h.agg(sum("n_nodes").cast("long").as("tot"))
+      h.crossJoin(broadcast(t))
+        .select(col("deg"), col("n_nodes"),
+          graft.util.Exact.pinScoreInt(
+            col("n_nodes").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
+  /** Unrolled BFS depth of q_graph_bfs_layers — covers the seed's
+    * component on the test fixtures (measured eccentricity 9 at
+    * sf0.001; spec-asserted ≤ BfsRounds). */
+  private val BfsRounds = 12
+
+  /** BFS layers of the mutual-kNN graph from a deterministic seed (r13)
+    * — the distributed frontier-expansion primitive under the component/
+    * peel family: seed = the graph's minimum node id, then $BfsRounds
+    * unrolled rounds of neighbors(frontier) − visited (the pagerank/
+    * kcore convention: a fixed, replayable circuit; a truncated unroll
+    * only leaves far nodes unlabeled, never mislabels). Publishes, per
+    * node: the hop distance (0..rounds, NULL beyond/unreachable) and the
+    * reached flag — the seed-locality probe for the component the judge
+    * audits with cc_sizes.
+    *
+    * Scale: each round is one frontier⋈adjacency semi-equi-join + one
+    * anti-join against the visited set — O(rounds · |E|); the frontier
+    * and visited frames stay ≤ nodes. */
+  val graphBfsLayers = Q("q_graph_bfs_layers",
+    s"BFS layers ($BfsRounds unrolled rounds) from the min-id seed over the mutual-kNN graph")({
+    val rounds = (1 to BfsRounds).map { i =>
+      val prev = s"f${i - 1}"
+      val visited = (0 until i).map(j => s"SELECT node FROM f$j").mkString(" UNION ALL ")
+      s"f$i AS MATERIALIZED (SELECT DISTINCT adj.b AS node FROM adj " +
+        s"JOIN $prev p ON p.node = adj.a " +
+        s"WHERE adj.b NOT IN ($visited))"
+    }.mkString(", ")
+    val distCase = (0 to BfsRounds)
+      .map(i => s"WHEN f$i.node IS NOT NULL THEN $i").mkString(" ")
+    val joins = (0 to BfsRounds)
+      .map(i => s"LEFT JOIN f$i ON f$i.node = d.node").mkString(" ")
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "adj AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) GROUP BY 1), " +
+      "f0 AS MATERIALIZED (SELECT min(node) AS node FROM deg), " +
+      rounds + " " +
+      s"SELECT d.node, d.deg, CASE $distCase END AS dist, " +
+      s"(${(0 to BfsRounds).map(i => s"f$i.node IS NOT NULL").mkString(" OR ")}) AS reached " +
+      s"FROM deg d $joins"
+  }) {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+        .materialized() // every round joins it
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val f0 = deg.agg(min("node").as("node")).materialized()
+      val frontiers = (1 to BfsRounds).foldLeft(Seq(f0)) { (fs, _) =>
+        val visited = fs.reduce(_ unionAll _)
+        val next = adj.join(fs.last.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .materialized()
+        fs :+ next
+      }
+      val joined = frontiers.zipWithIndex.foldLeft(deg) { case (acc, (f, i)) =>
+        acc.join(f.select(col("node"), lit(true).as(s"in$i")), Seq("node"), "left")
+      }
+      val dist = (0 to BfsRounds).foldLeft(when(lit(false), 0)) {
+        case (acc, i) => acc.when(col(s"in$i").isNotNull, i)
+      }
+      joined.select(col("node"), col("deg"), dist.as("dist"),
+        (0 to BfsRounds).map(i => col(s"in$i").isNotNull).reduce(_ || _).as("reached"))
+  }
+
   /** Within-cluster cosine-distance histogram (r13) — the distribution
     * the per-vector gauges summarize away: over every unordered within-
     * cluster pair of the hier assignment, the pair count per 0.2-wide
@@ -3101,5 +3251,6 @@ object VectorQueries {
     evalRecallLsh, embNormProfile, embCentroidDrift, annIvfPq, graphHubness,
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
-    graphKcore, graphLinkPredict, annPqRefine, embDistHist)
+    graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
+    graphDegreeHist, graphBfsLayers)
 }
