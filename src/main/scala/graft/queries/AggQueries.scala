@@ -842,9 +842,43 @@ object AggQueries {
             (sqrt(den._1) * sqrt(den._2))).as("autocorr"))
   }
 
+  /** Daily Herfindahl–Hirschman concentration of volume across assets
+    * (r13) — the market-structure gauge beside q_win_dominance (which
+    * publishes each asset's share; HHI folds the whole cross-section to
+    * one number per day): HHI = Σᵢ shareᵢ², share = exact per-asset
+    * volume / exact daily total. The squared-share sum rides the 2⁻³⁰
+    * portable grid (order-free integer sum — shares are division
+    * results, so the decimal recipe is out by the r13 Exact domain
+    * rule); top_share is a max (order-free). Two hash aggregates + one
+    * broadcast of the day-level totals. */
+  val aggHerfindahl = Q("q_agg_herfindahl",
+    "daily Herfindahl concentration of volume across assets")(
+    "WITH v AS (SELECT date_trunc('day', l_shipdate) AS date, l_partkey, " +
+      Exact.Sql.sum("l_quantity") + " AS vol FROM lineitem GROUP BY 1, 2), " +
+      "t AS (SELECT date, " + Exact.Sql.sum("vol") + " AS tot, " +
+      "CAST(count(*) AS BIGINT) AS n_assets FROM v GROUP BY 1) " +
+      "SELECT v.date, max(t.n_assets) AS n_assets, " +
+      Exact.Sql.portableSum("(v.vol / t.tot) * (v.vol / t.tot)") + " AS hhi, " +
+      Exact.Sql.pinScoreInt("max(v.vol / t.tot)") + " AS top_share " +
+      "FROM v JOIN t ON t.date = v.date GROUP BY 1") {
+    (s, d) =>
+      val v = lineitem(s, d)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("date"), col("l_partkey"))
+        .agg(Exact.exactSum(col("l_quantity")).as("vol"))
+        .materialized(eager = false) // feeds the totals AND the fold
+      val t = v.groupBy("date")
+        .agg(Exact.exactSum(col("vol")).as("tot"), count(lit(1)).as("n_assets"))
+      val share = col("vol") / col("tot")
+      v.join(broadcast(t), "date")
+        .groupBy("date")
+        .agg(max("n_assets").as("n_assets"),
+          Exact.portableSum(share * share).as("hhi"),
+          Exact.pinScoreInt(max(share)).as("top_share"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
-    aggAutocorr)
+    aggAutocorr, aggHerfindahl)
 }

@@ -1399,10 +1399,102 @@ object CorpusStatsQueries {
         .filter(col("n_docs") >= 2)
   }
 
+  /** Word-length histogram over token OCCURRENCES (r13) — the tokenizer-
+    * design diagnostic beside q_text_tokens: per character-length bucket
+    * (1..15, 16+ capped), occurrence count, distinct-type count, and the
+    * pinned corpus share. The length distribution drives BPE vocabulary
+    * sizing (long-tail mass ⇒ more merges pay off) and catches
+    * concatenation bugs (a spike at 16+ usually means lost whitespace).
+    * Map-only explode → one ≤16-key hash aggregate; per-shard histograms
+    * merge by addition. */
+  val textWordLenHist = Q("q_text_word_len_hist",
+    "word-length histogram (chars, 16+ capped) with type counts and shares")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "b AS (SELECT least(16, length(word)) AS wlen, word FROM tokw), " +
+      "h AS (SELECT wlen, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(count(DISTINCT word) AS BIGINT) AS n_types FROM b GROUP BY 1), " +
+      "wt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM h) " +
+      "SELECT h.wlen, h.n_tokens, h.n_types, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(h.n_tokens AS DOUBLE) / CAST(wt.tot AS DOUBLE)") + " AS share " +
+      "FROM h CROSS JOIN wt") {
+    (s, d) =>
+      import graft.util.Exact
+      val h = TextOps.explodeTokens(documents(s, d))
+        .select(least(lit(16), length(col("word"))).as("wlen"), col("word"))
+        .groupBy("wlen")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("word").as("n_types"))
+        .materialized(eager = false) // the total AND the output read it
+      val t = h.agg(sum("n_tokens").cast("long").as("tot"))
+      h.crossJoin(broadcast(t))
+        .select(col("wlen"), col("n_tokens"), col("n_types"),
+          Exact.pinScoreInt(
+            col("n_tokens").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
+  /** Simpson diversity of the unigram distribution per source + corpus
+    * (r13) — the collision-probability complement of q_text_entropy:
+    * λ = Σ nᵢ(nᵢ−1) / (N(N−1)), the chance two tokens drawn without
+    * replacement are the same type. Published as the pinned λ plus the
+    * integer type/token counts; 1/λ is the "effective vocabulary" the
+    * reader derives. ENTIRELY integer until one final pinned division —
+    * no logs, no decimal casts — so it is portable by construction.
+    * int64 domain: N < 3e9 is assert_true-guarded (N(N−1) and Σnᵢ(nᵢ−1)
+    * ≤ N² both stay under 2⁶³; beyond that swap the sums to
+    * DECIMAL(38,0) and the ratio to the portable grid). Vocabulary-sized
+    * aggregate per source — the q_text_zipf shuffle shape. */
+  val textSimpson = Q("q_text_simpson",
+    "Simpson diversity (unigram collision probability) per source + corpus")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "ds AS (SELECT t.word, d.source FROM tokw t JOIN documents d ON d.doc_id = t.doc_id), " +
+      "wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY 1, 2), " +
+      "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(c * (c - 1)) AS BIGINT) AS coll FROM wc GROUP BY 1), " +
+      "cc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY 1), " +
+      "ct AS (SELECT CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(c * (c - 1)) AS BIGINT) AS coll FROM cc) " +
+      "SELECT source, n_types, n_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(coll AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))") +
+      " AS simpson FROM g " +
+      "UNION ALL SELECT 'TOTAL' AS source, n_types, n_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(coll AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))") +
+      " AS simpson FROM ct") {
+    (s, d) =>
+      import graft.util.Exact
+      val ds = TextOps.explodeTokens(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("word", "source")
+        .materialized(eager = false) // per-source AND corpus-wide counts
+      def simpsonOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val wc = df.groupBy((keys :+ "word").map(col): _*)
+          .agg(count(lit(1)).as("c"))
+        wc.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_types"),
+            sum("c").cast("long").as("n_tokens"),
+            sum(col("c") * (col("c") - 1)).cast("long").as("coll"))
+      }
+      val g = simpsonOf(ds, Seq("source"))
+      val ct = simpsonOf(ds, Seq.empty).withColumn("source", lit("TOTAL"))
+      def out(df: DataFrame) = df.select(col("source"), col("n_types"), col("n_tokens"),
+        when(assert_true(col("n_tokens") < 3000000000L,
+            lit("q_text_simpson: token count beyond the int64-exact collision " +
+              "domain (swap sums to DECIMAL(38,0) + portable grid)")).isNull,
+          Exact.pinScoreInt(col("coll").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double"))))
+          .as("simpson"))
+      out(g).unionByName(out(ct))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
-    textVocabHll, textVocabCoverage, textHapax, dedupPrefix)
+    textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
+    textSimpson)
 }

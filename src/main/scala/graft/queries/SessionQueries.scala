@@ -390,17 +390,29 @@ object SessionQueries {
       "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)") {
     (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      events(s, d)
+      val changes = events(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(w))
         // run starts: first event, or state differs from the previous one
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .select(col("user_id"), col("event_type"),
-          row_number().over(w).cast("long").as("version"),
-          col("ts_us").as("valid_from_us"),
-          lead("ts_us", 1).over(w).as("valid_to_us"),
-          lead("ts_us", 1).over(w).isNull.as("is_current"))
+      scd2FromChanges(changes)
+  }
+
+  /** Close SCD2 validity intervals over a CHANGE-ROW frame
+    * (user_id, event_id, ts_us, event_type — one row per state-run
+    * start). Shared code object between the batch q_scd2 (which derives
+    * the change rows with a lag filter) and the streaming twin's
+    * read-side rollup (Streams.scd2Rollup, whose change rows come from
+    * the stateful ingest) — the two can never drift. */
+  private[graft] def scd2FromChanges(changes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes.select(col("user_id"), col("event_type"),
+      row_number().over(w).cast("long").as("version"),
+      col("ts_us").as("valid_from_us"),
+      lead("ts_us", 1).over(w).as("valid_to_us"),
+      lead("ts_us", 1).over(w).isNull.as("is_current"))
   }
 
   /** First-order Markov transition matrix (r9): per user, each ordered

@@ -174,6 +174,41 @@ object WindowQueries {
           min(col("px") / col("runmax") - 1.0).as("max_drawdown"))
   }
 
+  /** Calendar-gap audit of each asset's observation series (r13) — the
+    * data-quality gauge behind every resample/ffill decision (the
+    * reference's publication-lag checks, test_data_integrity.py:104):
+    * per asset, distinct observation days, gap count (day-diff > 1
+    * between consecutive distinct days), the largest gap, the calendar
+    * span, and pinned coverage = days / (span + 1). coverage ≪ 1 says
+    * ffill will fabricate most of the series; max_gap bounds how stale a
+    * forward-filled value can get. One distinct + one per-asset ordered
+    * window — all integer day arithmetic, engine-exact. */
+  val winSeriesGaps = Q("q_win_series_gaps",
+    "per-asset calendar-gap audit: day count, gaps, max gap, pinned coverage")(
+    "WITH dd AS (SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS d FROM lineitem), " +
+      "g AS (SELECT l_partkey, d, date_diff('day', " +
+      "lag(d) OVER (PARTITION BY l_partkey ORDER BY d), d) AS gap FROM dd) " +
+      "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+      "CAST(max(gap) AS BIGINT) AS max_gap_days, " +
+      "CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS span_days, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(count(*) AS DOUBLE) / CAST(date_diff('day', min(d), max(d)) + 1 AS DOUBLE)") +
+      " AS coverage FROM g GROUP BY 1") {
+    (s, d) =>
+      val dd = lineitem(s, d)
+        .select(col("l_partkey"), col("l_shipdate").cast("date").as("d")).distinct()
+      val w = Window.partitionBy("l_partkey").orderBy("d")
+      dd.withColumn("gap", datediff(col("d"), lag("d", 1).over(w)))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("gap") > 1, 1).otherwise(0)).cast("long").as("n_gaps"),
+          max("gap").cast("long").as("max_gap_days"),
+          (datediff(max("d"), min("d")) + 1).cast("long").as("span_days"),
+          Exact.pinScoreInt(count(lit(1)).cast("double") /
+            (datediff(max("d"), min("d")) + 1).cast("double")).as("coverage"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
-    monthTrunc, winNtile, winPctRank, winDrawdown)
+    monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps)
 }

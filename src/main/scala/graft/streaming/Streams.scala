@@ -767,4 +767,63 @@ object Streams {
   def dauRollup(spark: SparkSession, pairsDir: String): DataFrame =
     graft.queries.SessionQueries.dauWauFromPairs(
       spark.read.parquet(pairsDir).distinct())
+
+  final case class Scd2Carry(event_type: String)
+  final case class Scd2Change(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+
+  /** Streaming SCD2 change extraction (r13) — the continuous twin of
+    * q_scd2's lag filter: per-user state carries the last event TYPE so
+    * a state run that spans a batch/restart boundary emits its start row
+    * exactly once (the gapIngest/seqNgramStages contract: per-user
+    * arrival order across batches must follow event time — the same
+    * assumption the batch lag makes of its sort). Emits one change row
+    * per run start; [[scd2Rollup]] closes the intervals through the
+    * IDENTICAL published recipe (SessionQueries.scd2FromChanges — shared
+    * code, not a copy).
+    *
+    * Replay algebra, two layers (spec-pinned): (1) with the parquet
+    * streaming sink, a checkpoint-lost replay restarts batch ids at 0
+    * and the sink's _spark_metadata log treats them as committed — zero
+    * duplicate files land; (2) under a log-less sink (foreachBatch),
+    * change extraction is a DETERMINISTIC function of the per-user event
+    * prefix, so the replay re-emits the IDENTICAL rows — duplicates, not
+    * divergence — and the read side's distinct() absorbs them (the
+    * dauIngest set argument, earned by determinism rather than set
+    * union). State is one string per user — bounded by the user
+    * universe. */
+  def scd2Ingest(spark: SparkSession, sourceDir: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Carry, Scd2Change](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        val prev = state.getOption.map(_.event_type)
+        val changes = sorted.foldLeft((List.empty[Scd2Change], prev)) {
+          case ((acc, p), e) =>
+            val acc2 =
+              if (p.contains(e.event_type)) acc
+              else Scd2Change(uid, e.event_id, e.ts_us, e.event_type) :: acc
+            (acc2, Some(e.event_type))
+        }._1.reverse
+        sorted.lastOption.foreach(l => state.update(Scd2Carry(l.event_type)))
+        changes.iterator
+      }.toDF()
+  }
+
+  /** Read-side SCD2 dimension over the change-row store — the SAME code
+    * object as the batch q_scd2's interval closer
+    * (SessionQueries.scd2FromChanges); replay-duplicate change rows
+    * collapse in the distinct. */
+  def scd2Rollup(staged: DataFrame): DataFrame =
+    graft.queries.SessionQueries.scd2FromChanges(
+      staged.select("user_id", "event_id", "ts_us", "event_type").distinct())
 }

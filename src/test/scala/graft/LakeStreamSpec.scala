@@ -967,4 +967,75 @@ class LakeStreamSpec extends SparkSpec {
       "compaction reclaims the replay's duplicate rows")
     assert(rollup() === want, "compaction preserves the rollup")
   }
+
+  test("Streams.scd2Ingest: boundary-spanning runs emit once; rollup equals batch q_scd2; replay absorbed") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp()
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "user_id", "ts", "event_type")
+    val schema = ev(Nil).schema
+    def drain(checkpoint: String): Unit = {
+      val q = Streams.scd2Ingest(spark, src, schema)
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: user 1 view,view,click (2 runs); user 2 view (1 run)
+    ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "view"),
+      (3L, 1L, "2024-01-01 10:02:00", "click"),
+      (4L, 2L, "2024-01-01 09:00:00", "view")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt)
+    val run1 = spark.read.parquet(out).as[Streams.Scd2Change].collect().toSeq
+    assert(run1.length == 3, s"run 1 must emit 3 run starts, got $run1")
+    // run 2 (restart): user 1 click (SPANS the boundary - no change) then
+    // view (change); user 2 view (no change)
+    ev(Seq(
+      (5L, 1L, "2024-01-01 10:05:00", "click"),
+      (6L, 1L, "2024-01-01 10:06:00", "view"),
+      (7L, 2L, "2024-01-01 09:10:00", "view")))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt)
+    val staged = spark.read.parquet(out).as[Streams.Scd2Change].collect().toSeq
+    assert(staged.length == run1.length + 1,
+      "run 2 emits exactly the one new run start (the spanning run is absorbed by state)")
+    // read-side rollup equals the batch operator on the same lake
+    val evDir = tmp()
+    spark.read.parquet(src)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+    def rollup() = Streams.scd2Rollup(spark.read.parquet(out)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))).toSet
+    val batch = graft.queries.SessionQueries.scd2.fn(spark, evDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))).toSet
+    val want = rollup()
+    assert(want === batch, s"stream rollup $want != batch $batch")
+    assert(want.exists(t => t._1 == 1L && t._2 == "view" && t._3 == 3L && t._6))
+    // checkpoint LOSS, layer 1: a fresh query checkpoint restarts batch
+    // ids at 0, and the parquet SINK's _spark_metadata log treats them as
+    // already committed - the replay lands zero duplicate files
+    drain(tmp())
+    assert(spark.read.parquet(out).count() == staged.length,
+      "the file sink's metadata log absorbs the replayed batches")
+    assert(rollup() === want, "rollup unchanged under sink-log-absorbed replay")
+    // layer 2: a log-less sink (foreachBatch-style) WOULD land duplicate
+    // rows - simulate by appending a verbatim copy of the store; the
+    // deterministic re-extraction emits identical rows, so the read
+    // side's distinct absorbs them
+    val copy = spark.read.parquet(out).localCheckpoint()
+    copy.write.mode("append").parquet(out + "_dup")
+    copy.write.mode("append").parquet(out + "_dup")
+    val dup = Streams.scd2Rollup(spark.read.parquet(out + "_dup")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))).toSet
+    assert(dup === want, "duplicate change rows absorbed by determinism + distinct")
+  }
 }
