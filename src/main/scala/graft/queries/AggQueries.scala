@@ -876,9 +876,46 @@ object AggQueries {
           Exact.pinScoreInt(max(share)).as("top_share"))
   }
 
+  /** Bootstrap replica means (r13) — the distributed uncertainty
+    * harness: B = 16 deterministic half-samples per group (row ∈ replica
+    * b iff BIT b of the row's md5 leading 32-bit word is 0 — ONE hash
+    * per row, not per row×replica, from the portable md5 family the
+    * minhash oracle already certifies; distinct bits are independent
+    * fair coins), each
+    * replica's row count and exact mean published long-form next to the
+    * full-sample row (replica = -1). The spread of the 16 means IS the
+    * bootstrap standard error of the group mean — derived by the reader
+    * (spec-folded) so every published cell stays a count or an
+    * exact-decimal mean, nothing needs a noisy-double cast. One scan
+    * with a ×(B+1) map-side explode, one (group, replica) hash
+    * aggregate; B is the cost/precision knob. */
+  val aggBootstrapMeans = Q("q_agg_bootstrap_means",
+    "16 deterministic half-sample replica means per group + the full-sample row")(
+    "WITH r AS (SELECT l_returnflag, l_extendedprice, " +
+      s"('0x' || substr(md5(CAST($ordSql AS VARCHAR)), 1, 8))::BIGINT AS h, " +
+      "unnest(range(-1, 16)) AS replica FROM lineitem), " +
+      "kept AS (SELECT l_returnflag, replica, l_extendedprice FROM r " +
+      "WHERE replica = -1 OR ((h >> replica) & 1) = 0) " +
+      "SELECT l_returnflag, CAST(replica AS BIGINT) AS replica, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      Exact.Sql.avg("l_extendedprice") + " AS mean_px " +
+      "FROM kept GROUP BY 1, 2") {
+    (s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          expr(s"CAST(conv(substr(md5(CAST($ordSql AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"),
+          explode(sequence(lit(-1), lit(15))).as("replica"))
+        .filter(col("replica") === -1 ||
+          expr("(shiftright(h, replica) & 1) = 0"))
+        .groupBy(col("l_returnflag"), col("replica").cast("long").as("replica"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactAvg(col("l_extendedprice")).as("mean_px"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
-    aggAutocorr, aggHerfindahl)
+    aggAutocorr, aggHerfindahl, aggBootstrapMeans)
 }

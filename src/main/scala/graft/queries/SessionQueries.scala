@@ -1009,9 +1009,73 @@ object SessionQueries {
           col("version"), col("valid_from_us"))
   }
 
+  /** Two-arm A/B conversion read-out (r13) — the experimentation layer
+    * the funnel/CI family feeds: users split into arms by user_id parity
+    * (stand-in for the assignment column a real experiment logs),
+    * conversion = any purchase event. Publishes per-arm counts, pinned
+    * rates, the relative lift, and the pooled two-proportion z statistic
+    * — all fixed-order IEEE over four exact integers, so every cell is a
+    * portable grid value (the q_event_conversion_ci discipline applied
+    * to BETWEEN-arm inference). One user-keyed aggregate → one 2-row
+    * fold → a single-row broadcastable result. */
+  val eventAbLift = Q("q_event_ab_lift",
+    "two-arm A/B conversion lift + pooled z from user-parity arms")(
+    "WITH u AS (SELECT user_id % 2 AS arm, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+      "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+      "a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users, " +
+      "CAST(sum(conv) AS BIGINT) AS n_conv FROM u GROUP BY 1), " +
+      "p AS (SELECT " +
+      "max(CASE WHEN arm = 0 THEN n_users END) AS n0, " +
+      "max(CASE WHEN arm = 0 THEN n_conv END) AS c0, " +
+      "max(CASE WHEN arm = 1 THEN n_users END) AS n1, " +
+      "max(CASE WHEN arm = 1 THEN n_conv END) AS c1 FROM a) " +
+      "SELECT n0, c0, n1, c1, " +
+      graft.util.Exact.Sql.pinScoreInt("CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)") +
+      " AS rate0, " +
+      graft.util.Exact.Sql.pinScoreInt("CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)") +
+      " AS rate1, " +
+      "CASE WHEN c0 > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE)) / " +
+          "(CAST(n1 AS DOUBLE) * CAST(c0 AS DOUBLE))") + " END AS lift, " +
+      "CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1) THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
+          "sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+          "(1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+          "(1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))") +
+      " END AS z FROM p") {
+    (s, d) =>
+      import graft.util.Exact
+      // conv per user first, then per arm — two aggregates, like the CTE
+      val conv = events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("conv").cast("long").as("n_conv"))
+      val p = conv.agg(
+        max(when(col("arm") === 0, col("n_users"))).as("n0"),
+        max(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        max(when(col("arm") === 1, col("n_users"))).as("n1"),
+        max(when(col("arm") === 1, col("n_conv"))).as("c1"))
+      val (n0, c0, n1, c1) = (col("n0").cast("double"), col("c0").cast("double"),
+        col("n1").cast("double"), col("c1").cast("double"))
+      val pb = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+      p.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        Exact.pinScoreInt(c0 / n0).as("rate0"),
+        Exact.pinScoreInt(c1 / n1).as("rate1"),
+        when(col("c0") > 0,
+          Exact.pinScoreInt((c1 * n0) / (n1 * c0))).as("lift"),
+        when(col("c0") + col("c1") > 0 && col("c0") + col("c1") < col("n0") + col("n1"),
+          Exact.pinScoreInt((c1 / n1 - c0 / n0) /
+            sqrt(pb * (lit(1.0) - pb) * (lit(1.0) / n0 + lit(1.0) / n1)))).as("z"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
-    eventConcurrency, eventPowerUsers, scd2Pit)
+    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift)
 }

@@ -1547,7 +1547,12 @@ object VectorQueries {
 
   /** The Spark twin of [[pqAdcCtes]]: (q, c, adc) for every query ×
     * candidate, adc already a pinned grid cell. */
-  private def pqAdcFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** Plain-PQ encode chain — (d2 per-codeword distances, enc assigned
+    * codes) — shared by q_ann_pq / q_ann_pq_refine (via pqAdcFrame) and
+    * q_emb_pq_code_stats, so the codebook/encoding identity is one code
+    * object. */
+  private def pqPlainEncode(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
       val base = embeddings(s, d)
       def subFrame(df: DataFrame, idAs: String, subAs: String) = df
         .select(col("vec_id").as(idAs),
@@ -1568,6 +1573,11 @@ object VectorQueries {
       val wEnc = Window.partitionBy("vid", "s").orderBy(col("dist2"), col("code"))
       val enc = d2.withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
         .select("vid", "s", "code")
+      (d2, enc)
+  }
+
+  private def pqAdcFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+      val (d2, enc) = pqPlainEncode(s, d)
       val lut = d2.filter(col("vid") < 5)
         .select(col("vid").as("q"), col("s"), col("code"), col("dist2"))
       enc.join(broadcast(lut), Seq("s", "code"))
@@ -3182,6 +3192,98 @@ object VectorQueries {
         (0 to BfsRounds).map(i => col(s"in$i").isNotNull).reduce(_ || _).as("reached"))
   }
 
+  /** PQ codebook utilization (r13) — the index-health gauge behind
+    * q_ann_pq's recall numbers: per (subspace, codeword) of the SAME
+    * encode chain (pqPlainEncode — shared code object), the assigned-
+    * vector count and pinned within-subspace share. A dead codeword
+    * (absent row) wastes a nibble value; a dominant one (share → 1)
+    * says the subspace carries no information and its ADC distances
+    * collapse — both are retraining signals read BEFORE recall drops.
+    * ≤ 8×16 output rows; the encode is the corpus × 128-row broadcast
+    * scan q_ann_pq already pays. */
+  val embPqCodeStats = Q("q_emb_pq_code_stats",
+    "PQ codebook utilization: per (subspace, code) count + within-subspace share")(
+    pqAdcCtes +
+      ", cs AS (SELECT s, code, CAST(count(*) AS BIGINT) AS n_vecs FROM enc GROUP BY 1, 2), " +
+      "ts AS (SELECT s, CAST(sum(n_vecs) AS BIGINT) AS n FROM cs GROUP BY 1) " +
+      "SELECT cs.s, cs.code, cs.n_vecs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(cs.n_vecs AS DOUBLE) / CAST(ts.n AS DOUBLE)") + " AS share " +
+      "FROM cs JOIN ts ON ts.s = cs.s") {
+    (s, d) =>
+      val (_, enc) = pqPlainEncode(s, d)
+      val cs = enc.groupBy("s", "code").agg(count(lit(1)).as("n_vecs"))
+        .materialized(eager = false) // the subspace totals AND the output
+      val ts = cs.groupBy("s").agg(sum("n_vecs").cast("long").as("n"))
+      cs.join(broadcast(ts), "s")
+        .select(col("s"), col("code"), col("n_vecs"),
+          graft.util.Exact.pinScoreInt(
+            col("n_vecs").cast("double") / col("n").cast("double")).as("share"))
+  }
+
+  /** Newman modularity of the hier clustering against the mutual-kNN
+    * graph (r13) — the cross-check between the two unsupervised views of
+    * the corpus: does the CLUSTER assignment (cosine space) explain the
+    * GRAPH structure (mutual neighborhoods)? Per cluster with ≥1 graph
+    * node: member-node count, within-cluster edge count, degree mass,
+    * and the pinned modularity contribution e_c/m − (d_c/2m)²; Q is the
+    * sum (spec-folded; well-separated clusters ⇒ Q ≫ 0, anisotropy
+    * collapse ⇒ Q ≈ 0 — the same failure q_emb_intrinsic_dim scores).
+    *
+    * Scale: edges join the assignment twice (edges-sized), one cluster
+    * aggregate each side — the q_graph_cc_sizes shuffle shape; the hier
+    * assignment keeps the clustering itself corpus-linear. */
+  val graphModularity = Q("q_graph_modularity",
+    "per-cluster Newman modularity of the hier assignment over the mutual-kNN graph")(
+    vecsSql +
+      hierPrologueSql +
+      hierAssignSqlCtes +
+      "edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) GROUP BY 1), " +
+      "nc AS (SELECT d.node, d.deg, a.cluster FROM deg d JOIN assign a ON a.vid = d.node), " +
+      "ein AS (SELECT x.cluster, CAST(count(*) AS BIGINT) AS e_in FROM edges e " +
+      "JOIN nc x ON x.node = e.a JOIN nc y ON y.node = e.b AND y.cluster = x.cluster " +
+      "GROUP BY 1), " +
+      "cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes, " +
+      "CAST(sum(deg) AS BIGINT) AS d_sum FROM nc GROUP BY 1) " +
+      "SELECT cs.cluster, cs.n_nodes, COALESCE(ein.e_in, 0) AS e_in, cs.d_sum, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) - " +
+          "(CAST(cs.d_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) * " +
+          "(CAST(cs.d_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))") +
+      " AS q_contrib FROM cs LEFT JOIN ein ON ein.cluster = cs.cluster CROSS JOIN mm") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = hierSeedCents(base)
+      val k = cents.count()
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val assign = assignClustersHier(all, cents, k)
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val mm = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val nc = deg.join(assign.withColumnRenamed("vid", "node"), "node")
+        .materialized(eager = false) // both endpoints AND the cluster fold
+      val ein = edges
+        .join(nc.select(col("node").as("a"), col("cluster").as("ca")), "a")
+        .join(nc.select(col("node").as("b"), col("cluster").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("e_in"))
+      val cs = nc.groupBy("cluster")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").cast("long").as("d_sum"))
+      val dHalf = col("d_sum").cast("double") / (lit(2.0) * col("m").cast("double"))
+      cs.join(ein, Seq("cluster"), "left").crossJoin(broadcast(mm))
+        .select(col("cluster"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("e_in"), lit(0L)).cast("double") / col("m").cast("double") -
+              dHalf * dHalf).as("q_contrib"))
+  }
+
   /** Within-cluster cosine-distance histogram (r13) — the distribution
     * the per-vector gauges summarize away: over every unordered within-
     * cluster pair of the hier assignment, the pair count per 0.2-wide
@@ -3252,5 +3354,5 @@ object VectorQueries {
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
-    graphDegreeHist, graphBfsLayers)
+    graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats)
 }
