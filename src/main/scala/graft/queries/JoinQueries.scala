@@ -376,7 +376,62 @@ object JoinQueries {
           Exact.exactSum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** Period-over-period universe turnover (r13) — the stability gauge of
+    * q_join_asof_universe's membership selection (the reference
+    * regenerates its top-N universe monthly,
+    * universe_generation_pipeline.py:144-171; churn in that list IS the
+    * rebalancing cost): per period with a predecessor, how many members
+    * were kept / added / dropped vs the previous period, and the pinned
+    * turnover = added / current size. The universe CTE is q_join_asof_
+    * universe's verbatim (top-10 spenders per year). One period-lagged
+    * self-join of a k-per-period frame — the joined sides are
+    * universe-sized (periods × k), broadcast-able at any corpus scale. */
+  val joinUniverseTurnover = Q("q_join_universe_turnover",
+    "period-over-period kept/added/dropped + pinned turnover of the top-N universe")(
+    "WITH spend AS (SELECT date_trunc('year', o_orderdate) AS period, o_custkey, " +
+      s"${Exact.Sql.sum("o_totalprice")} AS spend FROM orders GROUP BY 1, 2), " +
+      "uni AS (SELECT period, o_custkey FROM (SELECT spend.*, " +
+      "row_number() OVER (PARTITION BY period ORDER BY spend DESC, o_custkey) AS rn " +
+      "FROM spend) WHERE rn <= 10), " +
+      "sizes AS (SELECT period, CAST(count(*) AS BIGINT) AS k FROM uni GROUP BY 1), " +
+      "kept AS (SELECT a.period, CAST(count(*) AS BIGINT) AS n_kept FROM uni a " +
+      "JOIN uni b ON b.o_custkey = a.o_custkey " +
+      "AND b.period = a.period - INTERVAL 1 YEAR GROUP BY 1) " +
+      "SELECT s.period, COALESCE(kp.n_kept, 0) AS n_kept, " +
+      "s.k - COALESCE(kp.n_kept, 0) AS n_added, " +
+      "ps.k - COALESCE(kp.n_kept, 0) AS n_dropped, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(s.k - COALESCE(kp.n_kept, 0) AS DOUBLE) / CAST(s.k AS DOUBLE)") +
+      " AS turnover FROM sizes s " +
+      "JOIN sizes ps ON ps.period = s.period - INTERVAL 1 YEAR " +
+      "LEFT JOIN kept kp ON kp.period = s.period") {
+    (s, d) =>
+      val spend = orders(s, d)
+        .groupBy(date_trunc("year", col("o_orderdate")).as("period"), col("o_custkey"))
+        .agg(Exact.exactSum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy("period").orderBy(col("spend").desc, col("o_custkey"))
+      val uni = spend.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("period", "o_custkey")
+        .materialized(eager = false) // sizes, kept (twice)
+      val sizes = uni.groupBy("period").agg(count(lit(1)).as("k"))
+      val kept = uni.as("a")
+        .join(uni.as("b"), col("b.o_custkey") === col("a.o_custkey") &&
+          col("b.period") === add_months(col("a.period"), -12))
+        .groupBy(col("a.period").as("period")).agg(count(lit(1)).as("n_kept"))
+      sizes.as("s")
+        .join(sizes.as("ps"),
+          col("ps.period") === add_months(col("s.period"), -12))
+        .join(kept.as("kp"), col("kp.period") === col("s.period"), "left")
+        .select(col("s.period").as("period"),
+          coalesce(col("kp.n_kept"), lit(0L)).as("n_kept"),
+          (col("s.k") - coalesce(col("kp.n_kept"), lit(0L))).as("n_added"),
+          (col("ps.k") - coalesce(col("kp.n_kept"), lit(0L))).as("n_dropped"),
+          Exact.pinScoreInt(
+            (col("s.k") - coalesce(col("kp.n_kept"), lit(0L))).cast("double") /
+              col("s.k").cast("double")).as("turnover"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
     joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed,
-    joinAsofNearest, joinSaltedSkew)
+    joinAsofNearest, joinSaltedSkew, joinUniverseTurnover)
 }

@@ -1073,9 +1073,47 @@ object SessionQueries {
             sqrt(pb * (lit(1.0) - pb) * (lit(1.0) / n0 + lit(1.0) / n1)))).as("z"))
   }
 
+  /** Daily new-vs-returning split (r13) — growth accounting over the
+    * same distinct (user, day) pair set as q_event_dau_wau: a user's
+    * FIRST-ever active day counts as new, every later active day as
+    * returning; pinned share_new per day. A product whose DAU is flat
+    * but share_new is high is churning through its user base — the
+    * decomposition DAU alone hides. Two hash aggregates (user-day
+    * distinct, per-user min) + one day-keyed fold; the per-user first
+    * day is a corpus-bounded broadcast-able dimension. */
+  val eventNewReturning = Q("q_event_new_returning",
+    "daily DAU split into first-ever-day (new) vs returning users")(
+    "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dnum " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "f AS (SELECT user_id, min(dnum) AS first_day FROM e GROUP BY 1) " +
+      "SELECT e.dnum AS day_num, CAST(count(*) AS BIGINT) AS dau, " +
+      "CAST(sum(CASE WHEN e.dnum = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+      "CAST(count(*) - sum(CASE WHEN e.dnum = f.first_day THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_returning, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(CASE WHEN e.dnum = f.first_day THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE)") + " AS share_new " +
+      "FROM e JOIN f ON f.user_id = e.user_id GROUP BY 1") {
+    (s, d) =>
+      import graft.util.Exact
+      val e = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dnum"))
+        .distinct()
+        .materialized(eager = false) // the first-day dimension AND the fold
+      val f = e.groupBy("user_id").agg(min("dnum").as("first_day"))
+      val isNew = when(col("dnum") === col("first_day"), 1).otherwise(0)
+      e.join(f, "user_id")
+        .groupBy(col("dnum").as("day_num"))
+        .agg(count(lit(1)).as("dau"),
+          sum(isNew).cast("long").as("n_new"),
+          (count(lit(1)) - sum(isNew)).cast("long").as("n_returning"),
+          Exact.pinScoreInt(
+            sum(isNew).cast("double") / count(lit(1)).cast("double")).as("share_new"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
-    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift)
+    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning)
 }

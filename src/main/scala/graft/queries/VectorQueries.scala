@@ -3192,6 +3192,51 @@ object VectorQueries {
         (0 to BfsRounds).map(i => col(s"in$i").isNotNull).reduce(_ || _).as("reached"))
   }
 
+  /** Metadata-FILTERED exact vector search (r13) — the vector-DB
+    * operation every RAG stack names "filtered search": per query, the
+    * top-3 cosine neighbors restricted to candidates sharing the query's
+    * label (PRE-filter semantics: the predicate prunes the candidate set
+    * BEFORE ranking, so the result always holds k matching rows when k
+    * exist — post-filtering an unfiltered top-k would silently return
+    * fewer). Decimal-exact dots, deterministic (cosine DESC, c) ties.
+    *
+    * Scale: the label predicate is an equi-join key, so the pair frame
+    * shrinks by the label fan-out BEFORE any distance math — the filter
+    * is pushed into the join, not applied after ranking; queries stay a
+    * broadcast. A selective filter makes this CHEAPER than unfiltered
+    * brute force, the property that makes pre-filter the right default
+    * until selectivity gets so low an IVF probe + post-check wins. */
+  val annFiltered = Q("q_ann_filtered",
+    "label-filtered exact cosine top-3 (pre-filter semantics)")(
+    vecsSql +
+      ", lab AS (SELECT vec_id, label FROM embeddings), " +
+      "dots AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 " +
+      "AND b.vec_id <> a.vec_id AND b.label = a.label GROUP BY 1, 2), " +
+      "cosd AS (SELECT d.q, lq.label, d.c, d.dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM dots d JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c " +
+      "JOIN lab lq ON lq.vec_id = d.q) " +
+      "SELECT q, label, c, cosine, rn FROM (SELECT cosd.*, " +
+      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM cosd) " +
+      "WHERE rn <= 3") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("label"),
+          col("embedding").as("eq"), expr(normExpr("embedding")).as("nq"))
+      val cs = base.select(col("vec_id").as("c"), col("label").as("cl"),
+        col("embedding").as("ec"), expr(normExpr("embedding")).as("nc"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      cs.join(broadcast(qs),
+          col("c") =!= col("q") && col("cl") === col("label"))
+        .select(col("q"), col("label"), col("c"),
+          (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("q", "label", "c", "cosine", "rn")
+  }
+
   /** PQ codebook utilization (r13) — the index-health gauge behind
     * q_ann_pq's recall numbers: per (subspace, codeword) of the SAME
     * encode chain (pqPlainEncode — shared code object), the assigned-
@@ -3354,5 +3399,5 @@ object VectorQueries {
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
-    graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats)
+    graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered)
 }
