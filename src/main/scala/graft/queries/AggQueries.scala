@@ -913,9 +913,86 @@ object AggQueries {
           Exact.exactAvg(col("l_extendedprice")).as("mean_px"))
   }
 
+  /** Sortino ratio per asset (r13) — q_agg_mean_std's Sharpe with the
+    * denominator that practitioners actually want: downside deviation
+    * vs a minimum-acceptable-return threshold (MAR = 0.05 here — the
+    * discount column's midpoint, standing in for the target an
+    * experiment configures). excess = l_discount − 0.05 stays a RAW
+    * 2-decimal value (constant subtraction is exact), so its squares
+    * are decimal-safe at scale 4 — no dyadic grid needed. downside_dev
+    * = √(Σ min(excess,0)² / n) (full-n convention); NULL Sortino when
+    * no downside exists. One hash aggregate, map-side partials. */
+  val aggSortino = Q("q_agg_sortino",
+    "per-asset Sortino ratio (downside deviation vs MAR) from exact moments")(
+    "SELECT l_partkey, n, mean_ex, dd, " +
+      "CASE WHEN dd > 0 THEN (mean_ex / dd) * sqrt(365.0) END AS sortino " +
+      "FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, " +
+      Exact.Sql.avg("(l_discount - 0.05)") + " AS mean_ex, " +
+      "sqrt(" + Exact.Sql.sum(
+        "(CASE WHEN l_discount < 0.05 THEN (l_discount - 0.05) * (l_discount - 0.05) " +
+          "ELSE 0.0 END)", 4) + " / count(*)) AS dd " +
+      "FROM lineitem GROUP BY 1) t") {
+    (s, d) =>
+      val ex = col("l_discount") - 0.05
+      val down = when(col("l_discount") < 0.05, ex * ex).otherwise(0.0)
+      lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          Exact.exactAvg(ex).as("mean_ex"),
+          sqrt(Exact.exactSum(down, 4) / count(lit(1))).as("dd"))
+        .select(col("l_partkey"), col("n"), col("mean_ex"), col("dd"),
+          when(col("dd") > 0,
+            (col("mean_ex") / col("dd")) * sqrt(lit(365.0))).as("sortino"))
+  }
+
+  /** Expected shortfall (CVaR₅) per asset (r13) — the tail-risk gauge
+    * beside q_win_drawdown: the mean of the worst ceil(5% · n) daily
+    * returns, order-statistic definition (deterministic under ties via
+    * the row ordinal). Returns are DIVISION-derived, so they ride the
+    * dyadic 2⁻²⁰ grid (the r13 Exact rule): floor(r · 2²⁰) BIGINTs, an
+    * int64-exact tail sum, one fixed-order division pair publishes the
+    * pinned ES. |r| < 512 is assert_true-guarded (grid values < 2²⁹,
+    * per-asset tail sums ≪ 2⁶³ at any calendar-bounded history).
+    * One asset-keyed window (rank by grid return) + one fold. */
+  val aggCvar = Q("q_agg_cvar",
+    "per-asset expected shortfall: pinned mean of the worst 5% grid returns")(
+    "WITH r AS (SELECT l_partkey, " +
+      "CAST(floor((l_extendedprice / lag(l_extendedprice) OVER w - 1.0) * 1048576.0) " +
+      "AS BIGINT) AS rg " +
+      s"FROM lineitem WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql)), " +
+      "rr AS (SELECT l_partkey, rg, row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY rg) AS rn, " +
+      "count(*) OVER (PARTITION BY l_partkey) AS n FROM r WHERE rg IS NOT NULL) " +
+      "SELECT l_partkey, CAST(max(n) AS BIGINT) AS n_rets, " +
+      "CAST(count(*) AS BIGINT) AS k_tail, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(CAST(sum(rg) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1048576.0") +
+      " AS es FROM rr WHERE rn <= greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) GROUP BY 1") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val ret = col("l_extendedprice") / lag("l_extendedprice", 1).over(wo) - 1.0
+      val guard = assert_true(ret.isNull || abs(ret) < 512.0,
+        lit("q_agg_cvar: |return| >= 512 breaks the grid's int64 bound"))
+      val r = lineitem(s, d)
+        .select(col("l_partkey"),
+          when(guard.isNull, floor(ret * 1048576.0).cast("long")).as("rg"))
+        .filter(col("rg").isNotNull)
+      val wRank = Window.partitionBy("l_partkey").orderBy("rg")
+      val wAll = Window.partitionBy("l_partkey")
+      r.withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") <= greatest(lit(1L), ceil(lit(0.05) * col("n")).cast("long")))
+        .groupBy("l_partkey")
+        .agg(max("n").cast("long").as("n_rets"),
+          count(lit(1)).as("k_tail"),
+          graft.util.Exact.pinScoreInt(
+            (sum("rg").cast("long").cast("double") / count(lit(1)).cast("double")) /
+              lit(1048576.0)).as("es"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
-    aggAutocorr, aggHerfindahl, aggBootstrapMeans)
+    aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar)
 }

@@ -114,4 +114,59 @@ class Round13bOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("agg_sortino: naive downside-deviation replay within tolerance; no-downside => NULL") {
+    val rows = graft.util.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = rows.groupBy(_._1).map { case (pk, xs) =>
+      val ex = xs.map(_._2 - 0.05)
+      val n = ex.length
+      val mean = ex.sum / n
+      val dd = math.sqrt(ex.map(e => if (e < 0) e * e else 0.0).sum / n)
+      pk -> ((n.toLong, mean, dd, if (dd > 0) Some(mean / dd * math.sqrt(365.0)) else None))
+    }
+    val got = graft.queries.AggQueries.aggSortino.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.length == want.size)
+    got.foreach { case (pk, n, mean, dd, sr) =>
+      val (en, emean, edd, esr) = want(pk)
+      assert(n == en && approx(mean, emean, 1e-9) && approx(dd, edd, 1e-9))
+      (sr, esr) match {
+        case (Some(a), Some(b)) => assert(approx(a, b, 1e-9), s"sortino mismatch at $pk")
+        case (None, None) =>
+        case other => fail(s"null-ness disagrees at $pk: $other")
+      }
+    }
+    assert(got.exists(_._5.isDefined), "some asset must have downside here")
+  }
+
+  test("agg_cvar: grid tail-mean replays exactly; ES <= worst-case mean return") {
+    val Grid20 = 1048576.0
+    val pinG = 1073741824.0
+    val perAsset = li.groupBy(_._1).map { case (pk, xs) =>
+      val s0 = xs.sortBy(x => (x._2, x._6)).map(_._4)
+      val rg = s0.zip(s0.drop(1)).map { case (a, b) =>
+        math.floor((b / a - 1.0) * Grid20).toLong
+      }.sorted
+      pk -> rg
+    }
+    val got = graft.queries.AggQueries.aggCvar.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val withRets = perAsset.filter(_._2.nonEmpty)
+    assert(got.length == withRets.size)
+    got.foreach { case (pk, n, k, es) =>
+      val rg = perAsset(pk)
+      assert(n == rg.length.toLong)
+      val ek = math.max(1, math.ceil(0.05 * rg.length).toInt)
+      assert(k == ek.toLong, s"tail size mismatch at $pk")
+      val tail = rg.take(ek)
+      val expEs = math.floor(
+        ((tail.sum.toDouble / ek.toDouble) / Grid20) * pinG).toLong
+      assert(es == expEs, s"es cell mismatch at $pk")
+      // the tail mean cannot exceed the overall mean
+      assert(tail.sum.toDouble / ek <= rg.sum.toDouble / rg.length + 1e-9)
+    }
+  }
 }
