@@ -190,4 +190,32 @@ object Recursive {
       }
     }
   }
+
+  case class EwmaRow(key: Long, rn: Long, ret: Option[Double],
+      ewma_var: Option[Double], ewma_vol: Option[Double])
+
+  /** RiskMetrics EWMA volatility (r12): v_t = λ·v_{t−1} + (1−λ)·r_t² with
+    * λ = 0.94 over simple returns r_t = close_t/close_{t−1} − 1; the first
+    * return seeds v (the same first-observation-seeds convention as the
+    * EMAs above). Published per row: the return, the EWMA variance and
+    * its square root — every step one fixed IEEE op sequence, replayed by
+    * the oracle's recursive CTE op-for-op. */
+  def ewmaVol(s: SparkSession, d: String): Dataset[EwmaRow] = {
+    import s.implicits._
+    val lam = 0.94
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var v = 0.0
+      var seeded = false
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) EwmaRow(k, 1, None, None, None)
+        else {
+          val ret = r.close / rows(i - 1).close - 1.0
+          if (!seeded) { v = ret * ret; seeded = true }
+          else v = (lam * v) + ((1.0 - lam) * (ret * ret))
+          EwmaRow(k, i + 1, Some(ret), Some(v), Some(math.sqrt(v)))
+        }
+      }
+    }
+  }
 }

@@ -886,9 +886,15 @@ object AggQueries {
     * full-sample row (replica = -1). The spread of the 16 means IS the
     * bootstrap standard error of the group mean — derived by the reader
     * (spec-folded) so every published cell stays a count or an
-    * exact-decimal mean, nothing needs a noisy-double cast. One scan
-    * with a ×(B+1) map-side explode, one (group, replica) hash
-    * aggregate; B is the cost/precision knob. */
+    * exact-decimal mean, nothing needs a noisy-double cast. ONE scan,
+    * ZERO row amplification (r12 rewrite): the ×(B+1) explode the first
+    * version paid (17× the corpus through the shuffle) is replaced by
+    * 2(B+1) conditional aggregates over the original rows — membership
+    * of row r in replica b is a per-column `when(bit b of h = 0)` guard
+    * inside the same hash aggregate, and the wide (n_b, mean_b) row is
+    * exploded to the published long form only AFTER aggregation, at
+    * group granularity. Map-side partials do all the work; B is the
+    * cost/precision knob and now prices as agg columns, not rows. */
   val aggBootstrapMeans = Q("q_agg_bootstrap_means",
     "16 deterministic half-sample replica means per group + the full-sample row")(
     "WITH r AS (SELECT l_returnflag, l_extendedprice, " +
@@ -900,17 +906,32 @@ object AggQueries {
       "CAST(count(*) AS BIGINT) AS n_rows, " +
       Exact.Sql.avg("l_extendedprice") + " AS mean_px " +
       "FROM kept GROUP BY 1, 2") {
-    (s, d) =>
-      lineitem(s, d)
+    (s, d) => {
+      val reps = -1 to 15
+      val aggs = reps.flatMap { b =>
+        val kept =
+          if (b == -1) lit(true)
+          else shiftright(col("h"), b).bitwiseAND(lit(1L)) === 0L
+        val keptPx = when(kept, col("l_extendedprice"))
+        Seq(count(keptPx).as(s"n_${b + 1}"),
+          (Exact.exactSum(keptPx) / count(keptPx)).as(s"m_${b + 1}"))
+      }
+      val wide = lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"),
           expr(s"CAST(conv(substr(md5(CAST($ordSql AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-            .as("h"),
-          explode(sequence(lit(-1), lit(15))).as("replica"))
-        .filter(col("replica") === -1 ||
-          expr("(shiftright(h, replica) & 1) = 0"))
-        .groupBy(col("l_returnflag"), col("replica").cast("long").as("replica"))
-        .agg(count(lit(1)).as("n_rows"),
-          Exact.exactAvg(col("l_extendedprice")).as("mean_px"))
+            .as("h"))
+        .groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+      val longRows = reps.map { b =>
+        struct(lit(b.toLong).as("replica"),
+          col(s"n_${b + 1}").as("n_rows"), col(s"m_${b + 1}").as("mean_px"))
+      }
+      wide
+        .select(col("l_returnflag"), explode(array(longRows: _*)).as("r"))
+        .filter(col("r.n_rows") > 0) // oracle GROUP BY emits no row for an empty replica
+        .select(col("l_returnflag"), col("r.replica").as("replica"),
+          col("r.n_rows").as("n_rows"), col("r.mean_px").as("mean_px"))
+    }
   }
 
   /** Sortino ratio per asset (r13) — q_agg_mean_std's Sharpe with the
@@ -990,9 +1011,141 @@ object AggQueries {
               lit(1048576.0)).as("es"))
   }
 
+  /** Two-sided trimmed mean per group (r12) — the robust-location sibling
+    * of q_agg_winsorize: DROP (don't clamp) the k = n div 20 lowest and
+    * highest observations by (value, ordinal) order, then exact-decimal
+    * mean over the kept middle. Order-statistic definition (rank-based,
+    * ordinal tiebreak) so the kept SET is deterministic under ties on any
+    * engine and at any parallelism. One window shuffle on the group key +
+    * one hash aggregate. Group-key cardinality is the scale caveat (3
+    * flags ⇒ 3 big sorted partitions); the documented 100 TB path is the
+    * two-phase rank layout in ops.Quantiles (q_win_ntile's), which this
+    * query's semantics — a rank filter — drop onto unchanged. */
+  val aggTrimmedMean = Q("q_agg_trimmed_mean",
+    "per-group 5% two-sided trimmed mean (order-statistic trim, exact decimal mean)")(
+    "WITH r AS (SELECT l_returnflag, l_extendedprice, " +
+      s"row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, $ordSql) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) " +
+      "SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows, " +
+      "CAST(count(*) AS BIGINT) AS n_kept, " +
+      Exact.Sql.avg("l_extendedprice") + " AS trimmed_mean " +
+      "FROM r WHERE rn > n // 20 AND rn <= n - n // 20 GROUP BY 1") {
+    (s, d) =>
+      val wOrd = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"), ord)
+      val wAll = Window.partitionBy("l_returnflag")
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") > expr("n div 20") && col("rn") <= col("n") - expr("n div 20"))
+        .groupBy("l_returnflag")
+        .agg(max("n").cast("long").as("n_rows"), count(lit(1)).as("n_kept"),
+          Exact.exactAvg(col("l_extendedprice")).as("trimmed_mean"))
+  }
+
+  /** Spearman rank correlation per group (r12) — the monotone-association
+    * gauge beside q_agg_corr's Pearson: rank quantity and price
+    * independently within the group (row_number with a FULL-ROW
+    * total-order tiebreak — the (orderkey·8+linenumber) ordinal alone
+    * COLLIDES in this data (~14k dupes at sf0.01), and a collision lets
+    * each engine swap the tied pair differently, changing BOTH rank
+    * vectors; the 7-column tuple is verified unique at every sf ⇒ both
+    * rank vectors are PERMUTATIONS and the classic
+    * ρ = 1 − 6Σd²/(n(n²−1)) closed form is exact), accumulate Σd² in
+    * DECIMAL(38,0) on Spark / HUGEINT in DuckDB — integer-exact far past
+    * the int64 bound (d² sums reach n³, overflowing int64 near n=2M) —
+    * then ONE fixed-order double division publishes the pinned ρ. Two
+    * window passes + one hash aggregate, all on the same group key: one
+    * shuffle. */
+  val aggSpearman = Q("q_agg_spearman",
+    "per-group Spearman rank correlation of quantity vs price (exact Σd², pinned ρ)")(
+    "WITH r AS (SELECT l_returnflag, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, " +
+      "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_shipdate) AS rx, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, " +
+      "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_shipdate) AS ry " +
+      "FROM lineitem) " +
+      "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE) AS sum_d2, " +
+      Exact.Sql.pinScoreInt(
+        "1.0 - (6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)) / " +
+          "(CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * " +
+          "CAST(count(*) AS DOUBLE) - 1.0))") + " AS rho " +
+      "FROM r GROUP BY 1") {
+    (s, d) =>
+      val tb = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      val wx = Window.partitionBy("l_returnflag").orderBy(
+        (col("l_quantity") +: tb) :+ col("l_extendedprice") :+ col("l_shipdate"): _*)
+      val wy = Window.partitionBy("l_returnflag").orderBy(
+        (col("l_extendedprice") +: tb) :+ col("l_quantity") :+ col("l_shipdate"): _*)
+      val d2 = {
+        val diff = (col("rx") - col("ry")).cast("decimal(38,0)")
+        sum(diff * diff)
+      }
+      val nD = count(lit(1)).cast("double")
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          row_number().over(wx).as("rx"), row_number().over(wy).as("ry"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), d2.cast("double").as("sum_d2"),
+          Exact.pinScoreInt(
+            lit(1.0) - (lit(6.0) * d2.cast("double")) / (nD * (nD * nD - lit(1.0))))
+            .as("rho"))
+  }
+
+  /** Cramér's V between the two lineitem categoricals (r12) — the
+    * association audit a feature pipeline runs before one-hot-ing a
+    * column pair: χ² over the returnflag × linestatus contingency table
+    * (expected cell = rowtot·coltot/n) and V = √(χ²/(n·min(R−1,C−1))).
+    * The contingency table is ONE hash aggregate over the scan; row/col
+    * margins and the χ² fold run over the handful of cells (≤ |flags|·
+    * |statuses|) — corpus-size-independent after the first aggregate, so
+    * the 100 TB cost is exactly one map-side-combined count. Every
+    * arithmetic step is +,−,×,÷,√ in one written order (all IEEE
+    * correctly-rounded), published on the 2⁻³⁰ grid. */
+  val aggCramersV = Q("q_agg_cramers_v",
+    "Cramér's V association of returnflag × linestatus from one contingency pass")(
+    "WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+      "CAST(count(*) AS DOUBLE) AS o FROM lineitem GROUP BY 1, 2), " +
+      "m AS (SELECT rf, sum(o) AS rt FROM c GROUP BY 1), " +
+      "l AS (SELECT ls, sum(o) AS ct FROM c GROUP BY 1), " +
+      "t AS (SELECT sum(o) AS n, count(DISTINCT rf) AS nr, " +
+      "count(DISTINCT ls) AS nc FROM c), " +
+      "x AS (SELECT " + Exact.Sql.portableSum(
+        "((c.o - (m.rt * l.ct) / t.n) * (c.o - (m.rt * l.ct) / t.n)) / ((m.rt * l.ct) / t.n)") +
+      " AS chi2, max(t.n) AS n, max(t.nr) AS nr, max(t.nc) AS nc " +
+      "FROM c JOIN m ON m.rf = c.rf JOIN l ON l.ls = c.ls CROSS JOIN t) " +
+      "SELECT CAST(n AS BIGINT) AS n_rows, CAST(nr AS BIGINT) AS r_levels, " +
+      "CAST(nc AS BIGINT) AS c_levels, " +
+      Exact.Sql.pinScoreInt("chi2") + " AS chi2, " +
+      Exact.Sql.pinScoreInt(
+        "sqrt(chi2 / (n * CAST(least(nr - 1, nc - 1) AS DOUBLE)))") + " AS cramers_v " +
+      "FROM x") {
+    (s, d) =>
+      val c = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).cast("double").as("o"))
+        .materialized(eager = false) // feeds margins AND the chi2 fold
+      val m = c.groupBy("rf").agg(sum("o").as("rt"))
+      val lm = c.groupBy("ls").agg(sum("o").as("ct"))
+      val t = c.agg(sum("o").as("n"), countDistinct("rf").as("nr"),
+        countDistinct("ls").as("nc"))
+      val e = (col("rt") * col("ct")) / col("n")
+      val x = c.join(broadcast(m), "rf").join(broadcast(lm), "ls")
+        .crossJoin(broadcast(t))
+        .agg(Exact.portableSum(((col("o") - e) * (col("o") - e)) / e).as("chi2"),
+          max("n").as("n"), max("nr").as("nr"), max("nc").as("nc"))
+      x.select(col("n").cast("long").as("n_rows"),
+        col("nr").cast("long").as("r_levels"), col("nc").cast("long").as("c_levels"),
+        Exact.pinScoreInt(col("chi2")).as("chi2"),
+        Exact.pinScoreInt(sqrt(col("chi2") /
+          (col("n") * least(col("nr") - 1, col("nc") - 1).cast("double")))).as("cramers_v"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
-    aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar)
+    aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
+    aggTrimmedMean, aggSpearman, aggCramersV)
 }

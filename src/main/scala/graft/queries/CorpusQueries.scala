@@ -309,7 +309,39 @@ object CorpusQueries {
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("is_keeper"))
 
+  /** Deterministic per-source reservoir sample (r12) — fixed k=8 docs per
+    * source, the uniform-k sibling of q_sample_stratified (rate-based) and
+    * q_sample_weighted (weight-based): rank docs inside each source by a
+    * salted portable hash ('rsv:'‖doc_id — salted so the kept set is
+    * INDEPENDENT of the stratified sample's buckets) and keep the k
+    * smallest. Hash-rank top-k IS distributed reservoir sampling with a
+    * reproducibility upgrade: same kept set on any engine, partitioning,
+    * or rerun, and an incremental corpus re-samples consistently (a doc's
+    * rank never changes). One window shuffle on source; at 100 TB the
+    * per-source sort is avoidable via per-partition top-k pre-pruning
+    * (each task keeps its local k before the shuffle — the
+    * TakeOrderedAndProject trick per group), which these semantics admit
+    * unchanged. */
+  val sampleReservoir = Q("q_sample_reservoir",
+    "deterministic per-source k=8 reservoir sample by salted hash rank")(
+    "WITH h AS (SELECT doc_id, source, lang, " +
+      "('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv " +
+      "FROM documents), " +
+      "r AS (SELECT doc_id, source, lang, hv, " +
+      "row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk FROM h) " +
+      "SELECT doc_id, source, lang, hv, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 8") {
+    (s, d) =>
+      val hv = TextOps.hash32(concat(lit("rsv:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), hv.as("hv"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8)
+        .select(col("doc_id"), col("source"), col("lang"), col("hv"),
+          col("rk").cast("long").as("rk"))
+  }
+
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
     quantileGroup, quantileCont, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget,
-    tokensBudgetScore)
+    tokensBudgetScore, sampleReservoir)
 }

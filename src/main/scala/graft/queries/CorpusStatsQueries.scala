@@ -1490,11 +1490,54 @@ object CorpusStatsQueries {
       out(g).unionByName(out(ct))
   }
 
+  /** Theil index of the per-source token mass (r12) — q_agg_gini_source's
+    * information-theoretic sibling, and the one the mix designer can
+    * DECOMPOSE (Theil is additive across nested groupings, Gini is not):
+    * T = Σᵢ (xᵢ/Σx)·ln(k·xᵢ/Σx) over the k sources, 0 = perfectly even,
+    * ln k = one source holds everything. Token masses are exact integer
+    * sums; the ln is the portable recipe (Portable.pln) over the
+    * SOURCES frame — fixed tiny cardinality, so the transcendental work
+    * is corpus-size-independent — and the weighted fold is a 2⁻³⁰-grid
+    * portable sum, published pinned. Empty sources (x=0) contribute 0 by
+    * the x·ln x convention and are filtered before the log. */
+  val aggTheilSource = Q("q_agg_theil_source",
+    "Theil inequality index of per-source token mass (portable ln, pinned)")(
+    "WITH t AS (SELECT source, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS x FROM t GROUP BY 1), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx FROM g), " +
+      "px AS (SELECT g.source, g.x, s.k, s.sx, " +
+      "(CAST(s.k AS DOUBLE) * CAST(g.x AS DOUBLE)) / CAST(s.sx AS DOUBLE) AS _lnx " +
+      "FROM g CROSS JOIN s WHERE g.x > 0), " +
+      Portable.plnSqlCtes("px", "tl") + ", " +
+      "f AS (SELECT max(k) AS k, max(sx) AS sx, " +
+      graft.util.Exact.Sql.portableSum(
+        "(CAST(x AS DOUBLE) / CAST(sx AS DOUBLE)) * _pln") + " AS theil FROM tl) " +
+      "SELECT CAST(k AS BIGINT) AS n_sources, CAST(sx AS BIGINT) AS total_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt("theil") + " AS theil FROM f") {
+    (s, d) =>
+      val g = documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("x"))
+      val st = g.agg(count(lit(1)).as("k"), sum("x").as("sx"))
+      val px = g.crossJoin(broadcast(st)).filter(col("x") > 0)
+      Portable.pln(px,
+          (col("k").cast("double") * col("x").cast("double")) / col("sx").cast("double"),
+          "tl")
+        .agg(max("k").as("k"), max("sx").as("sx"),
+          graft.util.Exact.portableSum(
+            (col("x").cast("double") / col("sx").cast("double")) * col("tl")).as("theil"))
+        .select(col("k").cast("long").as("n_sources"),
+          col("sx").cast("long").as("total_tokens"),
+          graft.util.Exact.pinScoreInt(col("theil")).as("theil"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
     textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
-    textSimpson)
+    textSimpson, aggTheilSource)
 }

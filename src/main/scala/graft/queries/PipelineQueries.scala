@@ -1187,9 +1187,64 @@ object PipelineQueries {
               (col("n_docs").cast("double") * col("npos").cast("double")))).as("lift"))
   }
 
+  /** Cohen's kappa of the registered 'en' classifier (r12) — the
+    * chance-corrected agreement number the confusion matrix
+    * (q_text_langid_confusion) and F1 (q_eval_f1_langid) don't publish:
+    * on an imbalanced corpus raw accuracy rewards always-guessing the
+    * majority; κ = (p_o − p_e)/(1 − p_e) subtracts exactly that
+    * always-guess baseline. Truth is binarized to the classifier's own
+    * {en, und} label space. ONE corpus-sized aggregate (the per-doc
+    * score) feeds four integer counts; everything after is scalar
+    * arithmetic in one written IEEE order, published pinned. κ is NULL
+    * when p_e = 1 (single-class degenerate corpus — nothing to agree
+    * beyond chance about). */
+  val evalKappa = Q("q_eval_kappa",
+    "Cohen's kappa of the en-classifier vs binarized truth (chance-corrected)")(
+    "WITH " + TextQueries.tokwBody + ", " + enScoreCte + ", " +
+      "p AS (SELECT doc_id, CASE WHEN score >= 0.02 THEN 'en' ELSE 'und' END " +
+      "AS pred FROM sc), " +
+      "j AS (SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'und' END AS truth, " +
+      "p.pred FROM p JOIN documents d ON d.doc_id = p.doc_id), " +
+      "c AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS BIGINT) AS agree, " +
+      "CAST(sum(CASE WHEN truth = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_en, " +
+      "CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p_en FROM j), " +
+      "k AS (SELECT n, agree, t_en, p_en, " +
+      "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po, " +
+      "((CAST(t_en AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(p_en AS DOUBLE) / CAST(n AS DOUBLE))) + " +
+      "((CAST(n - t_en AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(n - p_en AS DOUBLE) / CAST(n AS DOUBLE))) AS pe FROM c) " +
+      "SELECT n AS n_docs, agree AS n_agree, t_en AS n_true_en, p_en AS n_pred_en, " +
+      Exact.Sql.pinScoreInt("po") + " AS po, " + Exact.Sql.pinScoreInt("pe") + " AS pe, " +
+      "CASE WHEN pe < 1.0 THEN " +
+      Exact.Sql.pinScoreInt("(po - pe) / (1.0 - pe)") + " END AS kappa FROM k") {
+    (s, d) =>
+      val j = enScore(s, d)
+        .select(col("doc_id"),
+          when(col("score") >= 0.02, "en").otherwise("und").as("pred"))
+        .join(documents(s, d).select(col("doc_id"),
+          when(col("lang") === "en", "en").otherwise("und").as("truth")), "doc_id")
+      val c = j.agg(count(lit(1)).as("n"),
+        sum(when(col("truth") === col("pred"), 1).otherwise(0)).as("agree"),
+        sum(when(col("truth") === "en", 1).otherwise(0)).as("t_en"),
+        sum(when(col("pred") === "en", 1).otherwise(0)).as("p_en"))
+      val nD = col("n").cast("double")
+      val po = col("agree").cast("double") / nD
+      val pe = ((col("t_en").cast("double") / nD) * (col("p_en").cast("double") / nD)) +
+        (((col("n") - col("t_en")).cast("double") / nD) *
+          ((col("n") - col("p_en")).cast("double") / nD))
+      c.select(col("n").cast("long").as("n_docs"),
+          col("agree").cast("long").as("n_agree"),
+          col("t_en").cast("long").as("n_true_en"),
+          col("p_en").cast("long").as("n_pred_en"),
+          Exact.pinScoreInt(po).as("po"), Exact.pinScoreInt(pe).as("pe"),
+          when(pe < 1.0, Exact.pinScoreInt((po - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
     layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply, evalKs,
-    evalLiftDeciles)
+    evalLiftDeciles, evalKappa)
 }

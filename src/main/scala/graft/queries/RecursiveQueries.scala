@@ -70,5 +70,31 @@ object RecursiveQueries {
     (s, d) => Recursive.atr(s, d).toDF().select("key", "rn", "tr", "atr")
   }
 
-  val all: Seq[Q] = Seq(rsi, macd, atr)
+  /** RiskMetrics EWMA volatility, λ=0.94 (r12) — the recursive variance
+    * the rolling-window stddev (q_win_roll_vol) can't express: each step
+    * folds the new squared return into the running variance, so recent
+    * shocks dominate and the estimate never forgets discontinuously the
+    * way a fixed window does. Same flatMapGroups fold layout as RSI/ATR
+    * (one shuffle on the asset key, bounded per-group history), oracle
+    * replayed as a recursive CTE with the identical IEEE op sequence. */
+  val ewmaVol = Q("q_ewma_vol", "RiskMetrics EWMA variance/volatility via sequential fold")(
+    rowsCte +
+      "r AS (SELECT key, rn, close, CAST(NULL AS DOUBLE) AS ret, " +
+      "CAST(NULL AS DOUBLE) AS ewma_var FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT n.key, n.rn, n.close, (n.close / r.close - 1.0) AS ret, " +
+      "CASE WHEN r.ewma_var IS NULL THEN " +
+      "(n.close / r.close - 1.0) * (n.close / r.close - 1.0) " +
+      // CAST: DuckDB parses bare 0.94 as DECIMAL, making (1.0 - 0.94) an
+      // EXACT 0.06 — the JVM's double subtraction gives 0.06000000000000005.
+      // Forcing DOUBLE reproduces the identical IEEE sequence.
+      "ELSE (0.94 * r.ewma_var) + ((1.0 - CAST(0.94 AS DOUBLE)) * " +
+      "((n.close / r.close - 1.0) * (n.close / r.close - 1.0))) END " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) " +
+      "SELECT key, rn, ret, ewma_var, " +
+      "CASE WHEN ewma_var IS NOT NULL THEN sqrt(ewma_var) END AS ewma_vol FROM r") {
+    (s, d) => Recursive.ewmaVol(s, d).toDF().select("key", "rn", "ret", "ewma_var", "ewma_vol")
+  }
+
+  val all: Seq[Q] = Seq(rsi, macd, atr, ewmaVol)
 }

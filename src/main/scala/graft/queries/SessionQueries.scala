@@ -1111,9 +1111,61 @@ object SessionQueries {
             sum(isNew).cast("double") / count(lit(1)).cast("double")).as("share_new"))
   }
 
+  /** Week-over-week churn (r12) — the consecutive-period complement of
+    * q_event_retention's since-first-seen cohort triangle: for each
+    * epoch-week, how many active users are still active the NEXT week
+    * (retained) vs gone (churned), plus the pinned churn rate. Weeks are
+    * integer epoch-week indices (µs // 86400e6 // 7 — the same integer
+    * day arithmetic as q_event_dau_wau), so the +1 join key needs no
+    * calendar math; at a longer-horizon deployment the identical layout
+    * runs at month granularity by swapping the period index. Layout: one
+    * DISTINCT (week, user) reduction — the same idempotent pair-set
+    * algebra as q_event_dau_wau — then a self equi-join on (user,
+    * week+1) and two tiny week-keyed aggregates. The self-join is
+    * user-keyed and shuffle-partitioned, never broadcast: at 100 TB the
+    * pair set is millions×periods of rows. The final week (no next-week
+    * data yet) is excluded rather than published as 100 % churn. */
+  val eventChurn = Q("q_event_churn",
+    "week-over-week active/retained/churned counts + pinned churn rate")(
+    "WITH mu AS (SELECT DISTINCT epoch_us(ts) // 86400000000 // 7 AS wnum, " +
+      "user_id FROM events), " +
+      "act AS (SELECT wnum, count(*) AS n_active FROM mu GROUP BY 1), " +
+      "ret AS (SELECT a.wnum, count(*) AS n_retained FROM mu a " +
+      "JOIN mu b ON b.user_id = a.user_id AND b.wnum = a.wnum + 1 GROUP BY 1), " +
+      "mx AS (SELECT max(wnum) AS maxw FROM mu) " +
+      "SELECT a.wnum AS week_num, CAST(a.n_active AS BIGINT) AS n_active, " +
+      "CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained, " +
+      "CAST(a.n_active - coalesce(r.n_retained, 0) AS BIGINT) AS n_churned, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(a.n_active - coalesce(r.n_retained, 0) AS DOUBLE) / CAST(a.n_active AS DOUBLE)") +
+      " AS churn_rate FROM act a LEFT JOIN ret r ON r.wnum = a.wnum " +
+      "CROSS JOIN mx WHERE a.wnum < mx.maxw") {
+    (s, d) =>
+      val mu = events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000 div 7").as("wnum"), col("user_id"))
+        .distinct()
+        .materialized(eager = false) // feeds actives, the shifted join AND the max
+      val act = mu.groupBy("wnum").agg(count(lit(1)).as("n_active"))
+      val nxt = mu.select((col("wnum") - 1).as("wnum"), col("user_id"))
+      val ret = mu.join(nxt, Seq("wnum", "user_id"))
+        .groupBy("wnum").agg(count(lit(1)).as("n_retained"))
+      val mx = mu.agg(max("wnum").as("maxw"))
+      act.join(ret, Seq("wnum"), "left")
+        .crossJoin(broadcast(mx))
+        .filter(col("wnum") < col("maxw"))
+        .select(col("wnum").as("week_num"),
+          col("n_active").cast("long").as("n_active"),
+          coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
+          (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("long")
+            .as("n_churned"),
+          Exact.pinScoreInt(
+            (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("double") /
+              col("n_active").cast("double")).as("churn_rate"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
-    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning)
+    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn)
 }

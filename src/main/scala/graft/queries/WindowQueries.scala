@@ -209,6 +209,58 @@ object WindowQueries {
             (datediff(max("d"), min("d")) + 1).cast("double")).as("coverage"))
   }
 
+  /** Drawdown DURATION per asset (r12) — the time dimension q_win_drawdown
+    * doesn't publish: how LONG the series stays underwater (px strictly
+    * below its running peak), as the longest consecutive underwater run,
+    * the run count, and total underwater observations. Classic
+    * gaps-and-islands: island id = global ordinal − underwater-only
+    * ordinal, both over the SAME (l_shipdate, ord) order, then one count
+    * per island. Both windows partition on the asset key, and the second
+    * runs on the FILTERED child of the first, so Catalyst reuses the one
+    * hash partitioning — one shuffle total. Assets that never dip (single
+    * observation / monotone peak) publish zeros via the left join onto the
+    * per-asset universe instead of silently dropping. All integer counts —
+    * engine-exact with no numeric detour. */
+  val winDrawdownDuration = Q("q_win_drawdown_duration",
+    "per-asset underwater-streak audit: longest run, run count, underwater rows")(
+    "WITH r AS (SELECT l_partkey, l_extendedprice AS px, " +
+      s"row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql) AS rn, " +
+      "max(l_extendedprice) OVER (PARTITION BY l_partkey " +
+      s"ORDER BY l_shipdate, $ordSql ROWS UNBOUNDED PRECEDING) AS runmax FROM lineitem), " +
+      "u AS (SELECT l_partkey, rn, rn - row_number() OVER " +
+      "(PARTITION BY l_partkey ORDER BY rn) AS isl FROM r WHERE px < runmax), " +
+      "runs AS (SELECT l_partkey, isl, count(*) AS len FROM u GROUP BY 1, 2), " +
+      "per AS (SELECT l_partkey, max(len) AS max_run, count(*) AS n_runs, " +
+      "sum(len) AS n_under FROM runs GROUP BY 1), " +
+      "base AS (SELECT l_partkey, count(*) AS n_obs FROM r GROUP BY 1) " +
+      "SELECT b.l_partkey, CAST(b.n_obs AS BIGINT) AS n_obs, " +
+      "CAST(coalesce(p.max_run, 0) AS BIGINT) AS max_underwater_run, " +
+      "CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs, " +
+      "CAST(coalesce(p.n_under, 0) AS BIGINT) AS n_underwater " +
+      "FROM base b LEFT JOIN per p ON p.l_partkey = b.l_partkey") {
+    (s, d) =>
+      val wOrd = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val wPeak = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice").as("px"),
+          row_number().over(wOrd).as("rn"),
+          max("l_extendedprice").over(wPeak).as("runmax"))
+      val u = r.filter(col("px") < col("runmax"))
+        .select(col("l_partkey"), col("rn"),
+          (col("rn") - row_number().over(
+            Window.partitionBy("l_partkey").orderBy("rn"))).as("isl"))
+      val per = u.groupBy("l_partkey", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("l_partkey")
+        .agg(max("len").as("max_run"), count(lit(1)).as("n_runs"),
+          sum("len").as("n_under"))
+      r.groupBy("l_partkey").agg(count(lit(1)).as("n_obs"))
+        .join(per, Seq("l_partkey"), "left")
+        .select(col("l_partkey"), col("n_obs").cast("long").as("n_obs"),
+          coalesce(col("max_run"), lit(0L)).cast("long").as("max_underwater_run"),
+          coalesce(col("n_runs"), lit(0L)).cast("long").as("n_runs"),
+          coalesce(col("n_under"), lit(0L)).cast("long").as("n_underwater"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
-    monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps)
+    monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration)
 }
