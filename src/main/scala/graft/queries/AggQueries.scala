@@ -1013,84 +1013,137 @@ object AggQueries {
 
   /** Two-sided trimmed mean per group (r12) — the robust-location sibling
     * of q_agg_winsorize: DROP (don't clamp) the k = n div 20 lowest and
-    * highest observations by (value, ordinal) order, then exact-decimal
-    * mean over the kept middle. Order-statistic definition (rank-based,
-    * ordinal tiebreak) so the kept SET is deterministic under ties on any
-    * engine and at any parallelism. One window shuffle on the group key +
-    * one hash aggregate. Group-key cardinality is the scale caveat (3
-    * flags ⇒ 3 big sorted partitions); the documented 100 TB path is the
-    * two-phase rank layout in ops.Quantiles (q_win_ntile's), which this
-    * query's semantics — a rank filter — drop onto unchanged. */
+    * highest observations, then exact-decimal mean over the kept middle.
+    * Rank positions are value-determined (rows tied on the value are
+    * interchangeable — the kept price MULTISET, and hence the mean, is
+    * identical whichever tied rows the boundary cuts), so the published
+    * result needs no row-level tiebreak at all.
+    *
+    * Scale layout (r12 two-phase rewrite — the first version's
+    * per-group corpus sort measured 12× CPU at ×10 on 3 group keys):
+    * a (group, value) count histogram — a distributed hash aggregate —
+    * then an exclusive prefix window over the DISTINCT-value rows only,
+    * and each value contributes overlap([below+1, below+c], [lo+1, hi])
+    * rows to the kept interval. No data-row sort anywhere; the window
+    * input is bounded by the value domain, not the corpus (the
+    * q_quantile_group layout applied to a rank FILTER). The weighted
+    * decimal sum Σ px·kc equals the kept rows' decimal sum term for
+    * term, so the published mean is bit-identical to the sort form. */
   val aggTrimmedMean = Q("q_agg_trimmed_mean",
     "per-group 5% two-sided trimmed mean (order-statistic trim, exact decimal mean)")(
-    "WITH r AS (SELECT l_returnflag, l_extendedprice, " +
-      s"row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, $ordSql) AS rn, " +
-      "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) " +
+    "WITH h AS (SELECT l_returnflag, l_extendedprice AS px, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+      "t AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), " +
+      "p AS (SELECT h.l_returnflag, h.px, h.c, t.n, " +
+      "CAST(coalesce(sum(h.c) OVER (PARTITION BY h.l_returnflag ORDER BY h.px " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below " +
+      "FROM h JOIN t ON t.l_returnflag = h.l_returnflag), " +
+      "k AS (SELECT l_returnflag, px, n, " +
+      "greatest(0, least(below + c, n - n // 20) - greatest(below, n // 20)) AS kc " +
+      "FROM p) " +
       "SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows, " +
-      "CAST(count(*) AS BIGINT) AS n_kept, " +
-      Exact.Sql.avg("l_extendedprice") + " AS trimmed_mean " +
-      "FROM r WHERE rn > n // 20 AND rn <= n - n // 20 GROUP BY 1") {
+      "CAST(sum(kc) AS BIGINT) AS n_kept, " +
+      "CAST(SUM(CAST(px AS DECIMAL(38,8)) * kc) AS DOUBLE) / sum(kc) AS trimmed_mean " +
+      "FROM k WHERE kc > 0 GROUP BY 1") {
     (s, d) =>
-      val wOrd = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"), ord)
-      val wAll = Window.partitionBy("l_returnflag")
-      lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") > expr("n div 20") && col("rn") <= col("n") - expr("n div 20"))
+      val h = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("px"))
+        .agg(count(lit(1)).as("c"))
+      val t = h.groupBy("l_returnflag").agg(sum("c").as("n"))
+      val wPre = Window.partitionBy("l_returnflag").orderBy("px")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lo = expr("n div 20")
+      h.join(t, "l_returnflag")
+        .withColumn("below", coalesce(sum("c").over(wPre), lit(0L)))
+        .select(col("l_returnflag"), col("px"), col("n"),
+          greatest(lit(0L), least(col("below") + col("c"), col("n") - lo) -
+            greatest(col("below"), lo)).as("kc"))
+        .filter(col("kc") > 0)
         .groupBy("l_returnflag")
-        .agg(max("n").cast("long").as("n_rows"), count(lit(1)).as("n_kept"),
-          Exact.exactAvg(col("l_extendedprice")).as("trimmed_mean"))
+        .agg(max("n").cast("long").as("n_rows"), sum("kc").cast("long").as("n_kept"),
+          (sum(col("px").cast("decimal(38,8)") * col("kc")).cast("double") /
+            sum("kc")).as("trimmed_mean"))
   }
 
   /** Spearman rank correlation per group (r12) — the monotone-association
-    * gauge beside q_agg_corr's Pearson: rank quantity and price
-    * independently within the group (row_number with a FULL-ROW
-    * total-order tiebreak — the (orderkey·8+linenumber) ordinal alone
-    * COLLIDES in this data (~14k dupes at sf0.01), and a collision lets
-    * each engine swap the tied pair differently, changing BOTH rank
-    * vectors; the 7-column tuple is verified unique at every sf ⇒ both
-    * rank vectors are PERMUTATIONS and the classic
-    * ρ = 1 − 6Σd²/(n(n²−1)) closed form is exact), accumulate Σd² in
-    * DECIMAL(38,0) on Spark / HUGEINT in DuckDB — integer-exact far past
-    * the int64 bound (d² sums reach n³, overflowing int64 near n=2M) —
-    * then ONE fixed-order double division publishes the pinned ρ. Two
-    * window passes + one hash aggregate, all on the same group key: one
-    * shuffle. */
+    * gauge beside q_agg_corr's Pearson, in the STANDARD tie-aware form:
+    * each value gets its average (midrank) rank — a pure function of the
+    * VALUE, never of an arbitrary row tiebreak — and ρ is Pearson over
+    * the two midrank vectors. (A first draft used permutation ranks with
+    * a full-row tiebreak: deterministic, but it needed a per-group
+    * corpus SORT — 10× CPU at ×10 on 3 group keys — and its ρ depended
+    * on tiebreak column order. Midranks fix both.)
+    *
+    * Scale layout: one (group, x, y) cell aggregate (hash, corpus-linear)
+    * feeds two DISTINCT-VALUE histograms; the midrank prefix windows run
+    * over value-domain-sized frames only — no data-row sort anywhere
+    * (the q_quantile_group layout). Exactness: scaled integer midranks
+    * R = 2·below + c + 1 (doubling clears the ½), all five moment sums
+    * accumulate c·R products in DECIMAL(38,0)/HUGEINT (they reach 4n³ —
+    * past int64 near n = 1.3M), then ONE fixed-order double evaluation
+    * of the Pearson quotient publishes the pinned ρ; NULL when either
+    * margin is constant (zero rank variance — no ranking to correlate,
+    * the q_agg_corr contract). */
   val aggSpearman = Q("q_agg_spearman",
-    "per-group Spearman rank correlation of quantity vs price (exact Σd², pinned ρ)")(
-    "WITH r AS (SELECT l_returnflag, " +
-      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, " +
-      "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_shipdate) AS rx, " +
-      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, " +
-      "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_shipdate) AS ry " +
-      "FROM lineitem) " +
-      "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, " +
-      "CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE) AS sum_d2, " +
+    "per-group tie-aware Spearman rho of quantity vs price (midranks, pinned)")(
+    "WITH cells AS (SELECT l_returnflag AS f, l_quantity AS x, l_extendedprice AS y, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2, 3), " +
+      "xv AS (SELECT f, x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1, 2), " +
+      "xr AS (SELECT f, x, 2 * CAST(coalesce(sum(cx) OVER (PARTITION BY f ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + cx + 1 AS rx " +
+      "FROM xv), " +
+      "yv AS (SELECT f, y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1, 2), " +
+      "yr AS (SELECT f, y, 2 * CAST(coalesce(sum(cy) OVER (PARTITION BY f ORDER BY y " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + cy + 1 AS ry " +
+      "FROM yv), " +
+      "j AS (SELECT cells.f, cells.c, xr.rx, yr.ry FROM cells " +
+      "JOIN xr ON xr.f = cells.f AND xr.x = cells.x " +
+      "JOIN yr ON yr.f = cells.f AND yr.y = cells.y), " +
+      "m AS (SELECT f, CAST(sum(c) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(c AS HUGEINT) * rx) AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(c AS HUGEINT) * ry) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(c AS HUGEINT) * rx * rx) AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(c AS HUGEINT) * ry * ry) AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(c AS HUGEINT) * rx * ry) AS DOUBLE) AS sxy FROM j GROUP BY 1) " +
+      "SELECT f AS l_returnflag, n AS n_rows, " +
+      "CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 " +
+      "AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN " +
       Exact.Sql.pinScoreInt(
-        "1.0 - (6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)) / " +
-          "(CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * " +
-          "CAST(count(*) AS DOUBLE) - 1.0))") + " AS rho " +
-      "FROM r GROUP BY 1") {
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+          "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+          "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))") + " END AS rho " +
+      "FROM m") {
     (s, d) =>
-      val tb = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"))
-      val wx = Window.partitionBy("l_returnflag").orderBy(
-        (col("l_quantity") +: tb) :+ col("l_extendedprice") :+ col("l_shipdate"): _*)
-      val wy = Window.partitionBy("l_returnflag").orderBy(
-        (col("l_extendedprice") +: tb) :+ col("l_quantity") :+ col("l_shipdate"): _*)
-      val d2 = {
-        val diff = (col("rx") - col("ry")).cast("decimal(38,0)")
-        sum(diff * diff)
+      val cells = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .materialized(eager = false) // both value histograms AND the join read it
+      def midranks(vCol: String, out: String): org.apache.spark.sql.DataFrame = {
+        val cnt = s"c$out"
+        val w = Window.partitionBy("f").orderBy(vCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cells.groupBy(col("f"), col(vCol)).agg(sum("c").as(cnt))
+          .select(col("f"), col(vCol),
+            (lit(2L) * coalesce(sum(cnt).over(w), lit(0L)) + col(cnt) + 1L).as(out))
       }
-      val nD = count(lit(1)).cast("double")
-      lineitem(s, d)
-        .select(col("l_returnflag"),
-          row_number().over(wx).as("rx"), row_number().over(wy).as("ry"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"), d2.cast("double").as("sum_d2"),
-          Exact.pinScoreInt(
-            lit(1.0) - (lit(6.0) * d2.cast("double")) / (nD * (nD * nD - lit(1.0))))
-            .as("rho"))
+      val j = cells
+        .join(midranks("x", "rx"), Seq("f", "x"))
+        .join(midranks("y", "ry"), Seq("f", "y"))
+      val cD = col("c").cast("decimal(38,0)")
+      val m = j.groupBy("f").agg(
+        sum("c").cast("long").as("n"),
+        sum(cD * col("rx")).cast("double").as("sx"),
+        sum(cD * col("ry")).cast("double").as("sy"),
+        sum(cD * col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(cD * col("ry") * col("ry")).cast("double").as("syy"),
+        sum(cD * col("rx") * col("ry")).cast("double").as("sxy"))
+      val nD = col("n").cast("double")
+      val vx = nD * col("sxx") - col("sx") * col("sx")
+      val vy = nD * col("syy") - col("sy") * col("sy")
+      m.select(col("f").as("l_returnflag"), col("n").as("n_rows"),
+        when(vx > 0 && vy > 0, Exact.pinScoreInt(
+          (nD * col("sxy") - col("sx") * col("sy")) / (sqrt(vx) * sqrt(vy)))).as("rho"))
   }
 
   /** Cramér's V between the two lineitem categoricals (r12) — the
@@ -1142,10 +1195,62 @@ object AggQueries {
           (col("n") * least(col("nr") - 1, col("nc") - 1).cast("double")))).as("cramers_v"))
   }
 
+  /** Tukey-fence outlier audit per group (r12) — the box-plot rule the
+    * robust trio (winsorize/MAD/trimmed-mean) still lacked: Q1/Q3 by the
+    * registered two-phase discrete-quantile machinery
+    * (ops.Quantiles.groupQuantilesDisc — histogram + distinct-value
+    * prefix, NO per-group data sort), fences at Q1 ∓/± 1.5·IQR, and the
+    * below/above counts folded from the SAME (group, value) histogram —
+    * the whole audit never sorts or re-scans data rows. Fence arithmetic
+    * is a fixed IEEE order on raw 2-decimal values; counts are integers;
+    * the outlier share leaves pinned. */
+  val aggIqrOutliers = Q("q_agg_iqr_outliers",
+    "per-group Tukey-fence outlier counts + pinned share (two-phase Q1/Q3)")(
+    "WITH h AS (SELECT l_returnflag, l_extendedprice AS px, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+      "w AS (SELECT l_returnflag, px, c, " +
+      "sum(c) OVER (PARTITION BY l_returnflag ORDER BY px) AS cum, " +
+      "sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h), " +
+      "q AS (SELECT l_returnflag, max(n) AS n, " +
+      "min(CASE WHEN cum >= ceil(0.25 * n) THEN px END) AS q1, " +
+      "min(CASE WHEN cum >= ceil(0.75 * n) THEN px END) AS q3 FROM w GROUP BY 1), " +
+      "f AS (SELECT l_returnflag, n, q1, q3, " +
+      "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q) " +
+      "SELECT f.l_returnflag, CAST(f.n AS BIGINT) AS n_rows, f.q1, f.q3, " +
+      "CAST(sum(CASE WHEN h.px < f.lo THEN h.c ELSE 0 END) AS BIGINT) AS n_low, " +
+      "CAST(sum(CASE WHEN h.px > f.hi THEN h.c ELSE 0 END) AS BIGINT) AS n_high, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(sum(CASE WHEN h.px < f.lo OR h.px > f.hi THEN h.c ELSE 0 END) AS DOUBLE) " +
+          "/ CAST(f.n AS DOUBLE)") + " AS outlier_share " +
+      "FROM h JOIN f ON f.l_returnflag = h.l_returnflag " +
+      "GROUP BY f.l_returnflag, f.n, f.q1, f.q3, f.lo, f.hi") {
+    (s, d) =>
+      val rows = lineitem(s, d).select(col("l_returnflag"),
+        col("l_extendedprice").as("px"))
+      val h = rows.groupBy("l_returnflag", "px").agg(count(lit(1)).as("c"))
+      val iqr = col("q3") - col("q1")
+      val fences = graft.ops.Quantiles
+        .groupQuantilesDisc(rows, "l_returnflag", "px", Seq(0.25 -> "q1", 0.75 -> "q3"))
+        .select(col("l_returnflag"), col("n"), col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * iqr).as("lo"), (col("q3") + lit(1.5) * iqr).as("hi"))
+      h.join(broadcast(fences), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"), col("q1"), col("q3"))
+        .agg(sum(when(col("px") < col("lo"), col("c")).otherwise(0L)).cast("long")
+            .as("n_low"),
+          sum(when(col("px") > col("hi"), col("c")).otherwise(0L)).cast("long")
+            .as("n_high"),
+          Exact.pinScoreInt(
+            sum(when(col("px") < col("lo") || col("px") > col("hi"), col("c"))
+              .otherwise(0L)).cast("double") / col("n").cast("double"))
+            .as("outlier_share"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          col("q1"), col("q3"), col("n_low"), col("n_high"), col("outlier_share"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
-    aggTrimmedMean, aggSpearman, aggCramersV)
+    aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers)
 }

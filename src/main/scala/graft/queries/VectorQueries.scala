@@ -2690,6 +2690,48 @@ object VectorQueries {
           .as("assortativity"))
   }
 
+  /** Average-neighbor-degree curve knn(k) of the mutual-kNN graph (r12)
+    * — the DISTRIBUTIONAL view of what q_graph_assortativity compresses
+    * to one number: for each degree value k, the mean degree of the
+    * neighbors of degree-k endpoints. A falling curve (disassortative)
+    * says hubs attach to leaves — for an embedding graph, the hub-audit
+    * companion to q_graph_hubness. Same doubled-edges × degrees frame as
+    * assortativity (integer sums, one pinned division per degree row);
+    * output is degree-domain-sized, never corpus-sized. */
+  val graphKnnDegree = Q("q_graph_knn_degree",
+    "avg neighbor degree per degree value over the mutual-kNN graph")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
+      "GROUP BY 1), " +
+      "de AS (SELECT da.deg AS x, db.deg AS y FROM " +
+      "(SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges) e " +
+      "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b) " +
+      "SELECT x AS degree, CAST(count(*) AS BIGINT) AS n_endpoints, " +
+      "CAST(sum(y) AS BIGINT) AS sum_nbr_deg, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
+      " AS avg_nbr_deg FROM de GROUP BY 1") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // degrees AND the doubled edge list read it
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val doubled = edges.select(col("a"), col("b"))
+        .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      doubled
+        .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+        .groupBy(col("x").as("degree"))
+        .agg(count(lit(1)).as("n_endpoints"),
+          sum("y").cast("long").as("sum_nbr_deg"))
+        .select(col("degree"), col("n_endpoints"), col("sum_nbr_deg"),
+          graft.util.Exact.pinScoreInt(
+            col("sum_nbr_deg").cast("double") /
+              col("n_endpoints").cast("double")).as("avg_nbr_deg"))
+  }
+
   /** Per-cluster k-means inertia of the TRAINED IVF index (r11) — the
     * index-quality gauge behind q_ann_ivf_trained: mean and total
     * within-cluster cosine distance (1 − cos to the assigned centroid)
@@ -2748,6 +2790,72 @@ object VectorQueries {
           graft.util.Exact.pinScoreInt(col("it")).as("inertia"),
           graft.util.Exact.pinScoreInt(
             col("it") / col("n_vecs").cast("double")).as("mean_dist"))
+  }
+
+  /** Simplified (centroid) silhouette of the trained k-means index (r12)
+    * — the cluster-SEPARATION gauge beside q_emb_kmeans_inertia's
+    * tightness: per vector, a = cosine distance to its own centroid,
+    * b = distance to the best OTHER centroid, s = (b − a)/max(a, b)
+    * (medoid-free silhouette — the classic all-pairs form is O(n²);
+    * against centroids it is exactly the corpus×k assignment frame the
+    * trained index already pays, which is why production cluster-quality
+    * dashboards report this variant). Mean s per cluster published
+    * pinned: s → 1 = well separated, s ≈ 0 = boundary-dwelling, s < 0 =
+    * likely mis-assigned — the retrain/re-k signal. Both a and b fall
+    * out of ONE ranked (vec, centroid) cosine frame (rn=1 = own
+    * assignment, rn=2 = best other), so the plan is the trained
+    * assignment + one window on vid + one k-row aggregate; the oracle
+    * replays seeding, both Lloyd iterations and the ranked frame. The
+    * crossJoin is against the BROADCAST k-row centroid table (k fixed =
+    * 8, the index budget) — corpus-linear, never pair-quadratic. */
+  val embSilhouette = Q("q_emb_silhouette",
+    "per-cluster mean centroid-silhouette of the trained k-means index")(
+    vecsSql +
+      s", kseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid " +
+      s"FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= $IvfTrainedK), " +
+      "c0 AS (SELECT s.cid, v.i, v.e AS m FROM kseeds s JOIN v ON v.vec_id = s.vec_id), " +
+      lloydSqlCtes("v", IvfTrainedIters) + ", " +
+      s"cnf AS (SELECT cid, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,8))) AS DOUBLE)) AS cnrm " +
+      s"FROM c$IvfTrainedIters GROUP BY 1), " +
+      "dd AS (SELECT d.vec_id, d.cid, d.cos, " +
+      "row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cid) AS rn " +
+      "FROM (SELECT v.vec_id, c.cid, " +
+      "CAST(SUM(CAST(v.e * c.m AS DECIMAL(38,8))) AS DOUBLE) / (n.nrm * cn.cnrm) AS cos " +
+      s"FROM v JOIN c$IvfTrainedIters c ON c.i = v.i JOIN n ON n.vec_id = v.vec_id " +
+      "JOIN cnf cn ON cn.cid = c.cid GROUP BY v.vec_id, c.cid, n.nrm, cn.cnrm) d), " +
+      "s1 AS (SELECT a.vec_id, a.cid AS cluster, (1.0 - a.cos) AS a, (1.0 - b.cos) AS b " +
+      "FROM dd a JOIN dd b ON b.vec_id = a.vec_id AND b.rn = 2 WHERE a.rn = 1), " +
+      "sil AS (SELECT cluster, CASE WHEN greatest(a, b) > 0 " +
+      "THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM s1), " +
+      "f AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      graft.util.Exact.Sql.portableSum("s") + " AS ss FROM sil GROUP BY 1) " +
+      "SELECT cluster, n_vecs, " +
+      graft.util.Exact.Sql.pinScoreInt("ss / CAST(n_vecs AS DOUBLE)") +
+      " AS mean_sil FROM f") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = fitExact(base, IvfTrainedK, IvfTrainedIters)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val cosAll = all.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cid"),
+          (expr(dotExpr("ev", "ecent")) / (col("nv") * col("ncent"))).as("cos"))
+      val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("cid"))
+      val dd = cosAll.withColumn("rn", row_number().over(w))
+        .materialized(eager = false) // rn=1 and rn=2 slices both read it
+      val s1 = dd.filter(col("rn") === 1)
+        .select(col("vid"), col("cid").as("cluster"), (lit(1.0) - col("cos")).as("a"))
+        .join(dd.filter(col("rn") === 2)
+          .select(col("vid"), (lit(1.0) - col("cos")).as("b")), "vid")
+      s1.select(col("cluster"),
+          when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(0.0).as("s"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), graft.util.Exact.portableSum(col("s")).as("ss"))
+        .select(col("cluster"), col("n_vecs"),
+          graft.util.Exact.pinScoreInt(
+            col("ss") / col("n_vecs").cast("double")).as("mean_sil"))
   }
 
   /** Contrastive-training triplet mining (r11) — for EVERY vector: its
@@ -3399,5 +3507,6 @@ object VectorQueries {
     graphTriangles, embKmeansInertia, embTripletMine, graphCcSizes, evalRecallCurve,
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
-    graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered)
+    graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
+    embSilhouette, graphKnnDegree)
 }

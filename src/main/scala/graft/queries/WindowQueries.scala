@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Q
-import graft.util.Exact
+import graft.util.{Exact, Portable}
 import graft.util.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -261,6 +261,99 @@ object WindowQueries {
           coalesce(col("n_under"), lit(0L)).cast("long").as("n_underwater"))
   }
 
+  /** Parkinson range volatility per asset (r12) — the high/low estimator
+    * every OHLC pipeline publishes beside close-to-close vol (5× more
+    * efficient per observation because the intraday RANGE carries more
+    * information than the close): σ²_P = Σ ln(h/l)² / (4·ln2·n), from the
+    * same synthesized high/low the ATR reads (h = px·(1+tax), l =
+    * px·(1−discount)). The per-row log is the portable recipe
+    * (Portable.pln — corpus-linear, ~20 IEEE flops/row), squares fold
+    * through the 2⁻³⁰ grid portable sum (order-free), and one
+    * fixed-order division + √ publishes the pinned vol. ONE hash
+    * aggregate on the asset key; no window, no sort. */
+  val winParkinson = Q("q_win_parkinson",
+    "per-asset Parkinson high/low range volatility (portable ln, pinned)")(
+    "WITH r AS (SELECT l_partkey, " +
+      "(l_extendedprice * (1.0 + l_tax)) / (l_extendedprice * (1.0 - l_discount)) " +
+      "AS _lnx FROM lineitem), " +
+      Portable.plnSqlCtes("r", "lr") + ", " +
+      "f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs, " +
+      graft.util.Exact.Sql.portableSum("_pln * _pln") + " AS ss FROM lr GROUP BY 1) " +
+      "SELECT l_partkey, n_obs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "sqrt(ss / ((4.0 * 0.6931471805599453) * CAST(n_obs AS DOUBLE)))") +
+      " AS park_vol FROM f") {
+    (s, d) =>
+      val hi = col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+      val lo = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Portable.pln(
+          lineitem(s, d).select(col("l_partkey"), (hi / lo).as("ratio")),
+          col("ratio"), "lr")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_obs"),
+          graft.util.Exact.portableSum(col("lr") * col("lr")).as("ss"))
+        .select(col("l_partkey"), col("n_obs"),
+          graft.util.Exact.pinScoreInt(
+            sqrt(col("ss") / ((lit(4.0) * lit(Portable.Ln2)) *
+              col("n_obs").cast("double")))).as("park_vol"))
+  }
+
+  /** Single-scale R/S Hurst estimate per asset (r12) — the
+    * trending-vs-mean-reverting gauge: cumulative deviations from the
+    * series mean, R = range of the running sum, S = population stddev,
+    * H = ln(R/S)/ln(n) (H > ½ trending, < ½ mean-reverting; the classic
+    * multi-scale regression fits this same statistic at several window
+    * lengths — one scale is the screening form). Exactness: deviations
+    * ride the dyadic 2⁻²⁰ grid (mean is division-derived, so decimal
+    * casts are out — the r13 rule), the running sum is an exact BIGINT
+    * prefix (order-free addition; the (shipdate, ordinal) order is
+    * unique per asset, FIXTURES), S comes from exact decimal moments,
+    * and both logs are the portable recipe over the ASSETS frame —
+    * corpus-size-independent transcendental work. One window shuffle on
+    * the asset key + two tiny pln projections. */
+  val winHurst = Q("q_win_hurst",
+    "per-asset single-scale R/S Hurst exponent (grid prefix, portable ln, pinned)")(
+    "WITH m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, " +
+      Exact.Sql.avg("l_extendedprice") + " AS mean, " +
+      Exact.Sql.stddevPop("l_extendedprice") + " AS sd FROM lineitem GROUP BY 1), " +
+      "g AS (SELECT l.l_partkey, m.n, m.sd, " +
+      "CAST(sum(CAST(floor((l.l_extendedprice - m.mean) * 1048576.0) AS BIGINT)) " +
+      "OVER (PARTITION BY l.l_partkey ORDER BY l.l_shipdate, " +
+      s"$ordSql ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+      "FROM lineitem l JOIN m ON m.l_partkey = l.l_partkey), " +
+      "f AS (SELECT l_partkey, max(n) AS n, max(sd) AS sd, " +
+      "(CAST(max(cum) - min(cum) AS DOUBLE)) / 1048576.0 AS rr FROM g GROUP BY 1), " +
+      "p1 AS (SELECT l_partkey, n, rr, sd, rr / sd AS _lnx FROM f " +
+      "WHERE n > 1 AND sd > 0 AND rr > 0), " +
+      Portable.plnSqlCtes("p1", "lp1") + ", " +
+      "p2 AS (SELECT l_partkey, n, rr, sd, _pln AS lrs, CAST(n AS DOUBLE) AS _lnx " +
+      "FROM lp1), " +
+      Portable.plnSqlCtes("p2", "lp2") + " " +
+      "SELECT l_partkey, CAST(n AS BIGINT) AS n_obs, " +
+      graft.util.Exact.Sql.pinScoreInt("rr / sd") + " AS r_over_s, " +
+      graft.util.Exact.Sql.pinScoreInt("lrs / _pln") + " AS hurst FROM lp2") {
+    (s, d) =>
+      val m = lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), Exact.exactAvg(col("l_extendedprice")).as("mean"),
+          Exact.exactStddevPop(col("l_extendedprice")).as("sd"))
+      val wCum = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = lineitem(s, d).join(m, "l_partkey")
+        .select(col("l_partkey"), col("n"), col("sd"),
+          sum(floor((col("l_extendedprice") - col("mean")) * 1048576.0).cast("long"))
+            .over(wCum).as("cum"))
+      val f = g.groupBy("l_partkey")
+        .agg(max("n").as("n"), max("sd").as("sd"),
+          ((max("cum") - min("cum")).cast("double") / 1048576.0).as("rr"))
+        .filter(col("n") > 1 && col("sd") > 0 && col("rr") > 0)
+      val p1 = Portable.pln(f, col("rr") / col("sd"), "lrs")
+      val p2 = Portable.pln(p1, col("n").cast("double"), "ln_n")
+      p2.select(col("l_partkey"), col("n").cast("long").as("n_obs"),
+        graft.util.Exact.pinScoreInt(col("rr") / col("sd")).as("r_over_s"),
+        graft.util.Exact.pinScoreInt(col("lrs") / col("ln_n")).as("hurst"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
-    monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration)
+    monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration,
+    winParkinson, winHurst)
 }

@@ -45,26 +45,33 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
-  test("agg_spearman: rho matches a from-scratch rank replay (full-row tiebreak)") {
+  test("agg_spearman: tie-aware rho matches a midrank Pearson replay") {
     val got = AggQueries.aggSpearman.fn(spark, sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     li.groupBy(_.flag).foreach { case (flag, rows) =>
-      val key = (r: Li) => (r.okey, r.ln, r.pkey, r.skey, r.qty, r.px, r.ship.getTime)
-      val rx = rows.sortBy(r => (r.qty, r.okey, r.ln, r.pkey, r.skey, r.px, r.ship.getTime))
-        .zipWithIndex.map { case (r, i) => key(r) -> (i + 1L) }.toMap
-      val ry = rows.sortBy(r => (r.px, r.okey, r.ln, r.pkey, r.skey, r.qty, r.ship.getTime))
-        .zipWithIndex.map { case (r, i) => key(r) -> (i + 1L) }.toMap
-      val s = rows.foldLeft(BigInt(0)) { (a, r) =>
-        val d = BigInt(rx(key(r)) - ry(key(r))); a + d * d
+      // scaled midrank R(v) = 2*(count below v) + count(= v) + 1
+      def ranks(vs: Array[Double]): Map[Double, Long] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val sorted = cnt.keys.toArray.sorted
+        var below = 0L
+        sorted.map { v => val r = 2 * below + cnt(v) + 1; below += cnt(v); v -> r }.toMap
+      }
+      val rx = ranks(rows.map(_.qty)); val ry = ranks(rows.map(_.px))
+      var sx, sy, sxx, syy, sxy = BigInt(0)
+      rows.foreach { r =>
+        val a = BigInt(rx(r.qty)); val b = BigInt(ry(r.px))
+        sx += a; sy += b; sxx += a * a; syy += b * b; sxy += a * b
       }
       val n = rows.length.toDouble
-      val rho = 1.0 - (6.0 * s.toDouble) / (n * (n * n - 1.0))
-      val (nRows, sumD2, gotRho) = got(flag)
+      val vx = n * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vy = n * syy.toDouble - sy.toDouble * sy.toDouble
+      val rho = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(vx) * math.sqrt(vy))
+      val (nRows, gotRho) = got(flag)
       assert(nRows == rows.length)
-      assert(sumD2 == s.toDouble, s"$flag sum_d2 differs")
       assert(gotRho == pin(rho), s"$flag rho differs: $gotRho vs ${pin(rho)}")
-      // permutation sanity: both rank maps cover 1..n
-      assert(rx.values.toSeq.sorted == (1L to rows.length).toSeq)
+      // midranks average to (n+1) — the permutation-mean invariant
+      assert(sx == BigInt(rows.length) * (rows.length + 1))
     }
   }
 
