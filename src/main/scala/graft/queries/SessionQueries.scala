@@ -1141,26 +1141,37 @@ object SessionQueries {
       " AS churn_rate FROM act a LEFT JOIN ret r ON r.wnum = a.wnum " +
       "CROSS JOIN mx WHERE a.wnum < mx.maxw") {
     (s, d) =>
-      val mu = events(s, d)
-        .select(expr("unix_micros(ts) div 86400000000 div 7").as("wnum"), col("user_id"))
-        .distinct()
-        .materialized(eager = false) // feeds actives, the shifted join AND the max
-      val act = mu.groupBy("wnum").agg(count(lit(1)).as("n_active"))
-      val nxt = mu.select((col("wnum") - 1).as("wnum"), col("user_id"))
-      val ret = mu.join(nxt, Seq("wnum", "user_id"))
-        .groupBy("wnum").agg(count(lit(1)).as("n_retained"))
-      val mx = mu.agg(max("wnum").as("maxw"))
-      act.join(ret, Seq("wnum"), "left")
-        .crossJoin(broadcast(mx))
-        .filter(col("wnum") < col("maxw"))
-        .select(col("wnum").as("week_num"),
-          col("n_active").cast("long").as("n_active"),
-          coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
-          (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("long")
-            .as("n_churned"),
-          Exact.pinScoreInt(
-            (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("double") /
-              col("n_active").cast("double")).as("churn_rate"))
+      churnFromDayPairs(events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dnum"))
+        .distinct())
+  }
+
+  /** The week-over-week churn rollup over DISTINCT (user_id, dnum) pairs
+    * — the SAME idempotent pair-set state algebra as
+    * [[dauWauFromPairs]], and the shared code object between the batch
+    * q_event_churn and the streaming twin's read side
+    * (Streams.churnRollup), so the two can never drift. Weeks derive as
+    * dnum div 7 (floor-division composition: µs div 86400e6 div 7). */
+  private[graft] def churnFromDayPairs(ud: DataFrame): DataFrame = {
+    val mu = ud.select(expr("dnum div 7").as("wnum"), col("user_id"))
+      .distinct()
+      .materialized(eager = false) // feeds actives, the shifted join AND the max
+    val act = mu.groupBy("wnum").agg(count(lit(1)).as("n_active"))
+    val nxt = mu.select((col("wnum") - 1).as("wnum"), col("user_id"))
+    val ret = mu.join(nxt, Seq("wnum", "user_id"))
+      .groupBy("wnum").agg(count(lit(1)).as("n_retained"))
+    val mx = mu.agg(max("wnum").as("maxw"))
+    act.join(ret, Seq("wnum"), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("wnum") < col("maxw"))
+      .select(col("wnum").as("week_num"),
+        col("n_active").cast("long").as("n_active"),
+        coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
+        (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("long")
+          .as("n_churned"),
+        Exact.pinScoreInt(
+          (col("n_active") - coalesce(col("n_retained"), lit(0L))).cast("double") /
+            col("n_active").cast("double")).as("churn_rate"))
   }
 
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,

@@ -3102,6 +3102,60 @@ object VectorQueries {
         col(s"in$KcoreRounds").isNotNull.as("in_core"))
   }
 
+  private val LabelPropRounds = 4
+
+  /** Label-propagation communities on the mutual-kNN graph (r12) — the
+    * structure detector BETWEEN connected components (q_graph_cc_sizes:
+    * too coarse, one label per component) and the centroid clusters
+    * (q_dedup_semantic: geometry, not topology): LabelPropRounds
+    * synchronous rounds, each node adopting the most frequent label
+    * among its NEIGHBORS with ties to the smallest label (deterministic
+    * — no engine/partitioning dependence), labels seeded with node ids.
+    * Published as the community-size histogram after the final round.
+    *
+    * Scale: per round ONE node-keyed join + hash aggregate + a per-node
+    * window over ≤ deg distinct candidate labels (deg ≤ 3 by the
+    * mutual-top-3 contract) — corpus-linear, rounds fixed; each round's
+    * labels are materialized so plans stay bounded (the
+    * q_dedup_cluster lineage lesson). Oracle unrolls the same rounds as
+    * MATERIALIZED CTEs (the k-core fd-exhaustion lesson). */
+  val graphLabelProp = Q("q_graph_label_prop",
+    s"label-propagation community sizes ($LabelPropRounds synchronous min-tie rounds)")({
+    val rounds = (1 to LabelPropRounds).map { i =>
+      s"cnt$i AS MATERIALIZED (SELECT e.a AS node, l.lbl, count(*) AS c " +
+        s"FROM du e JOIN l${i - 1} l ON l.node = e.b GROUP BY 1, 2), " +
+        s"l$i AS MATERIALIZED (SELECT node, lbl FROM (SELECT node, lbl, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn " +
+        s"FROM cnt$i) WHERE rn = 1)"
+    }.mkString(", ")
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "du AS MATERIALIZED (SELECT a, b FROM edges " +
+      "UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM du), " +
+      rounds + " " +
+      s"SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members " +
+      s"FROM l$LabelPropRounds GROUP BY 1"
+  }) {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // the doubled frame reads it twice
+      val du = edges
+        .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+        .materialized(eager = false) // every round joins it
+      var lbl = du.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to LabelPropRounds) {
+        val cnt = du.join(lbl.select(col("node").as("b"), col("lbl")), "b")
+          .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
+        lbl = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("node", "lbl")
+          .materialized() // bound the per-round plan (q_dedup_cluster lesson)
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).cast("long").as("n_members"))
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
     * for every NON-adjacent pair at distance 2: the common-neighbor
     * count and its Jaccard normalization cn/(deg_a + deg_b − cn). These
@@ -3508,5 +3562,5 @@ object VectorQueries {
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
-    embSilhouette, graphKnnDegree)
+    embSilhouette, graphKnnDegree, graphLabelProp)
 }

@@ -768,6 +768,16 @@ object Streams {
     graft.queries.SessionQueries.dauWauFromPairs(
       spark.read.parquet(pairsDir).distinct())
 
+  /** Week-over-week churn over the SAME streaming (user, day) pair store
+    * dauIngest maintains — the continuous twin of q_event_churn, and the
+    * same code object as its batch rollup
+    * (SessionQueries.churnFromDayPairs), so stream- and batch-computed
+    * churn can never drift. The pair set's idempotent union makes the
+    * read replay-proof: re-ingested days change nothing. */
+  def churnRollup(spark: SparkSession, pairsDir: String): DataFrame =
+    graft.queries.SessionQueries.churnFromDayPairs(
+      spark.read.parquet(pairsDir).distinct())
+
   final case class Scd2Carry(event_type: String)
   final case class Scd2Change(user_id: Long, event_id: Long, ts_us: Long,
       event_type: String)

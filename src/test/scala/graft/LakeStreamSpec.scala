@@ -968,6 +968,48 @@ class LakeStreamSpec extends SparkSpec {
     assert(rollup() === want, "compaction preserves the rollup")
   }
 
+  test("Streams.churnRollup: weekly churn over the dau pair store equals batch q_event_churn") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val pairs = tmp() + "/dau"
+    def ev(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val schema = ev(Nil).schema
+    // three consecutive epoch-weeks: user 1 active in all, user 2 only
+    // week 0 (churns), user 3 joins week 1 and stays
+    val b1 = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 2L, "2024-01-01 11:00:00", "view"),
+      (3L, 1L, "2024-01-08 10:00:00", "view"))
+    val b2 = Seq(
+      (4L, 3L, "2024-01-08 12:00:00", "view"),
+      (5L, 1L, "2024-01-15 09:00:00", "view"),
+      (6L, 3L, "2024-01-15 10:00:00", "view"))
+    def churn() = Streams.churnRollup(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    ev(b1).coalesce(1).write.mode("append").parquet(src)
+    Streams.dauIngest(spark, src, schema, ckpt, pairs).awaitTermination()
+    ev(b2).coalesce(1).write.mode("append").parquet(src)
+    Streams.dauIngest(spark, src, schema, ckpt, pairs).awaitTermination()
+    val d = tmp()
+    ev(b1 ++ b2).coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batchChurn = graft.queries.SessionQueries.eventChurn.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(churn() === batchChurn,
+      "stream-maintained pair store rolls up to the batch churn operator")
+    // the semantics themselves: week 0 loses exactly user 2
+    val byWeek = batchChurn.toSeq.sortBy(_._1)
+    assert(byWeek.head._2 == 2 && byWeek.head._3 == 1 && byWeek.head._4 == 1,
+      "week 0: two actives, one retained, one churned")
+    // replay idempotence: a fresh-checkpoint full re-ingest changes nothing
+    Streams.dauIngest(spark, src, schema, tmp(), pairs).awaitTermination()
+    assert(churn() === batchChurn, "full-history replay absorbed by set union")
+  }
+
   test("Streams.scd2Ingest: boundary-spanning runs emit once; rollup equals batch q_scd2; replay absorbed") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp(); val out = tmp()
