@@ -341,7 +341,45 @@ object CorpusQueries {
           col("rk").cast("long").as("rk"))
   }
 
+  /** WEIGHTED per-source length quantiles (r12) — where does the TOKEN
+    * MASS sit by document length? q_quantile_group's count quantiles
+    * treat a 10-token and a 10k-token doc alike; packing and budget
+    * design need the token-weighted view (a p50 of 200 chars by count
+    * but 4 000 by token mass says the corpus is long-doc-dominated).
+    * Same two-phase layout: (source, length) histogram with WEIGHT sums
+    * (whitespace tokens — the shared tokenizer), prefix over distinct
+    * lengths, thresholds by integer cross-multiplication (2·cumw ≥ W,
+    * 10·cumw ≥ 9·W) — no division, no doubles, no data-row sort. */
+  val quantileWeighted = Q("q_quantile_weighted",
+    "token-weighted per-source length quantiles (integer cross-multiplied cuts)")(
+    "WITH t AS (SELECT source, n_chars, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w FROM documents), " +
+      "h AS (SELECT source, n_chars, CAST(sum(w) AS BIGINT) AS w FROM t GROUP BY 1, 2), " +
+      "c AS (SELECT source, n_chars, " +
+      "sum(w) OVER (PARTITION BY source ORDER BY n_chars) AS cumw, " +
+      "sum(w) OVER (PARTITION BY source) AS tw FROM h) " +
+      "SELECT source, CAST(max(tw) AS BIGINT) AS total_w, " +
+      "CAST(min(CASE WHEN 2 * cumw >= tw THEN n_chars END) AS BIGINT) AS wp50, " +
+      "CAST(min(CASE WHEN 10 * cumw >= 9 * tw THEN n_chars END) AS BIGINT) AS wp90 " +
+      "FROM c GROUP BY 1") {
+    (s, d) =>
+      val h = documents(s, d)
+        .select(col("source"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+        .groupBy("source", "n_chars").agg(sum("w").as("w"))
+      val wc = Window.partitionBy("source").orderBy("n_chars")
+      val wt = Window.partitionBy("source")
+      h.withColumn("cumw", sum("w").over(wc))
+        .withColumn("tw", sum("w").over(wt))
+        .groupBy("source")
+        .agg(max("tw").cast("long").as("total_w"),
+          min(when(lit(2L) * col("cumw") >= col("tw"), col("n_chars"))).cast("long")
+            .as("wp50"),
+          min(when(lit(10L) * col("cumw") >= lit(9L) * col("tw"), col("n_chars")))
+            .cast("long").as("wp90"))
+  }
+
   val all: Seq[Q] = Seq(textRepetition, contamination, sampleStratified,
     quantileGroup, quantileCont, dedupSimhashPairs, dedupCluster, dedupKeepBest, tokensBudget,
-    tokensBudgetScore, sampleReservoir)
+    tokensBudgetScore, sampleReservoir, quantileWeighted)
 }

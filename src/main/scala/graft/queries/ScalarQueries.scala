@@ -164,7 +164,29 @@ object ScalarQueries {
         .otherwise(0.0).as("ratio"))
   }
 
+  /** Levenshtein edit distance (r12) — the fuzzy-match scalar entity
+    * resolution and dedup-verify both lean on (q_dedup_edit_verify uses
+    * the same metric over LSH candidate pairs; this is the bare scalar
+    * surface): distance between each part's name and its type string,
+    * plus the length-normalized similarity as a pinned cell. Both
+    * engines implement the classic integer DP, so the distance needs no
+    * numeric detour; codegen'd per-row, no shuffle at all. */
+  val fnLevenshtein = Q("q_fn_levenshtein", "per-row edit distance + pinned similarity")(
+    "SELECT p_partkey, CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE) / " +
+          "CAST(greatest(length(p_name), length(p_type)) AS DOUBLE)") + " AS sim " +
+      "FROM part") {
+    (s, d) =>
+      val lev = levenshtein(col("p_name"), col("p_type"))
+      part(s, d).select(col("p_partkey"), lev.cast("long").as("lev"),
+        graft.util.Exact.pinScoreInt(
+          lit(1.0) - lev.cast("double") /
+            greatest(length(col("p_name")), length(col("p_type"))).cast("double"))
+          .as("sim"))
+  }
+
   val all: Seq[Q] = Seq(fnTsMs, fnTsS, fnDateParse, fnDateFormat, fnUpper, fnRound,
     fnAbsDiff, fnSqrt, fnPct, fnDecimals, fnContains, fnArrayExists, fnArrayFirst,
-    fnJsonGet, fnMapLookup, fnIsnull, fnDivGuard)
+    fnJsonGet, fnMapLookup, fnIsnull, fnDivGuard, fnLevenshtein)
 }

@@ -1174,9 +1174,90 @@ object SessionQueries {
             col("n_active").cast("double")).as("churn_rate"))
   }
 
+  /** CUPED variance-reduced A/B read-out (r12) — the experimentation
+    * upgrade over q_event_ab_lift's raw rates: per user, x = pre-period
+    * activity (events in the first half of the observation window, the
+    * covariate) and y = post-period activity (the metric); CUPED adjusts
+    * y by θ·(x − x̄) with θ = cov(x,y)/var(x) POOLED across arms, which
+    * removes the between-user variance x explains (reduction = pooled
+    * ρ²(x,y)) without biasing the arm contrast — the standard trick that
+    * makes small lifts resolvable. Exactness: per-user counts are
+    * integers, the five pooled moments accumulate in DECIMAL(38,0)/
+    * HUGEINT per arm and combine exactly before ONE double cast each, θ
+    * and the adjusted means evaluate in one written IEEE order, pinned;
+    * NULL adjustment when var(x) = 0 (no covariate signal). Layout: one
+    * per-user aggregate (the ab_lift shape) + arm-keyed folds; the
+    * window split point derives from the data's min/max day (broadcast
+    * scalars). */
+  val eventAbCuped = Q("q_event_ab_cuped",
+    "CUPED-adjusted per-arm activity means + pooled theta and variance reduction")(
+    "WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS mind, " +
+      "max(epoch_us(ts) // 86400000000) AS maxd FROM events), " +
+      "u AS (SELECT user_id % 2 AS arm, " +
+      "CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 < (b.mind + b.maxd + 1) // 2 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS x, " +
+      "CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 >= (b.mind + b.maxd + 1) // 2 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS y " +
+      "FROM events CROSS JOIN b WHERE user_id IS NOT NULL GROUP BY user_id, arm), " +
+      "a AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+      "sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+      "sum(CAST(y AS HUGEINT) * y) AS syy FROM u GROUP BY 1), " +
+      "p AS (SELECT CAST(sum(n) AS DOUBLE) AS n, CAST(sum(sx) AS DOUBLE) AS sx, " +
+      "CAST(sum(sy) AS DOUBLE) AS sy, CAST(sum(sxx) AS DOUBLE) AS sxx, " +
+      "CAST(sum(sxy) AS DOUBLE) AS sxy, CAST(sum(syy) AS DOUBLE) AS syy FROM a), " +
+      "t AS (SELECT n, sx, sy, sxx, sxy, syy, " +
+      "n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy, " +
+      "n * sxy - sx * sy AS cxy FROM p) " +
+      "SELECT a.arm, CAST(a.n AS BIGINT) AS n_users, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)") + " AS mean_post, " +
+      "CASE WHEN t.vx > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) - (t.cxy / t.vx) * " +
+          "(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) - t.sx / t.n)") +
+      " END AS mean_adj, " +
+      "CASE WHEN t.vx > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt("t.cxy / t.vx") + " END AS theta, " +
+      "CASE WHEN t.vx > 0 AND t.vy > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt("(t.cxy * t.cxy) / (t.vx * t.vy)") +
+      " END AS var_reduction FROM a CROSS JOIN t") {
+    (s, d) =>
+      val dnum = expr("unix_micros(ts) div 86400000000")
+      val b = events(s, d).agg(min(dnum).as("mind"), max(dnum).as("maxd"))
+      val mid = expr("(mind + maxd + 1) div 2")
+      val u = events(s, d).filter(col("user_id").isNotNull)
+        .crossJoin(broadcast(b))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(sum(when(dnum < mid, 1).otherwise(0)).cast("long").as("x"),
+          sum(when(dnum >= mid, 1).otherwise(0)).cast("long").as("y"))
+      val xD = col("x").cast("decimal(38,0)"); val yD = col("y").cast("decimal(38,0)")
+      val a = u.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(xD * col("x")).as("sxx"), sum(xD * col("y")).as("sxy"),
+        sum(yD * col("y")).as("syy"))
+        .materialized(eager = false) // the pooled fold AND the per-arm rows
+      val p = a.agg(sum("n").cast("double").as("pn"), sum("sx").cast("double").as("psx"),
+        sum("sy").cast("double").as("psy"), sum("sxx").cast("double").as("psxx"),
+        sum("sxy").cast("double").as("psxy"), sum("syy").cast("double").as("psyy"))
+      val vx = col("pn") * col("psxx") - col("psx") * col("psx")
+      val vy = col("pn") * col("psyy") - col("psy") * col("psy")
+      val cxy = col("pn") * col("psxy") - col("psx") * col("psy")
+      val meanPost = col("sy").cast("double") / col("n").cast("double")
+      val meanAdj = meanPost - (cxy / vx) *
+        (col("sx").cast("double") / col("n").cast("double") - col("psx") / col("pn"))
+      a.crossJoin(broadcast(p))
+        .select(col("arm"), col("n").cast("long").as("n_users"),
+          Exact.pinScoreInt(meanPost).as("mean_post"),
+          when(vx > 0, Exact.pinScoreInt(meanAdj)).as("mean_adj"),
+          when(vx > 0, Exact.pinScoreInt(cxy / vx)).as("theta"),
+          when(vx > 0 && vy > 0,
+            Exact.pinScoreInt((cxy * cxy) / (vx * vy))).as("var_reduction"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
-    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn)
+    eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
+    eventAbCuped)
 }

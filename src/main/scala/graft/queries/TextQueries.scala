@@ -780,9 +780,38 @@ object TextQueries {
             col("corpus_bytes").cast("double")).as("byte_share"))
   }
 
+  /** Tokenizer fertility proxy (r12) — subword pieces per whitespace
+    * word, the number that says how expensive a corpus is to tokenize
+    * (high-fertility text — code, non-Latin scripts, mojibake — costs
+    * more sequence length per word and skews token budgets computed
+    * from word counts): pieces = maximal letter runs + single digits +
+    * single non-alphanumeric glyphs (a deterministic BPE-ish proxy; the
+    * alternation's branches are disjoint character classes, so Java's
+    * leftmost-first and RE2's leftmost-longest agree match for match),
+    * fertility = pieces / ws_tokens pinned. Map-only, codegen'd, no
+    * shuffle. */
+  val textFertility = Q("q_text_fertility",
+    "per-doc subword pieces, whitespace words, pinned fertility ratio")(
+    "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) " +
+      "AS pieces, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS DOUBLE) " +
+          "/ CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)") +
+      " AS fertility FROM documents") {
+    (s, d) =>
+      val pieces = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+      val ws = size(split(trim(col("text")), "\\s+"))
+      documents(s, d).select(col("doc_id"),
+        pieces.cast("long").as("pieces"), ws.cast("long").as("ws_tokens"),
+        graft.util.Exact.pinScoreInt(
+          pieces.cast("double") / ws.cast("double")).as("fertility"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, minhashJaccardEst, dedupSimhash,
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
     textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram,
-    mmAudioChunks)
+    mmAudioChunks, textFertility)
 }

@@ -353,7 +353,47 @@ object WindowQueries {
         graft.util.Exact.pinScoreInt(col("lrs") / col("ln_n")).as("hurst"))
   }
 
+  /** Amihud illiquidity per asset (r12) — the price-impact gauge
+    * microstructure pipelines publish beside volatility: mean of
+    * |return| per unit of dollar volume, ×10⁶ (the conventional scale).
+    * Returns ride the dyadic 2⁻²⁰ grid (division-derived — the
+    * q_agg_cvar contract), |·| is taken on the grid value, the per-row
+    * ratio is scaled BEFORE the 2⁻³⁰ portable-grid sum so tiny impacts
+    * keep resolution, and one fixed-order division publishes the pinned
+    * mean. One window shuffle on the asset key (the lag) + one hash
+    * aggregate; single-observation assets drop (no return to measure) on
+    * both engines via HAVING. */
+  val winAmihud = Q("q_win_amihud",
+    "per-asset Amihud illiquidity: pinned mean |grid return| per dollar volume x1e6")(
+    "WITH r AS (SELECT l_partkey, l_quantity * l_extendedprice AS dvol, " +
+      "CAST(floor((l_extendedprice / lag(l_extendedprice) OVER w - 1.0) * 1048576.0) " +
+      "AS BIGINT) AS rg " +
+      s"FROM lineitem WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, $ordSql)) " +
+      "SELECT l_partkey, CAST(count(rg) AS BIGINT) AS n_rets, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        Exact.Sql.portableSum(
+          "((abs(CAST(rg AS DOUBLE)) / 1048576.0) / dvol) * 1000000.0") +
+          " / CAST(count(rg) AS DOUBLE)") + " AS amihud " +
+      "FROM r GROUP BY 1 HAVING count(rg) > 0") {
+    (s, d) =>
+      val wOrd = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val ret = col("l_extendedprice") / lag("l_extendedprice", 1).over(wOrd) - 1.0
+      lineitem(s, d)
+        .select(col("l_partkey"),
+          (col("l_quantity") * col("l_extendedprice")).as("dvol"),
+          floor(ret * 1048576.0).cast("long").as("rg"))
+        .groupBy("l_partkey")
+        .agg(count(col("rg")).as("n_rets"),
+          graft.util.Exact.portableSum(
+            ((abs(col("rg").cast("double")) / 1048576.0) / col("dvol")) * 1000000.0)
+            .as("ss"))
+        .filter(col("n_rets") > 0)
+        .select(col("l_partkey"), col("n_rets"),
+          graft.util.Exact.pinScoreInt(
+            col("ss") / col("n_rets").cast("double")).as("amihud"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
     monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration,
-    winParkinson, winHurst)
+    winParkinson, winHurst, winAmihud)
 }
