@@ -191,6 +191,34 @@ object Recursive {
     }
   }
 
+  case class KeltnerRow(key: Long, rn: Long, ema: Double, atr: Double,
+      upper_band: Double, lower_band: Double)
+
+  /** Keltner channels (r12): EMA(20) midline ± 2·ATR(10) bands — the two
+    * registered recursions composed in ONE fold (EMA seeding and Wilder
+    * ATR seeding conventions unchanged from macd/atr above), because the
+    * group's rows are already in hand — a second pass would buy nothing.
+    * Oracle replays both recurrences in one recursive CTE. */
+  def keltner(s: SparkSession, d: String): Dataset[KeltnerRow] = {
+    import s.implicits._
+    val a = 2.0 / 21.0
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var ema, atrV = 0.0
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) { ema = r.close; atrV = r.high - r.low }
+        else {
+          ema = (a * r.close) + ((1.0 - a) * ema)
+          val pc = rows(i - 1).close
+          val tr = math.max(r.high - r.low,
+            math.max(math.abs(r.high - pc), math.abs(r.low - pc)))
+          atrV = ((atrV * 9.0) + tr) / 10.0
+        }
+        KeltnerRow(k, i + 1, ema, atrV, ema + 2.0 * atrV, ema - 2.0 * atrV)
+      }
+    }
+  }
+
   case class EwmaRow(key: Long, rn: Long, ret: Option[Double],
       ewma_var: Option[Double], ewma_vol: Option[Double])
 

@@ -1247,10 +1247,111 @@ object AggQueries {
           col("q1"), col("q3"), col("n_low"), col("n_high"), col("outlier_share"))
   }
 
+  /** Mann–Whitney U rank-sum test (r12) — the DISTRIBUTION-free sibling
+    * of q_agg_welch_ttest (which assumes means matter): does returned
+    * stock ('R') price stochastically dominate the rest? Tie-aware via
+    * the same scaled-midrank machinery as q_agg_spearman: the value
+    * histogram (split by group membership) yields midranks as value
+    * functions, U₁ = ΣR₁/2 − n₁(n₁+1)/2 from exact integer sums, and the
+    * normal approximation's tie-corrected variance folds Σ(t³−t) over
+    * distinct values — every term integer until the final pinned z. No
+    * data-row sort at any scale (value-domain prefix only). */
+  val aggMannWhitney = Q("q_agg_mannwhitney",
+    "tie-aware Mann-Whitney U of price, 'R' vs rest (midranks, pinned z)")(
+    "WITH v AS (SELECT l_extendedprice AS px, " +
+      "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1), " +
+      "r AS (SELECT px, c1, c, 2 * CAST(coalesce(sum(c) OVER (ORDER BY px " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS rr " +
+      "FROM v), " +
+      "m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(c1 AS HUGEINT) * rr) AS DOUBLE) AS sr1, " +
+      "CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS ties FROM r) " +
+      "SELECT n1, n - n1 AS n2, " +
+      "(sr1 / 2.0) - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1, " +
+      "CASE WHEN n1 > 0 AND n1 < n AND n > 1 AND " +
+      "(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0) * " +
+      "((CAST(n AS DOUBLE) + 1.0) - ties / (CAST(n AS DOUBLE) * " +
+      "(CAST(n AS DOUBLE) - 1.0))) > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "((sr1 / 2.0) - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 - " +
+          "(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) / 2.0) / " +
+          "sqrt((CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0) * " +
+          "((CAST(n AS DOUBLE) + 1.0) - ties / (CAST(n AS DOUBLE) * " +
+          "(CAST(n AS DOUBLE) - 1.0))))") + " END AS z FROM m") {
+    (s, d) =>
+      val v = lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("px"))
+        .agg(sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long").as("c1"),
+          count(lit(1)).as("c"))
+      val wPre = Window.orderBy("px").rowsBetween(Window.unboundedPreceding, -1)
+      val r = v.withColumn("rr",
+        lit(2L) * coalesce(sum("c").over(wPre), lit(0L)) + col("c") + 1L)
+      val cD = (cc: String) => col(cc).cast("decimal(38,0)")
+      val m = r.agg(sum("c1").cast("long").as("n1"), sum("c").cast("long").as("n"),
+        sum(cD("c1") * col("rr")).cast("double").as("sr1"),
+        sum(cD("c") * col("c") * col("c") - col("c")).cast("double").as("ties"))
+      val n1D = col("n1").cast("double"); val nD = col("n").cast("double")
+      val n2D = (col("n") - col("n1")).cast("double")
+      val u1 = (col("sr1") / 2.0) - (n1D * (n1D + 1.0)) / 2.0
+      val varU = (n1D * n2D / 12.0) *
+        ((nD + 1.0) - col("ties") / (nD * (nD - 1.0)))
+      m.select(col("n1"), (col("n") - col("n1")).as("n2"), u1.as("u1"),
+        when(col("n1") > 0 && col("n1") < col("n") && col("n") > 1 && varU > 0,
+          Exact.pinScoreInt((u1 - (n1D * n2D) / 2.0) / sqrt(varU))).as("z"))
+  }
+
+  /** Benford first-digit audit (r12) — the fabricated-data screen every
+    * data-quality suite ships: first significant digit of the
+    * exact-integer cents (string head of a BIGINT — no float formatting,
+    * no log10, so both engines agree symbol for symbol) against
+    * Benford's log₁₀(1+1/d) expectation, with the χ² statistic folded
+    * over the 9 digit cells. One hash aggregate; digit-domain everything
+    * after. The Benford probabilities are nine double LITERALS written
+    * identically into both plans — no engine evaluates a log. */
+  val aggBenford = Q("q_agg_benford",
+    "first-digit distribution of price cents vs Benford + chi2 (pinned)")({
+    val probs = (1 to 9).map(dd => dd -> (math.log10(1.0 + 1.0 / dd)))
+    // CAST each literal: DuckDB parses bare 16-digit decimals as DECIMAL,
+    // and decimal arithmetic would diverge from the JVM doubles (the
+    // q_ewma_vol 0.94 lesson)
+    val pCase = probs.map { case (dd, p) => s"WHEN '$dd' THEN CAST($p AS DOUBLE)" }.mkString(" ")
+    "WITH c AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) " +
+      "AS VARCHAR), 1, 1) AS digit, CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+      "GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), " +
+      s"e AS (SELECT digit, n, t.tot, CASE digit $pCase END AS p FROM c CROSS JOIN t) " +
+      "SELECT digit, n, " +
+      Exact.Sql.pinScoreInt("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)") + " AS share, " +
+      Exact.Sql.pinScoreInt("p") + " AS benford_p, " +
+      Exact.Sql.pinScoreInt(
+        "((CAST(n AS DOUBLE) - p * CAST(tot AS DOUBLE)) * " +
+          "(CAST(n AS DOUBLE) - p * CAST(tot AS DOUBLE))) / (p * CAST(tot AS DOUBLE))") +
+      " AS chi2_term FROM e"
+  }) {
+    (s, d) =>
+      val probs = (1 to 9).map(dd => dd.toString -> (math.log10(1.0 + 1.0 / dd)))
+      val pCol = probs.foldLeft(when(lit(false), 0.0)) { case (acc, (dd, p)) =>
+        acc.when(col("digit") === dd, lit(p))
+      }
+      val c = lineitem(s, d)
+        .select(substring(round(col("l_extendedprice") * 100.0, 0).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").as("tot"))
+      val nD = col("n").cast("double"); val totD = col("tot").cast("double")
+      c.crossJoin(broadcast(t)).withColumn("p", pCol)
+        .select(col("digit"), col("n"),
+          Exact.pinScoreInt(nD / totD).as("share"),
+          Exact.pinScoreInt(col("p")).as("benford_p"),
+          Exact.pinScoreInt(((nD - col("p") * totD) * (nD - col("p") * totD)) /
+            (col("p") * totD)).as("chi2_term"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
-    aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers)
+    aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford)
 }

@@ -96,5 +96,26 @@ object RecursiveQueries {
     (s, d) => Recursive.ewmaVol(s, d).toDF().select("key", "rn", "ret", "ewma_var", "ewma_vol")
   }
 
-  val all: Seq[Q] = Seq(rsi, macd, atr, ewmaVol)
+  /** Keltner channels (r12): EMA(20) midline ± 2·ATR(10) — the two
+    * registered recursions composed in one fold (ops.Recursive.keltner);
+    * the oracle advances BOTH recurrences in one recursive CTE with the
+    * identical IEEE op sequence (the MACD/ATR literal conventions:
+    * divisions of decimal literals are double in both engines). */
+  val keltner = Q("q_keltner", "Keltner channels: EMA(20) +- 2*ATR(10) via one fold")(
+    rowsCte +
+      "r AS (SELECT key, rn, close, high, low, close AS ema, (high - low) AS atr " +
+      "FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT n.key, n.rn, n.close, n.high, n.low, " +
+      "((2.0 / 21.0) * n.close) + ((1.0 - (2.0 / 21.0)) * r.ema) AS ema, " +
+      "((r.atr * 9.0) + greatest(n.high - n.low, " +
+      "greatest(abs(n.high - r.close), abs(n.low - r.close)))) / 10.0 AS atr " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) " +
+      "SELECT key, rn, ema, atr, ema + 2.0 * atr AS upper_band, " +
+      "ema - 2.0 * atr AS lower_band FROM r") {
+    (s, d) => Recursive.keltner(s, d).toDF()
+      .select("key", "rn", "ema", "atr", "upper_band", "lower_band")
+  }
+
+  val all: Seq[Q] = Seq(rsi, macd, atr, ewmaVol, keltner)
 }

@@ -1254,10 +1254,46 @@ object SessionQueries {
             Exact.pinScoreInt((cxy * cxy) / (vx * vy))).as("var_reduction"))
   }
 
+  /** Per-day behavioral-mix entropy (r12) — Shannon entropy of the
+    * event-TYPE distribution each day, the one-number drift gauge read
+    * beside q_event_transition's matrix: a collapsing entropy says user
+    * behavior is concentrating (a feature eating the product, or a bot
+    * flood); the identity H = ln n − (Σ c·ln c)/n keeps every log on a
+    * COUNT (the q_text_entropy recipe — portable ln over the per-day
+    * type cells, grid-pinned publish). Two tiny pln projections over
+    * day×type cells; one hash aggregate over the scan. */
+  val eventTypeEntropy = Q("q_event_type_entropy",
+    "per-day Shannon entropy of the event-type mix (portable ln, pinned)")(
+    "WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "cx AS (SELECT day, c, CAST(c AS DOUBLE) AS _lnx FROM c), " +
+      graft.util.Portable.plnSqlCtes("cx", "lc") + ", " +
+      "s AS (SELECT day, " +
+      Exact.Sql.portableSum("CAST(c AS DOUBLE) * _pln") + " AS s, " +
+      "CAST(sum(c) AS BIGINT) AS n FROM lc GROUP BY 1), " +
+      "sx AS (SELECT day, n, s, CAST(n AS DOUBLE) AS _lnx FROM s), " +
+      graft.util.Portable.plnSqlCtes("sx", "lnn") + " " +
+      "SELECT day, n AS n_events, " +
+      Exact.Sql.pinScoreInt("_pln - (s / CAST(n AS DOUBLE))") +
+      " AS type_entropy FROM lnn") {
+    (s, d) =>
+      val c = events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val lc = graft.util.Portable.pln(c, col("c").cast("double"), "lc")
+      val sFrame = lc.groupBy("day")
+        .agg(Exact.portableSum(col("c").cast("double") * col("lc")).as("s"),
+          sum("c").cast("long").as("n"))
+      graft.util.Portable.pln(sFrame, col("n").cast("double"), "lnn")
+        .select(col("day"), col("n").as("n_events"),
+          Exact.pinScoreInt(col("lnn") - (col("s") / col("n").cast("double")))
+            .as("type_entropy"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
-    eventAbCuped)
+    eventAbCuped, eventTypeEntropy)
 }
