@@ -1290,10 +1290,51 @@ object SessionQueries {
             .as("type_entropy"))
   }
 
+  /** Gini coefficient of per-user activity (r12) — the inequality
+    * one-number beside q_event_power_users' decile table. UNLIKE
+    * q_agg_gini_source (rank window over ~20 sources), the user universe
+    * is corpus-scale, so the rank formula is re-derived from the
+    * activity-VALUE histogram: users tying at activity x occupy a
+    * contiguous rank run, and Σ i·xᵢ over the run collapses to
+    * x·(m·below + m(m+1)/2) — exact integers off a distinct-value
+    * prefix, no per-user sort at any scale (the q_agg_trimmed_mean
+    * layout applied to the Gini rank sum). HUGEINT/DECIMAL(38,0)
+    * accumulation, two final pinned divisions. */
+  val eventGiniUser = Q("q_event_gini_user",
+    "Gini coefficient of per-user event counts (histogram rank-sum, pinned)")(
+    "WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events " +
+      "WHERE user_id IS NOT NULL GROUP BY 1), " +
+      "h AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM uc GROUP BY 1), " +
+      "p AS (SELECT x, m, CAST(coalesce(sum(m) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM h), " +
+      "s AS (SELECT CAST(sum(m) AS BIGINT) AS k, sum(CAST(x AS HUGEINT) * m) AS sx, " +
+      "sum(CAST(x AS HUGEINT) * (CAST(m AS HUGEINT) * below + (m * (m + 1)) // 2)) " +
+      "AS six FROM p) " +
+      "SELECT k AS n_users, CAST(sx AS BIGINT) AS total_events, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(2 * six AS DOUBLE) / CAST(k * sx AS DOUBLE)) - " +
+          "(CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE))") + " AS gini FROM s") {
+    (s, d) =>
+      val uc = events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val h = uc.groupBy("x").agg(count(lit(1)).as("m"))
+      val wPre = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      val p = h.withColumn("below", coalesce(sum("m").over(wPre), lit(0L)))
+      val xD = col("x").cast("decimal(38,0)"); val mD = col("m").cast("decimal(38,0)")
+      val tri = expr("(m * (m + 1)) div 2").cast("decimal(38,0)")
+      val st = p.agg(sum("m").cast("long").as("k"),
+        sum(xD * col("m")).as("sx"),
+        sum(xD * (mD * col("below") + tri)).as("six"))
+      st.select(col("k").as("n_users"), col("sx").cast("long").as("total_events"),
+        graft.util.Exact.pinScoreInt(
+          (lit(2) * col("six")).cast("double") / (col("k") * col("sx")).cast("double") -
+            (col("k") + 1).cast("double") / col("k").cast("double")).as("gini"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
-    eventAbCuped, eventTypeEntropy)
+    eventAbCuped, eventTypeEntropy, eventGiniUser)
 }

@@ -3156,6 +3156,97 @@ object VectorQueries {
         .agg(count(lit(1)).cast("long").as("n_members"))
   }
 
+  private val GraphWalkHops = 6
+
+  /** Greedy graph-walk search over the mutual-kNN graph (r12) — the
+    * traversal half of the HNSW idea (layer-0 greedy descent) the index
+    * family still lacked: from a fixed entry point (the smallest graph
+    * node), each of GraphWalkHops rounds moves every query to the best
+    * of {current} ∪ neighbors(current) by exact cosine (ties to the
+    * smaller node — deterministic, oscillation-free: equal-cos pairs
+    * settle on the smaller id and stay). Publishes the landing node, its
+    * pinned cosine and the hop count per query — read beside
+    * q_ann_cosine_topk to see how close pure graph descent gets to the
+    * true top-1 on this graph.
+    *
+    * Scale: per hop, candidates per query ≤ deg ≤ 3 (the mutual-top-3
+    * contract) — each round is ONE node-keyed join + ≤4 exact dots per
+    * query + a per-query argmax window; rounds fixed; each round's
+    * frontier materialized (bounded plans). Oracle unrolls the same
+    * rounds as MATERIALIZED CTEs with the identical decimal-dot/argmax
+    * recipe. */
+  val annGraphWalk = Q("q_ann_graph_walk",
+    s"greedy $GraphWalkHops-hop graph-walk search from a fixed entry (pinned landing cosine)")({
+    def cosCte(src: String, out: String): String =
+      s"$out AS MATERIALIZED (SELECT x.qid, x.node, " +
+        "CAST(SUM(CAST(va.e * vb.e AS DECIMAL(38,8))) AS DOUBLE) / (na.nrm * nb.nrm) AS cos " +
+        s"FROM (SELECT DISTINCT qid, node FROM $src) x " +
+        "JOIN v va ON va.vec_id = x.qid JOIN v vb ON vb.vec_id = x.node AND vb.i = va.i " +
+        "JOIN n na ON na.vec_id = x.qid JOIN n nb ON nb.vec_id = x.node " +
+        "GROUP BY x.qid, x.node, na.nrm, nb.nrm)"
+    val rounds = (1 to GraphWalkHops).map { h =>
+      s"cand$h AS MATERIALIZED (SELECT c.qid, d.b AS node FROM c${h - 1} c " +
+        "JOIN du d ON d.a = c.node), " +
+        cosCte(s"cand$h", s"cd$h") + ", " +
+        s"c$h AS MATERIALIZED (SELECT w.qid, w.node, w.cos, " +
+        "CASE WHEN w.node = p.node THEN p.hops ELSE p.hops + 1 END AS hops " +
+        "FROM (SELECT qid, node, cos, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, node) AS rn " +
+        s"FROM (SELECT qid, node, cos FROM cd$h " +
+        s"UNION ALL SELECT qid, node, cos FROM c${h - 1})) w " +
+        s"JOIN c${h - 1} p ON p.qid = w.qid WHERE w.rn = 1)"
+    }.mkString(", ")
+    vecsSql +
+      ", edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "du AS MATERIALIZED (SELECT a, b FROM edges " +
+      "UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "qset AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10), " +
+      "st AS (SELECT min(a) AS node FROM du), " +
+      "s0 AS (SELECT q.qid, st.node FROM qset q CROSS JOIN st), " +
+      cosCte("s0", "cs0") + ", " +
+      "c0 AS MATERIALIZED (SELECT qid, node, cos, 0 AS hops FROM cs0), " +
+      rounds + " " +
+      s"SELECT qid, node AS best_node, " +
+      graft.util.Exact.Sql.pinScoreInt("cos") + " AS best_cos, " +
+      s"CAST(hops AS BIGINT) AS n_hops FROM c$GraphWalkHops"
+  }) {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val all = base.select(col("vec_id").as("node"),
+        col("embedding").as("ce"), expr(normExpr("embedding")).as("cn"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"))
+        .materialized(eager = false) // joined every hop
+      def withCos(df: DataFrame): DataFrame =
+        df.distinct().join(broadcast(qs), "qid").join(all, "node")
+          .select(col("qid"), col("node"),
+            (expr(dotExpr("qe", "ce")) / (col("qn") * col("cn"))).as("cos"))
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+        .materialized(eager = false)
+      val start = du.agg(min("a").as("node"))
+      var cur = withCos(qs.select("qid").crossJoin(broadcast(start)))
+        .withColumn("hops", lit(0L)).materialized()
+      for (_ <- 1 to GraphWalkHops) {
+        val cand = cur.select(col("qid"), col("node"))
+          .join(du.select(col("a").as("node"), col("b")), "node")
+          .select(col("qid"), col("b").as("node"))
+        val u = withCos(cand).unionAll(cur.select("qid", "node", "cos"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+        val best = u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        cur = best.select(col("qid"), col("node"), col("cos"))
+          .join(cur.select(col("qid"), col("node").as("pnode"), col("hops")), "qid")
+          .select(col("qid"), col("node"), col("cos"),
+            when(col("node") === col("pnode"), col("hops"))
+              .otherwise(col("hops") + 1).as("hops"))
+          .materialized() // bound the per-hop plan
+      }
+      cur.select(col("qid"), col("node").as("best_node"),
+        graft.util.Exact.pinScoreInt(col("cos")).as("best_cos"),
+        col("hops").cast("long").as("n_hops"))
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
     * for every NON-adjacent pair at distance 2: the common-neighbor
     * count and its Jaccard normalization cn/(deg_a + deg_b − cn). These
@@ -3562,5 +3653,5 @@ object VectorQueries {
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
-    embSilhouette, graphKnnDegree, graphLabelProp)
+    embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk)
 }
