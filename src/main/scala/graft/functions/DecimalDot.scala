@@ -235,27 +235,9 @@ object DecimalDot {
   /** Register `decimal_dot` + `double_dot` as session temp functions so
     * `expr(...)` / SQL strings can call them (Sessions.local does this for
     * every engine-created session). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "decimal_dot",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "decimal_dot takes exactly 2 arguments")
-        DecimalDot(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_dot",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "double_dot takes exactly 2 arguments")
-        DoubleDot(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_bits",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, "double_bits takes exactly 1 argument")
-        DoubleBits(exprs.head)
-      },
-      "built-in")
-  }
+  /** Kept as the historical entry point; the function list itself lives
+    * in [[GraftFunctions.all]] (one list, two registration surfaces —
+    * this imperative one and graft.GraftExtensions' injection). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.register(spark)
 }

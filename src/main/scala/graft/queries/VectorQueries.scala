@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.util.Exact
 import graft.util.Materialize.Ops
 import graft.Q
 import graft.util.Tables._
@@ -3247,6 +3248,84 @@ object VectorQueries {
         col("hops").cast("long").as("n_hops"))
   }
 
+  /** Label homophily of the mutual-kNN graph (r12) — per label: how
+    * often does a labeled vector's mutual neighbor share the label? The
+    * one-table answer to "is the label structure visible in the
+    * embedding geometry", read BEFORE training a classifier on these
+    * vectors (q_ann_knn_classify's accuracy ceiling is exactly this
+    * purity). Doubled edges × the label table, integer counts, one
+    * pinned ratio per label — edges-sized throughout. */
+  val graphKnnPurity = Q("q_graph_knn_purity",
+    "per-label mutual-kNN homophily: endpoint count, same-label count, pinned purity")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "du AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "e AS (SELECT la.label AS label, " +
+      "CASE WHEN lb.label = la.label THEN 1 ELSE 0 END AS same " +
+      "FROM du JOIN embeddings la ON la.vec_id = du.a " +
+      "JOIN embeddings lb ON lb.vec_id = du.b) " +
+      "SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_endpoints, " +
+      "CAST(sum(same) AS BIGINT) AS n_same, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(same) AS DOUBLE) / CAST(count(*) AS DOUBLE)") + " AS purity " +
+      "FROM e GROUP BY 1") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      du.join(lab.select(col("vec_id").as("a"), col("label")), "a")
+        .join(lab.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+        .select(col("label"), when(col("lb") === col("label"), 1).otherwise(0).as("same"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_endpoints"), sum("same").cast("long").as("n_same"))
+        .select(col("label"), col("n_endpoints"), col("n_same"),
+          graft.util.Exact.pinScoreInt(
+            col("n_same").cast("double") / col("n_endpoints").cast("double"))
+            .as("purity"))
+  }
+
+  /** Inter-label centroid similarity matrix (r12) — the label-geometry
+    * confusion forecast: pairwise cosine between per-label mean vectors.
+    * Two labels whose centroids sit at cos ≥ ~0.9 will bleed into each
+    * other under ANY nearest-centroid rule — the cheap pre-training
+    * read beside q_graph_knn_purity's edge-level view. Per-dim means
+    * are exact-decimal over RAW components; everything DOWNSTREAM of
+    * the mean's division rides the 2⁻³⁰ portable grid (the §4j rule —
+    * no decimal cast ever touches a derived double): grid dot, grid
+    * norms, one pinned division. Output is |labels|²-sized; the only
+    * corpus-scale work is the first (label, dim) aggregate. */
+  val embLabelCentroidSim = Q("q_emb_label_centroid_sim",
+    "pairwise cosine between per-label centroid vectors (grid dot, pinned)")(
+    vecsSql +
+      ", m AS (SELECT label, i, " +
+      "CAST(SUM(CAST(e AS DECIMAL(38,8))) AS DOUBLE) / COUNT(e) AS m FROM v GROUP BY 1, 2), " +
+      "nm AS (SELECT label, sqrt(" + graft.util.Exact.Sql.portableSum("m * m") +
+      ") AS nrm FROM m GROUP BY 1), " +
+      "p AS (SELECT a.label AS la, b.label AS lb, " +
+      graft.util.Exact.Sql.portableSum("a.m * b.m") + " AS dot " +
+      "FROM m a JOIN m b ON b.i = a.i AND a.label < b.label GROUP BY 1, 2) " +
+      "SELECT CAST(p.la AS BIGINT) AS la, CAST(p.lb AS BIGINT) AS lb, " +
+      graft.util.Exact.Sql.pinScoreInt("p.dot / (na.nrm * nb.nrm)") + " AS cos " +
+      "FROM p JOIN nm na ON na.label = p.la JOIN nm nb ON nb.label = p.lb") {
+    (s, d) =>
+      val v = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("i"), col("col").cast("double").as("e"))
+      val m = v.groupBy("label", "i")
+        .agg((Exact.exactSum(col("e")) / count(col("e"))).as("m"))
+        .materialized(eager = false) // norms AND the pair join read it
+      val nm = m.groupBy("label")
+        .agg(sqrt(Exact.portableSum(col("m") * col("m"))).as("nrm"))
+      val p = m.as("a")
+        .join(m.as("b"),
+          col("b.i") === col("a.i") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+        .agg(Exact.portableSum(col("a.m") * col("b.m")).as("dot"))
+      p.join(broadcast(nm.select(col("label").as("la"), col("nrm").as("na"))), "la")
+        .join(broadcast(nm.select(col("label").as("lb"), col("nrm").as("nb"))), "lb")
+        .select(col("la").cast("long").as("la"), col("lb").cast("long").as("lb"),
+          graft.util.Exact.pinScoreInt(col("dot") / (col("na") * col("nb"))).as("cos"))
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
     * for every NON-adjacent pair at distance 2: the common-neighbor
     * count and its Jaccard normalization cn/(deg_a + deg_b − cn). These
@@ -3653,5 +3732,6 @@ object VectorQueries {
     evalRecallPq, embHardNegatives, graphAssortativity, evalRecallInt8,
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
-    embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk)
+    embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
+    embLabelCentroidSim)
 }

@@ -393,7 +393,41 @@ object WindowQueries {
             col("ss") / col("n_rets").cast("double")).as("amihud"))
   }
 
+  /** Ulcer index per asset (r12) — the drawdown-DEPTH-weighted risk
+    * gauge between q_win_drawdown (max depth only) and
+    * q_win_drawdown_duration (time only): UI = √(Σ dd²/n) over the
+    * percent drawdown dd = 100·(px/runmax − 1) of every observation, so
+    * long deep underwater stretches dominate brief dips. Each dd is ONE
+    * correctly-rounded division (runmax is an exact order statistic),
+    * dd² folds through the 2⁻³⁰ portable grid (order-free), one
+    * fixed-order divide + √ publishes pinned. Same single asset-key
+    * window shuffle as the drawdown pair. */
+  val winUlcer = Q("q_win_ulcer",
+    "per-asset Ulcer index: pinned sqrt of mean squared percent drawdown")(
+    "WITH r AS (SELECT l_partkey, " +
+      "100.0 * (l_extendedprice / max(l_extendedprice) OVER (PARTITION BY l_partkey " +
+      s"ORDER BY l_shipdate, $ordSql ROWS UNBOUNDED PRECEDING) - 1.0) AS dd " +
+      "FROM lineitem) " +
+      "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "sqrt(" + Exact.Sql.portableSum("dd * dd") + " / CAST(count(*) AS DOUBLE))") +
+      " AS ulcer FROM r GROUP BY 1") {
+    (s, d) =>
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = lit(100.0) *
+        (col("l_extendedprice") / max("l_extendedprice").over(w) - 1.0)
+      lineitem(s, d)
+        .select(col("l_partkey"), dd.as("dd"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_obs"),
+          graft.util.Exact.portableSum(col("dd") * col("dd")).as("ss"))
+        .select(col("l_partkey"), col("n_obs"),
+          graft.util.Exact.pinScoreInt(
+            sqrt(col("ss") / col("n_obs").cast("double"))).as("ulcer"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
     monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration,
-    winParkinson, winHurst, winAmihud)
+    winParkinson, winHurst, winAmihud, winUlcer)
 }
