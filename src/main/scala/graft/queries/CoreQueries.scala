@@ -328,9 +328,37 @@ object CoreQueries {
         col("o_orderstatus").cast("string").as("o_orderstatus"))
   }
 
+  /** Line-oriented TEXT source round-trip (r12) — the fifth source
+    * format beside parquet/jsonl/csv/orc, exercising the OTHER ingestion
+    * path real lakes lean on: `spark.read.text` + an explicit from_json
+    * parse (the raw-landing-zone pattern where files arrive as opaque
+    * lines and the schema is applied at READ time, not write time).
+    * Text payload rides base64 so embedded newlines can't split a
+    * record — the line format's one real footgun, handled rather than
+    * assumed away. Oracle: the round trip is an identity, so the oracle
+    * reads the source table directly. */
+  val scanText = Q("q_scan_text", "text-lines source round-trip (read.text + from_json)")(
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 " +
+      "FROM documents WHERE text IS NOT NULL") {
+    (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_docs"
+      documents(s, d).filter(col("text").isNotNull)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), base64(col("text").cast("binary")).as("text_b64"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, " +
+        "text_b64 STRING"
+      s.read.text(out)
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+          md5(unbase64(col("r.text_b64"))).as("text_md5"))
+  }
+
   val all: Seq[Q] = Seq(
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
     winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
-    scanPartitionPruned, scanCsv, scanSchemaMerge, scanOrc)
+    scanPartitionPruned, scanCsv, scanSchemaMerge, scanOrc, scanText)
 }

@@ -1533,11 +1533,54 @@ object CorpusStatsQueries {
           graft.util.Exact.pinScoreInt(col("theil")).as("theil"))
   }
 
+  /** Word burstiness (r12) — the Church–Gale observation that content
+    * words CLUMP (a doc mentioning a topic word mentions it again) while
+    * function words spread evenly: per top-20 word, the
+    * variance-to-mean ratio of its per-document count over ALL documents
+    * (zeros included — via the Σc² identity, so absent docs cost
+    * nothing). VMR ≈ 1 = Poisson/function word; VMR ≫ 1 = bursty topic
+    * word — the signal TF-IDF's df term approximates and dedup's
+    * repetition filters exploit. Exact integer moments (Σc, Σc² in
+    * HUGEINT/DECIMAL) + two fixed-order divisions, pinned; the top-20
+    * cut is the q_text_zipf vocabulary bound. */
+  val textBurstiness = Q("q_text_burstiness",
+    "top-20 word variance-to-mean ratio over per-doc counts (zeros via identity)")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "dwc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM tokw GROUP BY 1, 2), " +
+      "wt AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw, " +
+      "sum(CAST(c AS HUGEINT) * c) AS cw2, CAST(count(*) AS BIGINT) AS df " +
+      "FROM dwc GROUP BY 1), " +
+      "top AS (SELECT word, cw, cw2, df, row_number() OVER (ORDER BY cw DESC, word) AS r " +
+      "FROM wt ORDER BY cw DESC, word LIMIT 20), " +
+      "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents) " +
+      "SELECT word, cw AS n_total, df AS n_docs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "((CAST(cw2 AS DOUBLE) - (CAST(cw AS DOUBLE) * CAST(cw AS DOUBLE)) / " +
+          "CAST(nd.nd AS DOUBLE)) / CAST(nd.nd AS DOUBLE)) / " +
+          "(CAST(cw AS DOUBLE) / CAST(nd.nd AS DOUBLE))") + " AS vmr " +
+      "FROM top CROSS JOIN nd") {
+    (s, d) =>
+      val dwc = TextOps.explodeTokens(documents(s, d))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val wt = dwc.groupBy("word")
+        .agg(sum("c").cast("long").as("cw"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("cw2"),
+          count(lit(1)).as("df"))
+      val top = wt.orderBy(col("cw").desc, col("word")).limit(20)
+      val nd = documents(s, d).agg(count(lit(1)).as("nd"))
+      val cwD = col("cw").cast("double"); val ndD = col("nd").cast("double")
+      top.crossJoin(broadcast(nd))
+        .select(col("word"), col("cw").as("n_total"), col("df").cast("long").as("n_docs"),
+          graft.util.Exact.pinScoreInt(
+            ((col("cw2").cast("double") - (cwD * cwD) / ndD) / ndD) / (cwD / ndD))
+            .as("vmr"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
     textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
-    textSimpson, aggTheilSource)
+    textSimpson, aggTheilSource, textBurstiness)
 }

@@ -1331,10 +1331,82 @@ object SessionQueries {
             (col("k") + 1).cast("double") / col("k").cast("double")).as("gini"))
   }
 
+  /** Entropy RATE of the event-type Markov chain (r12) — the one-number
+    * "how predictable is the next event given the current one":
+    * H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ over q_event_transition's row-normalized
+    * matrix and q_event_markov_stationary's 3-iteration π (both recipes
+    * reproduced cell for cell so the three chain gauges stay one
+    * consistent family). Compare against q_event_type_entropy's marginal
+    * H: rate ≪ marginal ⇒ strong sequential structure worth a
+    * sequence-model; rate ≈ marginal ⇒ events are i.i.d.-ish. All
+    * transcendental work on the |types|² cell frame (pln), folds on the
+    * portable grid, one pinned publish. */
+  val eventMarkovEntropyRate = Q("q_event_markov_entropy_rate",
+    "entropy rate of the event-type chain (pi-weighted row entropies, pinned)")({
+    def step(prev: String, out: String): String =
+      s"$out AS (SELECT m.to_type AS t, " +
+        Exact.Sql.portableSum(s"$prev.pi * m.p") + " AS pi " +
+        s"FROM pm m JOIN $prev ON $prev.t = m.from_type GROUP BY 1)"
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "p AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type FROM e), " +
+      "tc AS (SELECT from_type, to_type, count(*) AS n FROM p " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tc GROUP BY 1), " +
+      "pm AS (SELECT tc.from_type, tc.to_type, CAST(tc.n AS DOUBLE) / tot.n_from AS p " +
+      "FROM tc JOIN tot ON tot.from_type = tc.from_type), " +
+      "types AS (SELECT DISTINCT event_type AS t FROM events), " +
+      "nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types), " +
+      "pi0 AS (SELECT t, 1.0 / (SELECT k FROM nt) AS pi FROM types), " +
+      step("pi0", "pi1") + ", " + step("pi1", "pi2") + ", " + step("pi2", "pi3") + ", " +
+      "pmx AS (SELECT from_type, p, p AS _lnx FROM pm), " +
+      graft.util.Portable.plnSqlCtes("pmx", "pml") + ", " +
+      "h AS (SELECT from_type, " + Exact.Sql.portableSum("p * _pln") + " AS hrow " +
+      "FROM pml GROUP BY 1), " +
+      "r AS (SELECT " + Exact.Sql.portableSum("pi3.pi * h.hrow") + " AS s, " +
+      "CAST(count(*) AS BIGINT) AS k_active FROM h JOIN pi3 ON pi3.t = h.from_type) " +
+      "SELECT (SELECT k FROM nt) AS n_types, k_active, " +
+      Exact.Sql.pinScoreInt("-s") + " AS entropy_rate FROM r"
+  }) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tc = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+      val pm = tc.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+        .materialized() // three iterations AND the entropy fold read it
+      val types = events(s, d).select(col("event_type").as("t")).distinct()
+        .materialized(eager = false)
+      val k = types.agg(count(lit(1)).as("k"))
+      var pi = types.crossJoin(broadcast(k))
+        .select(col("t"), (lit(1.0) / col("k")).as("pi"))
+      for (_ <- 1 to 3)
+        pi = pm.join(broadcast(pi), col("t") === col("from_type"))
+          .groupBy(col("to_type").as("tn"))
+          .agg(Exact.portableSum(col("pi") * col("p")).as("pi"))
+          .withColumnRenamed("tn", "t")
+      val h = graft.util.Portable.pln(pm, col("p"), "lp")
+        .groupBy("from_type")
+        .agg(Exact.portableSum(col("p") * col("lp")).as("hrow"))
+      val r = h.join(pi, col("t") === col("from_type"))
+        .agg(Exact.portableSum(col("pi") * col("hrow")).as("s"),
+          count(lit(1)).as("k_active"))
+      r.crossJoin(broadcast(k))
+        .select(col("k").as("n_types"), col("k_active"),
+          Exact.pinScoreInt(-col("s")).as("entropy_rate"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
-    eventAbCuped, eventTypeEntropy, eventGiniUser)
+    eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate)
 }
