@@ -3326,6 +3326,43 @@ object VectorQueries {
           graft.util.Exact.pinScoreInt(col("dot") / (col("na") * col("nb"))).as("cos"))
   }
 
+  /** Navigability recall of the greedy graph walk (r12) — the measured
+    * cost of q_ann_graph_walk's approximation, keeping the family
+    * contract that EVERY approximate search variant publishes its
+    * recall: per query, did the walk land on the query's own node
+    * (self-retrieval — the classic graph-navigability test) or inside
+    * the exact top-3? success = either. Universe-complete over the
+    * query set (the q_eval_mrr contract: a query never drops). One walk
+    * + one broadcast-size join against the exact top-3. */
+  val evalRecallWalk = Q("q_eval_recall_walk",
+    "graph-walk navigability: self-found / top-3 / success per query")(
+    "SELECT qs.q, " +
+      "CAST(max(CASE WHEN wk.best_node = qs.q THEN 1 ELSE 0 END) AS BIGINT) AS self_found, " +
+      "CAST(max(CASE WHEN g.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top3_hit, " +
+      "CAST(max(CASE WHEN wk.best_node = qs.q OR g.c IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS success " +
+      "FROM (SELECT vec_id AS q FROM embeddings WHERE vec_id < 10) qs " +
+      "LEFT JOIN (" + annGraphWalk.oracle.get + ") wk ON wk.qid = qs.q " +
+      "LEFT JOIN (" + annCosineTopk.oracle.get + ") g " +
+      "ON g.q = qs.q AND g.c = wk.best_node AND g.rn <= 3 " +
+      "GROUP BY 1") {
+    (s, d) =>
+      val wk = annGraphWalk.fn(s, d).select(col("qid").as("q"), col("best_node"))
+      val gt = exactCosTopK(embeddings(s, d), 3).select(col("q"), col("c"))
+      val hit = wk.join(gt, gt("q") === wk("q") && gt("c") === wk("best_node"), "left")
+        .select(wk("q"), col("best_node"),
+          when(gt("c").isNotNull, 1).otherwise(0).as("in3"))
+        .groupBy("q")
+        .agg(max(when(col("best_node") === col("q"), 1).otherwise(0)).as("sf"),
+          max(col("in3")).as("t3"))
+      evalQs(s, d).join(hit, Seq("q"), "left")
+        .select(col("q"),
+          coalesce(col("sf"), lit(0)).cast("long").as("self_found"),
+          coalesce(col("t3"), lit(0)).cast("long").as("top3_hit"),
+          greatest(coalesce(col("sf"), lit(0)), coalesce(col("t3"), lit(0)))
+            .cast("long").as("success"))
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph (r13) —
     * for every NON-adjacent pair at distance 2: the common-neighbor
     * count and its Jaccard normalization cn/(deg_a + deg_b − cn). These
@@ -3733,5 +3770,5 @@ object VectorQueries {
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
-    embLabelCentroidSim)
+    embLabelCentroidSim, evalRecallWalk)
 }
