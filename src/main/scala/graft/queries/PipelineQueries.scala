@@ -1242,9 +1242,95 @@ object PipelineQueries {
           when(pe < 1.0, Exact.pinScoreInt((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 
+  /** Population stability index of the event-value distribution (r12) —
+    * THE production drift monitor: decile bins fitted on the FIRST half
+    * of the observation window (the q_event_ab_cuped split convention),
+    * both halves' bin shares compared, per-bin PSI term
+    * (p₂−p₁)·ln(p₂/p₁) published pinned (rule of thumb: Σ < 0.1 stable,
+    * > 0.25 retrain). Bin fitting is the registered two-phase
+    * discrete-quantile layout (histogram + distinct-value prefix — no
+    * sort) with INTEGER cross-multiplied cuts (10·cum ≥ i·n — the
+    * q_quantile_weighted rule, no float product near a ceil boundary);
+    * bin ASSIGNMENT is 1 + Σᵢ 1[v > tᵢ] against the broadcast
+    * 9-threshold row — integer comparisons, no between-engine rounding
+    * surface; shares are one division each; the ln is the portable
+    * recipe over the 10-row bin frame. Universe-complete: every bin
+    * publishes, a zero count on either side yields a NULL term (no
+    * epsilon fudging), never a dropped row. */
+  val profilePsi = Q("q_profile_psi",
+    "per-decile-bin PSI of event value, first half vs second half (pinned terms)")(
+    "WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS mind, " +
+      "max(epoch_us(ts) // 86400000000) AS maxd FROM events), " +
+      "e AS (SELECT value, " +
+      "CASE WHEN epoch_us(ts) // 86400000000 < (b.mind + b.maxd + 1) // 2 " +
+      "THEN 1 ELSE 2 END AS half FROM events CROSS JOIN b WHERE value IS NOT NULL), " +
+      "h AS (SELECT value, CAST(count(*) AS BIGINT) AS c FROM e WHERE half = 1 " +
+      "GROUP BY 1), " +
+      "w AS (SELECT value, c, sum(c) OVER (ORDER BY value) AS cum, " +
+      "sum(c) OVER () AS n FROM h), " +
+      "q AS (SELECT " + (1 to 9).map(i =>
+        s"min(CASE WHEN 10 * cum >= $i * n THEN value END) AS t$i")
+        .mkString(", ") + " FROM w), " +
+      "binned AS (SELECT e.half, 1 " + (1 to 9).map(i =>
+        s"+ (CASE WHEN e.value > q.t$i THEN 1 ELSE 0 END)").mkString(" ") +
+      " AS bin FROM e CROSS JOIN q), " +
+      "cnt AS (SELECT bin, " +
+      "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 " +
+      "FROM binned GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 " +
+      "FROM cnt), " +
+      "sh AS (SELECT bin, n1, n2, " +
+      "CAST(n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE) AS p1, " +
+      "CAST(n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE) AS p2 FROM cnt CROSS JOIN tot t), " +
+      "lx AS (SELECT bin, n1, n2, p1, p2, " +
+      "CASE WHEN n1 > 0 AND n2 > 0 THEN p2 / p1 END AS _lnx FROM sh), " +
+      Portable.plnSqlCtes("lx", "lr") + " " +
+      "SELECT CAST(bin AS BIGINT) AS bin, n1, n2, " +
+      Exact.Sql.pinScoreInt("p1") + " AS p1, " +
+      Exact.Sql.pinScoreInt("p2") + " AS p2, " +
+      "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+      Exact.Sql.pinScoreInt("(p2 - p1) * _pln") + " END AS psi_term FROM lr") {
+    (s, d) =>
+      val dnum = expr("unix_micros(ts) div 86400000000")
+      val b = events(s, d).agg(min(dnum).as("mind"), max(dnum).as("maxd"))
+      val e = events(s, d).filter(col("value").isNotNull)
+        .crossJoin(broadcast(b))
+        .select(col("value"),
+          when(dnum < expr("(mind + maxd + 1) div 2"), 1).otherwise(2).as("half"))
+        .materialized(eager = false) // bin fitting AND the binned counts read it
+      val h = e.filter(col("half") === 1).groupBy("value").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("value")
+      val w = h.withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+      val qAggs = (1 to 9).map(i =>
+        min(when(lit(10L) * col("cum") >= lit(i.toLong) * col("n"),
+          col("value"))).as(s"t$i"))
+      val q = w.agg(qAggs.head, qAggs.tail: _*)
+      val bin = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+        acc + when(col("value") > col(s"t$i"), 1).otherwise(0)
+      }
+      val cnt = e.crossJoin(broadcast(q))
+        .select(col("half"), bin.as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(col("half") === 1, 1).otherwise(0)).cast("long").as("n1"),
+          sum(when(col("half") === 2, 1).otherwise(0)).cast("long").as("n2"))
+      val tot = cnt.agg(sum("n1").cast("long").as("t1"), sum("n2").cast("long").as("t2"))
+      val sh = cnt.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n1"), col("n2"),
+          (col("n1").cast("double") / col("t1").cast("double")).as("p1"),
+          (col("n2").cast("double") / col("t2").cast("double")).as("p2"))
+      Portable.pln(sh,
+          when(col("n1") > 0 && col("n2") > 0, col("p2") / col("p1")), "lr")
+        .select(col("bin").cast("long").as("bin"), col("n1"), col("n2"),
+          Exact.pinScoreInt(col("p1")).as("p1"), Exact.pinScoreInt(col("p2")).as("p2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            Exact.pinScoreInt((col("p2") - col("p1")) * col("lr"))).as("psi_term"))
+  }
+
   val all: Seq[Q] = Seq(splitTrainTest, sourceMix, textOovRate, joinRange,
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
     layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply, evalKs,
-    evalLiftDeciles, evalKappa)
+    evalLiftDeciles, evalKappa, profilePsi)
 }
