@@ -1348,10 +1348,94 @@ object AggQueries {
             (col("p") * totD)).as("chi2_term"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (r12) — the robust Levene
+    * variant (deviations from the MEDIAN, not the mean — outlier-proof),
+    * the precondition check behind every pooled-variance decision
+    * (q_agg_welch_ttest exists precisely because this test usually
+    * FAILS): F = [(N−k)/(k−1)]·between/within over z = |x − medianⱼ|.
+    * Group medians come from the two-phase histogram (integer
+    * cross-multiplied cut 2·cum ≥ n — no sort); z and z² accumulate as
+    * exact decimals (median is a RAW data value, so x−median is a single
+    * correctly-rounded subtraction whose decimal cast sits ~1e-6 from
+    * any scale-4 boundary — the safe side of the §4j line); the
+    * between/within folds are portable-grid sums over the k group rows;
+    * one fixed-order expression publishes pinned F. */
+  val aggBrownForsythe = Q("q_agg_brown_forsythe",
+    "Brown-Forsythe variance-homogeneity F across return flags (pinned)")(
+    "WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+      "w AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum, " +
+      "sum(c) OVER (PARTITION BY g) AS n FROM h), " +
+      "med AS (SELECT g, min(CASE WHEN 2 * cum >= n THEN v END) AS med FROM w GROUP BY 1), " +
+      "z AS (SELECT l.l_returnflag AS g, abs(l.l_extendedprice - m.med) AS z " +
+      "FROM lineitem l JOIN med m ON m.g = l.l_returnflag), " +
+      "mo AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+      "SUM(CAST(z AS DECIMAL(38,8))) AS sd, " +
+      "SUM(CAST((z * z) AS DECIMAL(38,4))) AS qd FROM z GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(sd) AS DOUBLE) AS s FROM mo), " +
+      // each addend is pre-scaled by 1/N: the raw sums of squares sit far
+      // past the 2⁻³⁰ grid's int64 domain (|addend| < 2³³), while the
+      // per-row-mean forms are scale-stable (~mean-square magnitude at
+      // ANY corpus size) and F is a ratio, so the 1/N cancels
+      "f AS (SELECT max(tt.nn) AS nn, max(tt.k) AS k, " +
+      Exact.Sql.portableSum(
+        "(CAST(mo.n AS DOUBLE) / CAST(tt.nn AS DOUBLE)) * " +
+          "((CAST(mo.sd AS DOUBLE) / CAST(mo.n AS DOUBLE) - tt.s / CAST(tt.nn AS DOUBLE)) * " +
+          "(CAST(mo.sd AS DOUBLE) / CAST(mo.n AS DOUBLE) - tt.s / CAST(tt.nn AS DOUBLE)))") +
+      " AS between_ss, " +
+      Exact.Sql.portableSum(
+        "(CAST(mo.qd AS DOUBLE) - " +
+          "(CAST(mo.sd AS DOUBLE) * CAST(mo.sd AS DOUBLE)) / CAST(mo.n AS DOUBLE)) / " +
+          "CAST(tt.nn AS DOUBLE)") +
+      " AS within_ss FROM mo CROSS JOIN tt) " +
+      // the raw sums of squares exceed the 2⁻³⁰ grid's int64 domain
+      // (|score| < 2³³); only the scale-free F ratio publishes pinned
+      "SELECT nn AS n_rows, k AS k_groups, " +
+      "CASE WHEN within_ss > 0 AND k > 1 THEN " +
+      Exact.Sql.pinScoreInt(
+        "((CAST(nn - k AS DOUBLE)) / (CAST(k - 1 AS DOUBLE))) * " +
+          "(between_ss / within_ss)") + " END AS f_stat FROM f") {
+    (s, d) =>
+      val h = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy("g")
+      val med = h
+        .withColumn("cum", sum("c").over(wg.orderBy("v")))
+        .withColumn("n", sum("c").over(wg))
+        .groupBy("g")
+        .agg(min(when(lit(2L) * col("cum") >= col("n"), col("v"))).as("med"))
+      val z = lineitem(s, d)
+        .join(broadcast(med), col("l_returnflag") === col("g"))
+        .select(col("g"), abs(col("l_extendedprice") - col("med")).as("z"))
+      val mo = z.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("z").cast("decimal(38,8)")).as("sd"),
+        sum((col("z") * col("z")).cast("decimal(38,4)")).as("qd"))
+        .materialized(eager = false) // totals AND the F folds read it
+      val tt = mo.agg(sum("n").cast("long").as("nn"), count(lit(1)).as("k"),
+        sum("sd").cast("double").as("s"))
+      val mj = col("sd").cast("double") / col("n").cast("double")
+      val m = col("s") / col("nn").cast("double")
+      val f = mo.crossJoin(broadcast(tt))
+        .agg(max("nn").as("nn"), max("k").as("k"),
+          Exact.portableSum((col("n").cast("double") / col("nn").cast("double")) *
+            ((mj - m) * (mj - m))).as("between_ss"),
+          Exact.portableSum((col("qd").cast("double") -
+            (col("sd").cast("double") * col("sd").cast("double")) /
+              col("n").cast("double")) / col("nn").cast("double")).as("within_ss"))
+      f.select(col("nn").as("n_rows"), col("k").cast("long").as("k_groups"),
+        when(col("within_ss") > 0 && col("k") > 1,
+          Exact.pinScoreInt(
+            ((col("nn") - col("k")).cast("double") / (col("k") - 1).cast("double")) *
+              (col("between_ss") / col("within_ss")))).as("f_stat"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
-    aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford)
+    aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
+    aggBrownForsythe)
 }
