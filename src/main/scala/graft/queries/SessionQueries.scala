@@ -1403,10 +1403,93 @@ object SessionQueries {
           Exact.pinScoreInt(-col("s")).as("entropy_rate"))
   }
 
+  /** Daily bounce rate (r12) — the engagement-quality read on TOP of the
+    * registered sessionizer (composed, not re-derived: the session frame
+    * is q_sessionize's own output, so the gap convention can never
+    * fork): per session-start day, sessions / single-event (bounce)
+    * sessions / pinned bounce share. Integer counts + one division. */
+  val eventBounceRate = Q("q_event_bounce_rate",
+    "per-day session count, bounce count, pinned bounce rate (over q_sessionize)")(
+    "SELECT start_us // 86400000000 AS day_num, " +
+      "CAST(count(*) AS BIGINT) AS n_sessions, " +
+      "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE)") + " AS bounce_rate " +
+      "FROM (" + sessionize.oracle.get + ") s GROUP BY 1") {
+    (s, d) =>
+      sessionize.fn(s, d)
+        .groupBy(expr("start_us div 86400000000").as("day_num"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1).otherwise(0)).cast("long").as("n_bounce"))
+        .select(col("day_num"), col("n_sessions"), col("n_bounce"),
+          Exact.pinScoreInt(
+            col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+            .as("bounce_rate"))
+  }
+
+  /** Cohen's d of per-user activity between the two A/B arms (r12) — the
+    * EFFECT-SIZE companion to q_event_ab_lift's significance z (a tiny d
+    * with a huge z just means a huge sample): pooled-SD standardized
+    * mean difference over per-user event counts, from exact integer
+    * moments per arm (counts, Σx, Σx² in DECIMAL/HUGEINT), one
+    * fixed-order expression, pinned. NULL when the pooled variance is 0.
+    */
+  val eventCohensD = Q("q_event_cohens_d",
+    "Cohen's d of per-user event counts between arms (pooled SD, pinned)")(
+    "WITH u AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS x FROM events " +
+      "WHERE user_id IS NOT NULL GROUP BY user_id), " +
+      "a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+      "sum(CAST(x AS HUGEINT) * x) AS sxx FROM u GROUP BY 1), " +
+      "p AS (SELECT " +
+      "max(CASE WHEN arm = 0 THEN n END) AS n0, " +
+      "max(CASE WHEN arm = 0 THEN sx END) AS s0, " +
+      "max(CASE WHEN arm = 0 THEN CAST(sxx AS DOUBLE) END) AS q0, " +
+      "max(CASE WHEN arm = 1 THEN n END) AS n1, " +
+      "max(CASE WHEN arm = 1 THEN sx END) AS s1, " +
+      "max(CASE WHEN arm = 1 THEN CAST(sxx AS DOUBLE) END) AS q1 FROM a), " +
+      "v AS (SELECT n0, n1, " +
+      "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0, " +
+      "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1, " +
+      "((q0 - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) + " +
+      "(q1 - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE))) / " +
+      "CAST(n0 + n1 - 2 AS DOUBLE) AS pooled_var FROM p) " +
+      "SELECT n0, n1, " + Exact.Sql.pinScoreInt("m0") + " AS mean0, " +
+      Exact.Sql.pinScoreInt("m1") + " AS mean1, " +
+      "CASE WHEN pooled_var > 0 THEN " +
+      Exact.Sql.pinScoreInt("(m1 - m0) / sqrt(pooled_var)") +
+      " END AS cohens_d FROM v") {
+    (s, d) =>
+      val u = events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+        .select((col("user_id") % 2).as("arm"), col("x"))
+      val a = u.groupBy("arm").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      val p = a.agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("sx"))).as("s0"),
+        max(when(col("arm") === 0, col("sxx").cast("double"))).as("q0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("sx"))).as("s1"),
+        max(when(col("arm") === 1, col("sxx").cast("double"))).as("q1"))
+      val m0 = col("s0").cast("double") / col("n0").cast("double")
+      val m1 = col("s1").cast("double") / col("n1").cast("double")
+      val pooledVar = ((col("q0") -
+        (col("s0").cast("double") * col("s0").cast("double")) / col("n0").cast("double")) +
+        (col("q1") -
+          (col("s1").cast("double") * col("s1").cast("double")) / col("n1").cast("double"))) /
+        (col("n0") + col("n1") - 2).cast("double")
+      p.select(col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        Exact.pinScoreInt(m0).as("mean0"), Exact.pinScoreInt(m1).as("mean1"),
+        when(pooledVar > 0,
+          Exact.pinScoreInt((m1 - m0) / sqrt(pooledVar))).as("cohens_d"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
-    eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate)
+    eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
+    eventBounceRate, eventCohensD)
 }
