@@ -1431,11 +1431,149 @@ object AggQueries {
               (col("between_ss") / col("within_ss")))).as("f_stat"))
   }
 
+  /** Kruskal–Wallis H (r12) — the k-group extension of q_agg_mannwhitney's
+    * rank test and the distribution-free sibling of q_agg_brown_forsythe:
+    * does the PRICE DISTRIBUTION differ across the three returnflag
+    * populations, judged on ranks (no normality assumption, robust to the
+    * heavy price tail)? Same value-histogram midrank layout as
+    * Mann–Whitney — per distinct price, per-group counts; rr = 2·midrank
+    * stays integer; per-group rank sums Σ c_g·rr are exact HUGEINT — then,
+    * because the group domain is the FIXED three-flag set, the groups
+    * pivot into one row and H is ONE fixed-order IEEE expression over
+    * exact integer moments (no grid fold, no error amplification — the
+    * general-k form would use q_agg_brown_forsythe's prescaled
+    * portableSum fold instead). Tie correction 1 − Σ(t³−t)/(N³−N) from
+    * the same histogram. Cost: one (value) hash aggregate + a
+    * value-domain window — no data-row sort at any corpus size.
+    */
+  val aggKruskal = Q("q_agg_kruskal",
+    "Kruskal-Wallis H of price across returnflag groups (midranks, pinned)")({
+    def termSql(g: String) =
+      s"((sr_$g / 2.0) * (sr_$g / 2.0)) / CAST(n_$g AS DOUBLE)"
+    "WITH v AS (SELECT l_extendedprice AS px, " +
+      "CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn, " +
+      "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1), " +
+      "r AS (SELECT ca, cn, cr, c, 2 * CAST(coalesce(sum(c) OVER (ORDER BY px " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS rr " +
+      "FROM v), " +
+      "m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cn) AS BIGINT) AS n_n, " +
+      "CAST(sum(cr) AS BIGINT) AS n_r, CAST(sum(c) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(ca AS HUGEINT) * rr) AS DOUBLE) AS sr_a, " +
+      "CAST(sum(CAST(cn AS HUGEINT) * rr) AS DOUBLE) AS sr_n, " +
+      "CAST(sum(CAST(cr AS HUGEINT) * rr) AS DOUBLE) AS sr_r, " +
+      "CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS ties FROM r), " +
+      "h AS (SELECT n_a, n_n, n_r, n, ties, " +
+      "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))) * " +
+      s"((${termSql("a")}) + (${termSql("n")}) + (${termSql("r")})) - " +
+      "3.0 * (CAST(n AS DOUBLE) + 1.0) AS hstat, " +
+      "1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(n AS DOUBLE)) AS tc FROM m WHERE n_a > 0 AND n_n > 0 AND n_r > 0) " +
+      "SELECT n_a, n_n, n_r, n, " +
+      Exact.Sql.pinScoreInt("hstat") + " AS h, " +
+      "CASE WHEN tc > 0 THEN " + Exact.Sql.pinScoreInt("hstat / tc") +
+      " END AS h_tie FROM h"
+  }) {
+    (s, d) =>
+      val v = lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("px"))
+        .agg(sum(when(col("l_returnflag") === "A", 1).otherwise(0)).cast("long").as("ca"),
+          sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("long").as("cn"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long").as("cr"),
+          count(lit(1)).as("c"))
+      val wPre = Window.orderBy("px").rowsBetween(Window.unboundedPreceding, -1)
+      val r = v.withColumn("rr",
+        lit(2L) * coalesce(sum("c").over(wPre), lit(0L)) + col("c") + 1L)
+      val cD = (cc: String) => col(cc).cast("decimal(38,0)")
+      val m = r.agg(
+        sum("ca").cast("long").as("n_a"), sum("cn").cast("long").as("n_n"),
+        sum("cr").cast("long").as("n_r"), sum("c").cast("long").as("n"),
+        sum(cD("ca") * col("rr")).cast("double").as("sr_a"),
+        sum(cD("cn") * col("rr")).cast("double").as("sr_n"),
+        sum(cD("cr") * col("rr")).cast("double").as("sr_r"),
+        sum(cD("c") * col("c") * col("c") - col("c")).cast("double").as("ties"))
+      val nD = col("n").cast("double")
+      def term(g: String) =
+        ((col(s"sr_$g") / 2.0) * (col(s"sr_$g") / 2.0)) / col(s"n_$g").cast("double")
+      val hstat = (lit(12.0) / (nD * (nD + 1.0))) *
+        (term("a") + term("n") + term("r")) - lit(3.0) * (nD + 1.0)
+      val tc = lit(1.0) - col("ties") / (nD * nD * nD - nD)
+      m.filter(col("n_a") > 0 && col("n_n") > 0 && col("n_r") > 0)
+        .select(col("n_a"), col("n_n"), col("n_r"), col("n"),
+          Exact.pinScoreInt(hstat).as("h"),
+          when(tc > 0, Exact.pinScoreInt(hstat / tc)).as("h_tie"))
+  }
+
+  /** Kendall τ-b (r12) — rank correlation of (quantity, discount) counted
+    * on the JOINT VALUE HISTOGRAM, never on row pairs: both margins have
+    * small fixed domains (TPC-H quantity 1..50, discount 0.00..0.10), so
+    * the (qty, disc) contingency frame is ≤ ~550 cells at ANY corpus
+    * size, and concordant/discordant pair counts are an ordered
+    * cell×cell join (strict < on both margins counts every unordered
+    * concordant pair exactly once) — grid-sized work after one hash
+    * aggregate, where the naive definition is O(rows²). All counts stay
+    * exact DECIMAL(38,0) (pair counts overflow int64 beyond ~4e9 rows);
+    * τ-b's tie-corrected denominator √((n0−T_x)(n0−T_y)) is one
+    * fixed-order IEEE expression over those exact integers, pinned.
+    * Complements q_agg_spearman (midrank Pearson) with the
+    * pair-inversion view of the same ordinal association.
+    */
+  val aggKendall = Q("q_agg_kendall",
+    "Kendall tau-b of (quantity, discount) via the joint value histogram")(
+    "WITH cell AS (SELECT l_quantity AS x, l_discount AS y, " +
+      "CAST(count(*) AS BIGINT) AS nc FROM lineitem GROUP BY 1, 2), " +
+      "cd AS (SELECT " +
+      "sum(CASE WHEN b.x > a.x AND b.y > a.y THEN CAST(a.nc AS HUGEINT) * b.nc END) AS conc, " +
+      "sum(CASE WHEN b.x > a.x AND b.y < a.y THEN CAST(a.nc AS HUGEINT) * b.nc END) AS disc " +
+      "FROM cell a CROSS JOIN cell b), " +
+      "mx AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS tx FROM " +
+      "(SELECT x, CAST(sum(nc) AS BIGINT) AS n FROM cell GROUP BY 1) hx), " +
+      "my AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS ty FROM " +
+      "(SELECT y, CAST(sum(nc) AS BIGINT) AS n FROM cell GROUP BY 1) hy), " +
+      "t AS (SELECT CAST(sum(nc) AS BIGINT) AS n, " +
+      "sum(CAST(nc AS HUGEINT)) * (sum(CAST(nc AS HUGEINT)) - 1) / 2 AS n0 FROM cell) " +
+      "SELECT t.n, CAST(cd.conc AS DOUBLE) AS conc, CAST(cd.disc AS DOUBLE) AS disc, " +
+      "CASE WHEN CAST(t.n0 - mx.tx AS DOUBLE) * CAST(t.n0 - my.ty AS DOUBLE) > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "(CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE)) / " +
+          "sqrt(CAST(t.n0 - mx.tx AS DOUBLE) * CAST(t.n0 - my.ty AS DOUBLE))") +
+      " END AS tau_b FROM cd CROSS JOIN mx CROSS JOIN my CROSS JOIN t") {
+    (s, d) =>
+      val cell = lineitem(s, d)
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("nc"))
+        .materialized() // cell×cell join + both margins + the total read it
+      val a = cell.select(col("x").as("ax"), col("y").as("ay"),
+        col("nc").cast("decimal(38,0)").as("anc"))
+      val b = cell.select(col("x").as("bx"), col("y").as("by"), col("nc").as("bnc"))
+      val cd = a.crossJoin(broadcast(b)).agg(
+        sum(when(col("bx") > col("ax") && col("by") > col("ay"),
+          col("anc") * col("bnc"))).as("conc"),
+        sum(when(col("bx") > col("ax") && col("by") < col("ay"),
+          col("anc") * col("bnc"))).as("disc"))
+      def tieSum(k: String, out: String) = cell.groupBy(k)
+        .agg(sum("nc").cast("decimal(38,0)").as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).as(out))
+      val mx = tieSum("x", "tx"); val my = tieSum("y", "ty")
+      val t = cell.agg(sum("nc").cast("long").as("n"),
+        (sum(col("nc").cast("decimal(38,0)")) *
+          (sum(col("nc").cast("decimal(38,0)")) - 1) / 2).as("n0"))
+      val den = (col("n0") - col("tx")).cast("double") *
+        (col("n0") - col("ty")).cast("double")
+      cd.crossJoin(broadcast(mx)).crossJoin(broadcast(my)).crossJoin(broadcast(t))
+        .select(col("n"), col("conc").cast("double").as("conc"),
+          col("disc").cast("double").as("disc"),
+          when(den > 0, Exact.pinScoreInt(
+            (col("conc").cast("double") - col("disc").cast("double")) / sqrt(den)))
+            .as("tau_b"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
-    aggBrownForsythe)
+    aggBrownForsythe, aggKruskal, aggKendall)
 }

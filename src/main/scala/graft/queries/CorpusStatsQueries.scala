@@ -1576,11 +1576,64 @@ object CorpusStatsQueries {
             .as("vmr"))
   }
 
+  /** Yule's K (r12) — the classic REPETITIVENESS characteristic of a
+    * vocabulary: K = 10⁴·(S₂ − S₁)/S₁² with S₁ = Σ m·V(m) (token count)
+    * and S₂ = Σ m²·V(m) over the frequency spectrum V(m) — equivalently
+    * S₂ = Σ_types c². K is ~stable under corpus growth (unlike raw
+    * type/token ratios, which is why it is the lexicometrics standard):
+    * natural English prose sits near 100–200; K far above means heavy
+    * function-word/template repetition, far below means hapax-flooded
+    * noise (OCR garbage). Sits beside q_text_simpson (K is Simpson's D
+    * ×10⁴ up to the −S₁ small-sample term), q_text_hapax (the m=1 slice
+    * of the same spectrum) and q_text_burstiness (per-DOC clumping vs
+    * this corpus-level concentration). Per source + corpus TOTAL row
+    * (computed over corpus-wide term counts — K is not additive across
+    * sources; the TOTAL row is the syndication-aware number).
+    *
+    * Scale: one (source, word) hash aggregate over the shared token
+    * explode; S₁ exact BIGINT, S₂ exact HUGEINT/DECIMAL, K one
+    * fixed-order IEEE expression over them, pinned. Vocabulary-sized
+    * frames; no sort. */
+  val textYuleK = Q("q_text_yule_k",
+    "Yule's K vocabulary-repetitiveness characteristic per source + TOTAL")({
+    def kSql(src: String) = "SELECT " + src + " AS source, " +
+      "CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "10000.0 * (CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) - " +
+          "CAST(sum(c) AS DOUBLE)) / " +
+          "(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))") + " AS yule_k "
+    "WITH " + TextQueries.tokwBody + ", " +
+      "ds AS (SELECT t.word, d.source FROM tokw t JOIN documents d ON d.doc_id = t.doc_id), " +
+      "wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY 1, 2), " +
+      "cc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY 1) " +
+      kSql("source") + "FROM wc GROUP BY 1 " +
+      "UNION ALL " + kSql("'TOTAL'") + "FROM cc"
+  }) {
+    (s, d) =>
+      import graft.util.Exact
+      val ds = TextOps.explodeTokens(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("word", "source")
+        .materialized(eager = false) // per-source AND corpus-wide spectra
+      def kOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val wc = df.groupBy((keys :+ "word").map(col): _*).agg(count(lit(1)).as("c"))
+        val s1 = sum("c").cast("double")
+        val s2 = sum(col("c").cast("decimal(38,0)") * col("c")).cast("double")
+        wc.groupBy(keys.map(col): _*)
+          .agg(sum("c").cast("long").as("n_tokens"), count(lit(1)).as("n_types"),
+            Exact.pinScoreInt(lit(10000.0) * (s2 - s1) / (s1 * s1)).as("yule_k"))
+      }
+      val g = kOf(ds, Seq("source"))
+      val ct = kOf(ds, Seq.empty).withColumn("source", lit("TOTAL"))
+        .select("source", "n_tokens", "n_types", "yule_k")
+      g.unionByName(ct)
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
     textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
-    textSimpson, aggTheilSource, textBurstiness)
+    textSimpson, aggTheilSource, textBurstiness, textYuleK)
 }
