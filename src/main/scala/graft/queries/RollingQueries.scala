@@ -302,6 +302,54 @@ object RollingQueries {
         Exact.winSum(col("signed_vol"), wc).as("obv"))
   }
 
+  /** Chaikin money flow, 20-bar (r12) — volume-weighted close-location
+    * accumulation over the REGISTERED daily OHLC bars
+    * (q_resample_ohlc's own recipe, spliced as a CTE — the bar
+    * convention cannot fork): per bar the money-flow multiplier
+    * ((C−L)−(H−C))/(H−L) ∈ [−1, 1] says where the close sat in the
+    * range (flat bars contribute 0, the TA-Lib convention), scaled by
+    * volume and averaged over 20 bars against total volume. CMF > 0 =
+    * buying pressure confirmed by volume — the volume-confirmation
+    * sibling of q_win_obv's running line, on bars instead of ticks.
+    *
+    * Exactness: the multiplier is one fixed-order IEEE expression over
+    * order-statistic prices (identical bits on both engines); MFV =
+    * multiplier × volume is division-DERIVED, so its 20-bar sum goes
+    * through the windowed portable grid (floor(x·2³⁰) BIGINT frame sum —
+    * winPortableSum), never a decimal cast (DESIGN §4j); bar volume is
+    * an integral-valued exact sum, so its frame sum is decimal-exact
+    * (winSum). One (asset, day) hash aggregate + one asset-keyed window
+    * shuffle — bars-sized, strictly cheaper than the tick stream. */
+  val winCmf = Q("q_win_cmf",
+    "Chaikin money flow (20-bar) over the registered daily OHLC bars")({
+    val mfm = "(CASE WHEN high > low THEN " +
+      "((close - low) - (high - close)) / (high - low) ELSE 0.0 END)"
+    "WITH bars AS (" + PipelineQueries.resampleOhlc.oracle.get + "), " +
+      s"m AS (SELECT l_partkey, day, volume, $mfm * volume AS mfv FROM bars) " +
+      "SELECT l_partkey, day, volume, " +
+      "CASE WHEN COUNT(*) OVER w20 >= 20 AND " + Exact.Sql.winSum("volume", "w20") +
+      " > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        Exact.Sql.winPortableSum("mfv", "w20") + " / " +
+          Exact.Sql.winSum("volume", "w20")) +
+      " END AS cmf FROM m " +
+      "WINDOW w20 AS (PARTITION BY l_partkey ORDER BY day " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+  }) {
+    (s, d) =>
+      val bars = PipelineQueries.resampleOhlc.fn(s, d)
+      val mfm = when(col("high") > col("low"),
+        ((col("close") - col("low")) - (col("high") - col("close"))) /
+          (col("high") - col("low"))).otherwise(0.0)
+      val m = bars.select(col("l_partkey"), col("day"), col("volume"),
+        (mfm * col("volume")).as("mfv"))
+      val w20 = Window.partitionBy("l_partkey").orderBy("day").rowsBetween(-19, 0)
+      val volSum = Exact.winSum(col("volume"), w20)
+      m.select(col("l_partkey"), col("day"), col("volume"),
+        when(count(lit(1)).over(w20) >= 20 && volSum > 0,
+          Exact.pinScoreInt(Exact.winPortableSum(col("mfv"), w20) / volSum)).as("cmf"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian, winStochastic, winObv)
+    winDonchian, winStochastic, winObv, winCmf)
 }

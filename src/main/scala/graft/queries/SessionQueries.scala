@@ -1485,11 +1485,87 @@ object SessionQueries {
           Exact.pinScoreInt((m1 - m0) / sqrt(pooledVar))).as("cohens_d"))
   }
 
+  /** Kaplan–Meier survival of session duration (r12) — the censoring-aware
+    * answer to "how long do sessions last?", which a plain duration
+    * histogram gets WRONG near the end of the observation window: a
+    * session whose last event falls within one gap (12 h) of the stream's
+    * maximum timestamp may still be open, so treating it as ended biases
+    * durations short. Such sessions are right-CENSORED: they count in the
+    * at-risk denominator up to their observed length but never as a
+    * death. Per distinct observed duration t (minutes): at-risk n(t)
+    * (suffix sum over the duration histogram), deaths d(t), censored
+    * count, and the KM log-survival ln S(t) = Σ_{t'≤t} ln(1 − d/n) —
+    * each term a portable ln of one exact integer ratio, grid-floored to
+    * a BIGINT cell so the running sum is order-free and engine-exact
+    * (the windowed portableSum layout); S(t) = exp(cell/2³⁰). NULL once
+    * n = d (survival exactly 0 — only possible at the last event time).
+    *
+    * Scale: everything after the sessionizer lives on the DURATION
+    * domain (distinct minute values, bounded by the 12 h gap × stream
+    * span, never corpus-sized); the global-order windows are over that
+    * domain frame. Composes over q_sessionize's own output — the gap
+    * convention cannot fork. */
+  val eventSurvivalKm = Q("q_event_survival_km",
+    "Kaplan-Meier session-duration survival (censored, log-surv grid cells)")(
+    "WITH sz AS (" + sessionize.oracle.get + "), " +
+      "mxe AS (SELECT max(end_us) AS mend FROM sz), " +
+      s"dd AS (SELECT duration_us // 60000000 AS t, " +
+      s"CASE WHEN sz.end_us + $GapUs > mxe.mend THEN 1 ELSE 0 END AS cens " +
+      "FROM sz CROSS JOIN mxe), " +
+      "h AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d_obs, " +
+      "CAST(sum(cens) AS BIGINT) AS d_cens FROM dd GROUP BY 1), " +
+      "r AS (SELECT *, CAST(sum(d_obs + d_cens) OVER (ORDER BY t DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM h), " +
+      "ev AS (SELECT t, d_obs, d_cens, n_risk, " +
+      "CASE WHEN n_risk > d_obs THEN CAST(n_risk - d_obs AS DOUBLE) / " +
+      "CAST(n_risk AS DOUBLE) END AS _lnx, " +
+      "CASE WHEN n_risk = d_obs THEN 1 ELSE 0 END AS zf FROM r WHERE d_obs > 0), " +
+      graft.util.Portable.plnSqlCtes("ev", "pl") + ", " +
+      "cells AS (SELECT t, d_obs, d_cens, n_risk, zf, " +
+      Exact.Sql.pinScoreInt("_pln") + " AS cell FROM pl), " +
+      "cum AS (SELECT t, d_obs, d_cens, n_risk, " +
+      "CAST(sum(cell) OVER wa AS BIGINT) AS cum_cell, " +
+      "CAST(sum(zf) OVER wa AS BIGINT) AS cum_zero FROM cells " +
+      "WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT t AS dur_min, n_risk, d_obs AS n_events, d_cens AS n_censored, " +
+      "CASE WHEN cum_zero = 0 THEN cum_cell END AS log_surv_cell FROM cum") {
+    (s, d) =>
+      val sz = sessionize.fn(s, d)
+      val mxe = sz.agg(max("end_us").as("mend"))
+      val dd = sz.crossJoin(broadcast(mxe))
+        .select(expr("duration_us div 60000000").as("t"),
+          when(col("end_us") + GapUs > col("mend"), 1).otherwise(0).as("cens"))
+      val h = dd.groupBy("t").agg(
+        sum(lit(1) - col("cens")).cast("long").as("d_obs"),
+        sum("cens").cast("long").as("d_cens"))
+      // duration-domain frames: bounded distinct minute values, so the
+      // unpartitioned windows never see corpus-sized input
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = h.withColumn("n_risk",
+        sum(col("d_obs") + col("d_cens")).over(wDesc).cast("long"))
+      val ev = r.filter(col("d_obs") > 0)
+        .withColumn("zf", when(col("n_risk") === col("d_obs"), 1).otherwise(0))
+      val pl = graft.util.Portable.pln(ev,
+        when(col("n_risk") > col("d_obs"),
+          (col("n_risk") - col("d_obs")).cast("double") / col("n_risk").cast("double")),
+        "lp")
+      val cells = pl.withColumn("cell", Exact.pinScoreInt(col("lp")))
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cum_cell", sum("cell").over(wAsc).cast("long"))
+        .withColumn("cum_zero", sum("zf").over(wAsc).cast("long"))
+        .select(col("t").as("dur_min"), col("n_risk"),
+          col("d_obs").as("n_events"), col("d_cens").as("n_censored"),
+          when(col("cum_zero") === 0, col("cum_cell")).as("log_surv_cell"))
+  }
+
   val all: Seq[Q] = Seq(sessionize, eventFunnel, eventRetention, eventAttribution,
     eventAnomaly, scd2, eventTransition, eventPath, eventRfm, eventCohortLtv,
     eventSeqNgram, eventInterarrival, aggModeUser, eventDauWau, eventMarkovStationary,
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
     eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
-    eventBounceRate, eventCohensD)
+    eventBounceRate, eventCohensD, eventSurvivalKm)
 }

@@ -3757,6 +3757,68 @@ object VectorQueries {
             col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
   }
 
+  /** Rich-club coefficient φ(k) of the mutual-kNN graph (r12) — for each
+    * degree threshold k: do the well-connected nodes (deg > k)
+    * preferentially connect to EACH OTHER? φ(k) = 2·E_k / (N_k·(N_k−1))
+    * with N_k = nodes of degree > k and E_k = edges whose BOTH endpoints
+    * have degree > k — the subgraph-density curve that completes the
+    * hub-structure triple (q_graph_hubness: who the hubs are;
+    * q_graph_assortativity: one correlation number; this: whether the
+    * hub CORE is a clique or a set of isolated stars). A rising φ(k) in
+    * an embedding graph means generic/centroid-like vectors form a
+    * dense core — exactly the pocket SemDeDup-style pruning targets.
+    *
+    * Scale: degrees and the per-edge min-degree are one node-keyed and
+    * one edges-sized join off the shared mutual-graph build; both
+    * histograms and the k-grid suffix sums live on the DEGREE domain
+    * (bounded by the kNN k at any corpus size). No corpus-sized frame
+    * past the graph build. */
+  val graphRichClub = Q("q_graph_rich_club",
+    "rich-club coefficient phi(k) of the mutual-kNN graph per degree threshold")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) u " +
+      "GROUP BY 1), " +
+      "em AS (SELECT least(da.deg, db.deg) AS m FROM edges e " +
+      "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), " +
+      "nh AS (SELECT deg, CAST(count(*) AS BIGINT) AS cn FROM deg GROUP BY 1), " +
+      "eh AS (SELECT m, CAST(count(*) AS BIGINT) AS ce FROM em GROUP BY 1), " +
+      "ks AS (SELECT DISTINCT deg AS k FROM deg), " +
+      "nk AS (SELECT ks.k, CAST(coalesce(sum(nh.cn), 0) AS BIGINT) AS n_nodes " +
+      "FROM ks LEFT JOIN nh ON nh.deg > ks.k GROUP BY 1), " +
+      "ek AS (SELECT ks.k, CAST(coalesce(sum(eh.ce), 0) AS BIGINT) AS n_edges " +
+      "FROM ks LEFT JOIN eh ON eh.m > ks.k GROUP BY 1) " +
+      "SELECT nk.k, nk.n_nodes, ek.n_edges, " +
+      "CASE WHEN nk.n_nodes >= 2 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(2.0 * CAST(ek.n_edges AS DOUBLE)) / " +
+          "(CAST(nk.n_nodes AS DOUBLE) * (CAST(nk.n_nodes AS DOUBLE) - 1.0))") +
+      " END AS phi FROM nk JOIN ek ON ek.k = nk.k") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+        .materialized() // degrees AND the min-degree edge frame read it
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .materialized(eager = false) // histogram, k-grid AND both edge joins
+      val em = edges
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(least(col("da"), col("db")).as("m"))
+      val nh = deg.groupBy("deg").agg(count(lit(1)).as("cn"))
+      val eh = em.groupBy("m").agg(count(lit(1)).as("ce"))
+      val ks = deg.select(col("deg").as("k")).distinct()
+      val nk = ks.join(broadcast(nh), col("deg") > col("k"), "left")
+        .groupBy("k").agg(coalesce(sum("cn"), lit(0L)).cast("long").as("n_nodes"))
+      val ek = ks.join(broadcast(eh), col("m") > col("k"), "left")
+        .groupBy("k").agg(coalesce(sum("ce"), lit(0L)).cast("long").as("n_edges"))
+      val nD = col("n_nodes").cast("double")
+      nk.join(ek, "k")
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") >= 2, graft.util.Exact.pinScoreInt(
+            (lit(2.0) * col("n_edges").cast("double")) / (nD * (nD - 1.0)))).as("phi"))
+  }
+
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
@@ -3770,5 +3832,5 @@ object VectorQueries {
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
-    embLabelCentroidSim, evalRecallWalk)
+    embLabelCentroidSim, evalRecallWalk, graphRichClub)
 }

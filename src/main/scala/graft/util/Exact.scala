@@ -233,6 +233,15 @@ object Exact {
   def portableSum(c: Column): Column =
     sum(floor(c * PinGrid)).cast("double") / PinGrid
 
+  /** Windowed [[portableSum]] — frame sums of transcendental-derived
+    * addends. Spark accumulates window sums in frame order while DuckDB
+    * uses segment trees, so a double frame sum is NOT engine-stable; the
+    * grid-floored BIGINT sum is order-free and therefore is. Addend
+    * domain: |addend| · 2³⁰ must fit int64 per row and per frame
+    * (|addend| ≲ 8.6e9 / frame length). */
+  def winPortableSum(c: Column, w: WindowSpec): Column =
+    sum(floor(c * PinGrid).cast("long")).over(w).cast("double") / PinGrid
+
   /** Statistics over withRollingMoments output columns. */
   def momentsAvg(tag: String): Column = col(s"${tag}_s") / col(s"${tag}_n")
   def momentsStddevSamp(tag: String): Column = {
@@ -304,5 +313,9 @@ object Exact {
       * rounding — exact below 2⁵³ — and ÷2³⁰ is exact). */
     def portableSum(c: String): String =
       s"(CAST(SUM(CAST(floor(($c) * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0)"
+
+    /** DuckDB twin of [[Exact.winPortableSum]]. */
+    def winPortableSum(c: String, w: String): String =
+      s"(CAST(SUM(CAST(floor(($c) * 1073741824.0) AS BIGINT)) OVER $w AS DOUBLE) / 1073741824.0)"
   }
 }
