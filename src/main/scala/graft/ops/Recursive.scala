@@ -246,4 +246,52 @@ object Recursive {
       }
     }
   }
+
+  case class AdxRow(key: Long, rn: Long, pdi: Option[Double], mdi: Option[Double],
+      dx: Option[Double], adx: Option[Double])
+
+  /** ADX(14), Wilder (r12): THREE chained recursions in one fold —
+    * smoothed true range, smoothed ±directional movement (the ATR/Wilder
+    * (prev·13 + x)/14 convention, seeded str = high−low / sDM = 0 at the
+    * first row), then +DI/−DI = 100·sDM/sTR, DX = 100·|ΔDI|/(ΣDI) (0 when
+    * both DI are 0 — no movement), and the ADX itself as a Wilder
+    * smoothing OF DX (first computed DX seeds it). The first row
+    * publishes NULLs (directional movement needs a prior bar). Every
+    * step is one fixed IEEE op sequence; the oracle replays the full
+    * three-recursion chain in one recursive CTE. */
+  def adx(s: SparkSession, d: String): Dataset[AdxRow] = {
+    import s.implicits._
+    series(s, d).groupByKey(_.key).flatMapGroups { (k, it) =>
+      val rows = sorted(it)
+      var strV, spdm, smdm, adxV = 0.0
+      var adxSeeded = false
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 0) {
+          strV = r.high - r.low; spdm = 0.0; smdm = 0.0
+          AdxRow(k, 1, None, None, None, None)
+        } else {
+          val p = rows(i - 1)
+          val tr = math.max(r.high - r.low,
+            math.max(math.abs(r.high - p.close), math.abs(r.low - p.close)))
+          strV = ((strV * 13.0) + tr) / 14.0
+          val up = r.high - p.high
+          val dn = p.low - r.low
+          spdm = ((spdm * 13.0) + (if (up > dn && up > 0.0) up else 0.0)) / 14.0
+          smdm = ((smdm * 13.0) + (if (dn > up && dn > 0.0) dn else 0.0)) / 14.0
+          // written EXACTLY as the oracle: DI referenced as the full
+          // 100·(s/str) subexpression everywhere, so the bits agree
+          val dx =
+            if (strV > 0.0 && (100.0 * (spdm / strV) + 100.0 * (smdm / strV)) > 0.0)
+              100.0 * math.abs(100.0 * (spdm / strV) - 100.0 * (smdm / strV)) /
+                (100.0 * (spdm / strV) + 100.0 * (smdm / strV))
+            else 0.0
+          if (!adxSeeded) { adxV = dx; adxSeeded = true }
+          else adxV = ((adxV * 13.0) + dx) / 14.0
+          val pdi = if (strV > 0.0) Some(100.0 * (spdm / strV)) else None
+          val mdi = if (strV > 0.0) Some(100.0 * (smdm / strV)) else None
+          AdxRow(k, i + 1, pdi, mdi, Some(dx), Some(adxV))
+        }
+      }
+    }
+  }
 }

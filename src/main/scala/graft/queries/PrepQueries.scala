@@ -659,7 +659,49 @@ object PrepQueries {
             col("d2p") / (lit(RpK.toDouble) * col("d2o")))).as("distortion"))
   }
 
+  /** Deterministic MLM masking plan (r12) — the BERT-style 15%
+    * token-masking schedule as a DATA artifact instead of a loader-side
+    * RNG: token (doc, position) is masked iff the portable 32-bit hash
+    * of "mlm:doc:pos" lands below 15/100 — so the plan is reproducible
+    * on any engine, any partitioning, any rerun (the q_split_shards /
+    * q_emb_rand_proj no-stored-state contract), and an epoch's mask set
+    * can be AUDITED (this query) rather than trusted. Published per doc:
+    * token count, masked count, pinned realized rate — the corpus-level
+    * check that the schedule really is 15% and not biased by doc length.
+    * NULL-text docs are excluded on both engines (no tokens to mask).
+    *
+    * Scale: map-only explode → one doc-keyed hash aggregate with
+    * map-side partials; no joins, no stored model, shards mask
+    * independently. */
+  val prepMlmMask = Q("q_prep_mlm_mask",
+    "deterministic 15% MLM masking plan per doc (portable hash, no RNG state)")(
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, unnest(range(1, len(sp)+1)) AS i FROM t), " +
+      "m AS (SELECT doc_id, CASE WHEN ('0x' || substr(md5('mlm:' || " +
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT " +
+      "% 100 < 15 THEN 1 ELSE 0 END AS msk FROM tok) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(msk) AS BIGINT) AS n_masked, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(sum(msk) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
+      " AS mask_rate FROM m GROUP BY 1") {
+    (s, d) =>
+      import graft.ops.TextOps
+      val tok = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"))
+      tok.select(col("doc_id"),
+          when(TextOps.hash32(concat(lit("mlm:"), col("doc_id").cast("string"),
+            lit(":"), col("i").cast("string"))) % 100 < 15, 1).otherwise(0).as("msk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("msk").cast("long").as("n_masked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          Exact.pinScoreInt(col("n_masked").cast("double") /
+            col("n_tokens").cast("double")).as("mask_rate"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
     embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
-    embVarExplained, packLengthBuckets, embRandProj, evalRandProj)
+    embVarExplained, packLengthBuckets, embRandProj, evalRandProj, prepMlmMask)
 }

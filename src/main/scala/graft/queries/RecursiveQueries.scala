@@ -117,5 +117,45 @@ object RecursiveQueries {
       .select("key", "rn", "ema", "atr", "upper_band", "lower_band")
   }
 
-  val all: Seq[Q] = Seq(rsi, macd, atr, ewmaVol, keltner)
+  /** ADX(14) (r12) — Wilder's average directional index, the classic
+    * trend-STRENGTH gauge over the same synthesized bars: three chained
+    * recursions (smoothed TR, smoothed ±DM, then ADX as a Wilder
+    * smoothing of DX) advanced in ONE flatMapGroups fold
+    * (ops.Recursive.adx) — the deepest recursion composition in the
+    * family (Keltner chains two). The oracle replays all three
+    * recurrences in one recursive CTE with the identical IEEE op
+    * sequence; DI/DX are referenced as the full 100·(s/str)
+    * subexpressions in BOTH engines so every intermediate bit agrees. */
+  val adxQ = Q("q_adx", "ADX(14): +DI/-DI/DX/ADX via one three-recursion fold")({
+    val pdi = "100.0 * (spdm / str)"
+    val mdi = "100.0 * (smdm / str)"
+    val dxExpr = s"CASE WHEN str > 0.0 AND ($pdi + $mdi) > 0.0 " +
+      s"THEN 100.0 * abs($pdi - $mdi) / ($pdi + $mdi) ELSE 0.0 END"
+    rowsCte +
+      "r AS (SELECT key, rn, close, high, low, (high - low) AS str, " +
+      "CAST(0.0 AS DOUBLE) AS spdm, CAST(0.0 AS DOUBLE) AS smdm, " +
+      "CAST(NULL AS DOUBLE) AS adx FROM rows WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT key, rn, close, high, low, str, spdm, smdm, " +
+      "CASE WHEN prev_adx IS NULL THEN dx " +
+      "ELSE ((prev_adx * 13.0) + dx) / 14.0 END AS adx FROM (" +
+      s"SELECT t.*, $dxExpr AS dx FROM (" +
+      "SELECT n.key, n.rn, n.close, n.high, n.low, " +
+      "((r.str * 13.0) + greatest(n.high - n.low, " +
+      "greatest(abs(n.high - r.close), abs(n.low - r.close)))) / 14.0 AS str, " +
+      "((r.spdm * 13.0) + CASE WHEN (n.high - r.high) > (r.low - n.low) " +
+      "AND (n.high - r.high) > 0.0 THEN n.high - r.high ELSE 0.0 END) / 14.0 AS spdm, " +
+      "((r.smdm * 13.0) + CASE WHEN (r.low - n.low) > (n.high - r.high) " +
+      "AND (r.low - n.low) > 0.0 THEN r.low - n.low ELSE 0.0 END) / 14.0 AS smdm, " +
+      "r.adx AS prev_adx " +
+      "FROM r JOIN rows n ON n.key = r.key AND n.rn = r.rn + 1) t) u) " +
+      s"SELECT key, rn, " +
+      s"CASE WHEN rn > 1 AND str > 0.0 THEN $pdi END AS pdi, " +
+      s"CASE WHEN rn > 1 AND str > 0.0 THEN $mdi END AS mdi, " +
+      s"CASE WHEN rn > 1 THEN $dxExpr END AS dx, adx FROM r"
+  }) {
+    (s, d) => Recursive.adx(s, d).toDF()
+  }
+
+  val all: Seq[Q] = Seq(rsi, macd, atr, ewmaVol, keltner, adxQ)
 }

@@ -3757,6 +3757,65 @@ object VectorQueries {
             col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
   }
 
+  /** Matryoshka-truncation recall (r12) — recall@3 of brute-force cosine
+    * search over the FIRST 8 OF 16 dimensions vs the exact full-dim
+    * top-3: prices dimension truncation (the Matryoshka/MRL deployment
+    * trick — serve a prefix of the embedding, halve the index and the
+    * dot cost) the same way q_eval_recall_int8 prices the affine
+    * quantizer and q_eval_recall_pq prices PQ codes — keeping the
+    * every-compression-publishes-its-measured-cost contract. These
+    * embeddings were NOT MRL-trained, so the measured recall is the
+    * floor a naive truncation pays; universe-complete over the vid<10
+    * query set (0-hit queries publish 0, never drop).
+    *
+    * Scale: the truncated dot costs HALF the full-dim brute force and
+    * shares its shape (queries broadcast × corpus scan); everything
+    * downstream is the shared gt/universe chain. */
+  val evalRecallTrunc = Q("q_eval_recall_trunc",
+    "recall@3 of brute-force search over the first 8 of 16 dimensions")(
+    vecsSql +
+      ", tv AS (SELECT vec_id, i, e FROM v WHERE i <= 8), " +
+      "tn AS (SELECT vec_id, sqrt(CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
+      "FROM tv GROUP BY 1), " +
+      "tdots AS (SELECT a.vec_id AS q, b.vec_id AS c, " +
+      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot " +
+      "FROM tv a JOIN tv b ON b.i = a.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id " +
+      "GROUP BY 1, 2), " +
+      "res AS (SELECT q, c FROM (SELECT d.q, d.c, " +
+      "row_number() OVER (PARTITION BY q ORDER BY d.dot / (na.nrm * nb.nrm) DESC, c) AS rn " +
+      "FROM tdots d JOIN tn na ON na.vec_id = d.q JOIN tn nb ON nb.vec_id = d.c) " +
+      "WHERE rn <= 3), " +
+      gtSqlCtes + ", " +
+      "h AS (SELECT r.q, CAST(count(*) AS BIGINT) AS n_hits FROM res r " +
+      "JOIN gt ON gt.q = r.q AND gt.c = r.c GROUP BY 1), " +
+      evalQsSql + " " +
+      "SELECT qs.q, COALESCE(h.n_hits, 0) AS n_hits, " +
+      graft.util.Exact.Sql.pinScoreInt("COALESCE(h.n_hits, 0) / 3.0") + " AS recall " +
+      "FROM qs LEFT JOIN h ON h.q = qs.q") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val dArr = base.select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))").as("dv"))
+        .withColumn("nd", expr("sqrt(decimal_dot(dv, dv))"))
+        .materialized() // queries AND candidates read it
+      val qs = dArr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("dv").as("qv"), col("nd").as("nq"))
+      val cand = dArr.select(col("vec_id").as("c"), col("dv").as("cv"), col("nd").as("nc"))
+      val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
+      val res = cand.join(broadcast(qs), col("c") =!= col("q"))
+        .select(col("q"), col("c"),
+          (expr("decimal_dot(qv, cv)") / (col("nq") * col("nc"))).as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("q", "c")
+      val gt = exactCosTopK(base, 3).select("q", "c")
+      val hits = res.join(gt, Seq("q", "c"))
+        .groupBy("q").agg(count(lit(1)).as("n_hits"))
+      evalQs(s, d).join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   /** Rich-club coefficient φ(k) of the mutual-kNN graph (r12) — for each
     * degree threshold k: do the well-connected nodes (deg > k)
     * preferentially connect to EACH OTHER? φ(k) = 2·E_k / (N_k·(N_k−1))
@@ -3832,5 +3891,5 @@ object VectorQueries {
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
-    embLabelCentroidSim, evalRecallWalk, graphRichClub)
+    embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc)
 }
