@@ -1569,11 +1569,57 @@ object AggQueries {
             .as("tau_b"))
   }
 
+  /** Per-group geometric mean (r12), published as its LOG (the
+    * multiplicative-domain average for prices/ratios, where the
+    * arithmetic mean over-weights spikes): ln GM = Σ (c/n)·ln v over the
+    * per-group VALUE histogram — portable ln per distinct value (the
+    * value domain is bounded, so pln cost is independent of row count),
+    * each addend prescaled by 1/n so the portable-grid fold stays in
+    * domain at any corpus size (the q_agg_brown_forsythe convention),
+    * pinned. Published as log_gmean (GM = exp(cell/2³⁰)) — there is no
+    * portable exp, and the log form is the engine-exact one (the
+    * q_event_survival_km convention). Non-positive values are excluded
+    * with a published count (GM is undefined there), never silently.
+    */
+  val aggGmean = Q("q_agg_gmean",
+    "per-returnflag log geometric mean of price (value-histogram pln, pinned)")(
+    "WITH v AS (SELECT l_returnflag AS flag, l_extendedprice AS px, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem WHERE l_extendedprice > 0 " +
+      "GROUP BY 1, 2), " +
+      "t AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM v GROUP BY 1), " +
+      "px AS (SELECT v.flag, v.c, t.n, v.px AS _lnx FROM v JOIN t ON t.flag = v.flag), " +
+      graft.util.Portable.plnSqlCtes("px", "pl") + ", " +
+      "g AS (SELECT flag, max(n) AS n, " +
+      Exact.Sql.portableSum(
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * _pln") + " AS lg FROM pl GROUP BY 1), " +
+      "z AS (SELECT CAST(count(*) AS BIGINT) AS n_nonpos FROM lineitem " +
+      "WHERE l_extendedprice <= 0) " +
+      "SELECT g.flag AS l_returnflag, CAST(g.n AS BIGINT) AS n, " +
+      Exact.Sql.pinScoreInt("g.lg") + " AS log_gmean, z.n_nonpos " +
+      "FROM g CROSS JOIN z") {
+    (s, d) =>
+      val li = lineitem(s, d)
+      val v = li.filter(col("l_extendedprice") > 0)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("px"))
+        .agg(count(lit(1)).as("c"))
+      val t = v.groupBy("flag").agg(sum("c").cast("long").as("n"))
+      val px = v.join(t, "flag")
+      val pl = graft.util.Portable.pln(px, col("px"), "lnv")
+      val g = pl.groupBy("flag").agg(max("n").as("n"),
+        Exact.portableSum(
+          (col("c").cast("double") / col("n").cast("double")) * col("lnv")).as("lg"))
+      val z = li.filter(col("l_extendedprice") <= 0)
+        .agg(count(lit(1)).as("n_nonpos"))
+      g.crossJoin(broadcast(z))
+        .select(col("flag").as("l_returnflag"), col("n").cast("long").as("n"),
+          Exact.pinScoreInt(col("lg")).as("log_gmean"), col("n_nonpos"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
-    aggBrownForsythe, aggKruskal, aggKendall)
+    aggBrownForsythe, aggKruskal, aggKendall, aggGmean)
 }

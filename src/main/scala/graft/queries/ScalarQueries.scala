@@ -186,7 +186,28 @@ object ScalarQueries {
           .as("sim"))
   }
 
+  /** Delimited-field extraction (r12) — `split_part`, the log-line /
+    * composite-key field accessor (both engines 1-index and return ''
+    * when the index is out of range, verified). Part names are
+    * space-delimited color words — extract the 2nd. */
+  val fnSplitPart = Q("q_fn_split_part", "split_part field extraction (2nd field)")(
+    "SELECT p_partkey, split_part(p_name, ' ', 2) AS field2 FROM part") {
+    (s, d) => part(s, d).select(col("p_partkey"),
+      split_part(col("p_name"), lit(" "), lit(2)).as("field2"))
+  }
+
+  /** Regex group extraction (r12) — the brand's numeric id out of
+    * 'Brand#NN'. Pattern stays in the character-class subset where Java
+    * regex (Spark) and RE2-ish (DuckDB) semantics provably agree; both
+    * engines return '' on no-match for group extraction. */
+  val fnRegexpExtract = Q("q_fn_regexp_extract", "regexp_extract first digit run")(
+    "SELECT p_partkey, regexp_extract(p_brand, '([0-9]+)', 1) AS digits FROM part") {
+    (s, d) => part(s, d).select(col("p_partkey"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("digits"))
+  }
+
   val all: Seq[Q] = Seq(fnTsMs, fnTsS, fnDateParse, fnDateFormat, fnUpper, fnRound,
     fnAbsDiff, fnSqrt, fnPct, fnDecimals, fnContains, fnArrayExists, fnArrayFirst,
-    fnJsonGet, fnMapLookup, fnIsnull, fnDivGuard, fnLevenshtein)
+    fnJsonGet, fnMapLookup, fnIsnull, fnDivGuard, fnLevenshtein, fnSplitPart,
+    fnRegexpExtract)
 }

@@ -3758,9 +3758,9 @@ object VectorQueries {
   }
 
   /** Matryoshka-truncation recall (r12) — recall@3 of brute-force cosine
-    * search over the FIRST 8 OF 16 dimensions vs the exact full-dim
+    * search over the FIRST 8 OF 64 dimensions vs the exact full-dim
     * top-3: prices dimension truncation (the Matryoshka/MRL deployment
-    * trick — serve a prefix of the embedding, halve the index and the
+    * trick — serve a prefix of the embedding at an 8× smaller index and
     * dot cost) the same way q_eval_recall_int8 prices the affine
     * quantizer and q_eval_recall_pq prices PQ codes — keeping the
     * every-compression-publishes-its-measured-cost contract. These
@@ -3768,11 +3768,11 @@ object VectorQueries {
     * floor a naive truncation pays; universe-complete over the vid<10
     * query set (0-hit queries publish 0, never drop).
     *
-    * Scale: the truncated dot costs HALF the full-dim brute force and
+    * Scale: the truncated dot costs 1/8 of the full-dim brute force and
     * shares its shape (queries broadcast × corpus scan); everything
     * downstream is the shared gt/universe chain. */
   val evalRecallTrunc = Q("q_eval_recall_trunc",
-    "recall@3 of brute-force search over the first 8 of 16 dimensions")(
+    "recall@3 of brute-force search over the first 8 of 64 dimensions")(
     vecsSql +
       ", tv AS (SELECT vec_id, i, e FROM v WHERE i <= 8), " +
       "tn AS (SELECT vec_id, sqrt(CAST(SUM(CAST(e*e AS DECIMAL(38,8))) AS DOUBLE)) AS nrm " +
@@ -3814,6 +3814,58 @@ object VectorQueries {
         .select(col("q"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           graft.util.Exact.pinScoreInt(
             coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
+  /** Int8 quantization distortion audit (r12) — per DIMENSION: the mean
+    * squared reconstruction error of the registered affine int8
+    * quantizer (q_emb_quantize_int8's exact recipe, replayed), the worst
+    * absolute error, and the theoretical half-step bound
+    * (range/255/2). Complements q_eval_recall_int8: recall prices the
+    * quantizer's effect on RANKING, this prices its GEOMETRY — a
+    * dimension whose max error exceeds the half-step bound indicates a
+    * clipped outlier, exactly what per-dim affine quantization is
+    * supposed to avoid. MSE addends are division-derived doubles, so the
+    * fold rides the portable grid (addend·2³⁰ ≈ 1e4 per row — in int64
+    * domain to ~5e14 rows per dim); max|err| is an order statistic over
+    * engine-identical doubles. Map-only + one dims-sized (64-row) aggregate. */
+  val evalInt8Mse = Q("q_eval_int8_mse",
+    "per-dimension int8 reconstruction error: MSE, max abs, half-step bound")(
+    vecsSql +
+      ", qst AS (SELECT i, min(e) AS mn, max(e) AS mx FROM v GROUP BY 1), " +
+      "qd AS (SELECT v.vec_id, v.i, v.e, qst.mn, qst.mx, qst.mn + " +
+      "(CASE WHEN qst.mx > qst.mn THEN " +
+      "least(CAST(floor((v.e - qst.mn) / ((qst.mx - qst.mn) / 255.0) + 0.5) AS BIGINT), 255) " +
+      "ELSE 0 END) * ((qst.mx - qst.mn) / 255.0) AS de " +
+      "FROM v JOIN qst ON qst.i = v.i) " +
+      "SELECT i AS dim, CAST(count(*) AS BIGINT) AS n, " +
+      Exact.Sql.pinScoreInt(
+        Exact.Sql.portableSum("(e - de) * (e - de)") + " / CAST(count(*) AS DOUBLE)") +
+      " AS mse, max(abs(e - de)) AS max_abs_err, " +
+      Exact.Sql.pinScoreInt("((max(mx) - max(mn)) / 255.0) / 2.0") +
+      " AS half_step FROM qd GROUP BY 1") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val v = base.select(col("vec_id"),
+          posexplode(transform(col("embedding"), _.cast("double"))))
+        .toDF("vec_id", "p", "e")
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("e"))
+      val st = v.groupBy("i").agg(min("e").as("mn"), max("e").as("mx"))
+      val qd = v.join(broadcast(st), Seq("i"))
+        .withColumn("code", when(col("mx") > col("mn"),
+          least(floor((col("e") - col("mn")) / ((col("mx") - col("mn")) / lit(255.0))
+            + lit(0.5)).cast("long"), lit(255L))).otherwise(lit(0L)))
+        .withColumn("de", col("mn") + col("code") * ((col("mx") - col("mn")) / lit(255.0)))
+      val err = col("e") - col("de")
+      qd.groupBy(col("i").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          Exact.portableSum(err * err).as("sse"),
+          max(abs(err)).as("max_abs_err"),
+          max("mx").as("mxv"), max("mn").as("mnv"))
+        .select(col("dim"), col("n"),
+          Exact.pinScoreInt(col("sse") / col("n").cast("double")).as("mse"),
+          col("max_abs_err"),
+          Exact.pinScoreInt(((col("mxv") - col("mnv")) / lit(255.0)) / lit(2.0))
+            .as("half_step"))
   }
 
   /** Rich-club coefficient φ(k) of the mutual-kNN graph (r12) — for each
@@ -3891,5 +3943,5 @@ object VectorQueries {
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
-    embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc)
+    embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc, evalInt8Mse)
 }
