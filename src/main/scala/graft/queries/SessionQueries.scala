@@ -1529,12 +1529,19 @@ object SessionQueries {
       "WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
       "SELECT t AS dur_min, n_risk, d_obs AS n_events, d_cens AS n_censored, " +
       "CASE WHEN cum_zero = 0 THEN cum_cell END AS log_surv_cell FROM cum") {
-    (s, d) =>
-      val sz = sessionize.fn(s, d)
+    (s, d) => survivalFromSessions(sessionize.fn(s, d))
+  }
+
+  /** The KM survival fold over a session frame (end_us, duration_us) —
+    * shared code object between the batch q_event_survival_km and the
+    * streaming read-side rollup (Streams.survivalRollup), so the censor
+    * rule and the grid-cell log-survival convention cannot fork. */
+  private[graft] def survivalFromSessions(sz: DataFrame,
+      gapUs: Long = GapUs): DataFrame = {
       val mxe = sz.agg(max("end_us").as("mend"))
       val dd = sz.crossJoin(broadcast(mxe))
         .select(expr("duration_us div 60000000").as("t"),
-          when(col("end_us") + GapUs > col("mend"), 1).otherwise(0).as("cens"))
+          when(col("end_us") + gapUs > col("mend"), 1).otherwise(0).as("cens"))
       val h = dd.groupBy("t").agg(
         sum(lit(1) - col("cens")).cast("long").as("d_obs"),
         sum("cens").cast("long").as("d_cens"))

@@ -729,6 +729,26 @@ object Streams {
     graft.queries.SessionQueries.interarrivalStats(
       staged.select(col("event_type"), col("gap")))
 
+  /** Kaplan–Meier survival over [[sessionAgg]]'s append-only session
+    * store — the SAME code object as q_event_survival_km
+    * (SessionQueries.survivalFromSessions), so the censor rule and the
+    * grid-cell log-survival convention cannot fork. session_window's
+    * `end` is last-event + gap, so the batch frame's last-event
+    * timestamp is `session_end − gap` and the duration is
+    * (session_end − gap) − session_start. The store holds only CLOSED
+    * sessions (append mode emits past-watermark windows), which is
+    * exactly the population the batch censor rule expects: the trailing
+    * still-open sessions the batch marks censored are, in the stream,
+    * simply not emitted yet — and the newest closed sessions near the
+    * store's max end time censor identically. */
+  def survivalRollup(staged: DataFrame, gapUs: Long): DataFrame =
+    graft.queries.SessionQueries.survivalFromSessions(
+      staged.select(
+        (unix_micros(col("session_end")) - gapUs).as("end_us"),
+        (unix_micros(col("session_end")) - gapUs -
+          unix_micros(col("session_start"))).as("duration_us")),
+      gapUs)
+
   /** Streaming DAU/WAU ingestion (r13) — the continuous twin of
     * q_event_dau_wau via the hllIngest state-algebra argument: the store
     * is the SET of distinct (user_id, day) pairs, per batch appended

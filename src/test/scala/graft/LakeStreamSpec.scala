@@ -1080,4 +1080,66 @@ class LakeStreamSpec extends SparkSpec {
         if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))).toSet
     assert(dup === want, "duplicate change rows absorbed by determinism + distinct")
   }
+
+  test("Streams.survivalRollup: KM over the closed-session store is the batch fold") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp(); val out = tmp() + "/sessions"
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val schema = ev(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.sessionAgg(spark, src, schema, "5 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // session A (user 1): 10:00..10:02, duration 2 min; session B (user 2):
+    // one event at 09:00, duration 0; sentinel (user 9) at 13:00 advances
+    // the watermark so A and B close — the sentinel's own session stays
+    // open and never reaches the store (the batch-censor analogue).
+    ev(Seq((1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:01:00", 1.0),
+      (1L, "2024-01-01 10:02:00", 1.0), (2L, "2024-01-01 09:00:00", 1.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    ev(Seq((9L, "2024-01-01 13:00:00", 1.0))).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val gapUs = 5L * 60 * 1000000
+    val store = spark.read.parquet(out)
+    assert(store.count() == 2, "A and B closed, sentinel still open")
+    val got = Streams.survivalRollup(store, gapUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // B (dur 0 min) is observed (09:00 + 5 min < A's 10:02 max end);
+    // A (dur 2 min) is the newest closed session → censored. One event
+    // row: t=0, n_risk=2, d_obs=1, d_cens=0, log S = ln(1/2) on the grid.
+    assert(got.length == 1)
+    val (t, nRisk, dObs, dCens, cell) = got.head
+    assert(t == 0L && nRisk == 2L && dObs == 1L && dCens == 0L)
+    val lnHalf = {
+      val x = 0.5
+      val k0 = math.floor(math.log(x) / math.log(2.0))
+      val m0 = x / math.pow(2.0, k0)
+      val (m, k) =
+        if (m0 >= 2.0) (m0 / 2.0, k0 + 1.0)
+        else if (m0 < 1.0) (m0 * 2.0, k0 - 1.0) else (m0, k0)
+      val tt = (m - 1.0) / (m + 1.0); val u = tt * tt
+      val poly = Seq(23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3)
+        .foldLeft(1.0 / 25.0)((p, c) => p * u + 1.0 / c) * u + 1.0
+      k * graft.util.Portable.Ln2 + (tt * 2.0) * poly
+    }
+    assert(cell.contains(math.floor(lnHalf * 1073741824.0).toLong))
+    // the rollup IS the batch fold: feeding the equivalent batch session
+    // frame through survivalFromSessions gives the identical result
+    val manual = Seq(
+      // A: start 10:00, last event 10:02
+      (tsUs("2024-01-01 10:02:00"), 120000000L),
+      // B: single event 09:00
+      (tsUs("2024-01-01 09:00:00"), 0L)).toDF("end_us", "duration_us")
+    val batch = graft.queries.SessionQueries.survivalFromSessions(manual, gapUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(batch.toSeq == got.toSeq)
+  }
 }
