@@ -1615,11 +1615,60 @@ object AggQueries {
           Exact.pinScoreInt(col("lg")).as("log_gmean"), col("n_nonpos"))
   }
 
+  /** Hodges–Lehmann pseudo-median (r12) — the median of all pairwise
+    * Walsh averages (xᵢ+xⱼ)/2 (i ≤ j), the robust location estimator
+    * under the Wilcoxon signed-rank test (30% breakdown, ~96% Gaussian
+    * efficiency — beats the median's 64%). The naive form is O(rows²);
+    * here the pair enumeration lives on the VALUE-HISTOGRAM cross join —
+    * quantity's domain is ≤ ~50 distinct values at any corpus size, so
+    * ≤ ~1275 Walsh rows per group with exact DECIMAL pair WEIGHTS
+    * (c_i·c_j off-diagonal, c·(c+1)/2 on it), and the weighted lower
+    * median picks the answer by the integer cross-multiply rule
+    * (2·cumw ≥ W) — no data-row sort, no doubles compared against
+    * accumulating sums. Walsh values are exact dyadic halves of raw
+    * values, published as-is (a SELECTED value, the order-statistic
+    * contract of q_win_donchian). */
+  val aggHodgesLehmann = Q("q_agg_hodges_lehmann",
+    "Hodges-Lehmann pseudo-median of quantity per returnflag (pair histogram)")(
+    "WITH v AS (SELECT l_returnflag AS flag, l_quantity AS q, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+      "w AS (SELECT a.flag, (a.q + b.q) / 2.0 AS walsh, " +
+      "CASE WHEN a.q = b.q THEN CAST(a.c AS HUGEINT) * (a.c + 1) / 2 " +
+      "ELSE CAST(a.c AS HUGEINT) * b.c END AS wt " +
+      "FROM v a JOIN v b ON b.flag = a.flag AND b.q >= a.q), " +
+      "t AS (SELECT flag, sum(wt) AS tw FROM w GROUP BY 1), " +
+      "cw AS (SELECT w.flag, w.walsh, t.tw, " +
+      "sum(w.wt) OVER (PARTITION BY w.flag ORDER BY w.walsh " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+      "FROM w JOIN t ON t.flag = w.flag) " +
+      "SELECT flag AS l_returnflag, min(walsh) AS hl FROM cw " +
+      "WHERE 2 * cum >= tw GROUP BY 1") {
+    (s, d) =>
+      val v = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .materialized() // both sides of the pair join
+      val a = v.select(col("flag"), col("q").as("aq"), col("c").cast("decimal(38,0)").as("ac"))
+      val b = v.select(col("flag").as("bflag"), col("q").as("bq"), col("c").as("bc"))
+      val w = a.join(broadcast(b), col("bflag") === col("flag") && col("bq") >= col("aq"))
+        .select(col("flag"), ((col("aq") + col("bq")) / 2.0).as("walsh"),
+          when(col("aq") === col("bq"), col("ac") * (col("ac") + 1) / 2)
+            .otherwise(col("ac") * col("bc")).as("wt"))
+      val t = w.groupBy("flag").agg(sum("wt").as("tw"))
+      val wc = Window.partitionBy("flag").orderBy("walsh")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      w.join(broadcast(t), "flag")
+        .withColumn("cum", sum("wt").over(wc))
+        .filter(col("cum") * 2 >= col("tw"))
+        .groupBy(col("flag").as("l_returnflag"))
+        .agg(min("walsh").as("hl"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
-    aggBrownForsythe, aggKruskal, aggKendall, aggGmean)
+    aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann)
 }

@@ -581,6 +581,63 @@ object CurationQueries {
           col("keep"))
   }
 
+  /** Sentence-length profile per source (r12) — mean, p50 and p90
+    * sentence length in words over the SAME [.!?]+ splitter as
+    * q_dedup_sentence (the sentence convention cannot fork): the
+    * chunking-design number (a source whose p90 sentence exceeds the
+    * chunk window needs mid-sentence splits — quality loss the curation
+    * report should price) and a strong register/genre signal beside the
+    * readability score (legal text ~40-word p90, chat ~8).
+    *
+    * Scale: one sentence explode → one (source, length) histogram;
+    * quantiles by the integer cross-multiply rule (2·cum ≥ n,
+    * 10·cum ≥ 9·n) over the LENGTH domain per source — the two-phase
+    * no-sort layout of q_quantile_weighted; mean from exact BIGINT
+    * sums, pinned. */
+  val textSentenceLen = Q("q_text_sentence_len",
+    "per-source sentence-length profile: mean (pinned), p50, p90 in words")(
+    "WITH sx AS (SELECT d.source, " +
+      "lower(trim(unnest(string_split_regex(d.text, '[.!?]+')))) AS sent " +
+      "FROM documents d WHERE d.text IS NOT NULL), " +
+      "sl AS (SELECT source, CAST(len(string_split_regex(sent, '\\s+')) AS BIGINT) " +
+      "AS slen FROM sx WHERE len(sent) >= 1), " +
+      "h AS (SELECT source, slen, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1, 2), " +
+      "t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, " +
+      "CAST(sum(slen * c) AS BIGINT) AS sw FROM h GROUP BY 1), " +
+      "cw AS (SELECT h.source, h.slen, t.n, t.sw, " +
+      "CAST(sum(h.c) OVER (PARTITION BY h.source ORDER BY h.slen " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+      "FROM h JOIN t ON t.source = h.source) " +
+      "SELECT source, max(n) AS n_sents, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(max(sw) AS DOUBLE) / CAST(max(n) AS DOUBLE)") + " AS mean_len, " +
+      "min(CASE WHEN 2 * cum >= n THEN slen END) AS p50_len, " +
+      "min(CASE WHEN 10 * cum >= 9 * n THEN slen END) AS p90_len " +
+      "FROM cw GROUP BY 1") {
+    (s, d) =>
+      import graft.util.Exact
+      import org.apache.spark.sql.expressions.Window
+      val sl = documents(s, d).filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("source"), lower(trim(col("raw"))).as("sent"))
+        .filter(length(col("sent")) >= 1)
+        .select(col("source"), size(split(col("sent"), "\\s+")).cast("long").as("slen"))
+      val h = sl.groupBy("source", "slen").agg(count(lit(1)).as("c"))
+      val t = h.groupBy("source").agg(sum("c").cast("long").as("n"),
+        sum(col("slen") * col("c")).cast("long").as("sw"))
+      val wc = Window.partitionBy("source").orderBy("slen")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.join(broadcast(t), "source")
+        .withColumn("cum", sum("c").over(wc).cast("long"))
+        .groupBy("source")
+        .agg(max("n").as("n_sents"),
+          Exact.pinScoreInt(max("sw").cast("double") / max("n").cast("double"))
+            .as("mean_len"),
+          min(when(col("cum") * 2 >= col("n"), col("slen"))).as("p50_len"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("slen"))).as("p90_len"))
+  }
+
   val all: Seq[Q] = Seq(textPii, dedupSubstring, textDedupLines, textGopher, mixDsirWeight,
-    curriculumPhase, curationReport, textCtrlChars, dedupSentence, curationVenn)
+    curriculumPhase, curationReport, textCtrlChars, dedupSentence, curationVenn,
+    textSentenceLen)
 }

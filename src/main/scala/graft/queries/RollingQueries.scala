@@ -350,6 +350,52 @@ object RollingQueries {
           Exact.pinScoreInt(Exact.winPortableSum(col("mfv"), w20) / volSum)).as("cmf"))
   }
 
+  /** Ichimoku lines, 9/26/52 (r12) — the four derivable components of the
+    * classic cloud over the price series: tenkan (9-row Donchian
+    * midline), kijun (26-row), senkou A = the (tenkan+kijun)/2 midline
+    * DISPLACED 26 rows forward (published at the row it plots on — a lag
+    * in frame terms), senkou B = the 52-row midline displaced 26. The
+    * displacement is what the family's other bands lack: the published
+    * row mixes two frame horizons, exercising lag-over-derived-window
+    * composition on ONE partitioning (no second shuffle — all five
+    * windows share the asset key + order).
+    *
+    * Exactness is the Donchian argument: extrema are order statistics,
+    * midlines one IEEE add + exact dyadic halve, the lag a row
+    * relocation — no decimal/pin machinery. min_periods semantics via
+    * frame-count guards on every horizon. */
+  val winIchimoku = Q("q_win_ichimoku",
+    "Ichimoku tenkan/kijun + displaced senkou A/B over one asset partitioning")({
+    val c = "l_extendedprice"
+    def mid(w: String) = s"(max($c) OVER $w + min($c) OVER $w) / 2.0"
+    def full(w: String, n: Int) = s"COUNT($c) OVER $w >= $n"
+    "WITH lines AS (SELECT l_partkey, l_shipdate, " + ordSql + " AS ord, " +
+      s"(CASE WHEN ${full("w9", 9)} THEN ${mid("w9")} END) AS tenkan, " +
+      s"(CASE WHEN ${full("w26", 26)} THEN ${mid("w26")} END) AS kijun, " +
+      s"(CASE WHEN ${full("w52", 52)} THEN ${mid("w52")} END) AS mid52 " +
+      s"FROM lineitem WINDOW w9 AS ${frameSql(9)}, w26 AS ${frameSql(26)}, " +
+      s"w52 AS ${frameSql(52)}) " +
+      "SELECT l_partkey, l_shipdate, ord, tenkan, kijun, " +
+      "lag((tenkan + kijun) / 2.0, 26) OVER wd AS senkou_a, " +
+      "lag(mid52, 26) OVER wd AS senkou_b FROM lines " +
+      "WINDOW wd AS (PARTITION BY l_partkey ORDER BY l_shipdate, ord)"
+  }) {
+    (s, d) =>
+      val c = col("l_extendedprice")
+      def mid(n: Int) = (max(c).over(frame(n)) + min(c).over(frame(n))) / 2.0
+      def full(n: Int) = count(c).over(frame(n)) >= n
+      val lines = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+        ord.as("ord"),
+        when(full(9), mid(9)).as("tenkan"),
+        when(full(26), mid(26)).as("kijun"),
+        when(full(52), mid(52)).as("mid52"))
+      val wd = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
+      lines.select(col("l_partkey"), col("l_shipdate"), col("ord"),
+        col("tenkan"), col("kijun"),
+        lag((col("tenkan") + col("kijun")) / 2.0, 26).over(wd).as("senkou_a"),
+        lag(col("mid52"), 26).over(wd).as("senkou_b"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian, winStochastic, winObv, winCmf)
+    winDonchian, winStochastic, winObv, winCmf, winIchimoku)
 }
