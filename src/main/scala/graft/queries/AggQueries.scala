@@ -1664,11 +1664,78 @@ object AggQueries {
         .agg(min("walsh").as("hl"))
   }
 
+  /** Mood's median test (r12) — the coarsest, most assumption-free of the
+    * k-group location tests (beside ANOVA-F on means/Brown–Forsythe on
+    * spreads/Kruskal–Wallis on ranks): classify every row as above vs ≤
+    * the GLOBAL median, then χ² on the 2×k contingency of (side × flag).
+    * The global median comes from the value histogram by the integer
+    * cross-multiply rule (2·cum ≥ N, lower median — no data sort); the
+    * per-group χ² terms fold through the portable grid (the
+    * group-count-agnostic q_agg_brown_forsythe layout — k is 3 here but
+    * the fold never assumes it). Expected counts are exact-integer
+    * ratios evaluated in one written order; χ² pinned, df = k−1.
+    */
+  val aggMedianTest = Q("q_agg_median_test",
+    "Mood's median test of price across returnflag groups (chi2, pinned)")({
+    val ea = "(CAST(n_g AS DOUBLE) * CAST(a_tot AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val eb = "(CAST(n_g AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(a_tot AS DOUBLE)) / " +
+      "CAST(nn AS DOUBLE))"
+    val term = s"(((CAST(a_g AS DOUBLE) - $ea) * (CAST(a_g AS DOUBLE) - $ea)) / $ea) + " +
+      s"(((CAST(n_g - a_g AS DOUBLE) - $eb) * (CAST(n_g - a_g AS DOUBLE) - $eb)) / $eb)"
+    "WITH v AS (SELECT l_extendedprice AS px, CAST(count(*) AS BIGINT) AS c " +
+      "FROM lineitem GROUP BY 1), " +
+      "cw AS (SELECT px, CAST(sum(c) OVER (ORDER BY px " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+      "CAST(sum(c) OVER () AS BIGINT) AS n FROM v), " +
+      "med AS (SELECT min(px) AS med, max(n) AS nn FROM cw WHERE 2 * cum >= n), " +
+      "g AS (SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_g, " +
+      "CAST(sum(CASE WHEN l_extendedprice > m.med THEN 1 ELSE 0 END) AS BIGINT) AS a_g " +
+      "FROM lineitem CROSS JOIN med m GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(a_g) AS BIGINT) AS a_tot, " +
+      "CAST(count(*) AS BIGINT) AS k FROM g), " +
+      "f AS (SELECT max(t.nn) AS nn, max(t.a_tot) AS a_tot, max(t.k) AS k, " +
+      graft.util.Exact.Sql.portableSum(term) + " AS chi2 " +
+      "FROM g CROSS JOIN t) " +
+      "SELECT (SELECT med FROM med) AS median_px, nn AS n, a_tot AS n_above, " +
+      "k - 1 AS df, " + graft.util.Exact.Sql.pinScoreInt("chi2") + " AS chi2 FROM f"
+  }) {
+    (s, d) =>
+      val li = lineitem(s, d)
+      val v = li.groupBy(col("l_extendedprice").as("px")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("px").rowsBetween(Window.unboundedPreceding, 0)
+      val cw = v.select(col("px"),
+        sum("c").over(wCum).cast("long").as("cum"),
+        sum("c").over(Window.partitionBy()).cast("long").as("n"))
+      val med = cw.filter(col("cum") * 2 >= col("n"))
+        .agg(min("px").as("med"), max("n").as("nn"))
+      val g = li.crossJoin(broadcast(med))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("l_extendedprice") > col("med"), 1).otherwise(0))
+            .cast("long").as("a_g"))
+      val t = g.agg(sum("n_g").cast("long").as("nn"),
+        sum("a_g").cast("long").as("a_tot"), count(lit(1)).as("k"))
+      val nnD = col("nn").cast("double"); val atD = col("a_tot").cast("double")
+      val ea = col("n_g").cast("double") * atD / nnD
+      val eb = col("n_g").cast("double") * (nnD - atD) / nnD
+      val aD = col("a_g").cast("double")
+      val bD = (col("n_g") - col("a_g")).cast("double")
+      val term = (((aD - ea) * (aD - ea)) / ea) + (((bD - eb) * (bD - eb)) / eb)
+      val f = g.crossJoin(broadcast(t))
+        .agg(max("nn").as("nn"), max("a_tot").as("a_tot"), max("k").as("k"),
+          graft.util.Exact.portableSum(term).as("chi2"))
+      f.crossJoin(broadcast(med.select(col("med"))))
+        .select(col("med").as("median_px"), col("nn").as("n"),
+          col("a_tot").as("n_above"), (col("k") - 1).cast("long").as("df"),
+          graft.util.Exact.pinScoreInt(col("chi2")).as("chi2"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
     aggWinsorize, aggQuantileSketch, aggSkewKurt, aggMad, aggVwap, aggBetaMarket,
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
-    aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann)
+    aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann,
+    aggMedianTest)
 }

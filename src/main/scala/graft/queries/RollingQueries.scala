@@ -396,6 +396,34 @@ object RollingQueries {
         lag(col("mid52"), 26).over(wd).as("senkou_b"))
   }
 
+  /** Volume-weighted moving average, 20-row (r12) — the rolling form of
+    * q_agg_vwap's daily hash aggregate: Σ(price·qty)/Σqty over the
+    * trailing window, the execution-benchmark line that discounts
+    * low-volume prints a plain SMA over-weights. price·qty is an EXACT
+    * 2-decimal product of raw columns (price 2dp × integral qty), so
+    * BOTH frame sums ride the decimal-exact winSum — no grid needed
+    * (contrast q_win_cmf, whose multiplier is division-derived); the
+    * published ratio is one IEEE division, pinned. Same single asset-key
+    * shuffle as every rolling query. */
+  val winVwma = Q("q_win_vwma", "20-row volume-weighted moving average, pinned")({
+    val w = "w20"
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, " +
+      s"CASE WHEN COUNT(*) OVER $w >= 20 AND " +
+      Exact.Sql.winSum("l_quantity", w) + " > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        Exact.Sql.winSum("l_extendedprice * l_quantity", w) + " / " +
+          Exact.Sql.winSum("l_quantity", w)) +
+      s" END AS vwma FROM lineitem WINDOW $w AS ${frameSql(20)}"
+  }) {
+    (s, d) =>
+      val w = frame(20)
+      val pv = Exact.winSum(col("l_extendedprice") * col("l_quantity"), w)
+      val v = Exact.winSum(col("l_quantity"), w)
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+        when(count(lit(1)).over(w) >= 20 && v > 0,
+          Exact.pinScoreInt(pv / v)).as("vwma"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian, winStochastic, winObv, winCmf, winIchimoku)
+    winDonchian, winStochastic, winObv, winCmf, winIchimoku, winVwma)
 }

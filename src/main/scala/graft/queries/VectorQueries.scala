@@ -3757,6 +3757,33 @@ object VectorQueries {
             col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
   }
 
+  /** kNN-graph reciprocity (r12) — the fraction of DIRECTED kNN edges
+    * whose reverse edge also exists: the one-number health check of the
+    * mutual-pruning step every graph operator downstream builds on
+    * (mutual-kNN keeps exactly the reciprocated pairs, so reciprocity =
+    * 2·|mutual| / |directed| IS the pruning retention rate). Low
+    * reciprocity means hub-dominated asymmetric neighborhoods (cross-read
+    * q_graph_hubness) and a sparse mutual graph. Costs one count on each
+    * of two frames the mutual build already materializes. */
+  val graphReciprocity = Q("q_graph_reciprocity",
+    "reciprocity of the directed kNN graph (= mutual-pruning retention)")(
+    "WITH dir AS (SELECT count(*) AS n_directed FROM (" + annKnnJoin.oracle.get + ") j), " +
+      "mu AS (SELECT count(*) AS n_mutual FROM (" + mutualSql(annKnnJoin) + ") m) " +
+      "SELECT CAST(dir.n_directed AS BIGINT) AS n_directed, " +
+      "CAST(mu.n_mutual AS BIGINT) AS n_mutual_pairs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "2.0 * CAST(mu.n_mutual AS DOUBLE) / CAST(dir.n_directed AS DOUBLE)") +
+      " AS reciprocity FROM dir CROSS JOIN mu") {
+    (s, d) =>
+      val dir = annKnnJoin.fn(s, d).agg(count(lit(1)).as("n_directed"))
+      val mu = mutualFn(annKnnJoin)(s, d).agg(count(lit(1)).as("n_mutual_pairs"))
+      dir.crossJoin(broadcast(mu))
+        .select(col("n_directed"), col("n_mutual_pairs"),
+          graft.util.Exact.pinScoreInt(
+            lit(2.0) * col("n_mutual_pairs").cast("double") /
+              col("n_directed").cast("double")).as("reciprocity"))
+  }
+
   /** Matryoshka-truncation recall (r12) — recall@3 of brute-force cosine
     * search over the FIRST 8 OF 64 dimensions vs the exact full-dim
     * top-3: prices dimension truncation (the Matryoshka/MRL deployment
@@ -3943,5 +3970,6 @@ object VectorQueries {
     graphKcore, graphLinkPredict, annPqRefine, embDistHist, graphLocalCc,
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
-    embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc, evalInt8Mse)
+    embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc, evalInt8Mse,
+    graphReciprocity)
 }
