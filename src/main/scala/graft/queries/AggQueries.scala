@@ -1730,6 +1730,50 @@ object AggQueries {
           graft.util.Exact.pinScoreInt(col("chi2")).as("chi2"))
   }
 
+  /** Bowley quartile skewness (r12) — (Q₁ + Q₃ − 2·Q₂)/(Q₃ − Q₁), the
+    * ROBUST asymmetry gauge beside q_agg_skew_kurt's third moment (one
+    * 10⁹× price spike saturates the moment; Bowley never leaves [−1, 1]):
+    * all three quartiles come from the per-group value histogram by the
+    * integer cross-multiply rule (4·cum ≥ n / 2·cum ≥ n / 4·cum ≥ 3·n —
+    * lower quantiles, no data sort), the statistic is one fixed-order
+    * IEEE expression over SELECTED values, pinned; NULL when the IQR is
+    * 0 (degenerate spread). One histogram aggregate + a value-domain
+    * window per group. */
+  val aggBowleySkew = Q("q_agg_bowley_skew",
+    "Bowley quartile skewness of price per returnflag (histogram quartiles, pinned)")(
+    "WITH v AS (SELECT l_returnflag AS flag, l_extendedprice AS px, " +
+      "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+      "cw AS (SELECT flag, px, CAST(sum(c) OVER (PARTITION BY flag ORDER BY px " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+      "CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n FROM v), " +
+      "qq AS (SELECT flag, max(n) AS n, " +
+      "min(CASE WHEN 4 * cum >= n THEN px END) AS q1, " +
+      "min(CASE WHEN 2 * cum >= n THEN px END) AS q2, " +
+      "min(CASE WHEN 4 * cum >= 3 * n THEN px END) AS q3 FROM cw GROUP BY 1) " +
+      "SELECT flag AS l_returnflag, n, q1, q2, q3, " +
+      "CASE WHEN q3 > q1 THEN " +
+      Exact.Sql.pinScoreInt("((q1 + q3) - 2.0 * q2) / (q3 - q1)") +
+      " END AS bowley FROM qq") {
+    (s, d) =>
+      val v = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("px"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("flag").orderBy("px")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cw = v.select(col("flag"), col("px"),
+        sum("c").over(wCum).cast("long").as("cum"),
+        sum("c").over(Window.partitionBy("flag")).cast("long").as("n"))
+      val qq = cw.groupBy("flag").agg(max("n").as("n"),
+        min(when(col("cum") * 4 >= col("n"), col("px"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("px"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("px"))).as("q3"))
+      qq.select(col("flag").as("l_returnflag"), col("n"),
+        col("q1"), col("q2"), col("q3"),
+        when(col("q3") > col("q1"), Exact.pinScoreInt(
+          ((col("q1") + col("q3")) - lit(2.0) * col("q2")) / (col("q3") - col("q1"))))
+          .as("bowley"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
@@ -1737,5 +1781,5 @@ object AggQueries {
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
     aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann,
-    aggMedianTest)
+    aggMedianTest, aggBowleySkew)
 }

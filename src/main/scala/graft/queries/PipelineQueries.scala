@@ -449,6 +449,93 @@ object PipelineQueries {
         abs(mean - rate).as("gap"))
   }
 
+  /** Brier score + Murphy decomposition (r12) — the PROPER scoring rule
+    * over the en-classifier's probability-like score (AUC ranks, the
+    * calibration bins localize, Brier PRICES): mean (p − y)² computed
+    * over the GRID-PINNED score g = ⌊p·2³⁰⌋, so the per-row squared
+    * error (g − y·2³⁰)² is an exact integer and the corpus sum lives in
+    * DECIMAL(38,0) at any row count — the scale-proof form of a
+    * corpus-sized portable fold (a 1/N-prescaled grid fold would floor
+    * to zero per row at 10¹² rows; integers don't). Murphy terms
+    * (reliability = how far bin means sit from bin outcomes, resolution
+    * = how far bin outcomes spread from the base rate, uncertainty =
+    * ȳ(1−ȳ)) fold over the ≤50-bin domain via the portable grid, using
+    * q_eval_calibration's exact bin convention. Quantization bias vs the
+    * raw-score Brier is < 2·2⁻³⁰ — below the published grid itself. */
+  val evalBrier = Q("q_eval_brier",
+    "Brier score of the en-classifier + reliability/resolution/uncertainty")({
+    val G = "1073741824.0"
+    val G2 = "1152921504606846976.0" // 2^60, exact
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, CAST(floor(s.score * " + G + ") AS BIGINT) AS g, " +
+      s"CAST(floor(s.score * $CalInvW) AS BIGINT) AS bin, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS a, " +
+      "sum(CAST(g - y * 1073741824 AS HUGEINT) * (g - y * 1073741824)) AS b2 FROM lab), " +
+      "bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk, " +
+      "CAST(sum(y) AS BIGINT) AS ak, sum(CAST(g AS HUGEINT)) AS sg FROM lab GROUP BY 1), " +
+      "fold AS (SELECT max(t.n) AS n, max(t.a) AS a, max(CAST(t.b2 AS DOUBLE)) AS b2, " +
+      graft.util.Exact.Sql.portableSum(
+        "(CAST(nk AS DOUBLE) / CAST(t.n AS DOUBLE)) * " +
+          s"(((CAST(sg AS DOUBLE) / CAST(nk AS DOUBLE)) / $G) - " +
+          "(CAST(ak AS DOUBLE) / CAST(nk AS DOUBLE))) * " +
+          s"(((CAST(sg AS DOUBLE) / CAST(nk AS DOUBLE)) / $G) - " +
+          "(CAST(ak AS DOUBLE) / CAST(nk AS DOUBLE)))") + " AS rel, " +
+      graft.util.Exact.Sql.portableSum(
+        "(CAST(nk AS DOUBLE) / CAST(t.n AS DOUBLE)) * " +
+          "((CAST(ak AS DOUBLE) / CAST(nk AS DOUBLE)) - " +
+          "(CAST(t.a AS DOUBLE) / CAST(t.n AS DOUBLE))) * " +
+          "((CAST(ak AS DOUBLE) / CAST(nk AS DOUBLE)) - " +
+          "(CAST(t.a AS DOUBLE) / CAST(t.n AS DOUBLE)))") + " AS res " +
+      "FROM bins CROSS JOIN tot t) " +
+      "SELECT n, " +
+      graft.util.Exact.Sql.pinScoreInt("CAST(a AS DOUBLE) / CAST(n AS DOUBLE)") +
+      " AS base_rate, " +
+      graft.util.Exact.Sql.pinScoreInt(s"(b2 / CAST(n AS DOUBLE)) / $G2") + " AS brier, " +
+      graft.util.Exact.Sql.pinScoreInt("rel") + " AS reliability, " +
+      graft.util.Exact.Sql.pinScoreInt("res") + " AS resolution, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "(1.0 - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))") + " AS uncertainty FROM fold"
+  }) {
+    (s, d) =>
+      val G = 1073741824.0
+      val G2 = 1152921504606846976.0
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+        .select(floor(col("score") * G).cast("long").as("g"),
+          floor(col("score") * CalInvW).cast("long").as("bin"), col("y"))
+        .materialized(eager = false) // totals AND bins read it
+      val diff = col("g") - col("y") * G.toLong
+      val tot = lab.agg(count(lit(1)).as("n"), sum("y").cast("long").as("a"),
+        sum(diff.cast("decimal(38,0)") * diff).as("b2"))
+      val bins = lab.groupBy("bin").agg(count(lit(1)).as("nk"),
+        sum("y").cast("long").as("ak"), sum(col("g").cast("decimal(38,0)")).as("sg"))
+      val nD = col("n").cast("double"); val aD = col("a").cast("double")
+      val nkD = col("nk").cast("double")
+      val sbar = (col("sg").cast("double") / nkD) / G
+      val ybark = col("ak").cast("double") / nkD
+      val ybar = aD / nD
+      val fold = bins.crossJoin(broadcast(tot))
+        .agg(max("n").as("n"), max("a").as("a"),
+          max(col("b2").cast("double")).as("b2"),
+          graft.util.Exact.portableSum(
+            (nkD / nD) * (sbar - ybark) * (sbar - ybark)).as("rel"),
+          graft.util.Exact.portableSum(
+            (nkD / nD) * (ybark - ybar) * (ybark - ybar)).as("res"))
+      val nD2 = col("n").cast("double"); val aD2 = col("a").cast("double")
+      fold.select(col("n"),
+        graft.util.Exact.pinScoreInt(aD2 / nD2).as("base_rate"),
+        graft.util.Exact.pinScoreInt((col("b2") / nD2) / G2).as("brier"),
+        graft.util.Exact.pinScoreInt(col("rel")).as("reliability"),
+        graft.util.Exact.pinScoreInt(col("res")).as("resolution"),
+        graft.util.Exact.pinScoreInt((aD2 / nD2) * (lit(1.0) - aD2 / nD2))
+          .as("uncertainty"))
+  }
+
   /** Daily resample + forward fill (r8): the pandas
     * `resample('D').ffill()` idiom — one row per asset per CALENDAR day
     * between the asset's first and last observation, carrying the latest
@@ -1332,5 +1419,5 @@ object PipelineQueries {
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
     layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply, evalKs,
-    evalLiftDeciles, evalKappa, profilePsi)
+    evalLiftDeciles, evalKappa, profilePsi, evalBrier)
 }
