@@ -424,6 +424,56 @@ object RollingQueries {
           Exact.pinScoreInt(pv / v)).as("vwma"))
   }
 
+  /** Fractional differencing, d = 0.4, 20-tap fixed window (r12) — the
+    * López-de-Prado stationarity transform: integer differencing (d=1)
+    * destroys all memory, FD(0.4) removes just enough trend to
+    * stationarize while keeping long-memory signal. The binomial weights
+    * w₀ = 1, w_k = −w_{k−1}·(d−k+1)/k are NOT shipped as decimal
+    * literals — measured here: DuckDB's literal→DOUBLE parse is not
+    * correctly rounded for 17-digit strings (-0.041600000000000005
+    * parsed to -0.0416, one ulp off), a sharper form of the bare-decimal
+    * literal lesson (q_ewma_vol / q_agg_benford — those literals happen
+    * to parse exactly; these don't). The oracle instead carries each
+    * weight as the NESTED RECURRENCE EXPRESSION itself, built from the
+    * exactly-parsing literal 0.4 and small integers, so DuckDB's own
+    * correctly-rounded ·,/,− reproduce the JVM's weight bits; the
+    * Spark side evaluates the identical recurrence in the JVM at
+    * plan-build time. The row value is the 20-term dot
+    * Σ w_k·price_{t−k} as one left-to-right IEEE chain over lag taps.
+    * One asset-key window shuffle; 20 lag expressions share the Sort. */
+  val winFracdiff = Q("q_win_fracdiff",
+    "fractional differencing FD(0.4), 20 binomial taps, pinned")({
+    val dd = 0.4
+    // weight k as a nested arithmetic expression (never a long literal)
+    val wExpr = Iterator.iterate(("CAST(1.0 AS DOUBLE)", 0)) { case (prev, k) =>
+      (s"(-($prev) * ((CAST($dd AS DOUBLE)) - $k.0) / ${k + 1}.0)", k + 1)
+    }.take(20).map(_._1).toSeq
+    val terms = wExpr.zipWithIndex.map { case (we, k) =>
+      if (k == 0) s"($we) * l_extendedprice"
+      else s"($we) * lag(l_extendedprice, $k) OVER wf"
+    }
+    val sum20 = terms.reduceLeft((a, b) => s"($a) + ($b)")
+    s"SELECT l_partkey, l_shipdate, $ordSql AS ord, " +
+      s"CASE WHEN lag(l_extendedprice, 19) OVER wf IS NOT NULL THEN " +
+      Exact.Sql.pinScoreInt(sum20) + " END AS fracdiff " +
+      "FROM lineitem WINDOW wf AS (PARTITION BY l_partkey " +
+      s"ORDER BY l_shipdate, $ordSql)"
+  }) {
+    (s, d) =>
+      val dd = 0.4
+      val wts = Iterator.iterate((1.0, 0)) { case (wk, k) =>
+        (-wk * (dd - k) / (k + 1), k + 1)
+      }.take(20).map(_._1).toSeq
+      val wf = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), ord)
+      val px = col("l_extendedprice")
+      val sum20 = wts.zipWithIndex.map { case (wk, k) =>
+        if (k == 0) lit(wk) * px else lit(wk) * lag(px, k).over(wf)
+      }.reduceLeft(_ + _)
+      lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
+        when(lag(px, 19).over(wf).isNotNull,
+          Exact.pinScoreInt(sum20)).as("fracdiff"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian, winStochastic, winObv, winCmf, winIchimoku, winVwma)
+    winDonchian, winStochastic, winObv, winCmf, winIchimoku, winVwma, winFracdiff)
 }

@@ -450,6 +450,82 @@ object SessionQueries {
           (col("n").cast("double") / col("n_from")).as("p"))
   }
 
+  /** Next-event prediction accuracy (r12) — closes the loop on
+    * q_event_transition: does the one-step Markov matrix actually
+    * PREDICT? Time-split evaluation with no leakage: the transition
+    * counts train on the first half of the stream (events before the
+    * global min/max-midpoint timestamp — a deterministic integer), the
+    * per-from argmax (ties → lexicographically first to-type) becomes
+    * the predictor, and accuracy is measured on consecutive pairs drawn
+    * ENTIRELY from the second half. Published per from-type (predicted
+    * type, pairs, hits, pinned accuracy — NULL prediction when the type
+    * never appeared as a train source counts its pairs at 0 hits) + a
+    * TOTAL row; the baseline to beat is the test-half majority class.
+    *
+    * Scale: two pair extractions over one user-keyed window each, two
+    * |types|²-bounded aggregates, one broadcast argmax join. */
+  val eventNextPred = Q("q_event_next_pred",
+    "next-event-type prediction accuracy of the time-split transition argmax")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), " +
+      "sp AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM e), " +
+      "tr AS (SELECT event_type AS ft, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS tt " +
+      "FROM e CROSS JOIN sp WHERE ts_us < sp.cut), " +
+      "tc AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM tr " +
+      "WHERE tt IS NOT NULL GROUP BY 1, 2), " +
+      "pr AS (SELECT ft, tt AS pred FROM (SELECT tc.*, row_number() OVER " +
+      "(PARTITION BY ft ORDER BY n DESC, tt) AS rn FROM tc) WHERE rn = 1), " +
+      "te AS (SELECT event_type AS ft, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS tt " +
+      "FROM e CROSS JOIN sp WHERE ts_us >= sp.cut), " +
+      "pairs AS (SELECT ft, tt FROM te WHERE tt IS NOT NULL), " +
+      "acc AS (SELECT p.ft, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(sum(CASE WHEN p.tt = pr.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hit " +
+      "FROM pairs p LEFT JOIN pr ON pr.ft = p.ft GROUP BY 1) " +
+      "SELECT a.ft AS from_type, pr.pred AS pred_type, a.n_pairs, a.n_hit, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(a.n_hit AS DOUBLE) / CAST(a.n_pairs AS DOUBLE)") + " AS accuracy " +
+      "FROM acc a LEFT JOIN pr ON pr.ft = a.ft " +
+      "UNION ALL " +
+      "SELECT 'TOTAL' AS from_type, CAST(NULL AS VARCHAR) AS pred_type, " +
+      "CAST(sum(n_pairs) AS BIGINT) AS n_pairs, CAST(sum(n_hit) AS BIGINT) AS n_hit, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_pairs) AS DOUBLE)") +
+      " AS accuracy FROM acc") {
+    (s, d) =>
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .materialized(eager = false) // the split scalar AND both halves
+      val sp = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      def pairsOf(half: DataFrame): DataFrame = half
+        .select(col("event_type").as("ft"), lead("event_type", 1).over(w).as("tt"))
+        .filter(col("tt").isNotNull)
+      val withCut = e.crossJoin(broadcast(sp))
+      val tc = pairsOf(withCut.filter(col("ts_us") < col("cut")))
+        .groupBy("ft", "tt").agg(count(lit(1)).as("n"))
+      val wArg = Window.partitionBy("ft").orderBy(col("n").desc, col("tt"))
+      val pr = tc.withColumn("rn", row_number().over(wArg)).filter(col("rn") === 1)
+        .select(col("ft"), col("tt").as("pred"))
+      val pairs = pairsOf(withCut.filter(col("ts_us") >= col("cut")))
+      val acc = pairs.join(broadcast(pr), Seq("ft"), "left")
+        .groupBy("ft").agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("tt") === col("pred"), 1).otherwise(0)).cast("long").as("n_hit"))
+        .materialized(eager = false) // per-type rows AND the TOTAL fold
+      val perType = acc.join(broadcast(pr), Seq("ft"), "left")
+        .select(col("ft").as("from_type"), col("pred").as("pred_type"),
+          col("n_pairs"), col("n_hit"),
+          graft.util.Exact.pinScoreInt(
+            col("n_hit").cast("double") / col("n_pairs").cast("double")).as("accuracy"))
+      val total = acc.agg(sum("n_pairs").cast("long").as("n_pairs"),
+          sum("n_hit").cast("long").as("n_hit"))
+        .select(lit("TOTAL").as("from_type"), lit(null).cast("string").as("pred_type"),
+          col("n_pairs"), col("n_hit"),
+          graft.util.Exact.pinScoreInt(
+            col("n_hit").cast("double") / col("n_pairs").cast("double")).as("accuracy"))
+      perType.unionByName(total)
+  }
+
   /** Top onboarding paths (r9): each user's FIRST THREE event types in
     * arrival order, concatenated into a path string and counted — the
     * path-analysis staple ("what do users actually do first?") that
@@ -1574,5 +1650,5 @@ object SessionQueries {
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
     eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
-    eventBounceRate, eventCohensD, eventSurvivalKm)
+    eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred)
 }
