@@ -129,6 +129,79 @@ object TextQueries {
           (nAgree.cast("double") / 8).as("jaccard_est"))
   }
 
+  /** MinHash-LSH dedup recall (r12) — the dedup family's instance of the
+    * every-approximate-variant-publishes-its-measured-cost contract the
+    * ANN family already keeps (q_eval_recall_lsh/_pq/_int8/...): on the
+    * FIXED doc_id < 500 audit universe (the vid < 10 convention — exact
+    * ground truth stays bounded while the banding under audit is the
+    * full registered pipeline), compute exact 3-shingle Jaccard for
+    * every in-universe pair, call J ≥ 0.5 a true duplicate via the
+    * INTEGER cross-multiply form 2·|A∩B| ≥ |A∪B| (no doubles compared),
+    * and measure what fraction the registered 4×2 banding catches
+    * (recall) and how clean its candidate list is at that threshold
+    * (precision). A banding change that silently drops recall now moves
+    * a published number instead of an invisible candidate set.
+    *
+    * Scale: ground truth is universe² (bounded, shingle-keyed join);
+    * the LSH side is the registered banding restricted to the universe. */
+  val dedupLshRecall = Q("q_dedup_lsh_recall",
+    "recall/precision of MinHash-LSH banding vs exact Jaccard>=0.5 on the audit universe")(
+    "WITH " + minhashPairsBody + ", " +
+      "ush AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < 500), " +
+      "usz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ush GROUP BY 1), " +
+      "uin AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ab " +
+      "FROM ush a JOIN ush b ON b.shingle = a.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "tru AS (SELECT da, db FROM uin JOIN usz x ON x.doc_id = da " +
+      "JOIN usz y ON y.doc_id = db WHERE 2 * ab >= x.n + y.n - ab), " +
+      "lsh AS (SELECT doc_a, doc_b FROM pairs WHERE doc_a < 500 AND doc_b < 500), " +
+      "ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM tru t " +
+      "JOIN lsh l ON l.doc_a = t.da AND l.doc_b = t.db), " +
+      "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru), " +
+      "nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh) " +
+      "SELECT nt.n_true, nl.n_lsh, ct.n_caught, " +
+      "CASE WHEN nt.n_true > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(ct.n_caught AS DOUBLE) / CAST(nt.n_true AS DOUBLE)") +
+      " END AS recall, " +
+      "CASE WHEN nl.n_lsh > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(ct.n_caught AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE)") +
+      " END AS precision_tau FROM nt CROSS JOIN nl CROSS JOIN ct") {
+    (s, d) =>
+      import graft.util.Exact
+      val docs = documents(s, d)
+      val sig = TextOps.minhashSig(docs).materialized(eager = false)
+      val lsh = TextOps.minhashPairsFromSig(sig, materialize = false)
+        .filter(col("doc_a") < 500 && col("doc_b") < 500)
+        .materialized(eager = false) // the catch join AND its own count
+      val ush = TextOps.shingles3(docs.filter(col("doc_id") < 500)).distinct()
+        .materialized(eager = false) // sizes AND both sides of the pair join
+      val usz = ush.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val uin = ush.as("a").join(ush.as("b"),
+          col("b.shingle") === col("a.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ab"))
+      val tru = uin
+        .join(usz.select(col("doc_id").as("da"), col("n").as("nx")), "da")
+        .join(usz.select(col("doc_id").as("db"), col("n").as("ny")), "db")
+        .filter(col("ab") * 2 >= col("nx") + col("ny") - col("ab"))
+        .select("da", "db")
+        .materialized(eager = false) // the catch join AND its own count
+      val ct = tru.join(lsh,
+          col("doc_a") === col("da") && col("doc_b") === col("db"))
+        .agg(count(lit(1)).as("n_caught"))
+      val nt = tru.agg(count(lit(1)).as("n_true"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      nt.crossJoin(broadcast(nl)).crossJoin(broadcast(ct))
+        .select(col("n_true"), col("n_lsh"), col("n_caught"),
+          when(col("n_true") > 0, Exact.pinScoreInt(
+            col("n_caught").cast("double") / col("n_true").cast("double"))).as("recall"),
+          when(col("n_lsh") > 0, Exact.pinScoreInt(
+            col("n_caught").cast("double") / col("n_lsh").cast("double")))
+            .as("precision_tau"))
+  }
+
   /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
     * near-dups differ in few bits. explode(tokens)×32 bits, two
     * aggregations; linear in corpus size. */
@@ -813,5 +886,5 @@ object TextQueries {
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
     textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram,
-    mmAudioChunks, textFertility)
+    mmAudioChunks, textFertility, dedupLshRecall)
 }
