@@ -526,6 +526,54 @@ object SessionQueries {
       perType.unionByName(total)
   }
 
+  /** A/B sample-ratio-mismatch check (r12) — the experiment-governance
+    * gate that runs BEFORE any lift/CUPED read-out is trusted: under the
+    * registered 50/50 arm assignment (user_id % 2, the q_event_ab_lift
+    * convention), is the realized user split consistent with 50/50? χ²
+    * with 1 df on the two arm counts — χ² > 3.84 (p < .05) means the
+    * assignment or logging is broken and every downstream effect size is
+    * suspect. One distinct-user aggregate; the statistic is one
+    * fixed-order IEEE expression over two exact integers, pinned. */
+  val eventAbSrm = Q("q_event_ab_srm",
+    "sample-ratio-mismatch chi2 of the 50/50 arm assignment (1 df, pinned)")(
+    "WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL), " +
+      "a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM u) " +
+      "SELECT n0, n1, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))") +
+      " AS arm0_share, " +
+      Exact.Sql.pinScoreInt(
+        "((CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) * " +
+          "(CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)) / " +
+          "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) + " +
+          "((CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) * " +
+          "(CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)) / " +
+          "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)") +
+      " AS chi2, " +
+      "CASE WHEN " +
+      "((CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) * " +
+      "(CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)) / " +
+      "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) + " +
+      "((CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) * " +
+      "(CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)) / " +
+      "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0) > 3.84 " +
+      "THEN 1 ELSE 0 END AS srm_flag FROM a") {
+    (s, d) =>
+      val u = events(s, d).filter(col("user_id").isNotNull)
+        .select("user_id").distinct()
+      val a = u.agg(
+        sum(when(col("user_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n0"),
+        sum(when(col("user_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n1"))
+      val n0D = col("n0").cast("double"); val n1D = col("n1").cast("double")
+      val e = (n0D + n1D) / 2.0
+      val chi2 = ((n0D - e) * (n0D - e)) / e + ((n1D - e) * (n1D - e)) / e
+      a.select(col("n0"), col("n1"),
+        Exact.pinScoreInt(n0D / (n0D + n1D)).as("arm0_share"),
+        Exact.pinScoreInt(chi2).as("chi2"),
+        when(chi2 > 3.84, 1).otherwise(0).as("srm_flag"))
+  }
+
   /** Top onboarding paths (r9): each user's FIRST THREE event types in
     * arrival order, concatenated into a path string and counted — the
     * path-analysis staple ("what do users actually do first?") that
@@ -1650,5 +1698,5 @@ object SessionQueries {
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
     eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
-    eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred)
+    eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred, eventAbSrm)
 }

@@ -427,7 +427,50 @@ object WindowQueries {
             sqrt(col("ss") / col("n_obs").cast("double"))).as("ulcer"))
   }
 
+  /** Garman–Klass volatility per asset over the REGISTERED daily OHLC
+    * bars (r12) — the full-bar estimator (7.4× more efficient than
+    * close-to-close, uses the bar's open/close alongside the range the
+    * Parkinson gauge uses alone): per bar 0.5·ln(H/L)² − (2ln2−1)·ln(C/O)²,
+    * per asset σ = √(portable-grid mean of the bar terms). Composes over
+    * q_resample_ohlc's own recipe (the bar convention cannot fork);
+    * TWO chained portable lns per bar — the duck CTE chain projects the
+    * first pln's staging columns away before re-staging, the Spark pln
+    * drops its own. Bars are order statistics + exact volume, so the
+    * ratio inputs are engine-identical; terms fold on the grid (bar
+    * counts are data-bounded: bars ≪ ticks). */
+  val winGarmanKlass = Q("q_win_garman_klass",
+    "per-asset Garman-Klass OHLC volatility over the registered daily bars")(
+    "WITH bars AS (" + PipelineQueries.resampleOhlc.oracle.get + "), " +
+      "r1 AS (SELECT l_partkey, day, open, close, high / low AS _lnx FROM bars), " +
+      Portable.plnSqlCtes("r1", "lhl") + ", " +
+      "r2 AS (SELECT l_partkey, day, _pln AS lnhl, close / open AS _lnx FROM lhl), " +
+      Portable.plnSqlCtes("r2", "lco") + ", " +
+      "f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_bars, " +
+      graft.util.Exact.Sql.portableSum(
+        "0.5 * (lnhl * lnhl) - (2.0 * 0.6931471805599453 - 1.0) * (_pln * _pln)") +
+      " AS ss FROM lco GROUP BY 1) " +
+      "SELECT l_partkey, n_bars, " +
+      "CASE WHEN ss >= 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt("sqrt(ss / CAST(n_bars AS DOUBLE))") +
+      " END AS gk_vol FROM f") {
+    (s, d) =>
+      val bars = PipelineQueries.resampleOhlc.fn(s, d)
+      val r1 = Portable.pln(
+        bars.select(col("l_partkey"), col("open"), col("close"),
+          (col("high") / col("low")).as("hl")),
+        col("hl"), "lnhl")
+      val r2 = Portable.pln(r1, col("close") / col("open"), "lnco")
+      val term = lit(0.5) * (col("lnhl") * col("lnhl")) -
+        (lit(2.0) * Portable.Ln2 - 1.0) * (col("lnco") * col("lnco"))
+      r2.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_bars"),
+          graft.util.Exact.portableSum(term).as("ss"))
+        .select(col("l_partkey"), col("n_bars"),
+          when(col("ss") >= 0, graft.util.Exact.pinScoreInt(
+            sqrt(col("ss") / col("n_bars").cast("double")))).as("gk_vol"))
+  }
+
   val all: Seq[Q] = Seq(winRankDaily, winDominance, winLag, winLead, winPctChange,
     monthTrunc, winNtile, winPctRank, winDrawdown, winSeriesGaps, winDrawdownDuration,
-    winParkinson, winHurst, winAmihud, winUlcer)
+    winParkinson, winHurst, winAmihud, winUlcer, winGarmanKlass)
 }
