@@ -1774,6 +1774,62 @@ object AggQueries {
           .as("bowley"))
   }
 
+  /** Covariance matrix, long form (r12) — the multivariate moment
+    * primitive under PCA/whitening/beta: pairwise sample covariance of
+    * the four numeric lineitem measures, published as one row per
+    * ordered pair (i ≤ j) with both means and the covariance. All
+    * second moments are EXACT decimal sums computed in ONE hash
+    * aggregate over the corpus (10 products + 4 sums + 1 count — a
+    * single map-side-combined pass, the 100 TB shape); each published
+    * statistic is a fixed-order IEEE expression over those exact
+    * moments, pinned. The pair frame is built from a 10-row literal
+    * spine crossed with the 1-row moment frame — columns-squared cost,
+    * zero extra corpus scans. */
+  val aggCovMatrix = Q("q_agg_cov_matrix",
+    "pairwise covariance matrix of (quantity, price, discount, tax), long form")({
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums = cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s_$c")
+    val prods = for (i <- cols.indices; j <- i until cols.length) yield
+      s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,4))) AS DOUBLE) " +
+        s"AS q_${cols(i)}_${cols(j)}"
+    val pairRows = (for (i <- cols.indices; j <- i until cols.length) yield
+      s"SELECT '${cols(i)}' AS ci, '${cols(j)}' AS cj, " +
+        s"s_${cols(i)} AS si, s_${cols(j)} AS sj, " +
+        s"q_${cols(i)}_${cols(j)} AS qij, n FROM m").mkString(" UNION ALL ")
+    "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      (sums ++ prods).mkString(", ") + " FROM lineitem), " +
+      s"p AS ($pairRows) " +
+      "SELECT ci, cj, n, " +
+      graft.util.Exact.Sql.pinScoreInt("si / CAST(n AS DOUBLE)") + " AS mean_i, " +
+      graft.util.Exact.Sql.pinScoreInt("sj / CAST(n AS DOUBLE)") + " AS mean_j, " +
+      "CASE WHEN n > 1 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(qij - (si * sj) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)") +
+      " END AS cov FROM p"
+  }) {
+    (s, d) =>
+      val cols4 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols4.map(c =>
+        sum(col(c).cast("decimal(38,8)")).cast("double").as(s"s_$c"))
+      val prods = for (i <- cols4.indices; j <- i until cols4.length) yield
+        sum((col(cols4(i)) * col(cols4(j))).cast("decimal(38,4)")).cast("double")
+          .as(s"q_${cols4(i)}_${cols4(j)}")
+      val m = lineitem(s, d)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .materialized(eager = false) // the 10-row pair spine reads it
+      val pairs = (for (i <- cols4.indices; j <- i until cols4.length) yield
+        m.select(lit(cols4(i)).as("ci"), lit(cols4(j)).as("cj"),
+          col(s"s_${cols4(i)}").as("si"), col(s"s_${cols4(j)}").as("sj"),
+          col(s"q_${cols4(i)}_${cols4(j)}").as("qij"), col("n")))
+        .reduceLeft(_ unionAll _)
+      val nD = col("n").cast("double")
+      pairs.select(col("ci"), col("cj"), col("n"),
+        graft.util.Exact.pinScoreInt(col("si") / nD).as("mean_i"),
+        graft.util.Exact.pinScoreInt(col("sj") / nD).as("mean_j"),
+        when(col("n") > 1, graft.util.Exact.pinScoreInt(
+          (col("qij") - (col("si") * col("sj")) / nD) / (nD - 1.0))).as("cov"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
@@ -1781,5 +1837,5 @@ object AggQueries {
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
     aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann,
-    aggMedianTest, aggBowleySkew)
+    aggMedianTest, aggBowleySkew, aggCovMatrix)
 }

@@ -1629,11 +1629,64 @@ object CorpusStatsQueries {
       g.unionByName(ct)
   }
 
+  /** Character-class mix per source (r12) — the script-level composition
+    * under the language-ID and encoding audits: exact counts of latin
+    * letters, digits, whitespace and everything-else, with pinned
+    * shares. Counting is length-difference after class deletion
+    * (regexp_replace with explicit character ranges — the Java/RE2
+    * agreement subset; no \\s, no unicode properties), so the counts
+    * are integers and the only doubles are the published share
+    * divisions. A source whose "other" share spikes is mojibake, markup
+    * or non-latin text the downstream tokenizer will shred — this is
+    * the triage number before q_text_langid_trigram's verdict. Map-only
+    * + one sources-sized aggregate. */
+  val textScriptMix = Q("q_text_script_mix",
+    "per-source character-class mix: latin/digit/whitespace/other + shares")({
+    def cnt(cls: String) = s"(length(text) - length(regexp_replace(text, '$cls', '', 'g')))"
+    "WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS total, " +
+      s"CAST(${cnt("[a-zA-Z]")} AS BIGINT) AS latin, " +
+      s"CAST(${cnt("[0-9]")} AS BIGINT) AS digit, " +
+      s"CAST(${cnt("[ ]")} AS BIGINT) AS ws " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT source, CAST(sum(total) AS BIGINT) AS n_chars, " +
+      "CAST(sum(latin) AS BIGINT) AS n_latin, CAST(sum(digit) AS BIGINT) AS n_digit, " +
+      "CAST(sum(ws) AS BIGINT) AS n_ws FROM c GROUP BY 1) " +
+      "SELECT source, n_chars, n_latin, n_digit, n_ws, " +
+      "n_chars - n_latin - n_digit - n_ws AS n_other, " +
+      "CASE WHEN n_chars > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE)") + " END AS latin_share, " +
+      "CASE WHEN n_chars > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_chars - n_latin - n_digit - n_ws AS DOUBLE) / " +
+          "CAST(n_chars AS DOUBLE)") + " END AS other_share FROM g"
+  }) {
+    (s, d) =>
+      import graft.util.Exact
+      def cnt(cls: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+      val c = documents(s, d).filter(col("text").isNotNull)
+        .select(col("source"), length(col("text")).cast("long").as("total"),
+          cnt("[a-zA-Z]").as("latin"), cnt("[0-9]").as("digit"), cnt("[ ]").as("ws"))
+      val g = c.groupBy("source").agg(sum("total").cast("long").as("n_chars"),
+        sum("latin").cast("long").as("n_latin"),
+        sum("digit").cast("long").as("n_digit"),
+        sum("ws").cast("long").as("n_ws"))
+      val other = col("n_chars") - col("n_latin") - col("n_digit") - col("n_ws")
+      g.select(col("source"), col("n_chars"), col("n_latin"), col("n_digit"),
+        col("n_ws"), other.as("n_other"),
+        when(col("n_chars") > 0, Exact.pinScoreInt(
+          col("n_latin").cast("double") / col("n_chars").cast("double")))
+          .as("latin_share"),
+        when(col("n_chars") > 0, Exact.pinScoreInt(
+          other.cast("double") / col("n_chars").cast("double"))).as("other_share"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
     textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
-    textSimpson, aggTheilSource, textBurstiness, textYuleK)
+    textSimpson, aggTheilSource, textBurstiness, textYuleK, textScriptMix)
 }
