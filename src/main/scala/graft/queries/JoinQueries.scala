@@ -431,7 +431,46 @@ object JoinQueries {
               col("s.k").cast("double")).as("turnover"))
   }
 
+  /** Tolerance-bounded as-of join (r12) — pandas `merge_asof(...,
+    * tolerance=...)`: every purchase matches its user's LAST PRIOR view
+    * (the backward running-extreme form — never a range self-join, never
+    * a global sort), but a match STALER than 24 h is rejected to NULL:
+    * the staleness guard every feature-store as-of read ships with (a
+    * day-old quote is not "the" quote). The raw last-view timestamp and
+    * the gap are published beside the tolerance verdict so the rejection
+    * rule is auditable. One user-key window shuffle; ties (a view AT the
+    * purchase instant) match, the q_filter_asof ≤ convention. */
+  val joinAsofTolerance = Q("q_join_asof_tolerance",
+    "backward as-of view-before-purchase with a 24h staleness tolerance")({
+    val tolUs = 24L * 3600 * 1000000L
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "m AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us FROM e) " +
+      "SELECT user_id, event_id, ts_us AS purchase_us, last_view_us, " +
+      "ts_us - last_view_us AS gap_us, " +
+      s"CASE WHEN ts_us - last_view_us <= $tolUs THEN last_view_us END AS matched_view_us " +
+      "FROM m WHERE event_type = 'purchase'"
+  }) {
+    (s, d) =>
+      val tolUs = 24L * 3600 * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
+          col("last_view_us"),
+          (col("ts_us") - col("last_view_us")).as("gap_us"),
+          when(col("ts_us") - col("last_view_us") <= tolUs, col("last_view_us"))
+            .as("matched_view_us"))
+  }
+
   val all: Seq[Q] = Seq(joinLeftTs, joinLeftDate, joinOuter, joinInner,
     joinSemi, joinAnti, joinAsofUniverse, joinBloomPrefilter, joinBucketed,
-    joinAsofNearest, joinSaltedSkew, joinUniverseTurnover)
+    joinAsofNearest, joinSaltedSkew, joinUniverseTurnover, joinAsofTolerance)
 }

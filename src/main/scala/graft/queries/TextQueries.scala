@@ -202,6 +202,51 @@ object TextQueries {
             .as("precision_tau"))
   }
 
+  /** Near-dup source overlap matrix (r12) — WHERE the duplication lives:
+    * the registered LSH candidate pairs rolled up to (source, source)
+    * cells (canonically ordered), with each cell's share of all
+    * candidate pairs and a within-source flag. Off-diagonal mass is
+    * cross-source syndication (mirrors, scrapes, wire copy) — the
+    * signal that decides whether dedup should run before or after
+    * source-level mixing; diagonal mass is in-source templating. Costs
+    * two doc→source broadcast-scale joins over the pair list the dedup
+    * already builds; output is |sources|²-bounded. */
+  val mixOverlapMatrix = Q("q_mix_overlap_matrix",
+    "near-dup candidate-pair counts per (source, source) cell + shares")(
+    "WITH " + minhashPairsBody + ", " +
+      "ds AS (SELECT doc_id, source FROM documents), " +
+      "sp AS (SELECT least(a.source, b.source) AS src_a, " +
+      "greatest(a.source, b.source) AS src_b " +
+      "FROM pairs p JOIN ds a ON a.doc_id = p.doc_a " +
+      "JOIN ds b ON b.doc_id = p.doc_b), " +
+      "g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM sp GROUP BY 1, 2), " +
+      "tots AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM g) " +
+      "SELECT src_a, src_b, n_pairs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE)") + " AS share, " +
+      "CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS within_source " +
+      "FROM g CROSS JOIN tots") {
+    (s, d) =>
+      import graft.util.Exact
+      val docs = documents(s, d)
+      val pairs = TextOps.minhashPairs(docs)
+      val ds = docs.select("doc_id", "source")
+      val sp = pairs
+        .join(ds.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(ds.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+      val g = sp.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .materialized(eager = false) // cells AND the total read it
+      val t = g.agg(sum("n_pairs").cast("long").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          Exact.pinScoreInt(
+            col("n_pairs").cast("double") / col("tot").cast("double")).as("share"),
+          when(col("src_a") === col("src_b"), 1).otherwise(0).as("within_source"))
+  }
+
   /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
     * near-dups differ in few bits. explode(tokens)×32 bits, two
     * aggregations; linear in corpus size. */
@@ -886,5 +931,5 @@ object TextQueries {
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
     textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram,
-    mmAudioChunks, textFertility, dedupLshRecall)
+    mmAudioChunks, textFertility, dedupLshRecall, mixOverlapMatrix)
 }
