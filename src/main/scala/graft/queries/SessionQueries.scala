@@ -574,6 +574,45 @@ object SessionQueries {
         when(chi2 > 3.84, 1).otherwise(0).as("srm_flag"))
   }
 
+  /** Attribution-window sensitivity sweep (r12) — the SAME staged funnel
+    * frame (funnelStagesSql / funnelStaged, the convention cannot fork)
+    * read at three conversion windows: how many view→click conversions
+    * survive if a click must land within 1 h / 6 h / 24 h of the first
+    * view? The window choice silently decides every conversion metric
+    * downstream; this publishes the whole sensitivity curve so the
+    * choice is a read, not a re-run. Spine LEFT-join zero-row
+    * convention; gaps are exact integer µs, the only double is each
+    * pinned rate. Costs the staged frame + a 3-row broadcast spine. */
+  val eventConvWindows = Q("q_event_conv_windows",
+    "view-to-click conversions within 1h/6h/24h over the shared funnel frame")(
+    funnelStagesSql +
+      ", w AS (SELECT unnest([3600000000, 21600000000, 86400000000]) AS win_us), " +
+      "b AS (SELECT CAST(count(vt) AS BIGINT) AS n_views FROM g3), " +
+      "cv AS (SELECT w.win_us, CAST(count(*) AS BIGINT) AS n_conv FROM g3 " +
+      "CROSS JOIN w WHERE g3.ct IS NOT NULL AND g3.ct - g3.vt <= w.win_us " +
+      "GROUP BY 1) " +
+      "SELECT CAST(w.win_us AS BIGINT) AS win_us, b.n_views, " +
+      "COALESCE(cv.n_conv, 0) AS n_conv, " +
+      "CASE WHEN b.n_views > 0 THEN " +
+      Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(cv.n_conv, 0) AS DOUBLE) / CAST(b.n_views AS DOUBLE)") +
+      " END AS conv_rate FROM w LEFT JOIN cv ON cv.win_us = w.win_us CROSS JOIN b") {
+    (s, d) =>
+      import s.implicits._
+      val g3 = funnelStaged(s, d).materialized(eager = false) // base AND sweep
+      val w = Seq(3600000000L, 21600000000L, 86400000000L).toDF("win_us")
+      val b = g3.agg(count("vt").as("n_views"))
+      val cv = g3.filter(col("ct").isNotNull).crossJoin(broadcast(w))
+        .filter(col("ct") - col("vt") <= col("win_us"))
+        .groupBy("win_us").agg(count(lit(1)).as("n_conv"))
+      w.join(cv, Seq("win_us"), "left").crossJoin(broadcast(b))
+        .select(col("win_us"), col("n_views"),
+          coalesce(col("n_conv"), lit(0L)).as("n_conv"),
+          when(col("n_views") > 0, Exact.pinScoreInt(
+            coalesce(col("n_conv"), lit(0L)).cast("double") /
+              col("n_views").cast("double"))).as("conv_rate"))
+  }
+
   /** Top onboarding paths (r9): each user's FIRST THREE event types in
     * arrival order, concatenated into a path string and counted — the
     * path-analysis staple ("what do users actually do first?") that
@@ -1698,5 +1737,6 @@ object SessionQueries {
     eventDowProfile, eventFunnelTime, eventConversionCi, eventSessionHist,
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
     eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
-    eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred, eventAbSrm)
+    eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred, eventAbSrm,
+    eventConvWindows)
 }

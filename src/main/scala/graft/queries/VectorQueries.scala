@@ -3757,6 +3757,56 @@ object VectorQueries {
             col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
   }
 
+  /** Semantic-dedup threshold sweep (r12) — the HOW-AGGRESSIVE decision
+    * curve over the registered label-blocked cosine pair frame: for each
+    * threshold on a fixed grid (35/50/65/80/90/95 %), the surviving pair
+    * count, the number of distinct documents flagged, and the flagged
+    * corpus share. One curation meeting reads this instead of re-running
+    * dedup six times. The spine LEFT-joins the rollups so an empty
+    * threshold publishes zeros, never a missing row (the eval zero-row
+    * convention); thresholds are INTEGER percent keys (engine-identical
+    * int/100 doubles only inside the comparison). Costs the registered
+    * pair build + a 6-row spine × pair-frame rollup. */
+  val dedupThresholdSweep = Q("q_dedup_threshold_sweep",
+    "semantic-dedup pair/doc counts per cosine threshold (sweep over the registered pairs)")(
+    "WITH pc AS (" + dedupEmbedCosine.oracle.get + "), " +
+      "thr AS (SELECT unnest([35, 50, 65, 80, 90, 95]) AS thr_pct), " +
+      "f AS (SELECT t.thr_pct, p.va, p.vb FROM pc p JOIN thr t " +
+      "ON p.cosine >= CAST(t.thr_pct AS DOUBLE) / 100.0), " +
+      "g1 AS (SELECT thr_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1), " +
+      "u AS (SELECT thr_pct, va AS vid FROM f UNION SELECT thr_pct, vb FROM f), " +
+      "g2 AS (SELECT thr_pct, CAST(count(*) AS BIGINT) AS n_docs FROM u GROUP BY 1), " +
+      "cn AS (SELECT CAST(count(*) AS BIGINT) AS corpus FROM embeddings) " +
+      "SELECT CAST(thr.thr_pct AS BIGINT) AS thr_pct, " +
+      "COALESCE(g1.n_pairs, 0) AS n_pairs, COALESCE(g2.n_docs, 0) AS n_docs, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(g2.n_docs, 0) AS DOUBLE) / CAST(cn.corpus AS DOUBLE)") +
+      " AS flagged_share FROM thr " +
+      "LEFT JOIN g1 ON g1.thr_pct = thr.thr_pct " +
+      "LEFT JOIN g2 ON g2.thr_pct = thr.thr_pct CROSS JOIN cn") {
+    (s, d) =>
+      import s.implicits._
+      val pc = dedupEmbedCosine.fn(s, d)
+        .materialized(eager = false) // both rollups read it
+      val thr = Seq(35, 50, 65, 80, 90, 95).toDF("thr_pct")
+      val f = pc.crossJoin(broadcast(thr))
+        .filter(col("cosine") >= col("thr_pct").cast("double") / 100.0)
+        .materialized(eager = false) // pair AND doc rollups
+      val g1 = f.groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
+      val u = f.select(col("thr_pct"), col("va").as("vid"))
+        .union(f.select(col("thr_pct"), col("vb").as("vid"))).distinct()
+      val g2 = u.groupBy("thr_pct").agg(count(lit(1)).as("n_docs"))
+      val cn = embeddings(s, d).agg(count(lit(1)).as("corpus"))
+      thr.join(g1, Seq("thr_pct"), "left").join(g2, Seq("thr_pct"), "left")
+        .crossJoin(broadcast(cn))
+        .select(col("thr_pct").cast("long").as("thr_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          graft.util.Exact.pinScoreInt(
+            coalesce(col("n_docs"), lit(0L)).cast("double") /
+              col("corpus").cast("double")).as("flagged_share"))
+  }
+
   /** kNN-graph reciprocity (r12) — the fraction of DIRECTED kNN edges
     * whose reverse edge also exists: the one-number health check of the
     * mutual-pruning step every graph operator downstream builds on
@@ -3971,5 +4021,5 @@ object VectorQueries {
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
     embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc, evalInt8Mse,
-    graphReciprocity)
+    graphReciprocity, dedupThresholdSweep)
 }
