@@ -1682,11 +1682,67 @@ object CorpusStatsQueries {
           other.cast("double") / col("n_chars").cast("double"))).as("other_share"))
   }
 
+  /** Standardized type-token ratio (r12) — raw TTR falls with document
+    * length (longer text repeats more), so cross-doc TTR comparisons are
+    * length-confounded; the standard fix (STTR) averages TTR over
+    * fixed-size NON-OVERLAPPING 50-token windows, making the number
+    * comparable across lengths. Per source: window count, mean STTR
+    * (portable-grid fold of per-window distinct/50 ratios — each an
+    * exact integer division), and the raw corpus TTR beside it for the
+    * length-bias contrast. Partial trailing windows (< 50 tokens) are
+    * excluded — the standard convention. One position explode → one
+    * (doc, window) distinct aggregate → source rollup; corpus-linear. */
+  val textSttr = Q("q_text_sttr",
+    "standardized TTR (50-token windows) per source vs raw TTR")(
+    "WITH " + TextQueries.tokwBody + ", " +
+      "wn AS (SELECT t.doc_id, (t.i - 1) // 50 AS win, t.word FROM tokw t), " +
+      "wlen AS (SELECT doc_id, win, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(count(DISTINCT word) AS BIGINT) AS types FROM wn GROUP BY 1, 2), " +
+      "full50 AS (SELECT w.doc_id, w.types FROM wlen w WHERE w.n = 50), " +
+      "ds AS (SELECT f.types, d.source FROM full50 f " +
+      "JOIN documents d ON d.doc_id = f.doc_id), " +
+      "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_windows, " +
+      graft.util.Exact.Sql.portableSum("CAST(types AS DOUBLE) / 50.0") +
+      " AS sttr_sum FROM ds GROUP BY 1), " +
+      "raw AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(count(DISTINCT t.word) AS BIGINT) AS n_types FROM tokw t " +
+      "JOIN documents d ON d.doc_id = t.doc_id GROUP BY 1) " +
+      "SELECT raw.source, raw.n_tokens, raw.n_types, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(raw.n_types AS DOUBLE) / CAST(raw.n_tokens AS DOUBLE)") +
+      " AS raw_ttr, COALESCE(g.n_windows, 0) AS n_windows, " +
+      "CASE WHEN g.n_windows > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt("g.sttr_sum / CAST(g.n_windows AS DOUBLE)") +
+      " END AS sttr FROM raw LEFT JOIN g ON g.source = raw.source") {
+    (s, d) =>
+      import graft.util.Exact
+      val tokw = TextOps.explodeTokens(documents(s, d))
+        .materialized(eager = false) // windows AND the raw TTR read it
+      val wlen = tokw
+        .select(col("doc_id"), expr("(i - 1) div 50").as("win"), col("word"))
+        .groupBy("doc_id", "win")
+        .agg(count(lit(1)).as("n"), countDistinct("word").as("types"))
+      val ds = wlen.filter(col("n") === 50)
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+      val g = ds.groupBy("source").agg(count(lit(1)).as("n_windows"),
+        Exact.portableSum(col("types").cast("double") / 50.0).as("sttr_sum"))
+      val raw = tokw.join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_tokens"),
+          countDistinct("word").as("n_types"))
+      raw.join(g, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          Exact.pinScoreInt(col("n_types").cast("double") /
+            col("n_tokens").cast("double")).as("raw_ttr"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          when(col("n_windows") > 0, Exact.pinScoreInt(
+            col("sttr_sum") / col("n_windows").cast("double"))).as("sttr"))
+  }
+
   val all: Seq[Q] = Seq(textTfidf, textBm25, textWinnow, ngramBoilerplate, bigramPmi,
     dedupNormalized, textEntropy, dedupWinnow, textUnigramLogprob, textBigramLogprob,
     textPplBucket, textHeldoutLogprob, textTfidfCosine, textZipf, textHeavyHitters,
     textKlSource, textJsSource, aggGiniSource, dedupWeight, textDistinctNgrams,
     dedupClusterSizes, evalSignalCorr, textVocabGrowth, mixSourceDedupRate,
     textVocabHll, textVocabCoverage, textHapax, dedupPrefix, textWordLenHist,
-    textSimpson, aggTheilSource, textBurstiness, textYuleK, textScriptMix)
+    textSimpson, aggTheilSource, textBurstiness, textYuleK, textScriptMix, textSttr)
 }

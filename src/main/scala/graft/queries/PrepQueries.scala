@@ -701,7 +701,56 @@ object PrepQueries {
             col("n_tokens").cast("double")).as("mask_rate"))
   }
 
+  /** Context-window fit curve (r12) — for each candidate training
+    * context length (512 / 1024 / 2048 / 4096 tokens): how many docs fit
+    * WHOLE, what share of docs that is, and what share of corpus TOKEN
+    * MASS lives in fitting docs — the two numbers that decide between
+    * truncation loss (doc share low) and padding waste (mass share high
+    * at a too-large window), read as one curve instead of four
+    * re-counts. The q_pack_length_buckets histogram gives the
+    * distribution; this gives the DECISION view against the actual
+    * window sizes a trainer chooses from. Spine LEFT-join zero-row
+    * convention; one token-count map pass + a 4-row broadcast spine. */
+  val prepContextFit = Q("q_prep_context_fit",
+    "docs and token mass fitting whole into 512/1k/2k/4k contexts")(
+    "WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) " +
+      "AS toks FROM documents WHERE text IS NOT NULL), " +
+      "w AS (SELECT unnest([512, 1024, 2048, 4096]) AS ctx), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(toks) AS BIGINT) AS n_tokens FROM t), " +
+      "f AS (SELECT w.ctx, CAST(count(*) AS BIGINT) AS fit_docs, " +
+      "CAST(sum(t.toks) AS BIGINT) AS fit_tokens FROM t CROSS JOIN w " +
+      "WHERE t.toks <= w.ctx GROUP BY 1) " +
+      "SELECT CAST(w.ctx AS BIGINT) AS ctx, tot.n_docs, tot.n_tokens, " +
+      "COALESCE(f.fit_docs, 0) AS fit_docs, COALESCE(f.fit_tokens, 0) AS fit_tokens, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(f.fit_docs, 0) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)") +
+      " AS doc_share, " +
+      Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(f.fit_tokens, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)") +
+      " AS token_share FROM w LEFT JOIN f ON f.ctx = w.ctx CROSS JOIN tot") {
+    (s, d) =>
+      import s.implicits._
+      val t = documents(s, d).filter(col("text").isNotNull)
+        .select(size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .materialized(eager = false) // totals AND the sweep read it
+      val w = Seq(512L, 1024L, 2048L, 4096L).toDF("ctx")
+      val tot = t.agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
+      val f = t.crossJoin(broadcast(w)).filter(col("toks") <= col("ctx"))
+        .groupBy("ctx").agg(count(lit(1)).as("fit_docs"),
+          sum("toks").cast("long").as("fit_tokens"))
+      w.join(f, Seq("ctx"), "left").crossJoin(broadcast(tot))
+        .select(col("ctx"), col("n_docs"), col("n_tokens"),
+          coalesce(col("fit_docs"), lit(0L)).as("fit_docs"),
+          coalesce(col("fit_tokens"), lit(0L)).as("fit_tokens"),
+          Exact.pinScoreInt(coalesce(col("fit_docs"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("doc_share"),
+          Exact.pinScoreInt(coalesce(col("fit_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("token_share"))
+  }
+
   val all: Seq[Q] = Seq(textChunk, packSequences, packEfficiency, embQuantizeInt8,
     embPcaPower, embPcaProject, bpeMergePairs, embWhiten, embIntrinsicDim,
-    embVarExplained, packLengthBuckets, embRandProj, evalRandProj, prepMlmMask)
+    embVarExplained, packLengthBuckets, embRandProj, evalRandProj, prepMlmMask,
+    prepContextFit)
 }
