@@ -1830,6 +1830,65 @@ object AggQueries {
           (col("qij") - (col("si") * col("sj")) / nD) / (nD - 1.0))).as("cov"))
   }
 
+  /** Correlation matrix, long form (r12) — q_agg_cov_matrix's moments
+    * normalized to Pearson r: the SAME one-pass exact decimal moments
+    * (now including all four diagonal products), each off-diagonal cell
+    * published as cov/(σᵢ·σⱼ) in one fixed-order IEEE expression,
+    * pinned; NULL when either margin is constant (the q_agg_corr
+    * division-guard contract). Diagonal cells publish exactly 1 only
+    * through the same formula (r = vᵢ/vᵢ) — no special-casing, so a
+    * degenerate column surfaces as NULL on its own diagonal too. */
+  val aggCorrMatrix = Q("q_agg_corr_matrix",
+    "pairwise Pearson correlation matrix of the four measures, long form")({
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums = cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s_$c")
+    val prods = for (i <- cols.indices; j <- i until cols.length) yield
+      s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,4))) AS DOUBLE) " +
+        s"AS q_${cols(i)}_${cols(j)}"
+    val pairRows = (for (i <- cols.indices; j <- i until cols.length) yield
+      s"SELECT '${cols(i)}' AS ci, '${cols(j)}' AS cj, " +
+        s"s_${cols(i)} AS si, s_${cols(j)} AS sj, " +
+        s"q_${cols(i)}_${cols(j)} AS qij, " +
+        s"q_${cols(i)}_${cols(i)} AS qii, q_${cols(j)}_${cols(j)} AS qjj, " +
+        "n FROM m").mkString(" UNION ALL ")
+    "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      (sums ++ prods).mkString(", ") + " FROM lineitem), " +
+      s"p AS ($pairRows) " +
+      "SELECT ci, cj, n, " +
+      "CASE WHEN (qii - (si * si) / CAST(n AS DOUBLE)) > 0 AND " +
+      "(qjj - (sj * sj) / CAST(n AS DOUBLE)) > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "(qij - (si * sj) / CAST(n AS DOUBLE)) / " +
+          "(sqrt(qii - (si * si) / CAST(n AS DOUBLE)) * " +
+          "sqrt(qjj - (sj * sj) / CAST(n AS DOUBLE)))") +
+      " END AS corr FROM p"
+  }) {
+    (s, d) =>
+      val cols4 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols4.map(c =>
+        sum(col(c).cast("decimal(38,8)")).cast("double").as(s"s_$c"))
+      val prods = for (i <- cols4.indices; j <- i until cols4.length) yield
+        sum((col(cols4(i)) * col(cols4(j))).cast("decimal(38,4)")).cast("double")
+          .as(s"q_${cols4(i)}_${cols4(j)}")
+      val m = lineitem(s, d)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .materialized(eager = false) // the 10-row pair spine reads it
+      val pairs = (for (i <- cols4.indices; j <- i until cols4.length) yield
+        m.select(lit(cols4(i)).as("ci"), lit(cols4(j)).as("cj"),
+          col(s"s_${cols4(i)}").as("si"), col(s"s_${cols4(j)}").as("sj"),
+          col(s"q_${cols4(i)}_${cols4(j)}").as("qij"),
+          col(s"q_${cols4(i)}_${cols4(i)}").as("qii"),
+          col(s"q_${cols4(j)}_${cols4(j)}").as("qjj"), col("n")))
+        .reduceLeft(_ unionAll _)
+      val nD = col("n").cast("double")
+      val vi = col("qii") - (col("si") * col("si")) / nD
+      val vj = col("qjj") - (col("sj") * col("sj")) / nD
+      pairs.select(col("ci"), col("cj"), col("n"),
+        when(vi > 0 && vj > 0, graft.util.Exact.pinScoreInt(
+          (col("qij") - (col("si") * col("sj")) / nD) / (sqrt(vi) * sqrt(vj))))
+          .as("corr"))
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
@@ -1837,5 +1896,5 @@ object AggQueries {
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
     aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann,
-    aggMedianTest, aggBowleySkew, aggCovMatrix)
+    aggMedianTest, aggBowleySkew, aggCovMatrix, aggCorrMatrix)
 }
