@@ -1889,6 +1889,76 @@ object AggQueries {
           .as("corr"))
   }
 
+  /** Partial correlation (r12) — the confounder-controlled association:
+    * for every ordered triple (x, y | z) of the four measures,
+    * r_xy·z = (r_xy − r_xz·r_zy) / √((1 − r_xz²)(1 − r_zy²)) — does the
+    * x↔y relationship survive once z is held fixed? Built from the SAME
+    * one-pass exact moments as q_agg_cov_matrix / q_agg_corr_matrix (no
+    * additional corpus scan; the triple spine is 12 literal rows × the
+    * 1-row moment frame). Every r is the same fixed-order expression as
+    * the corr matrix; the partial is one more fixed-order IEEE step,
+    * pinned; NULL when any margin is constant or either conditioning
+    * correlation is ±1 (the denominator vanishes). */
+  val aggPartialCorr = Q("q_agg_partial_corr",
+    "partial correlation r_xy.z for every measure triple, from one-pass moments")({
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums = cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s_$c")
+    val prods = for (i <- cols.indices; j <- i until cols.length) yield
+      s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,4))) AS DOUBLE) " +
+        s"AS q_${cols(i)}_${cols(j)}"
+    def qn(i: Int, j: Int) =
+      if (i <= j) s"q_${cols(i)}_${cols(j)}" else s"q_${cols(j)}_${cols(i)}"
+    // r(i,j) as a SQL fragment over the moment row
+    def rS(i: Int, j: Int) =
+      s"((${qn(i, j)} - (s_${cols(i)} * s_${cols(j)}) / CAST(n AS DOUBLE)) / " +
+        s"(sqrt(${qn(i, i)} - (s_${cols(i)} * s_${cols(i)}) / CAST(n AS DOUBLE)) * " +
+        s"sqrt(${qn(j, j)} - (s_${cols(j)} * s_${cols(j)}) / CAST(n AS DOUBLE))))"
+    val triples = for {
+      i <- cols.indices; j <- cols.indices if i < j
+      k <- cols.indices if k != i && k != j
+    } yield (i, j, k)
+    val rows = triples.map { case (i, j, k) =>
+      val (rxy, rxz, rzy) = (rS(i, j), rS(i, k), rS(k, j))
+      s"SELECT '${cols(i)}' AS cx, '${cols(j)}' AS cy, '${cols(k)}' AS cz, n, " +
+        s"CASE WHEN (1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy) > 0 THEN " +
+        graft.util.Exact.Sql.pinScoreInt(
+          s"($rxy - $rxz * $rzy) / sqrt((1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy))") +
+        " END AS partial_r FROM m"
+    }.mkString(" UNION ALL ")
+    "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      (sums ++ prods).mkString(", ") + " FROM lineitem) " + rows
+  }) {
+    (s, d) =>
+      val cols4 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols4.map(c =>
+        sum(col(c).cast("decimal(38,8)")).cast("double").as(s"s_$c"))
+      val prods = for (i <- cols4.indices; j <- i until cols4.length) yield
+        sum((col(cols4(i)) * col(cols4(j))).cast("decimal(38,4)")).cast("double")
+          .as(s"q_${cols4(i)}_${cols4(j)}")
+      val m = lineitem(s, d)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .materialized(eager = false) // the 12-row triple spine reads it
+      val nD = col("n").cast("double")
+      def qc(i: Int, j: Int) =
+        if (i <= j) col(s"q_${cols4(i)}_${cols4(j)}") else col(s"q_${cols4(j)}_${cols4(i)}")
+      def r(i: Int, j: Int) =
+        (qc(i, j) - (col(s"s_${cols4(i)}") * col(s"s_${cols4(j)}")) / nD) /
+          (sqrt(qc(i, i) - (col(s"s_${cols4(i)}") * col(s"s_${cols4(i)}")) / nD) *
+            sqrt(qc(j, j) - (col(s"s_${cols4(j)}") * col(s"s_${cols4(j)}")) / nD))
+      val triples = for {
+        i <- cols4.indices; j <- cols4.indices if i < j
+        k <- cols4.indices if k != i && k != j
+      } yield (i, j, k)
+      triples.map { case (i, j, k) =>
+        val (rxy, rxz, rzy) = (r(i, j), r(i, k), r(k, j))
+        val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - rzy * rzy)
+        m.select(lit(cols4(i)).as("cx"), lit(cols4(j)).as("cy"),
+          lit(cols4(k)).as("cz"), col("n"),
+          when(den > 0, graft.util.Exact.pinScoreInt(
+            (rxy - rxz * rzy) / sqrt(den))).as("partial_r"))
+      }.reduceLeft(_ unionAll _)
+  }
+
   val all: Seq[Q] = Seq(aggKmvMerge, aggMultiRules, aggCanonical, aggValueCounts, aggMeanStd,
     aggWelchTtest, aggHml, aggGroupConcatUniverse, aggPivotWide, aggUnpivotLong,
     aggRollup, aggCube, aggGroupingSets, aggDistinctKmv, aggHistogram, aggCorr,
@@ -1896,5 +1966,5 @@ object AggQueries {
     aggAutocorr, aggHerfindahl, aggBootstrapMeans, aggSortino, aggCvar,
     aggTrimmedMean, aggSpearman, aggCramersV, aggIqrOutliers, aggMannWhitney, aggBenford,
     aggBrownForsythe, aggKruskal, aggKendall, aggGmean, aggHodgesLehmann,
-    aggMedianTest, aggBowleySkew, aggCovMatrix, aggCorrMatrix)
+    aggMedianTest, aggBowleySkew, aggCovMatrix, aggCorrMatrix, aggPartialCorr)
 }

@@ -247,6 +247,113 @@ object TextQueries {
           when(col("src_a") === col("src_b"), 1).otherwise(0).as("within_source"))
   }
 
+  /** LSH banding-design sweep (r12) — the b×r TRADEOFF measured instead
+    * of assumed: the same 8-slot minhash signature banded three ways
+    * (8×1: any-slot agreement, catch-all; 4×2: the registered design;
+    * 2×4: strict), each scored against exact Jaccard ≥ 0.5 truth on the
+    * fixed doc_id < 500 audit universe (q_dedup_lsh_recall's chain).
+    * The S-curve P(candidate) = 1 − (1 − J^r)^b is theory; this is the
+    * corpus's own answer — re-banding becomes a read of three rows, not
+    * three pipeline re-runs. Signature build shared; each banding is a
+    * band-key self-join on the bounded universe. */
+  val dedupBandSweep = Q("q_dedup_band_sweep",
+    "recall/precision of 8x1, 4x2, 2x4 minhash bandings vs exact Jaccard>=0.5")({
+    val b8 = (0 to 7).map(k =>
+      s"SELECT doc_id, $k AS band, mh$k AS k1 FROM usig").mkString(" UNION ALL ")
+    val b2 = Seq(0, 4).map(o =>
+      s"SELECT doc_id, $o AS band, mh$o AS k1, mh${o + 1} AS k2, " +
+        s"mh${o + 2} AS k3, mh${o + 3} AS k4 FROM usig").mkString(" UNION ALL ")
+    "WITH " + minhashPairsBody + ", " +
+      "usig AS (SELECT * FROM sig WHERE doc_id < 500), " +
+      "ush AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < 500), " +
+      "usz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ush GROUP BY 1), " +
+      "uin AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ab " +
+      "FROM ush a JOIN ush b ON b.shingle = a.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "tru AS (SELECT da, db FROM uin JOIN usz x ON x.doc_id = da " +
+      "JOIN usz y ON y.doc_id = db WHERE 2 * ab >= x.n + y.n - ab), " +
+      "ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tru), " +
+      s"bands8 AS ($b8), " +
+      "p8 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands8 a " +
+      "JOIN bands8 b ON a.band = b.band AND a.k1 = b.k1 AND a.doc_id < b.doc_id), " +
+      "p4 AS (SELECT doc_a AS da, doc_b AS db FROM pairs " +
+      "WHERE doc_a < 500 AND doc_b < 500), " +
+      s"bands2 AS ($b2), " +
+      "p2 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands2 a " +
+      "JOIN bands2 b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 " +
+      "AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id) " +
+      Seq(("8x1", "p8"), ("4x2", "p4"), ("2x4", "p2")).map { case (name, p) =>
+        s"SELECT '$name' AS banding, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM $p) AS n_cand, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM tru t JOIN $p c " +
+          "ON c.da = t.da AND c.db = t.db) AS n_caught, ntr.n_true, " +
+          "CASE WHEN ntr.n_true > 0 THEN " +
+          graft.util.Exact.Sql.pinScoreInt(
+            s"CAST((SELECT count(*) FROM tru t JOIN $p c ON c.da = t.da AND c.db = t.db) " +
+              "AS DOUBLE) / CAST(ntr.n_true AS DOUBLE)") + " END AS recall, " +
+          s"CASE WHEN (SELECT count(*) FROM $p) > 0 THEN " +
+          graft.util.Exact.Sql.pinScoreInt(
+            s"CAST((SELECT count(*) FROM tru t JOIN $p c ON c.da = t.da AND c.db = t.db) " +
+              s"AS DOUBLE) / CAST((SELECT count(*) FROM $p) AS DOUBLE)") +
+          " END AS precision_tau FROM ntr"
+      }.mkString(" UNION ALL ")
+  }) {
+    (s, d) =>
+      import graft.util.Exact
+      import s.implicits._
+      val docs = documents(s, d)
+      val usig = TextOps.minhashSig(docs).filter(col("doc_id") < 500)
+        .materialized(eager = false) // three banding self-joins read it
+      val ush = TextOps.shingles3(docs.filter(col("doc_id") < 500)).distinct()
+        .materialized(eager = false)
+      val usz = ush.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val uin = ush.as("a").join(ush.as("b"),
+          col("b.shingle") === col("a.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ab"))
+      val tru = uin
+        .join(usz.select(col("doc_id").as("da"), col("n").as("nx")), "da")
+        .join(usz.select(col("doc_id").as("db"), col("n").as("ny")), "db")
+        .filter(col("ab") * 2 >= col("nx") + col("ny") - col("ab"))
+        .select("da", "db")
+        .materialized(eager = false) // joined by all three bandings
+      def pairsOf(bands: org.apache.spark.sql.DataFrame,
+          keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val eqs: List[org.apache.spark.sql.Column] =
+          (col("a.band") === col("b.band")) ::
+            keys.map(k => col(s"a.$k") === col(s"b.$k")).toList
+        val cond = eqs.reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+        bands.as("a").join(bands.as("b"), cond)
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      }
+      val bands8 = (0 to 7).map(k => usig.select(col("doc_id"), lit(k).as("band"),
+        col(s"mh$k").as("k1"))).reduceLeft(_ unionAll _)
+      val bands2 = Seq(0, 4).map(o => usig.select(col("doc_id"), lit(o).as("band"),
+        col(s"mh$o").as("k1"), col(s"mh${o + 1}").as("k2"),
+        col(s"mh${o + 2}").as("k3"), col(s"mh${o + 3}").as("k4")))
+        .reduceLeft(_ unionAll _)
+      val p8 = pairsOf(bands8, Seq("k1"))
+      val p4 = TextOps.minhashPairsFromSig(TextOps.minhashSig(docs), materialize = false)
+        .filter(col("doc_a") < 500 && col("doc_b") < 500)
+        .select(col("doc_a").as("da"), col("doc_b").as("db"))
+      val p2 = pairsOf(bands2, Seq("k1", "k2", "k3", "k4"))
+      val nTrue = tru.agg(count(lit(1)).as("n_true"))
+      def row(name: String, p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val cand = p.agg(count(lit(1)).as("n_cand"))
+        val caught = tru.join(p, Seq("da", "db")).agg(count(lit(1)).as("n_caught"))
+        cand.crossJoin(broadcast(caught)).crossJoin(broadcast(nTrue))
+          .select(lit(name).as("banding"), col("n_cand"), col("n_caught"),
+            col("n_true"),
+            when(col("n_true") > 0, Exact.pinScoreInt(
+              col("n_caught").cast("double") / col("n_true").cast("double")))
+              .as("recall"),
+            when(col("n_cand") > 0, Exact.pinScoreInt(
+              col("n_caught").cast("double") / col("n_cand").cast("double")))
+              .as("precision_tau"))
+      }
+      row("8x1", p8).unionByName(row("4x2", p4)).unionByName(row("2x4", p2))
+  }
+
   /** SimHash: 32-bit signature via per-bit majority vote of token hashes —
     * near-dups differ in few bits. explode(tokens)×32 bits, two
     * aggregations; linear in corpus size. */
@@ -931,5 +1038,5 @@ object TextQueries {
     dedupNgramJaccard, dedupContainment, dedupIncremental, textLangid, textQuality,
     textTokens, textFingerprint, mmBinaryMeta, mmFrameSample, mmResizeMeta, mmFrameDedup,
     textReadability, dedupEditVerify, mmModalityMix, textLangidTrigram,
-    mmAudioChunks, textFertility, dedupLshRecall, mixOverlapMatrix)
+    mmAudioChunks, textFertility, dedupLshRecall, mixOverlapMatrix, dedupBandSweep)
 }
