@@ -536,6 +536,55 @@ object PipelineQueries {
           .as("uncertainty"))
   }
 
+  /** Expected calibration error (r12) — the ONE-NUMBER summary of
+    * q_eval_calibration's reliability bins (and the absolute-gap
+    * companion of q_eval_brier's squared decomposition):
+    * ECE = Σ (n_k/N)·|mean_score_k − pos_rate_k| over the same exact
+    * bin convention. Bin mean scores ride the portable grid sum the
+    * calibration query already uses; the fold over the ≤50-bin domain
+    * is another portable-grid sum; published pinned beside the worst
+    * single-bin gap (MCE). */
+  val evalEce = Q("q_eval_ece",
+    "expected + maximum calibration error over the reliability bins")(
+    "WITH " + TextQueries.tokwBody +
+      ", " + enScoreCte + ", " +
+      "lab AS (SELECT s.doc_id, s.score, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+      s"bins AS (SELECT CAST(floor(score * $CalInvW) AS BIGINT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+      Exact.Sql.portableSum("score") + " AS ssum FROM lab GROUP BY 1), " +
+      "tots AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bins), " +
+      "f AS (SELECT max(t.nn) AS n, " +
+      Exact.Sql.portableSum(
+        "(CAST(bins.n AS DOUBLE) / CAST(t.nn AS DOUBLE)) * " +
+          "abs(bins.ssum / CAST(bins.n AS DOUBLE) - " +
+          "CAST(bins.n_pos AS DOUBLE) / CAST(bins.n AS DOUBLE))") + " AS ece, " +
+      "max(abs(bins.ssum / CAST(bins.n AS DOUBLE) - " +
+      "CAST(bins.n_pos AS DOUBLE) / CAST(bins.n AS DOUBLE))) AS mce " +
+      "FROM bins CROSS JOIN tots t) " +
+      "SELECT n, " + Exact.Sql.pinScoreInt("ece") + " AS ece, " +
+      Exact.Sql.pinScoreInt("mce") + " AS mce FROM f") {
+    (s, d) =>
+      val lab = enScore(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+      val bins = lab
+        .groupBy(floor(col("score") * CalInvW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"),
+          Exact.portableSum(col("score")).as("ssum"))
+      val t = bins.agg(sum("n").cast("long").as("nn"))
+      val gap = abs(col("ssum") / col("n").cast("double") -
+        col("n_pos").cast("double") / col("n").cast("double"))
+      bins.crossJoin(broadcast(t))
+        .agg(max("nn").as("n"),
+          Exact.portableSum(
+            (col("n").cast("double") / col("nn").cast("double")) * gap).as("ece"),
+          max(gap).as("mce"))
+        .select(col("n"), Exact.pinScoreInt(col("ece")).as("ece"),
+          Exact.pinScoreInt(col("mce")).as("mce"))
+  }
+
   /** Daily resample + forward fill (r8): the pandas
     * `resample('D').ffill()` idiom — one row per asset per CALENDAR day
     * between the asset's first and last observation, carrying the latest
@@ -1419,5 +1468,5 @@ object PipelineQueries {
     mixTemperature, mixEpochs, langidConfusion, resampleFfill, zorderCurve, sampleWeighted,
     snapshotDiff, profileColumns, resampleOhlc, evalAuc, evalCalibration, evalF1Langid,
     layoutPruning, fileCompactionPlan, splitShards, evalPrAuc, cdcApply, evalKs,
-    evalLiftDeciles, evalKappa, profilePsi, evalBrier)
+    evalLiftDeciles, evalKappa, profilePsi, evalBrier, evalEce)
 }

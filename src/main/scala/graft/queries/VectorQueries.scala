@@ -3807,6 +3807,57 @@ object VectorQueries {
               col("corpus").cast("double")).as("flagged_share"))
   }
 
+  /** Label-partition conductance over the mutual-kNN graph (r12) — the
+    * CUT view of embedding-label geometry (q_graph_knn_purity counts
+    * same-label endpoints; this prices the boundary): per label,
+    * φ = cut / min(vol, 2m − vol) with vol = Σ degrees inside the label
+    * and cut = edges leaving it. Low conductance = the label is a
+    * well-separated cluster in embedding space; high = its vectors
+    * blend into the rest and any label-conditioned retrieval or
+    * stratified split will leak. Edges-sized joins off the shared
+    * mutual-graph build; output is |labels| rows. */
+  val graphConductance = Q("q_graph_conductance",
+    "per-label conductance (cut / min-volume) of the mutual-kNN graph")(
+    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+      "lab AS (SELECT vec_id, label FROM embeddings), " +
+      "el AS (SELECT la.label AS label_a, lb.label AS label_b FROM edges e " +
+      "JOIN lab la ON la.vec_id = e.a JOIN lab lb ON lb.vec_id = e.b), " +
+      "m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS vol_all FROM el), " +
+      "vol AS (SELECT label, CAST(count(*) AS BIGINT) AS vol FROM " +
+      "(SELECT label_a AS label FROM el UNION ALL SELECT label_b FROM el) u " +
+      "GROUP BY 1), " +
+      "cut AS (SELECT label, CAST(sum(c) AS BIGINT) AS cut FROM " +
+      "(SELECT label_a AS label, CASE WHEN label_a <> label_b THEN 1 ELSE 0 END AS c FROM el " +
+      "UNION ALL SELECT label_b, CASE WHEN label_a <> label_b THEN 1 ELSE 0 END FROM el) u " +
+      "GROUP BY 1) " +
+      "SELECT v.label, v.vol, COALESCE(c.cut, 0) AS cut, " +
+      "CASE WHEN least(v.vol, m2.vol_all - v.vol) > 0 THEN " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(COALESCE(c.cut, 0) AS DOUBLE) / " +
+          "CAST(least(v.vol, m2.vol_all - v.vol) AS DOUBLE)") +
+      " END AS conductance FROM vol v LEFT JOIN cut c ON c.label = v.label " +
+      "CROSS JOIN m2") {
+    (s, d) =>
+      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val lab = embeddings(s, d).select("vec_id", "label")
+      val el = edges
+        .join(lab.select(col("vec_id").as("a"), col("label").as("label_a")), Seq("a"))
+        .join(lab.select(col("vec_id").as("b"), col("label").as("label_b")), Seq("b"))
+        .select("label_a", "label_b")
+        .materialized(eager = false) // volume, cut AND the total read it
+      val m2 = el.agg((count(lit(1)) * 2).cast("long").as("vol_all"))
+      val cFlag = when(col("label_a") =!= col("label_b"), 1L).otherwise(0L)
+      val u = el.select(col("label_a").as("label"), cFlag.as("c"))
+        .unionAll(el.select(col("label_b").as("label"), cFlag.as("c")))
+      val g = u.groupBy("label")
+        .agg(count(lit(1)).as("vol"), sum("c").cast("long").as("cut"))
+      val minVol = least(col("vol"), col("vol_all") - col("vol"))
+      g.crossJoin(broadcast(m2))
+        .select(col("label"), col("vol"), col("cut"),
+          when(minVol > 0, graft.util.Exact.pinScoreInt(
+            col("cut").cast("double") / minVol.cast("double"))).as("conductance"))
+  }
+
   /** kNN-graph reciprocity (r12) — the fraction of DIRECTED kNN edges
     * whose reverse edge also exists: the one-number health check of the
     * mutual-pruning step every graph operator downstream builds on
@@ -4021,5 +4072,5 @@ object VectorQueries {
     graphDegreeHist, graphBfsLayers, graphModularity, embPqCodeStats, annFiltered,
     embSilhouette, graphKnnDegree, graphLabelProp, annGraphWalk, graphKnnPurity,
     embLabelCentroidSim, evalRecallWalk, graphRichClub, evalRecallTrunc, evalInt8Mse,
-    graphReciprocity, dedupThresholdSweep)
+    graphReciprocity, dedupThresholdSweep, graphConductance)
 }
