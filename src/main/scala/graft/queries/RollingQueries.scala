@@ -474,6 +474,44 @@ object RollingQueries {
           Exact.pinScoreInt(sum20)).as("fracdiff"))
   }
 
+  /** Floor-trader pivot levels (r12) — P = (H+L+C)/3 with R1/S1 = 2P−L /
+    * 2P−H and R2/S2 = P±(H−L), computed from the PREVIOUS day's
+    * registered OHLC bar (q_resample_ohlc) and published on the row of
+    * the day they apply to — the lag-composition contract of
+    * q_win_ichimoku on the support/resistance family. Every level is a
+    * fixed-order IEEE expression over lagged order statistics
+    * (one non-dyadic /3.0 division — identical on both engines); first
+    * bar per asset publishes NULLs. One (asset, day) aggregate + one
+    * asset-keyed lag window. */
+  val winPivotPoints = Q("q_win_pivot_points",
+    "floor-trader pivot P/R1/S1/R2/S2 from the previous registered daily bar")(
+    "WITH bars AS (" + PipelineQueries.resampleOhlc.oracle.get + "), " +
+      "lb AS (SELECT l_partkey, day, " +
+      "lag(high) OVER w AS ph, lag(low) OVER w AS pl, lag(close) OVER w AS pc " +
+      "FROM bars WINDOW w AS (PARTITION BY l_partkey ORDER BY day)) " +
+      "SELECT l_partkey, day, " +
+      "(ph + pl + pc) / 3.0 AS pivot, " +
+      "2.0 * ((ph + pl + pc) / 3.0) - pl AS r1, " +
+      "2.0 * ((ph + pl + pc) / 3.0) - ph AS s1, " +
+      "((ph + pl + pc) / 3.0) + (ph - pl) AS r2, " +
+      "((ph + pl + pc) / 3.0) - (ph - pl) AS s2 FROM lb") {
+    (s, d) =>
+      val bars = PipelineQueries.resampleOhlc.fn(s, d)
+      val w = Window.partitionBy("l_partkey").orderBy("day")
+      val lb = bars.select(col("l_partkey"), col("day"),
+        lag("high", 1).over(w).as("ph"),
+        lag("low", 1).over(w).as("pl"),
+        lag("close", 1).over(w).as("pc"))
+      val p = (col("ph") + col("pl") + col("pc")) / 3.0
+      lb.select(col("l_partkey"), col("day"),
+        p.as("pivot"),
+        (lit(2.0) * p - col("pl")).as("r1"),
+        (lit(2.0) * p - col("ph")).as("s1"),
+        (p + (col("ph") - col("pl"))).as("r2"),
+        (p - (col("ph") - col("pl"))).as("s2"))
+  }
+
   val all: Seq[Q] = Seq(winRollZscore, winRollVol, winBbands, winRollMedian, winRollCorr,
-    winDonchian, winStochastic, winObv, winCmf, winIchimoku, winVwma, winFracdiff)
+    winDonchian, winStochastic, winObv, winCmf, winIchimoku, winVwma, winFracdiff,
+    winPivotPoints)
 }
