@@ -206,8 +206,20 @@ object ScalarQueries {
       regexp_extract(col("p_brand"), "([0-9]+)", 1).as("digits"))
   }
 
+  /** Fixed-width key padding (r12) — lpad/rpad, the composite-sort-key
+    * and fixed-width-export former ('Customer#000000001'-style zero
+    * padding keeps lexicographic order = numeric order). Both engines
+    * pad-and-truncate identically (verified by the gate). */
+  val fnPad = Q("q_fn_pad", "lpad/rpad fixed-width key formation")(
+    "SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key12, " +
+      "rpad(o_orderpriority, 16, '.') AS pr16 FROM orders") {
+    (s, d) => orders(s, d).select(col("o_orderkey"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("key12"),
+      rpad(col("o_orderpriority"), 16, ".").as("pr16"))
+  }
+
   val all: Seq[Q] = Seq(fnTsMs, fnTsS, fnDateParse, fnDateFormat, fnUpper, fnRound,
     fnAbsDiff, fnSqrt, fnPct, fnDecimals, fnContains, fnArrayExists, fnArrayFirst,
     fnJsonGet, fnMapLookup, fnIsnull, fnDivGuard, fnLevenshtein, fnSplitPart,
-    fnRegexpExtract)
+    fnRegexpExtract, fnPad)
 }

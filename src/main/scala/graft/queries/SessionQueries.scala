@@ -613,6 +613,39 @@ object SessionQueries {
               col("n_views").cast("double"))).as("conv_rate"))
   }
 
+  /** Hour-of-day activity profile (r12) — the within-day seasonality
+    * companion of q_event_dow_profile (weekly): per (hour, event_type)
+    * cell, count + pinned share of the hour's events and of the day
+    * cycle overall. The capacity-planning and bot-detection read (human
+    * traffic has a diurnal curve; scripted traffic is flat). One
+    * bounded-key hash aggregate; shares from exact integers. */
+  val eventHourProfile = Q("q_event_hour_profile",
+    "hour-of-day x event-type activity profile with shares")(
+    "WITH e AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr, event_type " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      "c AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), " +
+      "h AS (SELECT hr, CAST(sum(n) AS BIGINT) AS hn FROM c GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) " +
+      "SELECT c.hr, c.event_type, c.n, " +
+      Exact.Sql.pinScoreInt("CAST(c.n AS DOUBLE) / CAST(h.hn AS DOUBLE)") +
+      " AS hour_share, " +
+      Exact.Sql.pinScoreInt("CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)") +
+      " AS total_share FROM c JOIN h ON h.hr = c.hr CROSS JOIN t") {
+    (s, d) =>
+      val c = events(s, d).filter(col("ts").isNotNull)
+        .select(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+        .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+        .materialized(eager = false) // hour totals AND the global total
+      val h = c.groupBy("hr").agg(sum("n").cast("long").as("hn"))
+      val t = c.agg(sum("n").cast("long").as("tot"))
+      c.join(broadcast(h), "hr").crossJoin(broadcast(t))
+        .select(col("hr"), col("event_type"), col("n"),
+          Exact.pinScoreInt(col("n").cast("double") / col("hn").cast("double"))
+            .as("hour_share"),
+          Exact.pinScoreInt(col("n").cast("double") / col("tot").cast("double"))
+            .as("total_share"))
+  }
+
   /** Top onboarding paths (r9): each user's FIRST THREE event types in
     * arrival order, concatenated into a path string and counted — the
     * path-analysis staple ("what do users actually do first?") that
@@ -1738,5 +1771,5 @@ object SessionQueries {
     eventConcurrency, eventPowerUsers, scd2Pit, eventAbLift, eventNewReturning, eventChurn,
     eventAbCuped, eventTypeEntropy, eventGiniUser, eventMarkovEntropyRate,
     eventBounceRate, eventCohensD, eventSurvivalKm, eventNextPred, eventAbSrm,
-    eventConvWindows)
+    eventConvWindows, eventHourProfile)
 }
