@@ -22,29 +22,56 @@ object Verify {
     writeOracleJson(outDir)
     val todo = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
     val total = todo.size
-    var done = 0
-    todo.foreach { case (name, fn) =>
-      // Remove any previous dump FIRST: a failed query must never leave a
-      // stale (previous-run) parquet behind for the oracle compare to
-      // pass green on.
-      val dest = Paths.get(s"$outDir/$name")
-      def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
-      rmrf(dest)
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(dest.toString)
-        done += 1
-        System.err.println(s"[verify] $done/$total $name ok")
-      } catch { case e: Throwable =>
-        rmrf(dest)
-        done += 1
-        System.err.println(s"[verify] $done/$total $name FAILED: ${e.getMessage}")
-      }
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Dump queries CONCURRENTLY (r13): 374 sequential dumps take ~6 min
+    // at sf0.01 — most of it per-job scheduling latency, not CPU, since
+    // each query only touches sf0.01-sized inputs. SparkSession is
+    // thread-safe for concurrent job submission and every query writes
+    // to its own dest, so a small submit pool overlaps the scheduling
+    // gaps and cuts the wall ~4x. Pool is bounded (default 6) so
+    // concurrent shuffles can't blow the single-JVM memory budget.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val tasks = todo.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          // Remove any previous dump FIRST: a failed query must never
+          // leave a stale (previous-run) parquet behind for the oracle
+          // compare to pass green on.
+          val dest = Paths.get(s"$outDir/$name")
+          def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          rmrf(dest)
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(dest.toString)
+            System.err.println(s"[verify] ${done.incrementAndGet()}/$total $name ok")
+          } catch { case e: Throwable =>
+            rmrf(dest)
+            failed.add(name)
+            System.err.println(s"[verify] ${done.incrementAndGet()}/$total $name FAILED: ${e.getMessage}")
+          }
+        }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    // one SHORT machine-readable summary line on stdout (r13): tells the
+    // driver (and humans tailing the log) at a glance whether the dump
+    // itself completed, independent of the DuckDB compare that follows.
+    import scala.jdk.CollectionConverters._
+    val failedJson = failed.asScala.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"verify_n":$total,"verify_failed":$failedJson}""")
+    // rc stays 0 even with per-query failures: the driver's DuckDB
+    // compare scores each query individually — a nonzero rc here could
+    // be read as "the whole dump failed" and zero the round instead of
+    // degrading to per-query misses.
     spark.stop()
   }
 
@@ -61,8 +88,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // one entry PER LINE (r13): 374 oracle SQL strings on a single line
+    // is several hundred KB — the same shape of oversized one-liner that
+    // truncated the driver's bench capture in r10-r12. json.load treats
+    // the newlines as whitespace; any line-buffered reader stays happy.
+    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"  ${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}\n")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 }
