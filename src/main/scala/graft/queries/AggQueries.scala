@@ -1680,8 +1680,17 @@ object AggQueries {
     val ea = "(CAST(n_g AS DOUBLE) * CAST(a_tot AS DOUBLE) / CAST(nn AS DOUBLE))"
     val eb = "(CAST(n_g AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(a_tot AS DOUBLE)) / " +
       "CAST(nn AS DOUBLE))"
-    val term = s"(((CAST(a_g AS DOUBLE) - $ea) * (CAST(a_g AS DOUBLE) - $ea)) / $ea) + " +
-      s"(((CAST(n_g - a_g AS DOUBLE) - $eb) * (CAST(n_g - a_g AS DOUBLE) - $eb)) / $eb)"
+    // zero-expected-cell guard (ADVICE r12): ea > 0 ⟺ a_tot > 0 and
+    // eb > 0 ⟺ a_tot < nn (n_g, nn are always positive), so the guard is
+    // an exact-integer predicate — identical on both engines. A corpus
+    // where no row clears (or every row clears) the global lower median
+    // contributes 0 per the standard skip-zero-expected-cells convention,
+    // instead of 0/0 NaN entering the portable fold (where DuckDB errors
+    // on CAST(floor(NaN·2³⁰) AS BIGINT) while Spark silently coerces).
+    val term = "(CASE WHEN a_tot > 0 AND a_tot < nn THEN " +
+      s"(((CAST(a_g AS DOUBLE) - $ea) * (CAST(a_g AS DOUBLE) - $ea)) / $ea) + " +
+      s"(((CAST(n_g - a_g AS DOUBLE) - $eb) * (CAST(n_g - a_g AS DOUBLE) - $eb)) / $eb) " +
+      "ELSE CAST(0 AS DOUBLE) END)"
     "WITH v AS (SELECT l_extendedprice AS px, CAST(count(*) AS BIGINT) AS c " +
       "FROM lineitem GROUP BY 1), " +
       "cw AS (SELECT px, CAST(sum(c) OVER (ORDER BY px " +
@@ -1720,7 +1729,10 @@ object AggQueries {
       val eb = col("n_g").cast("double") * (nnD - atD) / nnD
       val aD = col("a_g").cast("double")
       val bD = (col("n_g") - col("a_g")).cast("double")
-      val term = (((aD - ea) * (aD - ea)) / ea) + (((bD - eb) * (bD - eb)) / eb)
+      // same exact-integer zero-expected-cell guard as the oracle above
+      val term = when(col("a_tot") > 0 && col("a_tot") < col("nn"),
+        (((aD - ea) * (aD - ea)) / ea) + (((bD - eb) * (bD - eb)) / eb))
+        .otherwise(lit(0.0))
       val f = g.crossJoin(broadcast(t))
         .agg(max("nn").as("nn"), max("a_tot").as("a_tot"), max("k").as("k"),
           graft.util.Exact.portableSum(term).as("chi2"))
