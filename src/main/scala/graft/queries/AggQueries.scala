@@ -634,9 +634,13 @@ object AggQueries {
       "FROM events GROUP BY 1), " +
       "z AS (SELECT e.event_type, (e.value - st.mu) / st.sd AS z FROM events e " +
       "JOIN st ON st.event_type = e.event_type WHERE st.sd > 0) " +
+      // z is DIVISION-DERIVED (uniform mod any decimal grid), so the z³/z⁴
+      // sums ride the 2⁻³⁰ portable grid, not a decimal cast (r13 rule,
+      // Exact.portableSum scaladoc). Domain: Σ|z⁴| < 8.6e9 per group —
+      // Σz⁴ ≈ kurtosis·n ≈ 3n, i.e. fine to ~10⁹ rows per group.
       "SELECT st.event_type, st.n, st.mu, st.sd, " +
-      "CAST(SUM(CAST(z.z*z.z*z.z AS DECIMAL(38,4))) AS DOUBLE) / st.n AS skew, " +
-      "CAST(SUM(CAST(z.z*z.z*z.z*z.z AS DECIMAL(38,4))) AS DOUBLE) / st.n - 3.0 AS kurt_ex " +
+      Exact.Sql.portableSum("z.z*z.z*z.z") + " / st.n AS skew, " +
+      Exact.Sql.portableSum("z.z*z.z*z.z*z.z") + " / st.n - 3.0 AS kurt_ex " +
       "FROM z JOIN st ON st.event_type = z.event_type GROUP BY 1, 2, 3, 4") {
     (s, d) =>
       val st = events(s, d).groupBy("event_type")
@@ -647,8 +651,8 @@ object AggQueries {
         .withColumn("z", (col("value") - col("mu")) / col("sd"))
         .groupBy("event_type", "n", "mu", "sd")
         .agg(
-          (Exact.exactSum(col("z") * col("z") * col("z"), 4) / col("n")).as("skew"),
-          (Exact.exactSum(col("z") * col("z") * col("z") * col("z"), 4) / col("n")
+          (Exact.portableSum(col("z") * col("z") * col("z")) / col("n")).as("skew"),
+          (Exact.portableSum(col("z") * col("z") * col("z") * col("z")) / col("n")
             - lit(3.0)).as("kurt_ex"))
   }
 
@@ -752,7 +756,12 @@ object AggQueries {
     "per-asset CAPM beta vs the equal-weight market (monthly returns)")(
     "WITH p AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS m, " +
       Exact.Sql.avg("l_extendedprice") + " AS p FROM lineitem GROUP BY 1, 2), " +
-      "mkt AS (SELECT m, (" + Exact.Sql.sum("p") + " / count(*)) AS pm FROM p GROUP BY 1), " +
+      // p is a per-group MEAN — division-derived, uniform mod the decimal
+      // grid — so its cross-asset resum rides the portable grid (r13
+      // rule): at p ≈ 10⁵ the decimal(38,8) cast sits in the widest
+      // two-rounding band in the repo (~1e-3 per cast on a two-rounding
+      // DuckDB). Domain: Σ|p| per month < 8.6e9 ⇒ fine to ~10⁴ assets.
+      "mkt AS (SELECT m, (" + Exact.Sql.portableSum("p") + " / count(*)) AS pm FROM p GROUP BY 1), " +
       "ra AS (SELECT l_partkey, m, p / lag(p) OVER " +
       "(PARTITION BY l_partkey ORDER BY m) - 1.0 AS r FROM p), " +
       "rm AS (SELECT m, pm / lag(pm) OVER (ORDER BY m) - 1.0 AS rm FROM mkt), " +
@@ -776,7 +785,7 @@ object AggQueries {
         .agg(Exact.exactAvg(col("l_extendedprice")).as("p"))
         .materialized(eager = false) // feeds the market mean AND the returns
       val mkt = p.groupBy("m")
-        .agg((Exact.exactSum(col("p")) / count(lit(1))).as("pm"))
+        .agg((Exact.portableSum(col("p")) / count(lit(1))).as("pm"))
       val ra = p.select(col("l_partkey"), col("m"),
         (col("p") / lag("p", 1).over(
           Window.partitionBy("l_partkey").orderBy("m")) - 1.0).as("r"))

@@ -53,14 +53,20 @@ object RollingQueries {
 
   /** Rolling 30-row stddev of 1-step returns — realized volatility
     * (feature_calculation_functions.py:82-84). The return itself is a lag
-    * expression, so this composes a window inside a window frame. */
+    * expression, so this composes a window inside a window frame.
+    *
+    * r13 portability: ret_1 is DIVISION-DERIVED, so its moments ride the
+    * portable GRID (Exact.withRollingMomentsGrid), not the decimal detour
+    * — a decimal cast of a division result is the documented
+    * engine-unstable class (Exact.portableSum scaladoc); the grid sums
+    * are BIGINT, order-free, identical on both engines by construction. */
   val winRollVol = Q("q_win_roll_vol", "rolling volatility of returns")({
     val w = "w30"
     "WITH r AS (SELECT l_partkey, l_shipdate, " + ordSql + " AS ord, " +
       "(l_extendedprice / lag(l_extendedprice, 1) OVER (PARTITION BY l_partkey " +
       s"ORDER BY l_shipdate, $ordSql)) - 1.0 AS ret_1 FROM lineitem) " +
       "SELECT l_partkey, l_shipdate, ord, ret_1, " +
-      s"(CASE WHEN COUNT(ret_1) OVER $w >= 30 THEN ${Exact.Sql.winStddevSamp("ret_1", w)} END) " +
+      s"(CASE WHEN COUNT(ret_1) OVER $w >= 30 THEN ${Exact.Sql.winGridStddevSamp("ret_1", w)} END) " +
       "AS volatility_30 FROM r WINDOW w30 AS " +
       "(PARTITION BY l_partkey ORDER BY l_shipdate, ord ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)"
   }) {
@@ -69,7 +75,7 @@ object RollingQueries {
       val r = lineitem(s, d).select(col("l_partkey"), col("l_shipdate"), ord.as("ord"),
         ((col("l_extendedprice") / lag("l_extendedprice", 1).over(wLag)) - lit(1.0)).as("ret_1"))
       val w = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("ord"))
-      Exact.withRollingMoments(r, col("ret_1"), w, 30, "r")
+      Exact.withRollingMomentsGrid(r, col("ret_1"), w, 30, "r")
         .select(col("l_partkey"), col("l_shipdate"), col("ord"), col("ret_1"),
           when(col("r_n") >= 30, Exact.momentsStddevSamp("r")).as("volatility_30"))
   }
@@ -226,8 +232,10 @@ object RollingQueries {
     *
     * Exactness: H14/L14 are order statistics; %K is ONE fixed-order IEEE
     * expression over them (both engines produce identical bits); %D is
-    * the decimal-exact 3-row mean of those identical doubles
-    * (Exact.winAvg), with a count guard for pandas min_periods and a
+    * the portable-GRID 3-row mean of those identical doubles
+    * (Exact.winPortableAvg — %K is division-derived, so a decimal-cast
+    * mean is the engine-unstable class; r13 fix per the Exact rule),
+    * with a count guard for pandas min_periods and a
     * NULL when the range is flat (H14 = L14 — division-guard contract
     * of q_win_roll_zscore). Same single asset-key shuffle as every
     * rolling query; two window frames over one partitioning. */
@@ -240,7 +248,7 @@ object RollingQueries {
     s"WITH k AS (SELECT l_partkey, l_shipdate, $ordSql AS ord, $c, $k AS pct_k " +
       s"FROM lineitem WINDOW $w14 AS ${frameSql(14)}) " +
       "SELECT l_partkey, l_shipdate, ord, pct_k, " +
-      s"(CASE WHEN COUNT(pct_k) OVER w3 >= 3 THEN ${Exact.Sql.winAvg("pct_k", "w3")} END) AS pct_d " +
+      s"(CASE WHEN COUNT(pct_k) OVER w3 >= 3 THEN ${Exact.Sql.winPortableAvg("pct_k", "w3")} END) AS pct_d " +
       "FROM k WINDOW w3 AS (PARTITION BY l_partkey ORDER BY l_shipdate, ord " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
   }) {
@@ -257,7 +265,7 @@ object RollingQueries {
         .rowsBetween(-2, 0)
       k.select(col("l_partkey"), col("l_shipdate"), col("ord"), col("pct_k"),
         when(count(col("pct_k")).over(w3) >= 3,
-          Exact.winAvg(col("pct_k"), w3)).as("pct_d"))
+          Exact.winPortableAvg(col("pct_k"), w3)).as("pct_d"))
   }
 
   /** On-balance volume (r13) — the running sum of signed volume

@@ -242,6 +242,64 @@ object Exact {
   def winPortableSum(c: Column, w: WindowSpec): Column =
     sum(floor(c * PinGrid).cast("long")).over(w).cast("double") / PinGrid
 
+  /** Windowed portable MEAN of division-derived addends: grid frame sum ÷
+    * exact count. The count is integer-exact and the final division is one
+    * correctly-rounded IEEE op, so the result is engine-stable end to end
+    * — the drop-in replacement for [[winAvg]] when the addends are NOT
+    * near-integer (winAvg's decimal cast of a division-derived double is
+    * the r13-rule non-portable class; see the [[portableSum]] scaladoc). */
+  def winPortableAvg(c: Column, w: WindowSpec): Column =
+    winPortableSum(c, w) / count(c).over(w)
+
+  /** Rolling moments of DIVISION-DERIVED addends (returns, ratios) —
+    * the portable-grid twin of [[withRollingMoments]], for inputs whose
+    * decimal cast is NOT engine-portable (r13 rule, [[portableSum]]
+    * scaladoc: a division result is uniformly distributed mod the decimal
+    * grid, so fl(x·10⁸) lands in the two-rounding disagreement band with
+    * probability ~ulp — at %K-scale magnitudes that is ~4e-6 per cast,
+    * i.e. an expected driver-gate red within ~10⁶ rows).
+    *
+    * Layout is the same O(rows) prefix-difference as withRollingMoments,
+    * but the cumulative columns are plain BIGINTs of grid-floored addends
+    * (floor(x·2³⁰), floor(x²·2³⁰)) — every op exact and order-free, so
+    * `cum_t − cum_{t−n}` IS the frame sum of grid addends bit-for-bit on
+    * any IEEE engine, with zero dependence on decimal-cast behavior.
+    * LongType is long-backed in UnsafeRow like the precision-18 decimals,
+    * so the window pass stays allocation-free.
+    *
+    * The moments are therefore moments of the grid-QUANTIZED addends
+    * (resolution 2⁻³⁰ ≈ 1e-9 per addend — for a return series the
+    * derived stddev moves in the ~6th significant digit vs the raw-double
+    * moments; both engines move identically). Domain: |x| and x² must
+    * stay ≲ 8.6e9/frame for the frame sum (caller-checked: returns and
+    * percent scores are ≤ ~10²) and the PARTITION-cumulative grid sum
+    * must fit int64 (a 10⁶-row history of |x| ≤ 10² sums to 10⁸·2³⁰ ≈
+    * 1.1e17 < 2⁶³; Spark's non-ANSI long sum would in any case wrap mod
+    * 2⁶⁴, which the frame DIFFERENCE recovers exactly so long as the
+    * frame sum itself fits).
+    *
+    * Adds `{tag}_n`, `{tag}_s`, `{tag}_q` (doubles) compatible with
+    * [[momentsAvg]]/[[momentsStddevSamp]]/[[momentsStddevPop]]; the
+    * oracle twin is [[Sql.winGridStddevSamp]]/[[Sql.winPortableSum]]
+    * over the explicit frame. */
+  def withRollingMomentsGrid(df: org.apache.spark.sql.DataFrame, c: Column,
+      w: WindowSpec, n: Int, tag: String): org.apache.spark.sql.DataFrame = {
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = s"__gs_$tag"; val cq = s"__gq_$tag"; val cn = s"__gn_$tag"
+    val stage = df
+      .withColumn(cs, sum(floor(c * PinGrid).cast("long")).over(wCum))
+      .withColumn(cq, sum(floor((c * c) * PinGrid).cast("long")).over(wCum))
+      .withColumn(cn, count(c).over(wCum))
+    stage
+      .withColumn(s"${tag}_s",
+        (col(cs) - coalesce(lag(col(cs), n).over(w), lit(0L))).cast("double") / PinGrid)
+      .withColumn(s"${tag}_q",
+        (col(cq) - coalesce(lag(col(cq), n).over(w), lit(0L))).cast("double") / PinGrid)
+      .withColumn(s"${tag}_n",
+        (col(cn) - coalesce(lag(col(cn), n).over(w), lit(0L))).cast("double"))
+      .drop(cs, cq, cn)
+  }
+
   /** Statistics over withRollingMoments output columns. */
   def momentsAvg(tag: String): Column = col(s"${tag}_s") / col(s"${tag}_n")
   def momentsStddevSamp(tag: String): Column = {
@@ -317,5 +375,21 @@ object Exact {
     /** DuckDB twin of [[Exact.winPortableSum]]. */
     def winPortableSum(c: String, w: String): String =
       s"(CAST(SUM(CAST(floor(($c) * 1073741824.0) AS BIGINT)) OVER $w AS DOUBLE) / 1073741824.0)"
+
+    /** DuckDB twin of [[Exact.winPortableAvg]]. */
+    def winPortableAvg(c: String, w: String): String =
+      s"(${winPortableSum(c, w)} / COUNT($c) OVER $w)"
+
+    /** Grid-moment windowed sample stddev — the oracle twin of
+      * [[Exact.withRollingMomentsGrid]] + [[Exact.momentsStddevSamp]]:
+      * DuckDB sums the grid-floored BIGINT addends directly over the
+      * frame (its segment-tree order is irrelevant — integer addition is
+      * associative), which equals Spark's prefix-difference bit-for-bit. */
+    def winGridStddevSamp(c: String, w: String): String = {
+      val n = s"CAST(COUNT($c) OVER $w AS DOUBLE)"
+      val s = winPortableSum(c, w)
+      val sq = winPortableSum(s"($c)*($c)", w)
+      s"(CASE WHEN $n > 1 THEN sqrt(greatest(0.0, ($sq - $s*$s/$n) / ($n - 1.0))) END)"
+    }
   }
 }
