@@ -293,6 +293,28 @@ object CoreQueries {
           md5(col("text").cast("binary")).as("text_md5"))
   }
 
+  /** DSv2 REST-source scan (r13) — the paginated markets endpoint
+    * (universe_generation_pipeline.py:106-115's page loop) read through
+    * the registered `graft-rest` TableProvider (sources/RestSource):
+    * one InputPartition per page, column pruning pushed into the
+    * reader, retry/backoff per task. The fixture payload is a pure
+    * function of the global rank, so the oracle regenerates it
+    * declaratively from a range() — the same determinism that lets any
+    * (pages, perPage) split assemble identically. price/mcap are
+    * fixed-order IEEE singletons over small integers (class C). */
+  val scanRest = Q("q_scan_rest", "DSv2 graft-rest paginated markets scan")(
+    "SELECT CAST((r - 1) // 50 AS INT) AS page, CAST(r AS INT) AS rank, " +
+      "'asset-' || r AS id, 'A' || r AS symbol, " +
+      "10000.0 / CAST(r AS DOUBLE) AS price, " +
+      "1.0e12 / (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)) AS mcap " +
+      "FROM (SELECT unnest(range(1, 201)) AS r) t") {
+    (s, _) =>
+      s.read.format("graft-rest")
+        .option("mode", "markets").option("pages", 4).option("perPage", 50)
+        .load()
+        .select("page", "rank", "id", "symbol", "price", "mcap")
+  }
+
   /** Partition-pruned scan (r11) — the directory-level data-skipping
     * companion of q_join_bucketed's shuffle claim and q_layout_pruning's
     * zone-map audit: orders land partitioned BY STATUS (the Hive layout
@@ -360,5 +382,5 @@ object CoreQueries {
     scanParquet, sinkParquet, projectSelect, filterDateRange,
     aggSumVolume, aggMeanMonth, aggMinStart, aggCountDistinct,
     winRankFirst, topkMonth, joinMapBroadcast, joinLeft2Key, union, scanJsonl,
-    scanPartitionPruned, scanCsv, scanSchemaMerge, scanOrc, scanText)
+    scanPartitionPruned, scanCsv, scanSchemaMerge, scanOrc, scanText, scanRest)
 }

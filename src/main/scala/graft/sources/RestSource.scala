@@ -1,0 +1,210 @@
+package graft.sources
+
+import graft.ingest.ChunkedFetch
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the reference's two REST-shaped ingest
+  * loops (SURVEY.md §2.1 "REST source" rows), completing the
+  * source-connector half of the north-star approach:
+  *
+  *  - `mode=markets` — the paginated markets endpoint
+  *    (universe_generation_pipeline.py:106-115: `get_coins_markets(...,
+  *    per_page, page)` in a driver-side page loop). Here each PAGE is one
+  *    `InputPartition`, so the pagination that the reference serializes
+  *    one-request-at-a-time fans out one-task-per-page.
+  *  - `mode=range` — the 179-day chunked deep-history backfill
+  *    (pipeline_helpers.py:221-244). Each calendar chunk (the SAME
+  *    calendar as [[graft.ingest.ChunkedFetch.chunkCalendar]]) is one
+  *    `InputPartition`; RestSourceParitySpec pins bit-identical assembly
+  *    against ChunkedFetch's RDD path.
+  *
+  * `spark.read.format("graft-rest")` resolves through the standard
+  * `DataSourceRegister` service file, so the source behaves like any
+  * built-in format: schema inference from options, column pruning pushed
+  * into the reader ([[SupportsPushDownRequiredColumns]] — a
+  * `select(price)` never materializes the other fields), and
+  * partition-level retry with exponential backoff inside the reader
+  * (the reference's 65 s/3-retry loop, applied per task).
+  *
+  * The connector boundary is [[RestFixture]]: offline (this sandbox has
+  * zero egress) it generates the deterministic payloads the tests and
+  * ChunkedFetch share; a real deployment replaces exactly that object's
+  * two functions with an HTTP client built INSIDE the reader (never
+  * serialized from the driver) — partitioning, pruning, retry, and
+  * row-encoding stay untouched.
+  */
+final class RestSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestSource.schemaFor(options.getOrDefault("mode", "markets"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(schema, properties)
+}
+
+private[sources] object RestSource {
+  val MarketsSchema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("mcap", DoubleType, nullable = false)))
+
+  val RangeSchema: StructType = StructType(Seq(
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("close", DoubleType, nullable = false)))
+
+  def schemaFor(mode: String): StructType = mode match {
+    case "markets" => MarketsSchema
+    case "range"   => RangeSchema
+    case other => throw new IllegalArgumentException(
+      s"graft-rest: unknown mode '$other' (expected markets|range)")
+  }
+}
+
+/** Deterministic offline payloads — THE swap point for a real HTTP
+  * client. `rangeRows` is the same generator ChunkedFetch's parity spec
+  * feeds its RDD path, so the two ingestion shapes are comparable
+  * row-for-row. */
+object RestFixture {
+  private val daySec = 24L * 60 * 60
+
+  /** One markets page: `perPage` ranked assets; values derived from the
+    * global rank so any (pages, perPage) split assembles identically. */
+  def marketsRows(page: Int, perPage: Int): Iterator[(Int, Int, String, String, Double, Double)] =
+    Iterator.range(0, perPage).map { i =>
+      val rank = page * perPage + i + 1
+      (page, rank, s"asset-$rank", s"A$rank",
+        10000.0 / rank, 1.0e12 / (rank.toDouble * rank))
+    }
+
+  /** One OHLC-range chunk: one (ts, close) row per day, value a pure
+    * function of the timestamp (same rule as ChunkedFetchSpec.stubRows). */
+  def rangeRows(ch: ChunkedFetch.Chunk): Iterator[(Long, Double)] =
+    Iterator.iterate(ch.fromSec)(_ + daySec).takeWhile(_ <= ch.toSec)
+      .map(ts => (ts, (ts % 100000).toDouble / 7.0))
+}
+
+private[sources] final class RestTable(tableSchema: StructType,
+    props: util.Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-rest(${props.getOrDefault("mode", "markets")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(tableSchema, options)
+}
+
+private[sources] final class RestScanBuilder(full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  // column pruning lands HERE (not post-scan): the reader materializes
+  // only the pruned fields, the DSv2 contract a 100 TB scan relies on
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new RestScan(full, required, options)
+}
+
+private[sources] final class RestScan(full: StructType, required: StructType,
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+  private val mode = options.getOrDefault("mode", "markets")
+  private val throttleMs = options.getOrDefault("throttleMs", "0").toLong
+  private val maxRetries = options.getOrDefault("maxRetries", "3").toInt
+  private val backoffMs = options.getOrDefault("backoffMs", "1000").toLong
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-rest mode=$mode"
+
+  override def planInputPartitions(): Array[InputPartition] = mode match {
+    case "markets" =>
+      val pages = options.getOrDefault("pages", "1").toInt
+      val perPage = options.getOrDefault("perPage", "250").toInt
+      Array.tabulate(pages)(p => RestPartition.Page(p, perPage))
+    case "range" =>
+      val from = Option(options.get("fromSec")).getOrElse(
+        throw new IllegalArgumentException("graft-rest range: fromSec required")).toLong
+      val to = Option(options.get("toSec")).getOrElse(
+        throw new IllegalArgumentException("graft-rest range: toSec required")).toLong
+      val chunkDays = options.getOrDefault("chunkDays", "179").toInt
+      ChunkedFetch.chunkCalendar(from, to, chunkDays)
+        .map(RestPartition.Range(_)).toArray
+    case other => throw new IllegalArgumentException(s"graft-rest: unknown mode '$other'")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(required, throttleMs, maxRetries, backoffMs)
+}
+
+private[sources] object RestPartition {
+  final case class Page(page: Int, perPage: Int) extends InputPartition
+  final case class Range(chunk: ChunkedFetch.Chunk) extends InputPartition
+}
+
+private[sources] final class RestReaderFactory(required: StructType,
+    throttleMs: Long, maxRetries: Int, backoffMs: Long)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // field-name → full-row ordinal projection, computed once per task
+    def reader(fullNames: Seq[String], rows: () => Iterator[Seq[Any]]) = {
+      val ordinals = required.fields.map(f => fullNames.indexOf(f.name))
+      new PartitionReader[InternalRow] {
+        // the fetch runs ONCE, inside the same retry/backoff contract as
+        // ChunkedFetch.fetchPartitioned: a partition that fails retries
+        // alone; a partition that succeeds pays the courtesy throttle
+        private lazy val it: Iterator[Seq[Any]] = {
+          var attempt = 0
+          var out: Option[Vector[Seq[Any]]] = None
+          var last: Throwable = null
+          while (out.isEmpty && attempt <= maxRetries) {
+            if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+            try out = Some(rows().toVector)
+            catch {
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e
+              case scala.util.control.NonFatal(e) => last = e
+            }
+            attempt += 1
+          }
+          if (out.isDefined && throttleMs > 0) Thread.sleep(throttleMs)
+          out.getOrElse(throw new IllegalStateException(
+            s"graft-rest partition failed after $attempt attempts", last)).iterator
+        }
+        private var current: Seq[Any] = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(ordinals.map { o =>
+            current(o) match {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }
+          }.toIndexedSeq)
+        override def close(): Unit = ()
+      }
+    }
+    partition match {
+      case RestPartition.Page(page, perPage) =>
+        reader(RestSource.MarketsSchema.fieldNames.toSeq,
+          () => RestFixture.marketsRows(page, perPage)
+            .map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5, t._6)))
+      case RestPartition.Range(ch) =>
+        reader(RestSource.RangeSchema.fieldNames.toSeq,
+          () => RestFixture.rangeRows(ch).map(t => Seq[Any](ch.idx, t._1, t._2)))
+      case other =>
+        throw new IllegalArgumentException(s"graft-rest: unexpected partition $other")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ingest.ChunkedFetch
+import graft.sources.RestFixture
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** DSv2 `graft-rest` connector (SURVEY.md §2.1 REST-source rows;
+  * VERDICT r12 #6): short-name format resolution, one task per
+  * page/chunk, column pruning reaching the reader, and — the contract
+  * that makes the connector the reference-parity source — bit-identical
+  * assembly with the ChunkedFetch RDD path over the same chunk calendar
+  * and fixture payloads. */
+class RestSourceSpec extends SparkSpec {
+
+  private val daySec = 24L * 60 * 60
+  private val t2018 = Timestamp.valueOf("2018-01-01 00:00:00").getTime / 1000
+
+  test("markets mode: format resolves by short name, one partition per page, full assembly") {
+    val df = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 4).option("perPage", 50)
+      .load()
+    assert(df.rdd.getNumPartitions == 4, "one task per page")
+    assert(df.count() == 200)
+    // every page contributed, ranks are the global sequence
+    assert(df.select("page").distinct().count() == 4)
+    val ranks = df.select("rank").orderBy("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks == (1 to 200))
+    // pagination-invariance: a different page split assembles the same rows
+    val other = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 8).option("perPage", 25)
+      .load()
+    assert(other.drop("page").exceptAll(df.drop("page")).count() == 0)
+    assert(df.drop("page").exceptAll(other.drop("page")).count() == 0)
+  }
+
+  test("column pruning is pushed into the reader (scan schema = selected columns)") {
+    val pruned = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 2).option("perPage", 10)
+      .load().select("id", "price")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    val out = scan.output.map(_.name).toSet
+    assert(out == Set("id", "price"),
+      s"reader must materialize only the pruned columns, got $out")
+    assert(pruned.collect().length == 20)
+  }
+
+  test("range mode assembles bit-identically with the ChunkedFetch path") {
+    import spark.implicits._
+    val to = t2018 + 1200 * daySec
+    val viaDsv2 = spark.read.format("graft-rest")
+      .option("mode", "range").option("fromSec", t2018).option("toSec", to)
+      .load()
+    val chunks = ChunkedFetch.chunkCalendar(t2018, to)
+    assert(viaDsv2.rdd.getNumPartitions == chunks.size, "one task per chunk")
+    val viaRdd = ChunkedFetch.fetchPartitioned(spark, chunks,
+      (ch: ChunkedFetch.Chunk) => RestFixture.rangeRows(ch))
+      .toDF("ts", "close")
+    val a = viaDsv2.select("ts", "close").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = viaRdd.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "DSv2 and ChunkedFetch must assemble identical rows")
+    // chunk column matches the calendar each ts falls in
+    val byChunk = viaDsv2.groupBy("chunk").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    byChunk.zip(chunks).foreach { case ((idx, lo, hi), ch) =>
+      assert(idx == ch.idx && lo == ch.fromSec && hi == ch.toSec)
+    }
+  }
+
+  test("unknown mode and missing range bounds fail fast with a named error") {
+    val e1 = intercept[Throwable] {
+      spark.read.format("graft-rest").option("mode", "nope").load().collect()
+    }
+    assert(Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("unknown mode"))))
+    val e2 = intercept[Throwable] {
+      spark.read.format("graft-rest").option("mode", "range").load().collect()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("fromSec"))))
+  }
+}
