@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * bounded key (shingle, band, bucket); fractions are computed as integer
   * counts with ONE final division, so results are bit-exact across
   * engines with no decimal detour. The one iterative op (q_dedup_cluster)
-  * is Pregel-style min-label propagation: O(component diameter) rounds,
-  * each a shuffle on doc_id — the standard web-scale CC layout
-  * (large-star/small-star is the constant-factor upgrade at 100 TB).
+  * runs alternating large-star/small-star contraction (ops.Corpus
+  * .componentLabels — O(log n) rounds regardless of component DIAMETER,
+  * the web-scale CC layout; the earlier O(diameter) min-label
+  * propagation was replaced when long duplicate chains made diameter
+  * the scale risk).
   */
 object CorpusQueries {
 

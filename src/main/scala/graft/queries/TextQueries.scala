@@ -554,14 +554,24 @@ object TextQueries {
             "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2) END")).as("i"),
           col("text"))
         .select(col("doc_id"), expr("substring(text, CAST(i AS INT), 3)").as("tri"))
-        .materialized() // profile build AND doc sets read it
+      // NOT materialized (r13): tri is corpus-CHARACTER-sized — caching it
+      // (localCheckpoint = MEMORY_AND_DISK blocks) stores ~10× the corpus
+      // and OOM'd a 16 GB heap at 500k docs in the sf10 probe. The explode
+      // is a map-only expression off the parquet scan; recomputing it for
+      // the two consumers is strictly cheaper than caching it at any scale.
       val lp = tri.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
       val wL = Window.partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val prof = lp.withColumn("rn", row_number().over(wL)).filter(col("rn") <= TriP)
         .select(col("lang").as("cand"), col("tri"))
-      val dt = tri.distinct()
-      val sc = dt.join(broadcast(prof), "tri")
+      // profile SEMI-FILTER BEFORE the distinct (r13): only profile
+      // trigrams can score, so joining the broadcast (langs × 30) profile
+      // first shrinks the distinct's shuffle from every trigram occurrence
+      // in the corpus to the profile-matching ones — the result is
+      // identical (distinct-then-join ≡ join-then-distinct on the join
+      // key), the character-sized shuffle is gone.
+      val sc = tri.join(broadcast(prof), "tri")
+        .select("doc_id", "cand", "tri").distinct()
         .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
       val langs = docs.select(col("lang").as("cand")).distinct()
       val allsc = docs.select("doc_id").crossJoin(broadcast(langs))

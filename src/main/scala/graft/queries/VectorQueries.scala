@@ -392,7 +392,7 @@ object VectorQueries {
     * DECIMAL(18,8) so the sum is associative (order-free) and the
     * resulting SIGN — hence the bucket — is bit-identical on any engine
     * and any partitioning. */
-  private def lshProjExpr(j: Int): String = {
+  private[graft] def lshProjExpr(j: Int): String = {
     val signs = lshSigns(j).mkString("array(", "D, ", "D)")
     s"CAST(aggregate(zip_with(embedding, $signs, (x, s) -> " +
       "CAST((CAST(x AS DOUBLE) * s) AS DECIMAL(18,8))), " +
@@ -1170,22 +1170,30 @@ object VectorQueries {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.cast("long").as("bucket"))
     }
+    // bucket join + cross-table dedup run over BARE (q, c) pairs (r13):
+    // the former shape carried both 64-float embeddings and norms through
+    // the bucket-join shuffle AND the dropDuplicates shuffle — ~500 B/row
+    // across 4·occupancy·n candidate rows, the term the sf10 probe
+    // measured as 26× CPU at ×10 (memory traffic, not dot products).
+    // Pairs are 16 B; vectors re-attach ONCE per surviving deduped pair.
     val buck = withProj
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       .materialized()
-    val qv = buck.select(col("vec_id").as("q"),
-      col("embedding").as("eq"), col("nrm").as("nq"), col("t"), col("bucket"))
-    val cv = buck.select(col("vec_id").as("c"),
-      col("embedding").as("ec"), col("nrm").as("nc"), col("t"), col("bucket"))
-    val cand = qv.join(cv, Seq("t", "bucket"))
+    val cand = buck.select(col("vec_id").as("q"), col("t"), col("bucket"))
+      .join(buck.select(col("vec_id").as("c"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
       .filter(col("q") =!= col("c"))
-      .select(col("q"), col("c"), col("eq"), col("nq"), col("ec"), col("nc"))
+      .select("q", "c")
       .dropDuplicates("q", "c")
+    val ve = withProj.select(col("vec_id"), col("embedding"), col("nrm"))
     val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("c"))
-    cand.select(col("q"), col("c"),
+    cand
+      .join(ve.select(col("vec_id").as("q"), col("embedding").as("eq"),
+        col("nrm").as("nq")), "q")
+      .join(ve.select(col("vec_id").as("c"), col("embedding").as("ec"),
+        col("nrm").as("nc")), "c")
+      .select(col("q"), col("c"),
         (expr(dotExpr("eq", "ec")) / (col("nq") * col("nc"))).as("cosine"))
       .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
       .select("q", "c", "cosine")
