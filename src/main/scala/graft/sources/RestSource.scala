@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +102,7 @@ private[sources] final class RestTable(tableSchema: StructType,
   override def name(): String = s"graft-rest(${props.getOrDefault("mode", "markets")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(tableSchema, options)
 }
@@ -146,6 +147,49 @@ private[sources] final class RestScan(full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(required, throttleMs, maxRetries, backoffMs)
+
+  /** Micro-batch form — the reference's LIVE polling loop
+    * (live_data_pipeline.py:103-107 re-fetches the markets pages each
+    * cycle): the stream's OFFSET is the page number. `pages` models how
+    * many pages upstream exposes RIGHT NOW, so a trigger processes
+    * exactly the pages that appeared since the checkpointed offset —
+    * re-running with a grown `pages` appends only the new pages
+    * (exactly-once across restarts, the snapshotIngest contract); with
+    * Trigger.AvailableNow one run drains to the current latest and
+    * stops. Only `mode=markets` streams (the range backfill is a batch
+    * concept). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(mode == "markets",
+      s"graft-rest: only mode=markets supports streaming (got '$mode')")
+    val pages = options.getOrDefault("pages", "1").toInt
+    val perPage = options.getOrDefault("perPage", "250").toInt
+    new RestMicroBatchStream(pages, perPage,
+      new RestReaderFactory(required, throttleMs, maxRetries, backoffMs))
+  }
+}
+
+/** Page-offset micro-batch stream over the markets fixture. */
+private[sources] final case class RestPageOffset(page: Long) extends Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+private[sources] final class RestMicroBatchStream(pages: Int, perPage: Int,
+    factory: PartitionReaderFactory) extends MicroBatchStream {
+  override def initialOffset(): Offset = RestPageOffset(0L)
+  override def latestOffset(): Offset = RestPageOffset(pages.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // {"page":N} — extracted without a JSON lib (the only field we write)
+    val n = json.replaceAll("[^0-9]", "")
+    RestPageOffset(if (n.isEmpty) 0L else n.toLong)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RestPageOffset].page
+    val e = end.asInstanceOf[RestPageOffset].page
+    (s until e).map(p => RestPartition.Page(p.toInt, perPage): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] object RestPartition {

@@ -67,6 +67,40 @@ class RestSourceSpec extends SparkSpec {
     }
   }
 
+  test("micro-batch stream: page offsets drain exactly once and resume across growth") {
+    val out = java.nio.file.Files.createTempDirectory("graft_rest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_ckpt").toString
+    def drain(pages: Int): Unit = {
+      val q = spark.readStream.format("graft-rest")
+        .option("mode", "markets").option("pages", pages).option("perPage", 50)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first poll: upstream exposes 4 pages -> 200 rows, equal to the batch read
+    drain(4)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 200)
+    val batch = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 4).option("perPage", 50).load()
+    assert(first.exceptAll(batch).count() == 0 && batch.exceptAll(first).count() == 0,
+      "stream drain must equal the batch read of the same pages")
+    // second poll with the SAME checkpoint: upstream grew to 6 pages ->
+    // only pages 4-5 append (the live_data_pipeline polling contract)
+    drain(6)
+    val second = spark.read.parquet(out)
+    assert(second.count() == 300, "only the new pages may append")
+    assert(second.select("page").distinct().count() == 6)
+    assert(second.groupBy("rank").count().filter(col("count") > 1).count() == 0,
+      "no rank may be ingested twice across restarts")
+    // third poll, nothing new: a no-op
+    drain(6)
+    assert(spark.read.parquet(out).count() == 300)
+  }
+
   test("unknown mode and missing range bounds fail fast with a named error") {
     val e1 = intercept[Throwable] {
       spark.read.format("graft-rest").option("mode", "nope").load().collect()
