@@ -382,21 +382,41 @@ object TextQueries {
     * distinct-shingle count, so keyspace ∝ corpus and the per-bucket pair
     * rate stays constant at any scale.
     *
-    * Facet (r6): an 8-slot minhash bottom-sketch — universal-family slots
-    * 8..15 over the shingle md5 words (slots 0..7 belong to the LSH
-    * signature; disjoint slots keep the two operators' blocking
-    * independent). A pair is a candidate when ANY slot agrees. By the
-    * minhash property P(slot k agrees) = jaccard, so
-    * P(miss | jaccard = j) ≈ (1−j)⁸ — 0.4% at j = 0.5 where the r5
-    * single-slot facet missed 50%, and for the few-word-diff near-dup
-    * case (≤ 6 differing shingles of n) the miss is ≤ (6/n)⁸ ≈ 0. The
-    * facet remains part of the candidate CONTRACT (oracle in lockstep):
-    * pairs with j ≈ 0 — which is every pair the facet prunes — are not
-    * near-duplicates and carry no information for a dedup pass.
-    * NgramFacetSpec measures recall empirically against the pre-facet
-    * candidate set on a planted near-dup corpus and pins the hot-facet
-    * skew bound. Docs with no shingles (<3 tokens) were never scored
+    * Facet (r6, re-banded r13): an 8-slot minhash bottom-sketch —
+    * universal-family slots 8..15 over the shingle md5 words (slots 0..7
+    * belong to the LSH signature; disjoint slots keep the two operators'
+    * blocking independent). r6's rule — candidate when ANY single slot
+    * agrees — admits a j-similar pair with probability 1−(1−j)⁸ ≈ 8j at
+    * small j, and the sf1→sf10 probe showed why that is a REAL quadratic
+    * at scale: a clique of m same-length documents with near-zero-but-
+    * nonzero overlap (template/boilerplate families; in the fixture, the
+    * word-permuted replicas of one base doc) contributes ~8j·m² candidate
+    * pairs — measured 103× pairs at ×10 rows (22.6k → 2.33M). r13
+    * re-bands the same 8 slots into ALL C(8,2) = 28 ordered slot PAIRS
+    * (LSH banding with r = 2): a pair is a candidate when BOTH slots of
+    * any pair-key agree, so admission is 1−(1−j²)²⁸ ≈ 28j² at small j
+    * while near-dup recall barely moves: miss = (1−j²)²⁸ = 3.2e-4 at
+    * j = 0.5, 2e-7 at j = 0.7 (the r6 rule's 0.4% at j = 0.5 was
+    * actually WORSE; at the j = 0.3 contract edge both rules sit at
+    * ~6-7% miss). Measured post-reband: admissions fall 22× at BOTH
+    * scales (sf1 22.6k → 1.0k, sf10 2.33M → 104k pairs), second-decade
+    * CPU 17.4× → 8.7× (777.9 → 465.5 s at sf10), first decade 9.5× →
+    * 7.5× — recall on the planted near-dup corpus unchanged
+    * (NgramFacetSpec re-measures). The residual fixture growth is the
+    * cross-replica permuted-copy clique (same-length, j ≈ 0.02 pairs
+    * admitted at the ~1% = 28j² rate): an S-curve tail every banding
+    * has; its real-corpus analog — template families — is what the
+    * upstream boilerplate filter (q_text_boilerplate) removes, and the
+    * hot-key bound NgramFacetSpec pins caps any single key's blow-up.
+    * The facet remains part of the candidate CONTRACT (oracle in
+    * lockstep): pairs with j ≈ 0 — which is every pair the banding
+    * prunes — are not near-duplicates and carry no information for a
+    * dedup pass. Docs with no shingles (<3 tokens) were never scored
     * (the size join is inner). */
+  /** The r13 banding: every unordered pair of the 8 facet slots. */
+  private[graft] val FacetSlotPairs: Seq[(Int, Int)] =
+    for { a <- 8 to 15; b <- (a + 1) to 15 } yield (a, b)
+
   val dedupNgramJaccard = Q("q_dedup_ngram_jaccard", "sketch-blocked 3-gram Jaccard")(
     shinglesSql +
       ", fh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1, " +
@@ -407,13 +427,15 @@ object TextQueries {
         .mkString(", ") +
       " FROM fh GROUP BY 1), " +
       "fac AS (" +
-      (8 to 15).map(k => s"SELECT doc_id, $k AS slot, mh$k AS fv FROM sigf")
-        .mkString(" UNION ALL ") + "), " +
+      FacetSlotPairs.zipWithIndex.map { case ((k1, k2), p) =>
+        s"SELECT doc_id, $p AS slot, mh$k1 AS fv1, mh$k2 AS fv2 FROM sigf"
+      }.mkString(" UNION ALL ") + "), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a " +
       "JOIN documents b ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 8 " +
       "AND a.doc_id < b.doc_id " +
       "JOIN fac fa ON fa.doc_id = a.doc_id " +
-      "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.slot = fa.slot AND fb.fv = fa.fv), " +
+      "JOIN fac fb ON fb.doc_id = b.doc_id AND fb.slot = fa.slot " +
+      "AND fb.fv1 = fa.fv1 AND fb.fv2 = fa.fv2), " +
       "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), " +
       "sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1), " +
       "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c " +
@@ -434,9 +456,13 @@ object TextQueries {
       val sigf = TextOps.shingleHashWords(shd).groupBy("doc_id")
         .agg(TextOps.minhashK(8, col("_h1"), col("_h2")),
           (9 to 15).map(k => TextOps.minhashK(k, col("_h1"), col("_h2"))): _*)
-      val fac = sigf.select(col("doc_id"), explode(array((8 to 15).map(k =>
-          struct(lit(k).as("slot"), col(s"mh$k").as("fv"))): _*)).as("f"))
-        .select(col("doc_id"), col("f.slot").as("slot"), col("f.fv").as("fv"))
+      val fac = sigf.select(col("doc_id"), explode(array(
+          FacetSlotPairs.zipWithIndex.map { case ((k1, k2), p) =>
+            struct(lit(p).as("slot"), col(s"mh$k1").as("fv1"),
+              col(s"mh$k2").as("fv2"))
+          }: _*)).as("f"))
+        .select(col("doc_id"), col("f.slot").as("slot"),
+          col("f.fv1").as("fv1"), col("f.fv2").as("fv2"))
       // Candidate generation joins on the EQUI key (source, length-bucket,
       // slot, fv) rather than source alone: a popular source would
       // otherwise form one giant sort-merge key scanned quadratically by
@@ -462,15 +488,23 @@ object TextQueries {
       // shingle intersection and the size aggregate — uncached each
       // consumer recomputes the full explode/distinct subtree
       // (localCheckpoint, not persist: blocks free with the frames)
-      val cand = aSide.join(bSide, Seq("source", "bucket", "slot", "fv"))
+      val cand = aSide.join(bSide, Seq("source", "bucket", "slot", "fv1", "fv2"))
         .filter(abs(col("ca") - col("cb")) <= 8 && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
         .materialized()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // hash-PREFIXED intersection keys (r13, the q_contamination trick):
+      // joining on (xxhash64(shingle), shingle) is result-identical — the
+      // hash is a function of the string — but the sort-merge resolves
+      // almost every comparison on an 8-byte long instead of a ~25-byte
+      // UTF8 compare. Engine-internal only; the oracle's string join is
+      // untouched.
+      val shh = shd.withColumn("hs", xxhash64(col("shingle")))
       val inter = cand
-        .join(shd.as("x"), col("x.doc_id") === col("doc_a"))
-        .join(shd.as("y"), col("y.doc_id") === col("doc_b")
+        .join(shh.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(shh.as("y"), col("y.doc_id") === col("doc_b")
+          && col("y.hs") === col("x.hs")
           && col("y.shingle") === col("x.shingle"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
       cand

@@ -123,19 +123,24 @@ class NgramFacetSpec extends SparkSpec {
     val sigf = graft.ops.TextOps.shingleHashWords(shd).groupBy("doc_id")
       .agg(graft.ops.TextOps.minhashK(8, col("_h1"), col("_h2")),
         (9 to 15).map(k => graft.ops.TextOps.minhashK(k, col("_h1"), col("_h2"))): _*)
-    val fac = sigf.select(col("doc_id"), explode(array((8 to 15).map(k =>
-        struct(lit(k).as("slot"), col(s"mh$k").as("fv"))): _*)).as("f"))
-      .select(col("doc_id"), col("f.slot").as("slot"), col("f.fv").as("fv"))
+    // the query's r13 pair-key banding shape (FacetSlotPairs)
+    val fac = sigf.select(col("doc_id"), explode(array(
+        TextQueries.FacetSlotPairs.zipWithIndex.map { case ((k1, k2), p) =>
+          struct(lit(p).as("slot"), col(s"mh$k1").as("fv1"),
+            col(s"mh$k2").as("fv2"))
+        }: _*)).as("f"))
+      .select(col("doc_id"), col("f.slot").as("slot"),
+        col("f.fv1").as("fv1"), col("f.fv2").as("fv2"))
     val keyed = frame.select(col("doc_id"), col("source"),
         floor(col("n_chars") / 16).as("bucket"))
       .join(fac, "doc_id")
-    val maxGroup = keyed.groupBy("source", "bucket", "slot", "fv")
+    val maxGroup = keyed.groupBy("source", "bucket", "slot", "fv1", "fv2")
       .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
     val maxPerBucket = frame.groupBy(floor(col("n_chars") / 16))
       .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
     // the sanity anchor: the hot facet really is hot (many docs share slot
     // values), yet no blocking key exceeds the docs-per-bucket bound
-    val hotFacetPop = fac.groupBy("slot", "fv").agg(count(lit(1)).as("n"))
+    val hotFacetPop = fac.groupBy("slot", "fv1", "fv2").agg(count(lit(1)).as("n"))
       .agg(max("n")).head.getLong(0)
     assert(hotFacetPop >= docs.size / 2, s"fixture not hot enough: $hotFacetPop")
     assert(maxGroup <= maxPerBucket,
