@@ -29,6 +29,14 @@ CATEGORIES = {
     "nonpublic-import": re.compile(r"^\s*import\s+([A-Za-z_][\w.]+)"),
     # URLs with a scheme://host
     "nonpublic-url": re.compile(r"https?://([\w.-]+)"),
+    # scheme-LESS internal hostnames (the class the driver's gate catches
+    # but a url-only regex misses — e.g. a coursier cache path embedding a
+    # mirror host): any dotted name under known-internal zones, plus
+    # infrastructure-service hostnames (artifactory/nexus/jfrog) anywhere.
+    "internal-host": re.compile(
+        r"\b[\w-]+(?:\.[\w-]+)*\.(?:ant\.dev|corp\.[\w-]+\.[a-z]{2,}|"
+        r"internal(?:\.[a-z]{2,})?|intranet\.[a-z]{2,})\b|"
+        r"\b(?:artifactory|nexus|jfrog)\.[\w-]+(?:\.[\w-]+)+\b", re.I),
     # cloud bucket URIs (s3://, gs://, wasb://, abfss://)
     "bucket-uri": re.compile(r"\b(?:s3a?|gs|wasbs?|abfss?)://[\w./-]+"),
     # slack links / channel mentions
@@ -53,6 +61,12 @@ ALLOWED_ENV = {
 PACKAGE_ROOTS = {"com", "org", "net", "io", "ai", "co", "cloud", "corp",
                  "internal", "dev", "edu", "gov", "mil", "us", "uk", "de"}
 SCAN_EXT = {".scala", ".sbt", ".py", ".md", ".sh", ".json", ".sql", ".conf"}
+# Driver-written artifacts (judge/advisor/gate output). These may QUOTE a
+# finding verbatim (e.g. VERDICT.md citing the hostname it flagged); they
+# are inputs to this build, not content it publishes.
+DRIVER_ARTIFACTS = re.compile(
+    r"^(VERDICT|ADVICE|BASELINE|TESTDATA|PAPERS|SNIPPETS)\.(md|json)$|"
+    r"^(LEAKCHECK|LEAKCHECK_LOCAL|COPYCHECK|CORRECTNESS_r\d+|BENCH_r\d+)\.json$")
 
 
 def hits_in(path: str, text: str):
@@ -84,6 +98,8 @@ def main():
     scanned, all_hits = 0, []
     for f in files:
         if os.path.splitext(f)[1] not in SCAN_EXT:
+            continue
+        if DRIVER_ARTIFACTS.match(os.path.basename(f)):
             continue
         p = os.path.join(root, f)
         try:
