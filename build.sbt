@@ -23,6 +23,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked mains (Bench/Verify) print driver-contract JSON lines on stdout;
+// sbt's default output strategy wraps them in "[info] " log prefixes,
+// which broke the driver's bench parser in r13. Pass stdout/stderr through
+// verbatim instead.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
