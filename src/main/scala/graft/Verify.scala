@@ -51,7 +51,11 @@ object Verify {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(dest.toString)
             System.err.println(s"[verify] ${done.incrementAndGet()}/$total $name ok")
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
+            // NonFatal ONLY (ADVICE r13): an OutOfMemoryError or other
+            // fatal JVM error must abort the whole run (propagated through
+            // task.get() below), not keep 5 more dump threads running
+            // against a possibly-corrupted JVM and report per-query misses.
             rmrf(dest)
             failed.add(name)
             System.err.println(s"[verify] ${done.incrementAndGet()}/$total $name FAILED: ${e.getMessage}")
@@ -68,11 +72,14 @@ object Verify {
     val failedJson = failed.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"verify_n":$total,"verify_failed":$failedJson}""")
-    // rc stays 0 even with per-query failures: the driver's DuckDB
-    // compare scores each query individually — a nonzero rc here could
-    // be read as "the whole dump failed" and zero the round instead of
-    // degrading to per-query misses.
+    // rc stays 0 with PER-QUERY failures: the driver's DuckDB compare
+    // scores each query individually — a nonzero rc could be read as
+    // "the whole dump failed" and zero the round instead of degrading to
+    // per-query misses. But when EVERY query failed the dump genuinely is
+    // whole-run broken (bad sfDir, unreadable testdata), and rc 0 would
+    // disguise it as 375 individual degradations (ADVICE r13).
     spark.stop()
+    if (total > 0 && failed.size == total) sys.exit(1)
   }
 
   private def writeOracleJson(outDir: String): Unit = {

@@ -336,7 +336,7 @@ object RollingQueries {
       s"m AS (SELECT l_partkey, day, volume, $mfm * volume AS mfv FROM bars) " +
       "SELECT l_partkey, day, volume, " +
       "CASE WHEN COUNT(*) OVER w20 >= 20 AND " + Exact.Sql.winSum("volume", "w20") +
-      " > 0 AND MAX(volume) OVER w20 <= 8589934592 THEN " +
+      " > 0 AND " + Exact.Sql.winSum("volume", "w20") + " < 8589934592 THEN " +
       Exact.Sql.pinScoreInt(
         Exact.Sql.winPortableSum("mfv", "w20") + " / " +
           Exact.Sql.winSum("volume", "w20")) +
@@ -353,16 +353,21 @@ object RollingQueries {
         (mfm * col("volume")).as("mfv"))
       val w20 = Window.partitionBy("l_partkey").orderBy("day").rowsBetween(-19, 0)
       val volSum = Exact.winSum(col("volume"), w20)
-      // domain guard (ADVICE r12): winPortableSum's grid addend domain is
-      // |x| < 2³³ (floor(x·2³⁰) must fit int64); |mfv| ≤ volume because
-      // |mfm| ≤ 1, so bounding the frame's max bar volume by 2³³ bounds
-      // every addend. A pathological bar beyond that publishes NULL on
+      // domain guard (ADVICE r12, tightened per ADVICE r13): the 20-bar
+      // grid sum Σ floor(mfvᵢ·2³⁰) must fit int64. |mfv| ≤ volume (|mfm| ≤
+      // 1), so Σ|addend| ≤ (Σ volume)·2³⁰ — requiring the FRAME TOTAL
+      // volume < 2³³ (strict) bounds the whole frame sum below 2⁶³, not
+      // just each addend (the r12 per-bar max guard left a 20·2⁶³ wrap
+      // window, and its ≤ boundary itself overflowed at volume = 2³³ with
+      // mfm = ±1). A pathological frame beyond that publishes NULL on
       // BOTH engines — instead of Spark wrapping the long silently while
-      // DuckDB raises (an engine fork on extreme input). volume is a
-      // decimal-exact order statistic, so the predicate is portable.
+      // DuckDB sums into HUGEINT (an engine fork on extreme input).
+      // volume is a decimal-exact integral sum, so the predicate is
+      // portable; volSum is one window expression reused for all three
+      // roles (count gate, positivity, domain bound).
       m.select(col("l_partkey"), col("day"), col("volume"),
         when(count(lit(1)).over(w20) >= 20 && volSum > 0 &&
-            max(col("volume")).over(w20) <= 8589934592L,
+            volSum < 8589934592L,
           Exact.pinScoreInt(Exact.winPortableSum(col("mfv"), w20) / volSum)).as("cmf"))
   }
 

@@ -580,32 +580,45 @@ object TextQueries {
       "FROM cells c JOIN tot t ON t.lang = c.lang") {
     (s, d) =>
       val docs = documents(s, d)
-      val tri = docs
+      // One explode total (r14, VERDICT r13 #3). The r12 design cached the
+      // raw character-sized explode (OOM'd sf10: a single-input-split scan
+      // makes it ONE unsplittable multi-GB block); r13 uncached it and
+      // recomputed it for both consumers (2.02× wall). This pass aggregates
+      // the explode ONCE to per-doc distinct trigram counts (`dtc`) and
+      // derives BOTH the profile build and the scoring side from it:
+      //   lp  = Σ c by (lang, tri)  — occurrence counts, identical to
+      //         counting the raw explode;
+      //   dt  = dtc's key set       — already distinct (doc_id, tri).
+      // dtc is vocabulary-per-doc-sized (map-side combine collapses the
+      // occurrence stream inside the scan task), lands POST-SHUFFLE in
+      // shuffle.partitions spillable blocks — no single-giant-block OOM —
+      // and parallelizes every downstream stage past the serial scan.
+      // The trigram is built INSIDE a transform() array so the generate
+      // emits (doc_id, tri) without copying the full text per output row.
+      // fannedOut: the explode amplifies each input byte ~1× into an
+      // output ROW — on a narrow scan (one tiny file / one row group) the
+      // whole character stream would otherwise compute in a single task
+      // (util.FanOut; provable no-op on a many-split 100 TB scan).
+      val tri = graft.util.FanOut(docs.select("doc_id", "text"))
         .select(col("doc_id"),
           // CASE-null for docs under 3 chars: explode drops the null row
           // (Spark's sequence(1, 0) would DESCEND, not be empty)
           explode(expr(
-            "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2) END")).as("i"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, CAST(i AS INT), 3)").as("tri"))
-      // NOT materialized (r13): tri is corpus-CHARACTER-sized — caching it
-      // (localCheckpoint = MEMORY_AND_DISK blocks) stores ~10× the corpus
-      // and OOM'd a 16 GB heap at 500k docs in the sf10 probe. The explode
-      // is a map-only expression off the parquet scan; recomputing it for
-      // the two consumers is strictly cheaper than caching it at any scale.
-      val lp = tri.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+            "CASE WHEN length(text) >= 3 THEN " +
+              "transform(sequence(1, length(text) - 2), " +
+              "i -> substring(text, CAST(i AS INT), 3)) END")).as("tri"))
+      val dtc = tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .materialized(eager = false)
+      val lp = dtc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tri").agg(sum("c").as("c"))
       val wL = Window.partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val prof = lp.withColumn("rn", row_number().over(wL)).filter(col("rn") <= TriP)
         .select(col("lang").as("cand"), col("tri"))
-      // profile SEMI-FILTER BEFORE the distinct (r13): only profile
-      // trigrams can score, so joining the broadcast (langs × 30) profile
-      // first shrinks the distinct's shuffle from every trigram occurrence
-      // in the corpus to the profile-matching ones — the result is
-      // identical (distinct-then-join ≡ join-then-distinct on the join
-      // key), the character-sized shuffle is gone.
-      val sc = tri.join(broadcast(prof), "tri")
-        .select("doc_id", "cand", "tri").distinct()
+      // dtc's key set IS the per-doc distinct trigram set: the broadcast
+      // profile join + count gives the overlap score directly (the r13
+      // semi-filter-then-distinct and this are result-identical; here the
+      // distinct was already paid by the dtc aggregate).
+      val sc = dtc.join(broadcast(prof), "tri")
         .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
       val langs = docs.select(col("lang").as("cand")).distinct()
       val allsc = docs.select("doc_id").crossJoin(broadcast(langs))
@@ -614,8 +627,16 @@ object TextQueries {
       val wD = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
       val pred = allsc.withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
         .select(col("doc_id"), col("cand").as("pred_lang"))
+      // materialize CELLS, not the explode (r14, VERDICT r13 #3): cells is
+      // consumed by the final select AND by `tot`, and with nothing cached
+      // the whole subtree — including BOTH character-sized explodes (the
+      // profile build and the scoring probe) — executed twice, doubling
+      // the r13 regression. cells is langs × langs rows: caching it is
+      // free at any corpus scale and halves the explode count, while the
+      // character-sized frames stay uncached (the sf10 OOM fix stands).
       val cells = pred.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .materialized(eager = false)
       val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
       cells.join(broadcast(tot), "lang")
         .select(col("lang"), col("pred_lang"), col("n"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -48,8 +49,20 @@ final class RestSourceProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RestSource.schemaFor(options.getOrDefault("mode", "markets"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // A user-supplied schema may prune/reorder the mode's fields but must
+    // name only fields the mode actually serves: an unknown name would
+    // otherwise resolve to ordinal -1 and surface as an opaque
+    // ArrayIndexOutOfBoundsException at TASK runtime (ADVICE r13) — fail
+    // at planning time with the field named instead.
+    val mode = Option(properties.get("mode")).getOrElse("markets")
+    val known = RestSource.schemaFor(mode).fieldNames.toSet
+    val unknown = schema.fieldNames.filterNot(known)
+    require(unknown.isEmpty,
+      s"graft-rest($mode): unknown field(s) ${unknown.mkString(", ")} in " +
+        s"user-supplied schema; this mode serves ${known.toSeq.sorted.mkString(", ")}")
     new RestTable(schema, properties)
+  }
 }
 
 private[sources] object RestSource {
@@ -124,6 +137,11 @@ private[sources] final class RestScan(full: StructType, required: StructType,
   private val throttleMs = options.getOrDefault("throttleMs", "0").toLong
   private val maxRetries = options.getOrDefault("maxRetries", "3").toInt
   private val backoffMs = options.getOrDefault("backoffMs", "1000").toLong
+  private val chaos = RestChaos.Config(
+    failPage = options.getOrDefault("chaosFailPage", "-1").toInt,
+    failCount = options.getOrDefault("chaosFailCount", "0").toInt,
+    malformedEvery = options.getOrDefault("chaosMalformedEvery", "0").toInt,
+    key = options.getOrDefault("chaosKey", ""))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -146,7 +164,17 @@ private[sources] final class RestScan(full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(required, throttleMs, maxRetries, backoffMs)
+    new RestReaderFactory(required, throttleMs, maxRetries, backoffMs, chaos)
+
+  // Accounting for rows the reader DROPPED as malformed (Spark-native
+  // SQL-metric channel — shows up in the scan node's metrics): a
+  // permissive REST reader that silently swallowed bad payload rows
+  // would make row-count drift undiagnosable at 100 TB.
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new CustomSumMetric {
+      override def name(): String = RestChaos.SkipMetric
+      override def description(): String = "malformed payload rows skipped"
+    })
 
   /** Micro-batch form — the reference's LIVE polling loop
     * (live_data_pipeline.py:103-107 re-fetches the markets pages each
@@ -164,7 +192,7 @@ private[sources] final class RestScan(full: StructType, required: StructType,
     val pages = options.getOrDefault("pages", "1").toInt
     val perPage = options.getOrDefault("perPage", "250").toInt
     new RestMicroBatchStream(pages, perPage,
-      new RestReaderFactory(required, throttleMs, maxRetries, backoffMs))
+      new RestReaderFactory(required, throttleMs, maxRetries, backoffMs, chaos))
   }
 }
 
@@ -197,14 +225,59 @@ private[sources] object RestPartition {
   final case class Range(chunk: ChunkedFetch.Chunk) extends InputPartition
 }
 
+/** Deterministic fault injection for the connector's failure-path specs
+  * (VERDICT r13 #6): a real deployment's transient HTTP failures and
+  * malformed payload rows are modeled by options —
+  *
+  *   - `chaosFailPage` + `chaosFailCount`: the fetch for that page THROWS
+  *     on its first N attempts (then succeeds), exercising the per-task
+  *     retry/backoff loop and, when N exceeds `maxRetries`, the
+  *     exhaustion error.
+  *   - `chaosMalformedEvery=k`: every k-th payload row arrives with a
+  *     null id — the reader must skip it and account for it in the
+  *     [[RestChaos.SkipMetric]] scan metric.
+  *   - `chaosKey`: namespaces the attempt counters so concurrent specs
+  *     don't share state (local-mode executors share this JVM).
+  *
+  * Production reads leave all of these at their defaults and take the
+  * zero-overhead path. */
+object RestChaos {
+  val SkipMetric = "skippedMalformedRows"
+  final case class Config(failPage: Int, failCount: Int,
+      malformedEvery: Int, key: String) {
+    def enabled: Boolean = failCount > 0 || malformedEvery > 0
+  }
+  private val attempts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private[sources] def counter(key: String): java.util.concurrent.atomic.AtomicInteger =
+    attempts.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicInteger)
+  /** Spec hook: attempts recorded under `chaosKey:page`. */
+  def attemptsFor(key: String, page: Int): Int =
+    Option(attempts.get(s"$key:$page")).map(_.get()).getOrElse(0)
+  def reset(): Unit = attempts.clear()
+}
+
 private[sources] final class RestReaderFactory(required: StructType,
-    throttleMs: Long, maxRetries: Int, backoffMs: Long)
+    throttleMs: Long, maxRetries: Int, backoffMs: Long,
+    chaos: RestChaos.Config)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // field-name → full-row ordinal projection, computed once per task
-    def reader(fullNames: Seq[String], rows: () => Iterator[Seq[Any]]) = {
+    def reader(full: StructType, rows: () => Iterator[Seq[Any]]) = {
+      val fullNames = full.fieldNames.toSeq
       val ordinals = required.fields.map(f => fullNames.indexOf(f.name))
+      // malformed = wrong arity, or null in a non-nullable source field:
+      // skipped (never surfaced as a task error) and counted in the scan's
+      // skippedMalformedRows metric. Nullability comes from the SOURCE
+      // schema, not the pruned one — a malformed row is malformed even if
+      // the broken field was pruned away... except we can only see fields
+      // the fetch materialized; arity covers truncated payloads.
+      val nonNullable = full.fields.zipWithIndex
+        .collect { case (f, i) if !f.nullable => i }
+      def malformed(r: Seq[Any]): Boolean =
+        r == null || r.length != fullNames.length ||
+          nonNullable.exists(i => r(i) == null)
       new PartitionReader[InternalRow] {
         // the fetch runs ONCE, inside the same retry/backoff contract as
         // ChunkedFetch.fetchPartitioned: a partition that fails retries
@@ -228,7 +301,15 @@ private[sources] final class RestReaderFactory(required: StructType,
             s"graft-rest partition failed after $attempt attempts", last)).iterator
         }
         private var current: Seq[Any] = _
-        override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+        private var skipped = 0L
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            if (!malformed(r)) { current = r; return true }
+            skipped += 1
+          }
+          false
+        }
         override def get(): InternalRow =
           InternalRow.fromSeq(ordinals.map { o =>
             current(o) match {
@@ -236,16 +317,35 @@ private[sources] final class RestReaderFactory(required: StructType,
               case v => v
             }
           }.toIndexedSeq)
+        override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+          new CustomTaskMetric {
+            override def name(): String = RestChaos.SkipMetric
+            override def value(): Long = skipped
+          })
         override def close(): Unit = ()
       }
     }
+    def withChaos(page: Int, base: () => Iterator[Seq[Any]]): () => Iterator[Seq[Any]] =
+      if (!chaos.enabled) base
+      else () => {
+        if (page == chaos.failPage && chaos.failCount > 0) {
+          val n = RestChaos.counter(s"${chaos.key}:$page").getAndIncrement()
+          if (n < chaos.failCount) throw new java.io.IOException(
+            s"graft-rest chaos: injected transient failure ${n + 1}/${chaos.failCount} for page $page")
+        }
+        val rows = base()
+        if (chaos.malformedEvery > 0)
+          rows.map(r => if (r(1).asInstanceOf[Int] % chaos.malformedEvery == 0)
+            r.updated(2, null) else r)
+        else rows
+      }
     partition match {
       case RestPartition.Page(page, perPage) =>
-        reader(RestSource.MarketsSchema.fieldNames.toSeq,
-          () => RestFixture.marketsRows(page, perPage)
-            .map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5, t._6)))
+        reader(RestSource.MarketsSchema,
+          withChaos(page, () => RestFixture.marketsRows(page, perPage)
+            .map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5, t._6))))
       case RestPartition.Range(ch) =>
-        reader(RestSource.RangeSchema.fieldNames.toSeq,
+        reader(RestSource.RangeSchema,
           () => RestFixture.rangeRows(ch).map(t => Seq[Any](ch.idx, t._1, t._2)))
       case other =>
         throw new IllegalArgumentException(s"graft-rest: unexpected partition $other")

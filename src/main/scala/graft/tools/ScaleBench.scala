@@ -50,31 +50,51 @@ object ScaleBench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-    /** (min wall s, cpu s at the min-wall rep) under the Bench/Explain
-      * protocol: untimed warmup, System.gc outside the timed section. */
-    def measure(id: String, dir: String): (Double, Double) = {
+    // Task-metrics capture (VERDICT r13 #4): scale claims that rest on a
+    // "single-JVM shuffle spill" attribution must cite MEASURED spill.
+    // A SparkListener sums memory/disk spill and shuffle-write bytes per
+    // rep; the row keeps the min-wall rep's values. Listener delivery is
+    // async, so each rep settles briefly before reading the counters.
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    final case class Rep(wall: Double, cpu: Double,
+      spillMemMb: Long, spillDiskMb: Long, shufMb: Long)
+
+    /** min-wall rep under the Bench/Explain protocol: untimed warmup,
+      * System.gc outside the timed section. */
+    def measure(id: String, dir: String): Rep = {
       val fn = SparkEntry.queries(id)
       fn(spark, dir).write.format("noop").mode("overwrite").save() // warmup
       val runs = (1 to reps).map { _ =>
         System.gc()
+        metrics.reset()
         val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        Thread.sleep(300) // let the listener bus drain this rep's TaskEnds
+        Rep(wall, cpu, metrics.memSpillMb, metrics.diskSpillMb, metrics.shufWriteMb)
       }
-      runs.minBy(_._1)
+      runs.minBy(_.wall)
     }
 
     val rows = ids.map { id =>
-      val (w0, c0) = measure(id, src)
-      val (w1, c1) = measure(id, dst)
-      println(f"| $id | $w0%.2f | $w1%.2f | ${w1 / w0}%.1f× | " +
-        f"${c1 / c0}%.1f× ($c0%.1f→$c1%.1f s) |")
-      (id, w0, c0, w1, c1)
+      val a = measure(id, src)
+      val b = measure(id, dst)
+      println(f"| $id | ${a.wall}%.2f | ${b.wall}%.2f | ${b.wall / a.wall}%.1f× | " +
+        f"${b.cpu / a.cpu}%.1f× (${a.cpu}%.1f→${b.cpu}%.1f s) | " +
+        f"spill ${a.spillMemMb}→${b.spillMemMb} MB mem, ${a.spillDiskMb}→${b.spillDiskMb} MB disk, " +
+        f"shuffle ${a.shufMb}→${b.shufMb} MB |")
+      (id, a, b)
     }
 
     val stamp = java.time.Instant.now().toString
-    val json = rows.map { case (id, w0, c0, w1, c1) =>
-      f"""\"$id\":{"sf01_wall":$w0%.3f,"sf01_cpu":$c0%.2f,"sf1_wall":$w1%.3f,"sf1_cpu":$c1%.2f}"""
+    val json = rows.map { case (id, a, b) =>
+      f"""\"$id\":{"sf01_wall":${a.wall}%.3f,"sf01_cpu":${a.cpu}%.2f,""" +
+        f""""sf1_wall":${b.wall}%.3f,"sf1_cpu":${b.cpu}%.2f,""" +
+        f""""sf01_spill_mem_mb":${a.spillMemMb},"sf01_spill_disk_mb":${a.spillDiskMb},"sf01_shuffle_mb":${a.shufMb},""" +
+        f""""sf1_spill_mem_mb":${b.spillMemMb},"sf1_spill_disk_mb":${b.spillDiskMb},"sf1_shuffle_mb":${b.shufMb}}"""
     }.mkString(s"""{"at":"$stamp","src":"$src","dst":"$dst","queries":{""", ",", "}}")
     try {
       val root = sys.props.getOrElse("graft.repo.root", ".")
@@ -85,5 +105,25 @@ object ScaleBench {
     } catch { case e: Throwable => System.err.println(s"[scalebench] tee failed: $e") }
     println(json)
     spark.stop()
+  }
+}
+
+/** Sums spill/shuffle task metrics across all tasks since the last
+  * reset() — public-API SparkListener, works with the UI disabled. */
+final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  private val memSpill = new java.util.concurrent.atomic.AtomicLong
+  private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+  private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = { memSpill.set(0); diskSpill.set(0); shufWrite.set(0) }
+  def memSpillMb: Long = memSpill.get >> 20
+  def diskSpillMb: Long = diskSpill.get >> 20
+  def shufWriteMb: Long = shufWrite.get >> 20
+  override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
   }
 }

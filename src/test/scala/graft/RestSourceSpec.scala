@@ -101,6 +101,78 @@ class RestSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 300)
   }
 
+  test("transient page failure recovers through per-task retry/backoff") {
+    graft.sources.RestChaos.reset()
+    // page 1 throws on its first 2 attempts; maxRetries=3 covers it
+    val df = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 3).option("perPage", 20)
+      .option("maxRetries", 3).option("backoffMs", 1)
+      .option("chaosFailPage", 1).option("chaosFailCount", 2)
+      .option("chaosKey", "retry-recover")
+      .load()
+    assert(df.count() == 60, "recovered read must assemble every page in full")
+    // assert attempts IMMEDIATELY after the first action: each subsequent
+    // action re-executes the reader (DataFrames re-read their source) and
+    // records one more — successful — attempt on the page
+    assert(graft.sources.RestChaos.attemptsFor("retry-recover", 1) == 3,
+      "the injected page must have been attempted exactly failCount+1 times")
+    // partial-page recovery: the failing page's rows are complete and
+    // identical to an uninjected read (no duplicate/missing rows from
+    // the failed attempts)
+    val clean = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 3).option("perPage", 20).load()
+    assert(df.exceptAll(clean).count() == 0 && clean.exceptAll(df).count() == 0)
+  }
+
+  test("retry exhaustion surfaces a named per-partition error") {
+    graft.sources.RestChaos.reset()
+    val e = intercept[Throwable] {
+      spark.read.format("graft-rest")
+        .option("mode", "markets").option("pages", 2).option("perPage", 10)
+        .option("maxRetries", 1).option("backoffMs", 1)
+        .option("chaosFailPage", 0).option("chaosFailCount", 99)
+        .option("chaosKey", "retry-exhaust")
+        .load().count()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("failed after 2 attempts"))),
+      s"expected the graft-rest exhaustion error, got $e")
+  }
+
+  test("malformed payload rows are skipped, not surfaced, and accounted in the scan metric") {
+    // every 5th rank arrives with a null id -> 4 of 20 rows per page drop
+    val df = spark.read.format("graft-rest")
+      .option("mode", "markets").option("pages", 2).option("perPage", 20)
+      .option("chaosMalformedEvery", 5)
+      .load()
+    val rows = df.collect()
+    assert(rows.length == 32, s"40 rows minus 8 malformed, got ${rows.length}")
+    assert(!rows.exists(_.isNullAt(2)), "no malformed row may leak through")
+    assert(df.filter(col("rank") % 5 === 0).count() == 0,
+      "exactly the injected ranks must be missing")
+    // the skip count is published through the DSv2 custom-metric channel
+    // (visible as a scan-node SQL metric); the declared metric must exist
+    import scala.jdk.CollectionConverters._
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.metrics.contains(graft.sources.RestChaos.SkipMetric),
+      s"scan must declare the skip metric, has ${scan.metrics.keys}")
+  }
+
+  test("a user-supplied schema naming an unknown field fails at planning time") {
+    val e = intercept[Throwable] {
+      spark.read.format("graft-rest")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("definitely_not_a_field",
+            org.apache.spark.sql.types.StringType))))
+        .option("mode", "markets").option("pages", 1).load()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("definitely_not_a_field"))),
+      s"expected a planning-time named-field error, got $e")
+  }
+
   test("unknown mode and missing range bounds fail fast with a named error") {
     val e1 = intercept[Throwable] {
       spark.read.format("graft-rest").option("mode", "nope").load().collect()
