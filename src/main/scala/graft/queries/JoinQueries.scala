@@ -159,7 +159,24 @@ object JoinQueries {
   /** Bloom bits / hash count: 16384 bits ≈ 2 KB broadcast; 3 portable
     * md5-salted hashes. At the fixture's ~42% fill that is a measured
     * ~7% false-positive rate — the numbers the query itself publishes. */
-  private val BloomM = 16384
+  /** Floor bloom width; the realized width is CORPUS-ADAPTIVE:
+    * m = max(16384, 2^bitlength(5·n_dim − 1)) ≈ ≥5 bits per dim key —
+    * the lshGraphPlanes occupancy rule applied to a bitmap. The r9
+    * registration hard-coded m = 16384, which the ×100 probe caught
+    * saturating at sf1 (~300k urgent keys → fill ≈ 1, fp → 1, the
+    * prefilter passing everything while still publishing its stats).
+    * Integer-pure and engine-identical (bitlength = length(bin(x)));
+    * every ≤ sf0.01 fixture keeps 5·n − 1 < 16384, so gate-scale
+    * results are bit-unchanged. The bits-as-broadcast-rows
+    * representation bounds m by the broadcast budget (2²⁷ bits = 1 GB
+    * of longs); past that a real deployment flips to Spark's native
+    * `spark.sql.optimizer.runtime.bloomFilter` bitset, which this
+    * operator's published stats exist to size. */
+  private val BloomMFloor = 16384
+  private def bloomM(nDim: Long): Long = {
+    val x = math.max(1L, 5L * nDim - 1L)
+    math.max(BloomMFloor.toLong, 1L << (64 - java.lang.Long.numberOfLeadingZeros(x)))
+  }
   private val BloomK = 3
 
   /** Bloom-filter join pre-filtering (r9): the RUNTIME-FILTER pattern —
@@ -184,8 +201,10 @@ object JoinQueries {
     * just the final join. */
   val joinBloomPrefilter = Q("q_join_bloom_prefilter", "bloom-filter join pre-filter stats")({
     def posSql(i: Int, key: String) =
-      s"(('0x' || substr(md5('b$i:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $BloomM)"
+      s"(('0x' || substr(md5('b$i:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % (SELECT m FROM bm))"
     "WITH dim AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+      s"bm AS (SELECT greatest($BloomMFloor, " +
+      "1::BIGINT << length(bin(greatest(1, 5 * count(*) - 1)))) AS m FROM dim), " +
       "bits AS (SELECT DISTINCT pos FROM (" +
       (0 until BloomK).map(i => s"SELECT ${posSql(i, "o_orderkey")} AS pos FROM dim")
         .mkString(" UNION ALL ") + ")), " +
@@ -204,10 +223,13 @@ object JoinQueries {
       "FROM stats"
   }) {
     (s, d) =>
-      def pos(i: Int, key: org.apache.spark.sql.Column) =
-        graft.ops.TextOps.hash32(concat(lit(s"b$i:"), key.cast("string"))) % BloomM
       val dim = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey").distinct().materialized()
+      // driver-side count parameterizes the plan (the seedSamp pattern);
+      // the materialized dim frame pays the job once for count + bits
+      val m = bloomM(dim.count())
+      def pos(i: Int, key: org.apache.spark.sql.Column) =
+        graft.ops.TextOps.hash32(concat(lit(s"b$i:"), key.cast("string"))) % m
       val bits = broadcast(
         (0 until BloomK).map(i => dim.select(pos(i, col("o_orderkey")).as("pos")))
           .reduce(_ union _).distinct())

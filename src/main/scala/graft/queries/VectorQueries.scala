@@ -1392,7 +1392,21 @@ object VectorQueries {
   /** Reciprocity body shared by the flat and hier mutual variants — the
     * kNN graph is a parameter (inlined as a derived table oracle-side,
     * one call Spark-side), so "swap the upstream" is REGISTERED, not a
-    * comment. */
+    * comment.
+    *
+    * r14: the graph-ANALYTICS family (cc_sizes, triangles, kcore,
+    * label_prop, conductance, purity, link_predict, local_cc,
+    * degree_hist, bfs_layers, modularity, rich_club, reciprocity,
+    * hubness, assortativity, graph_walk) exercised that swap for real:
+    * the ×100 probe measured the flat build's designed corpus^1.5 term
+    * in the family's second-decade rows (q_graph_degree_hist 27.9× CPU —
+    * its own histogram work is trivially linear; the cost was the
+    * Σ|cluster|² build behind it), so every analytics id now builds on
+    * [[annKnnHier]]'s corpus^1.25-assigned, ~50-bounded-occupancy graph.
+    * The flat graph remains registered as its own baseline pair
+    * (q_ann_knn_join / q_ann_knn_mutual) whose scaladoc carries the
+    * cost trade; the analytics that CONSUME a graph get the one that
+    * survives 100 TB. */
   private def mutualSql(graph: Q): String =
     "SELECT g.q AS a, g.c AS b, g.cosine FROM (" +
       graph.oracle.get +
@@ -2427,19 +2441,10 @@ object VectorQueries {
     * = 3·corpus rows); the zero bucket rides two 1-row broadcast frames.
     * All-integer output — nothing to pin. */
   val graphHubness = Q("q_graph_hubness", "kNN-graph in-degree histogram (hubness profile)")(
-    vecsSql +
-      seedAssignCtes +
-      "pairs AS (SELECT qa.vid AS q, ca.vid AS c, qa.cluster FROM assign qa " +
-      "JOIN assign ca ON ca.cluster = qa.cluster AND ca.vid <> qa.vid), " +
-      "pdots AS (SELECT p.q, p.c, p.cluster, " +
-      "CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS dot FROM pairs p " +
-      "JOIN v a ON a.vec_id = p.q JOIN v b ON b.vec_id = p.c AND b.i = a.i " +
-      "GROUP BY 1, 2, 3), " +
-      "pcos AS (SELECT d.q, d.c, d.dot / (na.nrm * nb.nrm) AS cosine FROM pdots d " +
-      "JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c), " +
-      "knn AS (SELECT q, c FROM (SELECT pcos.*, " +
-      "row_number() OVER (PARTITION BY q ORDER BY cosine DESC, c) AS rn FROM pcos) " +
-      "WHERE rn <= 3), " +
+    // splices the hier graph Q as a derived table (r14 — this oracle
+    // previously re-inlined the FLAT knn CTE chain by hand, the one
+    // graph consumer outside the mutualSql graph-parametric pattern)
+    "WITH knn AS (SELECT q, c FROM (" + annKnnHier.oracle.get + ") g), " +
       "ind AS (SELECT c, CAST(count(*) AS BIGINT) AS in_deg FROM knn GROUP BY 1), " +
       "hist AS (SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs FROM ind GROUP BY 1), " +
       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), " +
@@ -2448,7 +2453,7 @@ object VectorQueries {
       "SELECT CAST(0 AS BIGINT) AS in_deg, t.n - cv.nc AS n_vecs " +
       "FROM tot t CROSS JOIN cov cv WHERE t.n - cv.nc > 0") {
     (s, d) =>
-      val edges = annKnnJoin.fn(s, d).select("q", "c")
+      val edges = annKnnHier.fn(s, d).select("q", "c")
       val ind = edges.groupBy("c").agg(count(lit(1)).as("in_deg"))
         .materialized(eager = false) // feeds the histogram AND the coverage count
       val hist = ind.groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
@@ -2558,7 +2563,7 @@ object VectorQueries {
     * same inlined mutual edges. */
   val graphCcSizes = Q("q_graph_cc_sizes",
     "component-size histogram of the mutual-kNN graph")(
-    "WITH RECURSIVE medges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH RECURSIVE medges AS (" + mutualSql(annKnnHier) + "), " +
       "sym AS (SELECT a AS s, b AS t FROM medges UNION SELECT b, a FROM medges), " +
       "reach AS (SELECT s, t FROM sym " +
       "UNION SELECT r.s, e.t FROM reach r JOIN sym e ON e.s = r.t WHERE e.t <> r.s), " +
@@ -2571,7 +2576,7 @@ object VectorQueries {
       "SELECT CAST(1 AS BIGINT), t.n - c.nc FROM tot t CROSS JOIN cov c " +
       "WHERE t.n - c.nc > 0") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d)
+      val edges = mutualFn(annKnnHier)(s, d)
         .select(col("a").as("src"), col("b").as("dst"))
       val comp = graft.ops.Corpus.componentLabels(edges)
         .materialized(eager = false) // histogram AND coverage count
@@ -2606,7 +2611,7 @@ object VectorQueries {
     * exactly once with no post-hoc /6. */
   val graphTriangles = Q("q_graph_triangles",
     "triangle count + global clustering coefficient of the mutual-kNN graph")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
       "GROUP BY 1), " +
@@ -2622,7 +2627,7 @@ object VectorQueries {
         "CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)") +
       " END AS global_cc FROM wd w CROSS JOIN tr t CROSS JOIN eg g") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // feeds degree, wedge closure (twice) and the count
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
@@ -2657,7 +2662,7 @@ object VectorQueries {
     * degrees and one scalar aggregate. */
   val graphAssortativity = Q("q_graph_assortativity",
     "degree assortativity (Newman r) of the mutual-kNN graph")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
       "GROUP BY 1), " +
@@ -2675,7 +2680,7 @@ object VectorQueries {
           "sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))") +
       " END AS assortativity FROM s") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // degrees AND the doubled edge list read it
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
@@ -2709,7 +2714,7 @@ object VectorQueries {
     * output is degree-domain-sized, never corpus-sized. */
   val graphKnnDegree = Q("q_graph_knn_degree",
     "avg neighbor degree per degree value over the mutual-kNN graph")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
       "GROUP BY 1), " +
@@ -2722,7 +2727,7 @@ object VectorQueries {
         "CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)") +
       " AS avg_nbr_deg FROM de GROUP BY 1") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // degrees AND the doubled edge list read it
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
@@ -3074,7 +3079,7 @@ object VectorQueries {
       .map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
     val joins = (1 to KcoreRounds)
       .map(i => s"LEFT JOIN s$i ON s$i.node = d.node").mkString(" ")
-    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "deg0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg0 FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1), " +
       rounds + " " +
@@ -3082,7 +3087,7 @@ object VectorQueries {
       s"(s$KcoreRounds.node IS NOT NULL) AS in_core FROM deg0 d $joins"
   }) {
     (s, d) =>
-      val edges0 = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val edges0 = mutualFn(annKnnHier)(s, d).select("a", "b").materialized()
       def degrees(e: DataFrame): DataFrame =
         e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -3137,7 +3142,7 @@ object VectorQueries {
         "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn " +
         s"FROM cnt$i) WHERE rn = 1)"
     }.mkString(", ")
-    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "du AS MATERIALIZED (SELECT a, b FROM edges " +
       "UNION ALL SELECT b AS a, a AS b FROM edges), " +
       "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM du), " +
@@ -3146,7 +3151,7 @@ object VectorQueries {
       s"FROM l$LabelPropRounds GROUP BY 1"
   }) {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // the doubled frame reads it twice
       val du = edges
         .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -3206,7 +3211,7 @@ object VectorQueries {
         s"JOIN c${h - 1} p ON p.qid = w.qid WHERE w.rn = 1)"
     }.mkString(", ")
     vecsSql +
-      ", edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      ", edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "du AS MATERIALIZED (SELECT a, b FROM edges " +
       "UNION ALL SELECT b AS a, a AS b FROM edges), " +
       "qset AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10), " +
@@ -3231,7 +3236,7 @@ object VectorQueries {
         df.distinct().join(broadcast(qs), "qid").join(all, "node")
           .select(col("qid"), col("node"),
             (expr(dotExpr("qe", "ce")) / (col("qn") * col("cn"))).as("cos"))
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b").materialized()
       val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
         .materialized(eager = false)
       val start = du.agg(min("a").as("node"))
@@ -3265,7 +3270,7 @@ object VectorQueries {
     * pinned ratio per label — edges-sized throughout. */
   val graphKnnPurity = Q("q_graph_knn_purity",
     "per-label mutual-kNN homophily: endpoint count, same-label count, pinned purity")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "du AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
       "e AS (SELECT la.label AS label, " +
       "CASE WHEN lb.label = la.label THEN 1 ELSE 0 END AS same " +
@@ -3277,7 +3282,7 @@ object VectorQueries {
         "CAST(sum(same) AS DOUBLE) / CAST(count(*) AS DOUBLE)") + " AS purity " +
       "FROM e GROUP BY 1") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b").materialized()
       val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       val lab = embeddings(s, d).select(col("vec_id"), col("label"))
       du.join(lab.select(col("vec_id").as("a"), col("label")), "a")
@@ -3386,7 +3391,7 @@ object VectorQueries {
     * null-producing left join. Integer counts + one pinned ratio. */
   val graphLinkPredict = Q("q_graph_link_predict",
     "common-neighbor + Jaccard link prediction on the mutual-kNN graph")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "du AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
       "deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM du GROUP BY 1), " +
       "cn AS (SELECT d1.a AS u, d2.a AS w, CAST(count(*) AS BIGINT) AS common " +
@@ -3399,7 +3404,7 @@ object VectorQueries {
       " AS jaccard FROM ne " +
       "JOIN deg da ON da.node = ne.u JOIN deg db ON db.node = ne.w") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // wedges, the non-edge screen, and degrees read it
       val du = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       val deg = du.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
@@ -3433,7 +3438,7 @@ object VectorQueries {
     * left join back to the degree frame. */
   val graphLocalCc = Q("q_graph_local_cc",
     "per-node local clustering coefficient over the mutual-kNN graph")(
-    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
       "GROUP BY 1), " +
@@ -3449,7 +3454,7 @@ object VectorQueries {
         "CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE)") +
       " END AS local_cc FROM deg d LEFT JOIN tn t ON t.node = d.node") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // degree frame + both wedge joins
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
@@ -3478,7 +3483,7 @@ object VectorQueries {
     * aggregate + one ≤k-key aggregate. */
   val graphDegreeHist = Q("q_graph_degree_hist",
     "degree histogram of the mutual-kNN graph with corpus shares")(
-    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) " +
       "GROUP BY 1), " +
@@ -3489,7 +3494,7 @@ object VectorQueries {
         "CAST(h.n_nodes AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS share " +
       "FROM h CROSS JOIN t") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
       val h = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -3533,7 +3538,7 @@ object VectorQueries {
       .map(i => s"WHEN f$i.node IS NOT NULL THEN $i").mkString(" ")
     val joins = (0 to BfsRounds)
       .map(i => s"LEFT JOIN f$i ON f$i.node = d.node").mkString(" ")
-    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "adj AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) GROUP BY 1), " +
@@ -3544,7 +3549,7 @@ object VectorQueries {
       s"FROM deg d $joins"
   }) {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b").materialized()
       val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
         .materialized() // every round joins it
       val deg = edges.select(col("a").as("node"))
@@ -3660,7 +3665,7 @@ object VectorQueries {
     vecsSql +
       hierPrologueSql +
       hierAssignSqlCtes +
-      "edges AS MATERIALIZED (" + mutualSql(annKnnJoin) + "), " +
+      "edges AS MATERIALIZED (" + mutualSql(annKnnHier) + "), " +
       "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) GROUP BY 1), " +
@@ -3683,7 +3688,7 @@ object VectorQueries {
       val all = base.select(col("vec_id").as("vid"),
         col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
       val assign = assignClustersHier(all, cents, k)
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b").materialized()
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b").materialized()
       val mm = edges.agg(count(lit(1)).as("m"))
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
@@ -3826,7 +3831,7 @@ object VectorQueries {
     * mutual-graph build; output is |labels| rows. */
   val graphConductance = Q("q_graph_conductance",
     "per-label conductance (cut / min-volume) of the mutual-kNN graph")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "lab AS (SELECT vec_id, label FROM embeddings), " +
       "el AS (SELECT la.label AS label_a, lb.label AS label_b FROM edges e " +
       "JOIN lab la ON la.vec_id = e.a JOIN lab lb ON lb.vec_id = e.b), " +
@@ -3846,7 +3851,7 @@ object VectorQueries {
       " END AS conductance FROM vol v LEFT JOIN cut c ON c.label = v.label " +
       "CROSS JOIN m2") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
       val lab = embeddings(s, d).select("vec_id", "label")
       val el = edges
         .join(lab.select(col("vec_id").as("a"), col("label").as("label_a")), Seq("a"))
@@ -3876,16 +3881,16 @@ object VectorQueries {
     * of two frames the mutual build already materializes. */
   val graphReciprocity = Q("q_graph_reciprocity",
     "reciprocity of the directed kNN graph (= mutual-pruning retention)")(
-    "WITH dir AS (SELECT count(*) AS n_directed FROM (" + annKnnJoin.oracle.get + ") j), " +
-      "mu AS (SELECT count(*) AS n_mutual FROM (" + mutualSql(annKnnJoin) + ") m) " +
+    "WITH dir AS (SELECT count(*) AS n_directed FROM (" + annKnnHier.oracle.get + ") j), " +
+      "mu AS (SELECT count(*) AS n_mutual FROM (" + mutualSql(annKnnHier) + ") m) " +
       "SELECT CAST(dir.n_directed AS BIGINT) AS n_directed, " +
       "CAST(mu.n_mutual AS BIGINT) AS n_mutual_pairs, " +
       graft.util.Exact.Sql.pinScoreInt(
         "2.0 * CAST(mu.n_mutual AS DOUBLE) / CAST(dir.n_directed AS DOUBLE)") +
       " AS reciprocity FROM dir CROSS JOIN mu") {
     (s, d) =>
-      val dir = annKnnJoin.fn(s, d).agg(count(lit(1)).as("n_directed"))
-      val mu = mutualFn(annKnnJoin)(s, d).agg(count(lit(1)).as("n_mutual_pairs"))
+      val dir = annKnnHier.fn(s, d).agg(count(lit(1)).as("n_directed"))
+      val mu = mutualFn(annKnnHier)(s, d).agg(count(lit(1)).as("n_mutual_pairs"))
       dir.crossJoin(broadcast(mu))
         .select(col("n_directed"), col("n_mutual_pairs"),
           graft.util.Exact.pinScoreInt(
@@ -4022,7 +4027,7 @@ object VectorQueries {
     * past the graph build. */
   val graphRichClub = Q("q_graph_rich_club",
     "rich-club coefficient phi(k) of the mutual-kNN graph per degree threshold")(
-    "WITH edges AS (" + mutualSql(annKnnJoin) + "), " +
+    "WITH edges AS (" + mutualSql(annKnnHier) + "), " +
       "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
       "(SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) u " +
       "GROUP BY 1), " +
@@ -4042,7 +4047,7 @@ object VectorQueries {
           "(CAST(nk.n_nodes AS DOUBLE) * (CAST(nk.n_nodes AS DOUBLE) - 1.0))") +
       " END AS phi FROM nk JOIN ek ON ek.k = nk.k") {
     (s, d) =>
-      val edges = mutualFn(annKnnJoin)(s, d).select("a", "b")
+      val edges = mutualFn(annKnnHier)(s, d).select("a", "b")
         .materialized() // degrees AND the min-degree edge frame read it
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))

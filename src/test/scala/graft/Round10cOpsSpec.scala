@@ -73,7 +73,7 @@ class Round10cOpsSpec extends SparkSpec {
   }
 
   test("hubness: histogram equals the recomputation from the registered kNN edges") {
-    val edges = VectorQueries.annKnnJoin.fn(spark, sf).select("c").collect()
+    val edges = VectorQueries.annKnnHier.fn(spark, sf).select("c").collect()
       .map(_.getLong(0))
     val nVecs = graft.util.Tables.embeddings(spark, sf).count()
     val inDeg = edges.groupBy(identity).view.mapValues(_.length.toLong).toMap

@@ -17,7 +17,7 @@ class Round11OpsSpec extends SparkSpec {
   private val Grid = 1073741824.0
 
   test("graph_triangles: sf0.001 equals the Scala closure over the mutual edges") {
-    val edges = VectorQueries.annKnnMutual.fn(spark, sf).collect()
+    val edges = VectorQueries.annKnnMutualHier.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet // (a, b), a < b
     val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

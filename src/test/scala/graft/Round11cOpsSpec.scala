@@ -44,7 +44,7 @@ class Round11cOpsSpec extends SparkSpec {
   }
 
   test("graph_cc_sizes: sf0.001 equals the union-find replay over the mutual edges") {
-    val edges = VectorQueries.annKnnMutual.fn(spark, sf).collect()
+    val edges = VectorQueries.annKnnMutualHier.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

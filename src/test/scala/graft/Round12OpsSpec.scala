@@ -252,7 +252,7 @@ class Round12OpsSpec extends SparkSpec {
   }
 
   test("graph_assortativity: Newman r replayed over the collected mutual edges") {
-    val edges = graft.queries.VectorQueries.annKnnMutual.fn(spark, sf).collect()
+    val edges = graft.queries.VectorQueries.annKnnMutualHier.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val deg = edges.flatMap { case (a, b) => Seq(a, b) }
       .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }

@@ -16,7 +16,7 @@ class Round13OpsSpec extends SparkSpec {
   private def pin(x: Double): Long = math.floor(x * Grid).toLong
 
   private lazy val mutualEdges: Seq[(Long, Long)] =
-    VectorQueries.annKnnMutual.fn(spark, sf).select("a", "b")
+    VectorQueries.annKnnMutualHier.fn(spark, sf).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   test("graph_kcore: replayed peel matches, and the unrolled depth reaches the fixed point") {

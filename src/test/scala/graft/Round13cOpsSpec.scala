@@ -15,7 +15,7 @@ class Round13cOpsSpec extends SparkSpec {
   private def pin(x: Double): Long = math.floor(x * Grid).toLong
 
   private lazy val edges: Seq[(Long, Long)] =
-    VectorQueries.annKnnMutual.fn(spark, sf).select("a", "b")
+    VectorQueries.annKnnMutualHier.fn(spark, sf).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   private lazy val adjacency: Map[Long, Set[Long]] =

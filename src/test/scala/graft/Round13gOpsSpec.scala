@@ -42,7 +42,7 @@ class Round13gOpsSpec extends SparkSpec {
   }
 
   test("graph_modularity: conservation invariants + per-row arithmetic replay") {
-    val edges = VectorQueries.annKnnMutual.fn(spark, sf).select("a", "b")
+    val edges = VectorQueries.annKnnMutualHier.fn(spark, sf).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val m = edges.length.toLong
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.length.toLong

@@ -10,7 +10,7 @@ class Round14cOpsSpec extends SparkSpec {
 
   test("graph_label_prop: 4-round min-tie propagation replay; sizes partition the node set") {
     // rebuild the mutual edge set from the registered kNN join
-    val knn = VectorQueries.annKnnJoin.fn(spark, sf)
+    val knn = VectorQueries.annKnnHier.fn(spark, sf)
       .select(col("q").cast("long"), col("c").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val edges = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }

@@ -31,7 +31,7 @@ class Round14fOpsSpec extends SparkSpec {
 
   test("ann_graph_walk: greedy descent replay; cosine never decreases along hops") {
     // graph + vectors
-    val knn = VectorQueries.annKnnJoin.fn(spark, sf)
+    val knn = VectorQueries.annKnnHier.fn(spark, sf)
       .select(col("q").cast("long"), col("c").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val edges = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }

@@ -37,7 +37,7 @@ class Round14gOpsSpec extends SparkSpec {
   }
 
   test("graph_knn_purity: endpoint counts replay; purity in [0,1]; totals match doubled edges") {
-    val knn = VectorQueries.annKnnJoin.fn(spark, sf)
+    val knn = VectorQueries.annKnnHier.fn(spark, sf)
       .select(col("q").cast("long"), col("c").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val edges = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }

@@ -29,7 +29,7 @@ class Round14nOpsSpec extends SparkSpec {
   }
 
   test("graph_rich_club: phi replays from the edge list; monotone N_k") {
-    val edges = VectorQueries.annKnnMutual.fn(spark, sf)
+    val edges = VectorQueries.annKnnMutualHier.fn(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val deg = (edges.map(_._1) ++ edges.map(_._2))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap

@@ -68,8 +68,8 @@ class Round14rOpsSpec extends SparkSpec {
   }
 
   test("graph_reciprocity: 2*mutual/directed; bounded in (0, 1]") {
-    val directed = VectorQueries.annKnnJoin.fn(spark, sf).count()
-    val mutual = VectorQueries.annKnnMutual.fn(spark, sf).count()
+    val directed = VectorQueries.annKnnHier.fn(spark, sf).count()
+    val mutual = VectorQueries.annKnnMutualHier.fn(spark, sf).count()
     val r = VectorQueries.graphReciprocity.fn(spark, sf).collect()(0)
     assert(r.getLong(0) == directed && r.getLong(1) == mutual)
     val rec = 2.0 * mutual / directed

@@ -26,7 +26,7 @@ class Round15cOpsSpec extends SparkSpec {
   }
 
   test("graph_conductance: cut/vol replay from the mutual edge list; bounded [0,1]") {
-    val edges = VectorQueries.annKnnMutual.fn(spark, sf)
+    val edges = VectorQueries.annKnnMutualHier.fn(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val lab = graft.util.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
