@@ -824,21 +824,43 @@ object TextQueries {
       val shd = TextOps.shingles3(docs).distinct().materialized(eager = false)
       val pairs = TextOps.minhashPairs(docs)
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      // hash-PREFIXED intersection (r14, the ngram_jaccard/contamination
-      // trick): the pairs×shingles expansion is the plan's largest
-      // intermediate — the ×100 probe measured its shuffle going
-      // 59 MB → 5.3 GB with 17 GB of spill onset (28× CPU against
-      // linear candidates). Carrying xxhash64(shingle) through the
-      // expansion and joining on (hash, shingle) is result-identical
-      // (the hash is a function of the string) but resolves almost every
-      // sort-merge compare on an 8-byte long and shrinks the shuffled
-      // row. Engine-internal only; the oracle's string join is untouched.
+      // ARRAY-INTERSECT intersection (r14): the naive pairs×shingles
+      // expansion was the plan's largest intermediate — the ×100 probe
+      // measured its shuffle at 59 MB → 5.3 GB with a 17 GB spill onset
+      // (28× CPU against linear candidates), and a hash-prefixed join
+      // key bought only ~5% because the expansion-sized SMJ sort AND the
+      // expansion-sized groupBy shuffle both remained. This shape removes
+      // both: each doc's DISTINCT shingles collapse to one array of
+      // xxhash64 cells (8 B/shingle), two candidate-linear joins attach
+      // the two arrays, and |A∩B| is size(array_intersect) computed
+      // per-row with NO post-join shuffle at all. Exactness is two-tier,
+      // not probabilistic: hashes claimed by >1 distinct shingle
+      // corpus-wide (expected none; a broadcast-sized frame by
+      // construction) are EXCLUDED from the arrays and their shingles
+      // counted exactly through the old string-keyed expansion, which
+      // then runs over a near-empty input. Engine-internal only; the
+      // oracle's string-equality join is untouched.
       val shh = shd.withColumn("hs", xxhash64(col("shingle")))
-      val shared = pairs
-        .join(shh.select(col("doc_id").as("doc_a"), col("hs"), col("shingle")), "doc_a")
-        .join(shh.select(col("doc_id").as("doc_b"), col("hs"), col("shingle")),
-          Seq("doc_b", "hs", "shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      val coll = shh.groupBy("hs").agg(countDistinct(col("shingle")).as("nstr"))
+        .filter(col("nstr") > 1).select("hs")
+      val arrs = shh.join(broadcast(coll), Seq("hs"), "left_anti")
+        .groupBy("doc_id").agg(collect_list(col("hs")).as("harr"))
+      val base = pairs
+        .join(arrs.select(col("doc_id").as("doc_a"), col("harr").as("ha")), Seq("doc_a"), "left")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("harr").as("hb")), Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0))
+            .cast("long").as("n0"))
+      val dirty = shh.join(broadcast(coll), Seq("hs"))
+      val extra = pairs
+        .join(dirty.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(dirty.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nx"))
+      val shared = base
+        .join(extra, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n0") + coalesce(col("nx"), lit(0L))).as("n_shared"))
+        .filter(col("n_shared") > 0)
       shared
         .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b")), "doc_b")
