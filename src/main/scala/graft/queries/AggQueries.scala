@@ -760,8 +760,20 @@ object AggQueries {
       // grid — so its cross-asset resum rides the portable grid (r13
       // rule): at p ≈ 10⁵ the decimal(38,8) cast sits in the widest
       // two-rounding band in the repo (~1e-3 per cast on a two-rounding
-      // DuckDB). Domain: Σ|p| per month < 8.6e9 ⇒ fine to ~10⁴ assets.
-      "mkt AS (SELECT m, (" + Exact.Sql.portableSum("p") + " / count(*)) AS pm FROM p GROUP BY 1), " +
+      // DuckDB). The grid exponent is CORPUS-ADAPTIVE (r14): the fixed
+      // 2⁻³⁰ grid's Σ|p| < 2³³ month domain is real — the ×100 probe
+      // measured Spark's sum(long) wrapping at sf10's ~600k assets/month
+      // (DuckDB widens to HUGEINT; the guard caught the fork live) — so
+      // k = min(30, 62 − bits(⌊max p⌋+1) − bits(max month count)),
+      // integer-pure and engine-identical; every gate-scale fixture keeps
+      // k = 30 ⇒ bit-unchanged results below the old domain.
+      "kg AS (SELECT CAST(1::BIGINT << least(30, greatest(0, " +
+      "62 - length(bin(CAST(floor(max(mp)) AS BIGINT) + 1)) " +
+      "- length(bin(greatest(1, CAST(max(cnt) AS BIGINT)))))) AS DOUBLE) AS gf " +
+      "FROM (SELECT m, count(*) AS cnt, max(p) AS mp FROM p GROUP BY 1) ms), " +
+      "mkt AS (SELECT m, (" +
+      Exact.Sql.portableSumAt("p", "(SELECT gf FROM kg)") +
+      " / count(*)) AS pm FROM p GROUP BY 1), " +
       "ra AS (SELECT l_partkey, m, p / lag(p) OVER " +
       "(PARTITION BY l_partkey ORDER BY m) - 1.0 AS r FROM p), " +
       "rm AS (SELECT m, pm / lag(pm) OVER (ORDER BY m) - 1.0 AS rm FROM mkt), " +
@@ -784,8 +796,20 @@ object AggQueries {
         .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("m"))
         .agg(Exact.exactAvg(col("l_extendedprice")).as("p"))
         .materialized(eager = false) // feeds the market mean AND the returns
+      // driver-side scalars parameterize the grid exponent (the
+      // bloomM/seedSamp pattern); one extra corpus-linear job over the
+      // materialized p frame
+      val ms = p.groupBy("m")
+        .agg(count(lit(1)).as("cnt"), max(col("p")).cast("double").as("mp"))
+        .agg(max("cnt").cast("long"), max("mp")).head()
+      def bits(x: Long): Int =
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+      val k = math.min(30, math.max(0,
+        62 - bits(math.floor(ms.getDouble(1)).toLong + 1) -
+          bits(math.max(1L, ms.getLong(0)))))
+      val gf = math.pow(2.0, k) // exact power of two
       val mkt = p.groupBy("m")
-        .agg((Exact.portableSum(col("p")) / count(lit(1))).as("pm"))
+        .agg((Exact.portableSumAt(col("p"), gf) / count(lit(1))).as("pm"))
       val ra = p.select(col("l_partkey"), col("m"),
         (col("p") / lag("p", 1).over(
           Window.partitionBy("l_partkey").orderBy("m")) - 1.0).as("r"))

