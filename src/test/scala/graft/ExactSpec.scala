@@ -146,4 +146,33 @@ class ExactSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     ref.foreach { case (k, v) => assert(gotMap(k) == v, s"key $k") }
   }
+
+  test("portableSumAt: k=30 reproduces portableSum bit-exactly; the adaptive " +
+    "exponent survives where the fixed grid wraps int64") {
+    import spark.implicits._
+    val vals = (1 to 3000).map(i => (i % 5, i.toDouble * math.log(i + 1.0)))
+    val df = vals.toDF("k", "v")
+    val fixed = df.groupBy("k").agg(Exact.portableSum(col("v")).as("s"))
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    val at30 = df.groupBy("k").agg(
+      Exact.portableSumAt(col("v"), 1073741824.0).as("s"))
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(fixed == at30) // the floor of the adaptive family IS the old grid
+    // wrap demonstration: addends sized so Σ·2³⁰ exceeds 2⁶³ (the
+    // q_agg_beta_market ×100 mechanism) — the fixed grid's long sum
+    // wraps NEGATIVE on an all-positive column; the corpus-adaptive
+    // exponent (k from the bitlength rule) keeps every cell sum inside
+    // int64 and lands within one grid step per addend of the true sum
+    val n = 1000
+    val big = (1 to n).map(i => 1.0e7 + i).toDF("v") // Σ·2³⁰ ≈ 1.07e19 > 2⁶³
+    val wrapped = big.agg(Exact.portableSum(col("v"))).head.getDouble(0)
+    assert(wrapped < 0.0, s"expected int64 wrap, got $wrapped")
+    def bits(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+    val k = math.min(30, math.max(0, 62 - bits((1.0e7 + n).toLong + 1) - bits(n.toLong)))
+    val gf = math.pow(2.0, k)
+    val adaptive = big.agg(Exact.portableSumAt(col("v"), gf)).head.getDouble(0)
+    val truth = (1 to n).map(i => 1.0e7 + i).sum
+    assert(adaptive > 0.0 && math.abs(adaptive - truth) <= n / gf + 1.0,
+      s"adaptive $adaptive vs $truth at k=$k")
+  }
 }
