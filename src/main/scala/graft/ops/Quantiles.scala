@@ -201,16 +201,97 @@ object Quantiles {
     */
   def groupQuantilesDisc(df: DataFrame, group: String, value: String,
       ps: Seq[(Double, String)]): DataFrame = {
-    val hist = df.groupBy(group, value).agg(count(lit(1)).as("_cnt"))
-    val withCum = hist
-      .withColumn("_cum", sum("_cnt").over(Window.partitionBy(group).orderBy(value)))
+    // r14 OPTIMIZATION (guide §2.4 "remove shuffles outright" + §2.5):
+    // the r13 form histogrammed per (group, RAW value) and ran the prefix
+    // window over that frame — bounded by the value DOMAIN, which for the
+    // continuous columns the agg family feeds it (prices: 594k distinct
+    // of 600k rows at sf0.1) degenerates to a data-sized one-task-per-
+    // group sort — the exact WindowExec shape ops.Quantiles exists to
+    // avoid. This form reuses exactNtile's order-preserving IEEE-754
+    // bit-prefix bucket layout: the only window runs over ≤ (groups ×
+    // occupied buckets) rows, the bucket→position map is collected once
+    // (bounded driver state, exactNtile's asserted contract), and the
+    // data-side resolve ranks ONLY the rows of the ≤ |ps| boundary
+    // buckets per group (a broadcast semi-join + a bounded window).
+    // Results are bit-identical to the histogram form: bucketing is a
+    // monotone function of the value (non-strictly via the double cast —
+    // exact for |v| < 2⁵³; within-bucket ranking compares the RAW
+    // column), so order statistics land in the same positions, and the
+    // position arithmetic (m = ceil(p·n), null-first clamping to the
+    // first non-null value, NaN-last) replays the window form exactly.
+    val buckets = 4096
+    val shift = 52 - (64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 1)))
+    val NullBkt = Long.MinValue
+    val nb = expr(s"double_bits(cast(`$value` as double) + 0.0D)")
+    val sortable = when(nb < 0, nb.bitwiseXOR(lit(Long.MaxValue))).otherwise(nb)
+    val bucket = coalesce(shiftright(sortable, shift), lit(NullBkt))
+    val rows = df.select(col(group), col(value)).withColumn("_bkt", bucket)
+    val hist = rows.groupBy(group, "_bkt").agg(count(lit(1)).as("_cnt"))
+    val cum = hist
+      .withColumn("_cum", sum("_cnt").over(Window.partitionBy(group).orderBy("_bkt")))
       .withColumn("_n", sum("_cnt").over(Window.partitionBy(group)))
-    // value at position m = smallest v whose cumulative count reaches m
-    val aggs = ps.map { case (p, name) =>
-      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(value))).as(name)
+      .select(col(group), col("_bkt"), col("_cnt"), col("_cum"), col("_n"))
+    val collected = cum.collect()
+    require(collected.length <= 4000000,
+      s"groupQuantilesDisc bucket map has ${collected.length} rows (> 4M): " +
+        "group cardinality too high for the broadcast layout (exactNtile contract)")
+    // driver-side: per group, locate each requested position's bucket
+    val byGroup = collected.groupBy(_.get(0))
+    val specRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    val nRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    byGroup.foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val n = sorted.head.getLong(4)
+      val nulls = sorted.find(_.getLong(1) == NullBkt).map(_.getLong(2)).getOrElse(0L)
+      nRows += org.apache.spark.sql.Row(g, n)
+      ps.foreach { case (p, name) =>
+        // the window form's position: smallest value whose cum ≥ ceil(p·n),
+        // min() skipping nulls ⇒ effective position max(ceil(p·n), nulls+1)
+        val m = math.ceil(p * n).toLong
+        val mEff = math.max(m, nulls + 1)
+        sorted.find(r => r.getLong(1) != NullBkt &&
+            r.getLong(3) >= mEff && (r.getLong(3) - r.getLong(2)) < mEff)
+          .foreach { r =>
+            specRows += org.apache.spark.sql.Row(
+              g, r.getLong(1), name, mEff - (r.getLong(3) - r.getLong(2)))
+          }
+      }
     }
-    withCum.groupBy(group)
-      .agg(max("_n").as("n"), aggs: _*)
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val gType = cum.schema(group).dataType
+    val specSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(group, gType),
+      org.apache.spark.sql.types.StructField("_bkt", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_q", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_target", org.apache.spark.sql.types.LongType, nullable = false)))
+    val nSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(group, gType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false)))
+    val specDf = spark.createDataFrame(specRows.toSeq.asJava, specSchema)
+    val nDf = spark.createDataFrame(nRows.toSeq.asJava, nSchema)
+    // resolve: rank only the boundary buckets' rows (bounded partitions)
+    val wIn = Window.partitionBy(col(group), col("_q")).orderBy(value)
+    // the r13 form published the GROUPED value, which Spark normalizes
+    // (-0.0 → +0.0 in grouping keys); the resolve picks a raw row value,
+    // so float/double outputs get the same normalization explicitly
+    val vOut = df.schema(value).dataType match {
+      case org.apache.spark.sql.types.DoubleType => col(value) + lit(0.0d)
+      case org.apache.spark.sql.types.FloatType  => col(value) + lit(0.0f)
+      case _ => col(value)
+    }
+    val picked = rows.join(broadcast(specDf), Seq(group, "_bkt"))
+      .withColumn("_rn", row_number().over(wIn))
+      .filter(col("_rn") === col("_target"))
+      .select(col(group), col("_q"), vOut.as("_v"))
+    // one conditional aggregation widens all quantiles in a single pass
+    // (a per-name filter+join would re-evaluate the resolve subtree |ps|×)
+    val aggs = ps.map { case (_, name) =>
+      min(when(col("_q") === name, col("_v"))).as(name)
+    }
+    val wide = picked.groupBy(group).agg(aggs.head, aggs.tail: _*)
+    nDf.join(wide, Seq(group), "left")
+      .select(col(group) +: col("n") +: ps.map { case (_, name) => col(name) }: _*)
   }
 
   /** Exact INTERPOLATED per-group quantiles (percentile_cont semantics:

@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Module-local fan-out of the fact scans (optimization guide §2.5,
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"): every aggregate here starts with a map-side
+    * partial aggregation whose cost is per-ROW (15 decimal-moment sums,
+    * histogram hashes), and a single-row-group parquet file pins that
+    * whole stage to ONE task (measured r14: q_agg_corr 1.0 cores on
+    * local[32], q_agg_cov_matrix 1.1). util.FanOut widens the scan to
+    * the session's parallelism when (and only when) the lake layout
+    * yields fewer than half the slots — a provable no-op on a 100 TB
+    * multi-row-group lake. These defs SHADOW the `Tables._` import for
+    * every query in this module. */
+  private def lineitem(s: SparkSession, d: String): DataFrame =
+    graft.util.FanOut(graft.util.Tables.lineitem(s, d))
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.util.FanOut(graft.util.Tables.events(s, d))
+  private def orders(s: SparkSession, d: String): DataFrame =
+    graft.util.FanOut(graft.util.Tables.orders(s, d))
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.util.FanOut(graft.util.Tables.documents(s, d))
+
   /** Unique per-line ordinal — gives pandas' position-based `last`/`iloc`
     * semantics a deterministic, distributed meaning (SURVEY §2.4 caveat:
     * pandas `last` is order-dependent; we define order = (orderkey,

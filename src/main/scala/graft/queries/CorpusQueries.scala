@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+
   /** Gopher-style repetition signals: duplicated-token fraction,
     * top-bigram mass, duplicated-bigram mass — the "is this document
     * degenerate/boilerplate" filter of a pretraining pipeline. All counts

@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStatsQueries {
 
+
   /** TF-IDF top-3 terms per document: tf × (ln((N+1)/(df+1)) + 1), the
     * smoothed sklearn-style idf. Candidate keyword extraction / topic
     * signal for curation. Window top-k is partitioned by doc — no global

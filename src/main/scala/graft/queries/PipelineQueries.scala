@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+
   /** Deterministic train/val/test split: bucket = portable 32-bit hash of
     * "split:"||doc_id mod 1000 (salted so split membership is independent
     * of q_sample_stratified's sampling bucket), 80/10/10. The

@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PrepQueries {
 
+
   /** Chunk/pack geometry: token windows of ChunkC with stride ChunkS
     * (ChunkC − ChunkS overlap); packed training sequences of PackL
     * whitespace tokens; PackBin docs per prefix bin. Pinned here so the

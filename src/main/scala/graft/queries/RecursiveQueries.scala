@@ -10,6 +10,7 @@ import graft.ops.Recursive
   */
 object RecursiveQueries {
 
+
   private val rowsCte =
     "WITH RECURSIVE rows AS MATERIALIZED (" +
       "SELECT l_partkey AS key, " +

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object SessionQueries {
 
+
   /** 12 h in microseconds — calibrated so the testdata's sparse event
     * stream (≈ 2 events/user/day) forms real multi-event sessions. */
   private val GapUs = 12L * 3600 * 1000000L

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+
   /** Shared DuckDB CTE bodies (no leading WITH so callers can prepend
     * WITH / WITH RECURSIVE): tokenization, shingling, minhash-LSH pairs and
     * the simhash signature — reused by CorpusQueries' oracles so the

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+
   /** Decimal-exact dot product of two float-array columns: per-element
     * double product → decimal scale-8 quantization → exact sum → double.
     * The addend set matches the oracle's exploded-join SUM exactly, and

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries {
 
+
   private val ord: Column = col("l_orderkey") * 8 + col("l_linenumber")
   private val ordSql = "(l_orderkey * 8 + l_linenumber)"
 

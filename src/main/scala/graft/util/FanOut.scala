@@ -25,10 +25,19 @@ import org.apache.spark.sql.DataFrame
   * here is a stage with no shuffle in it at all.
   */
 object FanOut {
+  /** `spark.graft.fanout` = `auto` (default) | `off` — the A/B gate for
+    * benchmarking the guard itself; `off` restores the bare scan. */
+  val Key = "spark.graft.fanout"
+
   /** Repartition `df` to the default parallelism iff its current plan
     * yields fewer than half that many partitions. Inspecting
-    * `rdd.getNumPartitions` forces physical planning but runs no job. */
+    * `rdd.getNumPartitions` forces physical planning but runs no job.
+    * Catalyst pushes filters and column pruning THROUGH the round-robin
+    * repartition (PushDownPredicates / ColumnPruning both list
+    * Repartition), so scan-level pushdown is unaffected — only the
+    * surviving, pruned rows are redistributed. */
   def apply(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.get(Key, "auto") == "off") return df
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
   }

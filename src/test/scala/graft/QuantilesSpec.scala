@@ -120,6 +120,51 @@ class QuantilesSpec extends SparkSpec {
       byHist.exceptAll(bySort).count() == 0)
   }
 
+  /** The r13 value-histogram formulation, kept as the reference for the
+    * r14 bucket rewrite: its null/NaN semantics (nulls counted in n and
+    * in cumulative positions, min() skipping them; NaN ordered last) are
+    * the contract the bucketed form must reproduce bit-for-bit. */
+  private def discNaive(df: org.apache.spark.sql.DataFrame, group: String,
+      value: String, ps: Seq[(Double, String)]) = {
+    val hist = df.groupBy(group, value).agg(count(lit(1)).as("_cnt"))
+    val withCum = hist
+      .withColumn("_cum", sum("_cnt").over(Window.partitionBy(group).orderBy(value)))
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy(group)))
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(value))).as(name)
+    }
+    withCum.groupBy(group).agg(max("_n").as("n"), aggs: _*)
+  }
+
+  test("bucketed groupQuantilesDisc == value-histogram form: doubles, nulls, NaN, near-unique") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val ps = Seq(0.25 -> "q1", 0.5 -> "med", 0.75 -> "q3", 1.0 -> "mx")
+    // near-unique continuous values with sign changes (the agg-family shape)
+    val cont = (1 to 4000).map { i =>
+      (s"g${i % 3}", Option(rnd.nextDouble() * 2e5 - 1e5))
+    }.toDF("grp", "v")
+    // heavy ties + nulls + NaN + SQL-equal zeros
+    val nasty = (1 to 1500).map { i =>
+      val v: Option[Double] =
+        if (i % 10 == 0) None
+        else if (i % 13 == 0) Some(Double.NaN)
+        else if (i % 17 == 0) Some(if (i % 2 == 0) 0.0 else -0.0)
+        else Some((rnd.nextInt(12) * 5.5) - 30.0)
+      (s"g${i % 4}", v)
+    }.toDF("grp", "v")
+    // a group whose values are ALL null (quantiles must come back null)
+    val allNull = Seq(("gnull", None: Option[Double])).toDF("grp", "v")
+    for (df <- Seq(cont, nasty, nasty.unionAll(allNull))) {
+      val expected = discNaive(df, "grp", "v", ps)
+      val actual = Quantiles.groupQuantilesDisc(df, "grp", "v", ps)
+      assert(expected.exceptAll(actual).count() == 0 &&
+        actual.exceptAll(expected).count() == 0,
+        s"bucketed disc mismatch:\nexpected ${expected.collect().toSeq}\n" +
+          s"actual ${actual.collect().toSeq}")
+    }
+  }
+
   test("exclusivePrefixSum == unpartitioned window (distinct keys, mixed signs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
